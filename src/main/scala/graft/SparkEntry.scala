@@ -1,13 +1,377 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables._
+import graft.functions.{Geo, GraftFunctions => GF, WeightedMedian}
+import graft.ops.RelOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry exercises one (or a small family of) SURVEY §2 operators,
+  * expressed Spark-first over the driver testdata, with a DuckDB oracle
+  * in [[oracleSql]] using identical column names/types. Deterministic
+  * output ordering everywhere so hash-compares are stable.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_flagship_tag_freq")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship: scan -> map ops -> filter -> agg -> sort (P1,P2,A1,O1;
+    //      osm-explore.sql:9-16 shape). tags is a real MapType column so the
+    //      hstore surface (element_at / map_contains_key) is exercised.
+    "q_flagship_tag_freq" -> ((s, dir) => {
+      customer(s, dir)
+        .select(map(
+          lit("mktsegment"), col("c_mktsegment"),
+          lit("nation"), col("c_nationkey").cast("string")).as("tags"))
+        .filter(map_contains_key(col("tags"), lit("mktsegment")))
+        .select(element_at(col("tags"), "mktsegment").as("tag_value"))
+        .groupBy("tag_value").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tag_value"))
+    }),
+
+    // ---- P3 `each(tags)` explode + A2 multi-key group (osm-explore.sql:43-56)
+    "q_explore_tag_kv" -> ((s, dir) => {
+      customer(s, dir)
+        .select(map(
+          lit("mktsegment"), col("c_mktsegment"),
+          lit("nation"), col("c_nationkey").cast("string")).as("tags"))
+        .select(explode(col("tags")).as(Seq("tag", "value")))
+        .groupBy("tag", "value").agg(count(lit(1)).as("cnt"))
+        .orderBy("tag", "value")
+    }),
+
+    // ---- J1 inner equi-join, broadcast dimension (osm-road-graphs.sql:144-147)
+    "q_j1_inner" -> ((s, dir) => {
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- J2 attribute-copy join (osm-road-graphs.sql:149-159 shape)
+    "q_j2_attr_copy" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+          round(col("l_extendedprice") - col("p_retailprice") * col("l_quantity"), 2)
+            .as("margin"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- J3 range join: equi key + BETWEEN band (osm-road-graphs.sql:119-127)
+    "q_j3_range" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
+    // ---- J4/J5 left-semi (osm-road-graphs.sql:60,72,94)
+    "q_j4_semi" -> ((s, dir) => {
+      val big = lineitem(s, dir).filter(col("l_quantity") >= 48)
+      orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- J6 left-anti (osm-road-graphs.sql:161-165)
+    "q_j6_anti" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J8 driver-composed scalar subquery (general-functions.sql:61,68)
+    "q_j8_scalar" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val maxPrice = o.agg(max(col("o_totalprice"))).head.getDouble(0)
+      o.filter(col("o_totalprice") > lit(0.9 * maxPrice))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- A1+A3 group-count + HAVING-style post-filter (osm-road-graphs.sql:66-76)
+    "q_a1_a3_having" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 35)
+        .orderBy("l_partkey")
+    }),
+
+    // ---- A2/A5 multi-key group with count/sum/avg
+    "q_a2_a5_groupstats" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- A6/O2 ordered array_agg (osm-road-graphs.sql:144): deterministic
+    //      via array_sort(collect_list(struct(...))), never bare collect_list
+    "q_a6_ordered_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(
+          array_join(
+            RelOps.orderedListAgg(col("l_linenumber"), col("l_partkey").cast("string")),
+            ",").as("parts_csv"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- A10/X4 custom median Aggregator (general-functions.sql:29-34)
+    "q_a10_median" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(GF.medianExact(col("l_quantity")).as("med_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- A11 percentile_cont within group (osm-complete-graphs.sql:33-38)
+    "q_a11_percentile" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- A13/O4 DISTINCT ON top-1-per-group (osm-road-graphs.sql:78-85)
+    "q_a13_top1" -> ((s, dir) => {
+      RelOps.top1PerGroup(orders(s, dir), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- W1 lag with default (osm-road-graphs.sql:97-104)
+    "q_w1_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1, 0.0).over(w).as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- W3/W4 running + lagged running sums (general-functions.sql:63-67)
+    "q_w3_w4_runsum" -> ((s, dir) => {
+      val base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = base.rowsBetween(Window.unboundedPreceding, -1)
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(run), 2).as("run_sum"),
+          round(coalesce(sum(col("o_totalprice")).over(prev), lit(0.0)), 2).as("prev_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- W5 whole-table total as scalar agg + broadcast cross join —
+    //      NOT `SUM() OVER ()` (single-partition collapse, SURVEY §7.4-6)
+    "q_w5_share" -> ((s, dir) => {
+      RelOps.withGlobalAgg(orders(s, dir), sum(col("o_totalprice")).as("__total"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") / col("__total") * 100, 6).as("share"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- F1/X1 custom Catalyst expression get_ints_from_text
+    //      (general-functions.sql:3-5) through the injected function
+    "q_f1_extract_ints" -> ((s, dir) => {
+      orders(s, dir)
+        .select(element_at(GF.extractInts(col("o_orderpriority")), 1).as("prio_num"))
+        .groupBy("prio_num").agg(count(lit(1)).as("cnt"))
+        .orderBy("prio_num")
+    }),
+
+    // ---- U1 UNION distinct (osm-road-graphs.sql:60)
+    "q_u1_union_distinct" -> ((s, dir) => {
+      RelOps.unionDistinct(Seq(
+          customer(s, dir).select(col("c_nationkey").as("n_key")),
+          supplier(s, dir).select(col("s_nationkey").as("n_key"))))
+        .orderBy("n_key")
+    }),
+
+    // ---- U2/P8 multi-branch UNION ALL with literal key columns —
+    //      the POI pivot shape (osm-pois-extract.sql:3-48)
+    "q_u2_unpivot" -> ((s, dir) => {
+      val p = part(s, dir)
+      RelOps.unionAll(Seq(
+          p.select(col("p_partkey"), lit("brand").as("key"), col("p_brand").as("value")),
+          p.select(col("p_partkey"), lit("type").as("key"), col("p_type").as("value"))))
+        .orderBy("p_partkey", "key")
+    }),
+
+    // ---- exact dedup by content hash: keeper = min id per fingerprint
+    "q_d_exact_dedup" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+        .orderBy("fp")
+    }),
+
+    // ---- near-dup by normalized fingerprint (distinct-word-set hash):
+    //      hash-groupBy dedup, single shuffle, no pairwise stage
+    "q_d_fingerprint_dedup" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+            .as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy("fp")
+    }),
+
+    // ---- text analysis: token counting + quality-score features
+    "q_t_text_stats" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("nchars"),
+          size(toks).cast("long").as("ntokens"),
+          size(array_distinct(toks)).cast("long").as("nuniq"),
+          round(length(col("text")).cast("double") / size(toks), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal plumbing: opaque binary payload column + typed
+    //      metadata, exercised through the binary type end-to-end
+    "q_mm_binary_meta" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Column names/types must match the Spark side.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_flagship_tag_freq" ->
+      """SELECT c_mktsegment AS tag_value, count(*) AS cnt
+         FROM customer GROUP BY c_mktsegment
+         ORDER BY cnt DESC, tag_value""",
+    "q_explore_tag_kv" ->
+      """SELECT tag, value, count(*) AS cnt FROM (
+           SELECT 'mktsegment' AS tag, c_mktsegment AS value FROM customer
+           UNION ALL
+           SELECT 'nation' AS tag, CAST(c_nationkey AS VARCHAR) AS value FROM customer
+         ) GROUP BY tag, value ORDER BY tag, value""",
+    "q_j1_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q_j2_attr_copy" ->
+      """SELECT l_orderkey, l_linenumber, p_brand,
+                round(l_extendedprice - p_retailprice * l_quantity, 2) AS margin
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_j3_range" ->
+      """SELECT p_brand, count(*) AS cnt
+         FROM lineitem JOIN part
+           ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_j4_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+         ORDER BY o_orderkey""",
+    "q_j6_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_j8_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""",
+    "q_a1_a3_having" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+         GROUP BY l_partkey HAVING count(*) > 35 ORDER BY l_partkey""",
+    "q_a2_a5_groupstats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(l_quantity) AS sum_qty, round(avg(l_discount), 4) AS avg_disc
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_a6_ordered_agg" ->
+      """SELECT l_orderkey,
+                array_to_string(list(CAST(l_partkey AS VARCHAR) ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)), ',') AS parts_csv,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q_a10_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_a11_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.25) AS p25,
+                quantile_cont(l_extendedprice, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_a13_top1" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+         ORDER BY o_custkey""",
+    "q_w1_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey) AS prev_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_w3_w4_runsum" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+                round(coalesce(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 2) AS prev_sum
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_w5_share" ->
+      """SELECT o_orderkey,
+                round(o_totalprice / (SELECT sum(o_totalprice) FROM orders) * 100, 6) AS share
+         FROM orders ORDER BY o_orderkey""",
+    "q_f1_extract_ints" ->
+      """SELECT CAST(regexp_extract(o_orderpriority, '[0-9]+') AS INT) AS prio_num,
+                count(*) AS cnt
+         FROM orders GROUP BY prio_num ORDER BY prio_num""",
+    "q_u1_union_distinct" ->
+      """SELECT c_nationkey AS n_key FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY n_key""",
+    "q_u2_unpivot" ->
+      """SELECT p_partkey, 'brand' AS key, p_brand AS value FROM part
+         UNION ALL SELECT p_partkey, 'type' AS key, p_type AS value FROM part
+         ORDER BY p_partkey, key""",
+    "q_d_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS cnt
+         FROM documents GROUP BY fp ORDER BY fp""",
+    "q_d_fingerprint_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+                min(doc_id) AS keeper, count(*) AS cnt
+         FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    "q_t_text_stats" ->
+      """SELECT doc_id, length(text) AS nchars,
+                len(string_split(text, ' ')) AS ntokens,
+                len(list_distinct(string_split(text, ' '))) AS nuniq,
+                round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len
+         FROM documents ORDER BY doc_id""",
+    "q_mm_binary_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+                md5(text) AS payload_md5
+         FROM documents ORDER BY doc_id"""
+  )
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+import scala.reflect.runtime.universe.typeTag
+
+/** `SparkSessionExtensions` hook registering graft's custom Catalyst
+  * functions, usable via `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (new FunctionIdentifier("get_ints_from_text"),
+        new ExpressionInfo(classOf[ExtractInts].getName, "get_ints_from_text"),
+        (children: Seq[Expression]) => ExtractInts(children.head)))
+  }
+}
+
+/** Column-level API for graft's function surface (SURVEY §2.8/§2.10). */
+object GraftFunctions {
+
+  /** The median UDAF (X4); use directly on columns: `medianExact($"x")`. */
+  lazy val medianExact: UserDefinedFunction =
+    udaf(MedianAggregator)(typeTag[java.lang.Double])
+
+  /** Register name-addressable functions on an existing session (for
+    * `spark.sql(...)` use and `call_function`). Extension-injected
+    * functions (get_ints_from_text) need `withExtensions` instead.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("median_exact", medianExact)
+  }
+
+  /** F1 as a pure built-in composition — semantically identical to the
+    * [[ExtractInts]] expression (tested equivalent); stays entirely in
+    * codegen'd built-ins. get_ints_from_text per general-functions.sql:3-5.
+    */
+  def extractIntsBuiltin(c: Column): Column =
+    filter(split(c, "[^0-9]+"), x => x =!= "").cast(ArrayType(IntegerType))
+
+  /** The custom-expression form, resolved through the injected function. */
+  def extractInts(c: Column): Column = call_function("get_ints_from_text", c)
+}

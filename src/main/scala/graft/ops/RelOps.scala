@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Relational helper operators re-expressing reference SQL idioms that
+  * Spark lacks as single built-ins (SURVEY §2 / §7.3). All are plan
+  * combinators over the DataFrame API — Catalyst sees plain relational
+  * plans and optimizes them normally.
+  */
+object RelOps {
+
+  /** A6: PG `array_agg(v ORDER BY s)` (osm-road-graphs.sql:144).
+    * Spark's `collect_list` has no ordering guarantee, so the canonical
+    * deterministic form is sort-the-collected-structs. Aggregation stays
+    * a single hash agg (one shuffle); the sort is per-group, in-memory.
+    */
+  def orderedListAgg(sortCol: Column, valueCol: Column): Column =
+    transform(
+      array_sort(collect_list(struct(sortCol.as("s"), valueCol.as("v")))),
+      x => x.getField("v"))
+
+  /** A13: PG `SELECT DISTINCT ON (keys) ... ORDER BY keys, order`
+    * (osm-road-graphs.sql:78-85) — top-1 per group via a ranking window.
+    * One shuffle on the group keys; no global sort.
+    */
+  def top1PerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** S7: PG filtered `DELETE ... WHERE pred` under SQL three-valued
+    * logic (osm-road-graphs.sql:19-28): rows where pred is NULL are NOT
+    * deleted. The surviving set is therefore `NOT coalesce(pred, false)`
+    * — a plain `filter(pred IS NOT TRUE)` would also do; we spell the
+    * coalesce to make the 3VL intent explicit (SURVEY §7.4-2).
+    */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+
+  /** S8: PG `UPDATE target SET tcol = source.scol FROM source WHERE
+    * whereTarget AND join-keys match` (osm-road-graphs.sql:49-54) as an
+    * immutable rewrite: left join + conditional replace. The source is
+    * broadcast by default — UPDATE..FROM sources in the reference are
+    * tiny summary tables (per-highway medians), the classic broadcast
+    * dimension. `set` maps target column -> source column.
+    */
+  def updateFrom(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      set: Map[String, String],
+      whereTarget: Column = lit(true),
+      broadcastSource: Boolean = true): DataFrame = {
+    val srcCols = (keys ++ set.values).distinct
+    val renamed0 = source
+      .select(srcCols.map(c => col(c).as("__u_" + c)): _*)
+      .withColumn("__u_matched", lit(true))
+    val renamed = if (broadcastSource) broadcast(renamed0) else renamed0
+    val cond = keys.map(k => target.col(k) <=> col("__u_" + k)).reduce(_ && _)
+    val joined = target.join(renamed, cond, "left")
+    val updated = set.foldLeft(joined) { case (df, (tcol, scol)) =>
+      df.withColumn(tcol,
+        when(coalesce(col("__u_matched"), lit(false)) && whereTarget, col("__u_" + scol))
+          .otherwise(col(tcol)))
+    }
+    updated.drop(renamed0.columns.toSeq: _*)
+  }
+
+  /** U1: SQL `UNION` (distinct across both inputs), osm-road-graphs.sql:60. */
+  def unionDistinct(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _).distinct()
+
+  /** U2/S5: serial `INSERT ... SELECT` branches as one immutable plan
+    * (osm-pois-extract.sql:3-48). */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _)
+
+  /** W5 at scale: a whole-table aggregate made available to every row
+    * without an empty-partition window (`SUM(w) OVER ()` collapses to a
+    * single partition at 100x — SURVEY §7.4-6). One scalar row, cross
+    * joined with broadcast: constant-folding-cheap and shuffle-free.
+    */
+  def withGlobalAgg(df: DataFrame, aggs: Column*): DataFrame =
+    df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+}
