@@ -248,6 +248,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- OSM flagship pipeline on the micro fixture (the oracle rebuilds
+    //      the same fixture with VALUES CTEs and re-derives the splitting
+    //      in reference-shaped SQL — osm-road-graphs.sql:66-165)
+    "q_osm_split_merge" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val net = osm.RoadGraph.imputeSpeedLimits(
+        osm.RoadGraph.excludeModes(osm.RoadGraph.carNetwork(t.ways)))
+      osm.RoadGraph.buildMergedNetwork(t)
+        .select(col("edge_id"),
+          col("start_node"), col("end_node"),
+          array_join(col("nodes").cast("array<string>"), ",").as("nodes_csv"))
+        .orderBy("edge_id", "nodes_csv")
+    }),
+
+    // ---- OSM directed expansion, strict reference semantics incl. the
+    //      NULL-oneway motorway drop (osm-road-graphs.sql:183-220)
+    "q_osm_directed" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.RoadGraph.directed(osm.RoadGraph.buildMergedNetwork(t),
+          strictOsmSemantics = true)
+        .select(col("edge_id"), col("start_node"), col("end_node"),
+          array_join(col("nodes").cast("array<string>"), ",").as("nodes_csv"))
+        .orderBy("edge_id", "start_node", "end_node", "nodes_csv")
+    }),
+
+    // ---- OSM median speed imputation (osm-road-graphs.sql:43-54)
+    "q_osm_impute" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.RoadGraph.imputeSpeedLimits(
+          osm.RoadGraph.excludeModes(osm.RoadGraph.carNetwork(t.ways)))
+        .select(col("edge_id"), col("highway"), col("speed_limit"))
+        .orderBy("edge_id")
+    }),
+
+    // ---- OSM POI pivot from nodes (osm-pois-extract.sql:3-48)
+    "q_osm_pois_nodes" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.PoisExtract.poisNodes(t.nodes)
+        .select(col("node_id"), col("key"), col("values"), col("name"))
+        .orderBy("node_id", "key")
+    }),
+
     // ---- multimodal plumbing: opaque binary payload column + typed
     //      metadata, exercised through the binary type end-to-end
     "q_mm_binary_meta" -> ((s, dir) => {
@@ -372,6 +414,60 @@ object SparkEntry {
     "q_mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
                 md5(text) AS payload_md5
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_osm_split_merge" -> (OsmOracle.graphPrefix +
+      """
+         SELECT CAST(edge_id AS BIGINT) AS edge_id,
+                CAST(start_node AS BIGINT) AS start_node,
+                CAST(end_node AS BIGINT) AS end_node, nodes_csv
+         FROM merged ORDER BY edge_id, nodes_csv"""),
+    "q_osm_directed" -> (OsmOracle.graphPrefix +
+      """,
+         attrs(way_id, highway, oneway) AS (VALUES
+           (101,'residential',CAST(NULL AS VARCHAR)),(102,'tertiary',CAST(NULL AS VARCHAR)),
+           (103,'primary','yes'),(104,'motorway','-1'),
+           (106,'motorway',CAST(NULL AS VARCHAR)),(109,'tertiary',CAST(NULL AS VARCHAR))),
+         merged2 AS (SELECT m.*, a.highway, a.oneway
+                     FROM merged m JOIN attrs a ON m.edge_id = a.way_id),
+         directed AS (
+           SELECT edge_id, start_node, end_node, nodes_csv FROM merged2
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT edge_id, end_node, start_node, nodes_csv_rev FROM merged2
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT edge_id, start_node, end_node, nodes_csv FROM merged2
+            WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+           UNION ALL
+           SELECT edge_id, end_node, start_node, nodes_csv_rev FROM merged2
+            WHERE oneway = '-1')
+         SELECT CAST(edge_id AS BIGINT) AS edge_id,
+                CAST(start_node AS BIGINT) AS start_node,
+                CAST(end_node AS BIGINT) AS end_node, nodes_csv
+         FROM directed ORDER BY edge_id, start_node, end_node, nodes_csv"""),
+    "q_osm_impute" ->
+      """WITH ways(edge_id, highway, speed_limit) AS (VALUES
+           (101,'residential',50),(102,'tertiary',CAST(NULL AS INT)),
+           (103,'primary',80),(104,'motorway',CAST(NULL AS INT)),
+           (106,'motorway',CAST(NULL AS INT)),(109,'tertiary',60)),
+         med AS (SELECT highway, CAST(round(median(speed_limit)) AS INT) AS m
+                 FROM ways WHERE speed_limit IS NOT NULL GROUP BY highway)
+         SELECT CAST(w.edge_id AS BIGINT) AS edge_id, w.highway,
+                coalesce(w.speed_limit, m.m) AS speed_limit
+         FROM ways w LEFT JOIN med m ON w.highway = m.highway
+         ORDER BY edge_id""",
+    "q_osm_pois_nodes" ->
+      """WITH tags(node_id, "key", "value") AS (VALUES
+           (3,'highway','crossing'),
+           (5,'amenity','cafe'),(5,'name','Cafe Five'),
+           (6,'shop','bakery'),(6,'name','Bakery Six'),
+           (11,'amenity','bench')),
+         poi AS (SELECT node_id, "key", "value" AS "values" FROM tags
+                 WHERE "key" IN ('leisure','sport','shop','office','amenity',
+                                 'craft','tourism','emergency','historic'))
+         SELECT CAST(p.node_id AS BIGINT) AS node_id, p."key", p."values",
+                n."value" AS name
+         FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
+         ORDER BY node_id, p."key""""
   )
 }

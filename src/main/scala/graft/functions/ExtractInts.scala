@@ -16,9 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * emits a direct static call, no serialization or row boxing.
   *
   * Deviation from PG (documented): PG casts each digit run with `::int`
-  * and would raise on >2^31 runs; we drop runs longer than 9 digits
-  * (cannot overflow) instead of failing the job — OSM tag values never
-  * hit this.
+  * and would raise on runs exceeding 2^31-1; we drop such runs instead
+  * of failing the job — OSM tag values never hit this.
   */
 case class ExtractInts(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -45,7 +44,10 @@ object ExtractInts {
       val p = parts(i)
       if (p.nonEmpty) {
         val t = p.replaceFirst("^0+(?=.)", "")
-        if (t.length <= 9) out.add(t.toInt)
+        if (t.length <= 10) {
+          val v = t.toLong
+          if (v <= Int.MaxValue) out.add(v.toInt)
+        }
       }
       i += 1
     }

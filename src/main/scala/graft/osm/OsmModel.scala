@@ -1,0 +1,101 @@
+package graft.osm
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical OSM data model (SURVEY §1.3, pgsnapshot 0.6 schema,
+  * etl/pgsnapshot_schema_0.6.sql:24-80). Geometry is modeled natively:
+  * points as `STRUCT<lon,lat>`, linestrings as `ARRAY<STRUCT<lon,lat>>`
+  * (SRID 4326 by convention — SURVEY §1.1).
+  */
+case class Point(lon: Double, lat: Double)
+
+case class OsmNode(
+    id: Long, version: Int, user_id: Int, tstamp: Timestamp,
+    changeset_id: Long, tags: Map[String, String], geom: Point)
+
+case class OsmWay(
+    id: Long, version: Int, user_id: Int, tstamp: Timestamp,
+    changeset_id: Long, tags: Map[String, String], nodes: Seq[Long],
+    linestring: Seq[Point])
+
+/** way_nodes(way_id, node_id, sequence_id) — sequence_id is 0-based
+  * (pgsnapshot_schema_0.6.sql:56-60; SURVEY §1.3). */
+case class WayNode(way_id: Long, node_id: Long, sequence_id: Int)
+
+case class OsmRelation(
+    id: Long, version: Int, user_id: Int, tstamp: Timestamp,
+    changeset_id: Long, tags: Map[String, String])
+
+case class RelationMember(
+    relation_id: Long, member_id: Long, member_type: String,
+    member_role: String, sequence_id: Int)
+
+/** Change-action feed row (etl/pgsnapshot_schema_0.6_action.sql:8-12):
+  * data_type in N/W/R, action in C/M/D. */
+case class OsmAction(data_type: String, action: String, id: Long)
+
+case class OsmTables(nodes: DataFrame, ways: DataFrame, wayNodes: DataFrame)
+
+object OsmModel {
+  /** Derive way_nodes from ways.nodes arrays — 0-based sequence. */
+  def wayNodesOf(spark: SparkSession, ways: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ways.select(col("id").as("way_id"), posexplode(col("nodes")).as(Seq("sequence_id", "node_id")))
+      .select(col("way_id"), col("node_id"), col("sequence_id").cast("int").as("sequence_id"))
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Hand-built micro-OSM fixture (FIXTURES.md §2): ~12 nodes, 7 ways
+    * chosen to trigger every graph-pipeline branch — interior splits,
+    * median imputation, text speed limits, oneway forward/reverse,
+    * the NULL-oneway motorway trap, and mode exclusion.
+    */
+  def microFixture(spark: SparkSession): OsmTables = {
+    import spark.implicits._
+    val t = ts("2020-05-08 12:00:00")
+    def node(id: Long, lon: Double, lat: Double, tags: Map[String, String] = Map.empty) =
+      OsmNode(id, 1, 1, t, 1L, tags, Point(lon, lat))
+
+    val nodes = Seq(
+      node(1, 0.00, 0.0), node(2, 0.01, 0.0),
+      node(3, 0.02, 0.0, Map("highway" -> "crossing")),
+      node(4, 0.03, 0.0),
+      node(5, 0.02, -0.01, Map("amenity" -> "cafe", "name" -> "Cafe Five")),
+      node(6, 0.02, 0.01, Map("shop" -> "bakery", "name" -> "Bakery Six")),
+      node(7, 0.10, 0.0), node(8, 0.12, 0.0),
+      node(9, 0.20, 0.0), node(10, 0.22, 0.0),
+      node(11, 0.30, 0.0, Map("amenity" -> "bench")),
+      node(12, 0.31, 0.0))
+
+    val nodeGeom = nodes.map(n => n.id -> n.geom).toMap
+    def way(id: Long, tags: Map[String, String], nodeIds: Long*) =
+      OsmWay(id, 1, 1, t, 1L, tags, nodeIds, nodeIds.map(nodeGeom))
+
+    val ways = Seq(
+      // W1: split at shared interior node n3
+      way(101, Map("highway" -> "residential", "maxspeed" -> "50", "name" -> "First"), 1, 2, 3, 4),
+      // W2: no maxspeed -> median imputation target; split at n3
+      way(102, Map("highway" -> "tertiary"), 5, 3, 6),
+      // W3: text speed limit + forward oneway
+      way(103, Map("highway" -> "primary", "oneway" -> "yes", "maxspeed" -> "80 km/h"), 7, 8),
+      // W4: reverse-drawn oneway motorway
+      way(104, Map("highway" -> "motorway", "oneway" -> "-1"), 9, 10),
+      // W5: footway - not an included highway class at all
+      way(105, Map("highway" -> "footway", "footway" -> "sidewalk"), 11, 12),
+      // W6: the NULL-oneway motorway trap (SURVEY §7.4-2)
+      way(106, Map("highway" -> "motorway"), 10, 9),
+      // W7: included class, then removed by the access=private exclusion
+      way(107, Map("highway" -> "residential", "access" -> "private"), 11, 12),
+      // W8: POI way (no highway tag)
+      way(108, Map("leisure" -> "park", "name" -> "Central Park"), 1, 5, 6),
+      // W9: second tertiary WITH maxspeed -> makes W2's median imputation fire
+      way(109, Map("highway" -> "tertiary", "maxspeed" -> "60"), 8, 12))
+
+    val nodesDf = nodes.toDF()
+    val waysDf = ways.toDF()
+    OsmTables(nodesDf, waysDf, wayNodesOf(spark, waysDf))
+  }
+}

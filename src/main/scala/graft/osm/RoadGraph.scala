@@ -1,0 +1,261 @@
+package graft.osm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.{Geo, GraftFunctions => GF}
+import graft.ops.RelOps
+
+/** The flagship road-network graph pipeline (osm-road-graphs.sql,
+  * EP3 in SURVEY §3), re-expressed as one linear composition of
+  * DataFrame transforms. The reference materializes eleven staging
+  * tables; here every stage is a lazy plan — callers `.cache()` the
+  * documented reuse points (SURVEY §3: car_network, ways_merge_limits,
+  * car_network_merged are each consumed 2+ times).
+  *
+  * Unit policy (SURVEY §7.4-3): the reference mixes planar meters
+  * (osm-road-graphs.sql:11) and geodesic km (:156); we standardize on
+  * geodesic METERS everywhere.
+  */
+object RoadGraph {
+
+  /** Highway classes included in the car network (osm-road-graphs.sql:16-17). */
+  val includedHighways: Seq[String] = Seq(
+    "motorway", "primary", "tertiary", "secondary", "primary_link",
+    "tertiary_link", "secondary_link", "trunk", "residential",
+    "unclassified", "living_street")
+
+  /** Step 1 (osm-road-graphs.sql:8-18): filter ways by mode, project
+    * edge attributes. speed_limit via get_ints_from_text(tags->'maxspeed')[1]
+    * (F1); endpoints via 1-based element_at (F2 — PG arrays are 1-based).
+    */
+  def carNetwork(ways: DataFrame): DataFrame =
+    ways
+      .filter(element_at(col("tags"), "highway").isin(includedHighways: _*))
+      .select(
+        element_at(col("nodes"), 1).as("start_node"),
+        element_at(col("nodes"), -1).as("end_node"),
+        col("id").as("edge_id"),
+        col("tags"), col("nodes"),
+        Geo.geodesicLengthMeters(col("linestring")).as("length"),
+        element_at(GF.extractIntsBuiltin(element_at(col("tags"), "maxspeed")), 1)
+          .as("speed_limit"),
+        element_at(col("tags"), "highway").as("highway"),
+        element_at(col("tags"), "oneway").as("oneway"),
+        col("linestring").as("geom"))
+
+  /** Step 2 (osm-road-graphs.sql:19-28): mode-exclusion DELETE under
+    * 3VL — rows whose tags are absent (NULL) survive (SURVEY §7.4-2).
+    */
+  def excludeModes(network: DataFrame): DataFrame = {
+    val t: String => Column = k => element_at(col("tags"), k)
+    RelOps.deleteWhere(network,
+      t("bicycle").isin("designated") ||
+        t("foot").isin("designated") ||
+        t("bus").isin("designated") ||
+        t("footway").isin("sidewalk", "crossing") ||
+        t("motor_vehicle").isin("no", "private") ||
+        t("access").isin("no", "private") ||
+        t("service").isin("parking_aisle", "parking"))
+  }
+
+  /** Step 3 (osm-road-graphs.sql:32-40): speed value summary. */
+  def speedSummary(network: DataFrame): DataFrame =
+    network.groupBy("highway", "speed_limit").agg(count(lit(1)).as("count"))
+      .orderBy(col("highway"), col("count").desc, col("speed_limit"))
+
+  /** Step 4 (osm-road-graphs.sql:43-46): per-class median speed via the
+    * custom median Aggregator (X4). */
+  def speedMedians(network: DataFrame): DataFrame =
+    network.groupBy("highway")
+      .agg(GF.medianExact(col("speed_limit").cast("double")).as("median_speed"))
+
+  /** Step 5 (osm-road-graphs.sql:49-54): UPDATE..FROM median imputation —
+    * left join against the (broadcast) per-class median table, replacing
+    * only NULL speed limits. PG assigns float8 into an INTEGER column
+    * (round-to-nearest); reproduced with round+cast.
+    */
+  def imputeSpeedLimits(network: DataFrame): DataFrame = {
+    val medians = speedMedians(network)
+      .withColumn("median_speed_int", round(col("median_speed")).cast("int"))
+    RelOps.updateFrom(network, medians, Seq("highway"),
+      Map("speed_limit" -> "median_speed_int"),
+      whereTarget = col("speed_limit").isNull)
+  }
+
+  /** Steps 6/12 (osm-road-graphs.sql:57-61,168-172): endpoint nodes with
+    * WKT coords — semi join against distinct start ∪ end (U1/J4).
+    */
+  def networkNodes(nodes: DataFrame, network: DataFrame): DataFrame = {
+    val endpoints = RelOps.unionDistinct(Seq(
+      network.select(col("start_node").as("node_id")),
+      network.select(col("end_node").as("node_id"))))
+    nodes.join(endpoints, nodes("id") === endpoints("node_id"), "left_semi")
+      .select(col("id").as("node_id"), Geo.asTextPoint(col("geom")).as("node_coord"))
+  }
+
+  /** Step 7 (osm-road-graphs.sql:66-76): nodes shared by >1 network way
+    * (A1 + A3 HAVING-style post-filter + J4 semi restrict).
+    */
+  def sharedNodes(wayNodes: DataFrame, network: DataFrame): DataFrame =
+    wayNodes
+      .join(network.select("edge_id"), wayNodes("way_id") === col("edge_id"), "left_semi")
+      .groupBy("node_id").agg(count(lit(1)).as("count"))
+      .filter(col("count") > 1)
+
+  /** Step 8 (osm-road-graphs.sql:78-85): last node / max sequence per way
+    * (A13 DISTINCT ON) — `sequence_id > 1` also drops 2-node ways, which
+    * can never have an interior split point.
+    */
+  def waysLength(wayNodes: DataFrame, network: DataFrame): DataFrame =
+    RelOps.top1PerGroup(
+        wayNodes
+          .join(network.select("edge_id"), wayNodes("way_id") === col("edge_id"), "left_semi")
+          .filter(col("sequence_id") > 1),
+        Seq("way_id"), Seq(col("sequence_id").desc))
+      .select(col("way_id"), col("sequence_id").as("length"), col("node_id"))
+
+  /** Step 9 (osm-road-graphs.sql:87-95): interior shared nodes — split
+    * points (J4 + J5 compound semi joins: seq>0, shared, seq < way length).
+    */
+  def splitNodes(wayNodes: DataFrame, network: DataFrame, shared: DataFrame,
+      lengths: DataFrame): DataFrame = {
+    val n = wayNodes
+      .join(network.select("edge_id"), wayNodes("way_id") === col("edge_id"), "left_semi")
+      .filter(col("sequence_id") > 0)
+      .join(shared.select("node_id"), Seq("node_id"), "left_semi")
+    n.join(lengths.select(col("way_id").as("__lw"), col("length")),
+        n("way_id") === col("__lw") && n("sequence_id") < col("length"), "left_semi")
+      .select("way_id", "node_id", "sequence_id")
+  }
+
+  /** Step 10 (osm-road-graphs.sql:97-115): per-way segment boundaries via
+    * lag (W1), then the dead-end append — if the last shared node isn't
+    * the way's end, add a final [top, length] segment (A13 + J2).
+    */
+  def mergeLimits(wayNodes: DataFrame, splits: DataFrame, shared: DataFrame,
+      lengths: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = wayNodes
+      .filter(col("sequence_id") > 0)
+      .join(splits.select("way_id").distinct(), Seq("way_id"), "left_semi")
+      .join(shared.select("node_id"), Seq("node_id"), "left_semi")
+      .select(col("way_id"),
+        lag(col("sequence_id"), 1, 0)
+          .over(Window.partitionBy("way_id").orderBy("sequence_id"))
+          .as("bottom_limit"),
+        col("sequence_id").as("top_limit"))
+    val lastSeg = RelOps.top1PerGroup(base, Seq("way_id"), Seq(col("top_limit").desc))
+      .join(lengths.withColumnRenamed("way_id", "__lw"),
+        col("way_id") === col("__lw") && col("top_limit") < col("length"))
+      .select(col("way_id"), col("top_limit").as("bottom_limit"),
+        col("length").as("top_limit"))
+    base.unionByName(lastSeg)
+  }
+
+  /** Step 11a (osm-road-graphs.sql:119-127): the range join (J3) —
+    * equi key way_id + sequence BETWEEN band; Catalyst executes an SMJ
+    * on way_id with the band as post-filter (SURVEY §4, built-in is the
+    * right plan: ways have ≤2000 nodes so bands are tiny).
+    */
+  def nodesToMerge(wayNodes: DataFrame, network: DataFrame, limits: DataFrame): DataFrame = {
+    val wn = wayNodes
+      .join(network.select("edge_id"), wayNodes("way_id") === col("edge_id"), "left_semi")
+    wn.join(limits.withColumnRenamed("way_id", "__lw"),
+        wn("way_id") === col("__lw") &&
+          wn("sequence_id").between(col("bottom_limit"), col("top_limit")))
+      .select(col("way_id"), col("top_limit").as("group_id"),
+        col("sequence_id"), col("node_id"))
+  }
+
+  /** Steps 11b-d (osm-road-graphs.sql:131-165): assemble segments with
+    * ordered array_agg (A6/A9 — array_sort∘collect_list∘struct, never
+    * bare collect_list), copy attributes from the original road
+    * (UPDATE..FROM as join), then anti-append roads that were not split.
+    */
+  def mergedNetwork(nodesToMergeDf: DataFrame, nodes: DataFrame,
+      network: DataFrame): DataFrame = {
+    val segs = nodesToMergeDf
+      .join(nodes.select(col("id"), col("geom")), nodesToMergeDf("node_id") === col("id"))
+      .groupBy("way_id", "group_id")
+      .agg(
+        RelOps.orderedListAgg(col("sequence_id"), col("node_id")).as("nodes"),
+        RelOps.orderedListAgg(col("sequence_id"), col("geom")).as("geom"))
+      .select(col("way_id").as("edge_id"), col("nodes"), col("geom"))
+
+    val road = network.select(col("edge_id").as("__re"), col("tags"),
+      col("speed_limit"), col("highway"), col("oneway"))
+    val merged = segs.join(road, segs("edge_id") === col("__re"))
+      .select(
+        element_at(col("nodes"), 1).as("start_node"),
+        element_at(col("nodes"), -1).as("end_node"),
+        col("edge_id"), col("tags"), col("nodes"),
+        Geo.geodesicLengthMeters(col("geom")).as("length"),
+        col("speed_limit"), col("highway"), col("oneway"), col("geom"))
+
+    val untouched = network
+      .join(segs.select("edge_id"), Seq("edge_id"), "left_anti")
+      .select("start_node", "end_node", "edge_id", "tags", "nodes",
+        "length", "speed_limit", "highway", "oneway", "geom")
+    merged.unionByName(untouched)
+  }
+
+  /** Directed expansion (osm-road-graphs.sql:183-220): 4-branch union —
+    * two-way links both directions (reverse F4 on the back edge),
+    * forward oneways, reverse-drawn oneways.
+    *
+    * `strictOsmSemantics = true` reproduces the reference exactly,
+    * including its trap: a motorway with NULL oneway fails
+    * `oneway != '-1'` under 3VL and silently vanishes from every branch
+    * (SURVEY §7.4-2). `false` treats NULL-oneway motorways as forward
+    * (the evident intent — motorways are implicitly oneway in OSM).
+    */
+  def directed(merged: DataFrame, strictOsmSemantics: Boolean = true): DataFrame = {
+    val twoWay = (col("oneway").isNull || col("oneway") === "no") &&
+      col("highway") =!= "motorway"
+    val fwdOnly =
+      if (strictOsmSemantics)
+        col("oneway") === "yes" ||
+          (col("highway") === "motorway" && col("oneway") =!= "-1")
+      else
+        col("oneway") === "yes" ||
+          (col("highway") === "motorway" &&
+            (col("oneway").isNull || col("oneway") =!= "-1"))
+    val revOnly = col("oneway") === "-1"
+
+    def reversed(df: DataFrame): DataFrame =
+      df.select(
+        col("end_node").as("start_node"), col("start_node").as("end_node"),
+        col("edge_id"), col("tags"), reverse(col("nodes")).as("nodes"),
+        col("length"), col("speed_limit"), col("highway"), col("oneway"),
+        reverse(col("geom")).as("geom"))
+
+    val cols = Seq("start_node", "end_node", "edge_id", "tags", "nodes",
+      "length", "speed_limit", "highway", "oneway", "geom")
+    RelOps.unionAll(Seq(
+      merged.filter(twoWay).select(cols.map(col): _*),
+      reversed(merged.filter(twoWay)),
+      merged.filter(fwdOnly).select(cols.map(col): _*),
+      reversed(merged.filter(revOnly))))
+  }
+
+  /** Minimal-cost edge list (osm-road-graphs.sql:223-254): same branches,
+    * essential attributes only — the igraph hand-off shape. */
+  def minimalDirectedGraph(merged: DataFrame, strictOsmSemantics: Boolean = true): DataFrame =
+    directed(merged, strictOsmSemantics)
+      .select("start_node", "end_node", "length", "speed_limit")
+
+  /** Full pipeline: filtered+imputed network -> split -> merged. The
+    * intermediate stages consumed more than once are cached by the
+    * caller when materialization matters (S4 policy, SURVEY §4).
+    */
+  def buildMergedNetwork(tables: OsmTables): DataFrame = {
+    val net = imputeSpeedLimits(excludeModes(carNetwork(tables.ways)))
+    val shared = sharedNodes(tables.wayNodes, net)
+    val lengths = waysLength(tables.wayNodes, net)
+    val splits = splitNodes(tables.wayNodes, net, shared, lengths)
+    val limits = mergeLimits(tables.wayNodes, splits, shared, lengths)
+    val ntm = nodesToMerge(tables.wayNodes, net, limits)
+    mergedNetwork(ntm, tables.nodes, net)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geo, GraftFunctions => GF}
+import graft.ops.RelOps
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ExtractInts expression == built-in composition, both match PG semantics") {
+    val df = Seq("50 mph", "80 km/h", "1-URGENT", "no digits", "", "12;34 56",
+      "007", "2000000000x1").toDF("s")
+    val r = df.select(GF.extractInts($"s").as("a"), GF.extractIntsBuiltin($"s").as("b"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[Int](0) === row.getSeq[Int](1),
+        s"expression vs builtin mismatch on ${row}")
+    }
+    val byInput = df.select($"s", GF.extractInts($"s").as("a")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(byInput("50 mph") === List(50))
+    assert(byInput("80 km/h") === List(80))
+    assert(byInput("1-URGENT") === List(1))
+    assert(byInput("no digits") === Nil)
+    assert(byInput("") === Nil)
+    assert(byInput("12;34 56") === List(12, 34, 56))
+    assert(byInput("007") === List(7))
+  }
+
+  test("ExtractInts via SQL (injected function) and null propagation") {
+    val r = spark.sql(
+      "SELECT get_ints_from_text('maxspeed is 30, was 40'), get_ints_from_text(NULL)")
+      .head()
+    assert(r.getSeq[Int](0).toList === List(30, 40))
+    assert(r.isNullAt(1))
+  }
+
+  test("haversine: known distance (Paris-London ~343.5 km)") {
+    val d = spark.range(1).select(
+      Geo.haversineMeters(lit(2.3522), lit(48.8566), lit(-0.1276), lit(51.5074)))
+      .head.getDouble(0)
+    assert(math.abs(d / 1000 - 343.5) < 1.0)
+  }
+
+  test("geodesicLengthMeters: degenerate lines and additivity") {
+    val df = Seq(
+      (1, Seq((0.0, 0.0))),                       // single point -> 0
+      (2, Seq.empty[(Double, Double)]),           // empty -> 0
+      (3, Seq((0.0, 0.0), (0.01, 0.0), (0.02, 0.0)))).toDF("id", "raw")
+      .select($"id", transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+    val r = df.select($"id", Geo.geodesicLengthMeters($"line")).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(1) === 0.0 && r(2) === 0.0)
+    assert(math.abs(r(3) - 2223.9) < 1.0)
+  }
+
+  test("orderedListAgg is deterministic under repartition") {
+    val df = spark.sparkContext.parallelize(
+      (1 to 500).map(i => (i % 7, i, s"v$i")), 13).toDF("g", "s", "v")
+    val r = df.groupBy("g").agg(RelOps.orderedListAgg($"s", $"v").as("xs"))
+      .collect().map(x => x.getInt(0) -> x.getSeq[String](1)).toMap
+    (0 until 7).foreach { g =>
+      val expected = (1 to 500).filter(_ % 7 == g).sorted.map(i => s"v$i")
+      assert(r(g) === expected)
+    }
+  }
+
+  test("top1PerGroup matches DISTINCT ON semantics") {
+    val df = Seq((1, 5, "a"), (1, 9, "b"), (2, 3, "c"), (2, 3, "d")).toDF("k", "s", "v")
+    val r = RelOps.top1PerGroup(df, Seq("k"), Seq($"s".desc, $"v".desc))
+      .collect().map(x => x.getInt(0) -> x.getString(2)).toMap
+    assert(r === Map(1 -> "b", 2 -> "d"))
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (3VL)") {
+    val df = Seq(Some("no"), Some("yes"), None).toDF("access")
+    val kept = RelOps.deleteWhere(df, $"access" === "no")
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(kept === Set(Some("yes"), None))
+  }
+
+  test("updateFrom replaces only where-matched rows, keeps others") {
+    val target = Seq(("a", Some(1)), ("b", None), ("c", None), ("d", Some(4)))
+      .toDF("k", "x")
+    val source = Seq(("b", 20), ("d", 40)).toDF("k", "nx")
+    val r = RelOps.updateFrom(target, source, Seq("k"), Map("x" -> "nx"),
+        whereTarget = col("x").isNull)
+      .collect().map(row => row.getString(0) -> Option(row.get(1)).map(_.toString.toInt)).toMap
+    assert(r === Map("a" -> Some(1), "b" -> Some(20), "c" -> None, "d" -> Some(4)))
+  }
+
+  test("property: reverse(reverse(a)) == a (seeded)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val xs = List.fill(rnd.nextInt(20))(rnd.nextLong())
+      val df = Seq(Tuple1(xs)).toDF("a")
+      val r = df.select(reverse(reverse($"a"))).head.getSeq[Long](0)
+      assert(r.toList === xs)
+    }
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.osm.{OsmModel, PoisExtract, RoadGraph, TagExplore}
+
+/** End-to-end pipeline assertions on the micro-OSM fixture with
+  * hand-computed expectations (FIXTURES.md §2): way splitting at shared
+  * interior nodes, median imputation, direction expansion, POI pivot.
+  */
+class RoadGraphSpec extends SparkTestBase {
+
+  private lazy val t = OsmModel.microFixture(spark)
+  private lazy val net = RoadGraph.imputeSpeedLimits(
+    RoadGraph.excludeModes(RoadGraph.carNetwork(t.ways))).cache()
+  private lazy val merged = RoadGraph.buildMergedNetwork(t).cache()
+
+  test("carNetwork filters by highway class under 3VL (no-tags ways drop)") {
+    val ids = RoadGraph.carNetwork(t.ways).select("edge_id")
+      .collect().map(_.getLong(0)).toSet
+    // footway (105) and the untagged POI way (108) are out; access=private
+    // (107) survives until excludeModes
+    assert(ids === Set(101L, 102L, 103L, 104L, 106L, 107L, 109L))
+  }
+
+  test("excludeModes deletes access=private but keeps NULL-tag rows (3VL)") {
+    val ids = RoadGraph.excludeModes(RoadGraph.carNetwork(t.ways))
+      .select("edge_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(101L, 102L, 103L, 104L, 106L, 109L))
+  }
+
+  test("speed limits: parsed from text ('80 km/h' -> 80) and imputed from class median") {
+    val sl = net.select("edge_id", "speed_limit")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sl(101L) === Some(50))
+    assert(sl(103L) === Some(80)) // text with unit via get_ints_from_text
+    assert(sl(109L) === Some(60))
+    assert(sl(102L) === Some(60)) // imputed: tertiary median = 60
+    assert(sl(104L) === None)     // motorway median is NULL -> stays NULL
+    assert(sl(106L) === None)
+  }
+
+  test("sharedNodes finds exactly the multi-way nodes") {
+    val shared = RoadGraph.sharedNodes(t.wayNodes, net)
+      .collect().map(_.getLong(0)).toSet
+    assert(shared === Set(3L, 8L, 9L, 10L))
+  }
+
+  test("merged network: W1 split at n3 into [1,2,3]+[3,4], W2 into [5,3]+[3,6]; 2-node ways untouched") {
+    val segs = merged.select("edge_id", "nodes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(segs === Set(
+      (101L, List(1L, 2L, 3L)), (101L, List(3L, 4L)),
+      (102L, List(5L, 3L)), (102L, List(3L, 6L)),
+      (103L, List(7L, 8L)), (104L, List(9L, 10L)),
+      (106L, List(10L, 9L)), (109L, List(8L, 12L))))
+  }
+
+  test("merged segment attributes: endpoints from node arrays, attrs copied, geodesic length") {
+    val r = merged.filter(col("edge_id") === 101 && size(col("nodes")) === 3).head()
+    assert(r.getAs[Long]("start_node") === 1L)
+    assert(r.getAs[Long]("end_node") === 3L)
+    assert(r.getAs[String]("highway") === "residential")
+    assert(r.getAs[Int]("speed_limit") === 50)
+    // 0.02 deg of longitude at the equator ~ 2224 m
+    assert(math.abs(r.getAs[Double]("length") - 2223.9) < 1.0)
+    // length of the split parts sums to the original way length
+    val partSum = merged.filter(col("edge_id") === 101)
+      .agg(sum("length")).head.getDouble(0)
+    val orig = net.filter(col("edge_id") === 101).head.getAs[Double]("length")
+    assert(math.abs(partSum - orig) < 1e-6)
+  }
+
+  test("directed strict: NULL-oneway motorway vanishes (reference trap); 12 edges") {
+    val d = RoadGraph.directed(merged, strictOsmSemantics = true)
+    assert(d.count() === 12)
+    assert(d.filter(col("edge_id") === 106).count() === 0) // the trap
+    // reverse-drawn motorway W4 appears exactly once, reversed
+    val w4 = d.filter(col("edge_id") === 104).collect()
+    assert(w4.length === 1)
+    assert(w4.head.getAs[Long]("start_node") === 10L)
+    assert(w4.head.getSeq[Long](4).toList === List(10L, 9L))
+    // forward oneway W3 exactly once, not reversed
+    val w3 = d.filter(col("edge_id") === 103).collect()
+    assert(w3.length === 1 && w3.head.getAs[Long]("start_node") === 7L)
+    // two-way segments appear in both directions
+    assert(d.filter(col("edge_id") === 101).count() === 4)
+  }
+
+  test("directed non-strict: NULL-oneway motorway restored as forward edge") {
+    val d = RoadGraph.directed(merged, strictOsmSemantics = false)
+    assert(d.count() === 13)
+    assert(d.filter(col("edge_id") === 106).count() === 1)
+  }
+
+  test("minimal graph projects the igraph hand-off shape") {
+    val g = RoadGraph.minimalDirectedGraph(merged)
+    assert(g.columns.toSeq === Seq("start_node", "end_node", "length", "speed_limit"))
+    assert(g.count() === 12)
+  }
+
+  test("networkNodes: endpoints of the unsplit network with WKT coords") {
+    val nn = RoadGraph.networkNodes(t.nodes, net).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nn.keySet === Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+    assert(nn(1L) === "POINT(0.0 0.0)")
+  }
+
+  test("tag explore: highway value frequencies on the fixture") {
+    val freq = TagExplore.tagValueCounts(t.ways, "highway")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq === Map("residential" -> 2L, "motorway" -> 2L,
+      "tertiary" -> 2L, "primary" -> 1L, "footway" -> 1L))
+  }
+
+  test("POI pivot: nodes and ways long format") {
+    val pn = PoisExtract.poisNodes(t.nodes)
+      .select("node_id", "key", "values").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(pn === Set(
+      (5L, "amenity", "cafe"), (11L, "amenity", "bench"), (6L, "shop", "bakery")))
+    val pw = PoisExtract.poisWays(t.ways)
+      .select("way_id", "key", "values", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(pw === Set((108L, "leisure", "park", "Central Park")))
+  }
+}
