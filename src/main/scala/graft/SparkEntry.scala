@@ -248,6 +248,116 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- blocked near-dup: word-set Jaccard within (lang, source)
+    //      blocks — candidate generation is an equi-join on the block
+    //      key, never an all-pairs cross join
+    "q_d_jaccard_pairs" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+        col("ws").as("wa"))
+      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+        col("ws").as("wb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- MinHash-LSH near-dup (banded candidates -> exact-Jaccard
+    //      verify). xxhash64 signatures are not DuckDB-expressible:
+    //      rows-only check here, recall properties in LlmSpec.
+    "q_d_minhash_pairs" -> ((s, dir) => {
+      llm.Dedup.minhashNearDups(documents(s, dir), "doc_id", col("text"),
+          numPerm = 32, shingleK = 5, bands = 8, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash near-dup (16-bit chunk pigeonhole banding)
+    "q_d_simhash_pairs" -> ((s, dir) => {
+      llm.Dedup.simhashNearDups(documents(s, dir), "doc_id", col("text"),
+          maxDist = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- language ID by stopword-profile scoring (deterministic formula,
+    //      mirrored in the oracle)
+    "q_t_language_id" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), llm.TextAnalysis.languageId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality features + composite score
+    "q_t_quality" -> ((s, dir) => {
+      val f = llm.TextAnalysis.qualityFeatures(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          f.getField("punct_ratio").as("punct_ratio"),
+          f.getField("digit_ratio").as("digit_ratio"),
+          f.getField("stopword_ratio").as("stopword_ratio"),
+          llm.TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- brute-force cosine top-k (exact ANN baseline; driver-collected
+    //      query vector spliced as a literal)
+    "q_s_cosine_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      llm.Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; xxhash-free but seeded
+    //      hyperplanes are engine-side -> rows-only + LlmSpec recall)
+    "q_s_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      llm.Similarity.annTopKPerQuery(e, queries, "vec_id", "embedding",
+          "query_id", k = 5, numBits = 6)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+    }),
+
+    // ---- multimodal decode through the typed mapPartitions pass
+    "q_mm_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = llm.Multimodal.asMedia(
+        documents(s, dir), "doc_id", "text")
+      llm.Multimodal.decode(media).toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.frames").as("frames"), col("meta.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- event-time tumbling window aggregation (the batch shape of the
+    //      Structured Streaming windowed agg)
+    "q_e_tumbling_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("cnt"), col("avg_value"))
+        .orderBy("hour_start")
+    }),
+
+    // ---- JSON functions over the events props column (SURVEY §2.9)
+    "q_e_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    }),
+
     // ---- OSM flagship pipeline on the micro fixture (the oracle rebuilds
     //      the same fixture with VALUES CTEs and re-derives the splitting
     //      in reference-shaped SQL — osm-road-graphs.sql:66-165)
@@ -415,6 +525,77 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
                 md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",
+    "q_d_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+                           list_distinct(string_split(text, ' ')) AS ws
+                    FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                      / len(list_distinct(a.ws || b.ws)), 4) AS jaccard
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / len(list_distinct(a.ws || b.ws)) >= 0.6
+         ORDER BY id_a, id_b""",
+    "q_t_language_id" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+           len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS de,
+           len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un','por','con'))) AS es,
+           len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','est','un','une','dans'))) AS fr
+           FROM d)
+         SELECT doc_id, CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+           WHEN de >= greatest(en, es, fr) THEN 'de'
+           WHEN en >= greatest(es, fr) THEN 'en'
+           WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+    "q_t_quality" ->
+      """WITH f AS (SELECT doc_id,
+           round(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as','at','by')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq
+           FROM documents)
+         SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio,
+                round((least(n_tokens / 100.0, 1.0)
+                       + n_uniq / CAST(greatest(n_tokens, 1) AS DOUBLE)
+                       + greatest(0.0, 1.0 - punct_ratio * 5)) / 3.0, 4) AS score
+         FROM f ORDER BY doc_id""",
+    "q_s_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id, unnest(embedding) AS x,
+                      unnest((SELECT e FROM q)) AS y
+               FROM embeddings),
+         s AS (SELECT vec_id,
+                      sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                      sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx,
+                      sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS ny
+               FROM z GROUP BY vec_id)
+         SELECT vec_id, round(dot / (nx * ny), 6) AS cos
+         FROM s ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_mm_decode" ->
+      """SELECT doc_id,
+                octet_length(CAST(text AS BLOB)) AS byte_len,
+                CAST(octet_length(CAST(text AS BLOB)) % 1024 AS INT) AS width,
+                CAST((octet_length(CAST(text AS BLOB)) * 7) % 768 AS INT) AS height,
+                CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT) AS frames,
+                CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0
+                     THEN 'even' ELSE 'odd' END AS format
+         FROM documents ORDER BY doc_id""",
+    "q_e_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                count(*) AS cnt, round(avg(value), 4) AS avg_value
+         FROM events GROUP BY hour_start ORDER BY hour_start""",
+    "q_e_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
+         FROM events GROUP BY k ORDER BY k""",
     "q_osm_split_merge" -> (OsmOracle.graphPrefix +
       """
          SELECT CAST(edge_id AS BIGINT) AS edge_id,

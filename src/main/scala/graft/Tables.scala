@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Readers for the driver-provided testdata tables (TESTDATA.md).
@@ -19,7 +20,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = read(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame     = read(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * raw long (sessions set spark.sql.legacy.parquet.nanosAsLong);
+    * normalize to a micros TimestampType column here — exact division,
+    * the synthetic data has no sub-microsecond precision that matters. */
+  def events(s: SparkSession, d: String): DataFrame =
+    read(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators, designed scale-first: every variant is
+  * blocked/banded — candidate generation is always an equi-join on a
+  * bucket key (one shuffle), NEVER an all-pairs cross join. Verification
+  * (exact Jaccard / Hamming) runs only on candidates.
+  *
+  * Determinism: all hash families derive from fixed seeds, so signatures
+  * are stable across runs and cluster layouts.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash aggregate, no joins.
+    * Returns (fp, keeper = min id, cnt). */
+  def exactDedup(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
+    df.groupBy(keyExpr.as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** Character k-shingles of a text column (distinct). */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** Word n-gram set of a text column. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Deterministic MinHash parameters: numPerm (a,b) pairs from a fixed
+    * seed; `a` odd, both bounded to 31 bits so `a * h31 + b` stays well
+    * inside a Long under ANSI mode (Spark 4 default: overflow throws,
+    * so the classic wrap-around trick is out). */
+  private[llm] def minhashParams(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerm)(((rnd.nextInt(Int.MaxValue).toLong | 1L),
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: explode shingles -> one hash aggregate per doc.
+    * Signature i = min over shingles of (a_i * h31 + b_i) where
+    * h31 = xxhash64(shingle) mod (2^31-1) — all factors 31-bit, product
+    * ≤ 2^62, overflow-free under ANSI. Single shuffle on the id;
+    * signature width is numPerm longs.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, text: Column,
+      numPerm: Int = 32, shingleK: Int = 5): DataFrame = {
+    val params = minhashParams(numPerm)
+    val exploded = df
+      .select(col(idCol), explode(shingles(text, shingleK)).as("__sh"))
+      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(2147483647L)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(col("__h") * lit(a) + lit(b)).as(s"__m$i")
+    }
+    exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numPerm).map(i => col(s"__m$i")): _*).as("signature"))
+  }
+
+  /** Banded LSH candidate pairs over MinHash signatures: band hash ->
+    * equi-join on (band, hash). Docs agreeing on any band collide.
+    * Never materializes the cross product: the join key is
+    * (band_idx, band_hash), so work is proportional to true collisions.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(concat_ws("|",
+        slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
+    }
+    val banded = sigs.select(col(idCol),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Candidate pairs verified with exact set Jaccard over `setCol`
+    * (shingles or word n-grams). */
+  def verifyJaccard(pairs: DataFrame, sets: DataFrame, idCol: String,
+      setCol: String, threshold: Double): DataFrame = {
+    val a = sets.select(col(idCol).as("id_a"), col(setCol).as("__sa"))
+    val b = sets.select(col(idCol).as("id_b"), col(setCol).as("__sb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup end to end: signatures -> banded candidates ->
+    * exact-Jaccard verification. */
+  def minhashNearDups(df: DataFrame, idCol: String, text: Column,
+      numPerm: Int = 32, shingleK: Int = 5, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, text, numPerm, shingleK)
+    val pairs = lshCandidatePairs(sigs, idCol, bands, numPerm / bands)
+    val sets = df.select(col(idCol), shingles(text, shingleK).as("__set"))
+    verifyJaccard(pairs, sets, idCol, "__set", threshold)
+  }
+
+  /** SimHash (64-bit): token hashes vote per bit position; sign of the
+    * vote sum sets the bit. One explode + one hash aggregate (64 sums).
+    */
+  def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(split(text, "\\s+")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("__h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"__v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    exploded.groupBy(idCol).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64 bits into 4 16-bit chunks
+    * (pigeonhole: any pair within Hamming distance 3 shares a chunk),
+    * equi-join on (chunk_idx, chunk), verify exact Hamming <= maxDist.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, text: Column,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simhash64(df, idCol, text)
+    val chunks = (0 until 4).map { i =>
+      shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+    }
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("__ha"),
+      col("chunk_idx"), col("chunk"))
+    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("__hb"),
+      col("chunk_idx"), col("chunk"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, document
+  * fingerprinting. All pure column compositions (codegen'd built-ins,
+  * no UDFs) — they run scan-local with zero shuffles, so they scale
+  * linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish subword-boundary tokens: word runs and single punctuation
+    * marks (the classic GPT-2-style pre-tokenizer regex, simplified). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Quality features: length, token stats, punctuation/digit/upper
+    * ratios, stopword ratio. Returns a struct column. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val n = length(text).cast("double")
+    struct(
+      length(text).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      round(n / size(toks), 4).as("avg_token_len"),
+      round(length(regexp_replace(text, "[^\\p{Punct}]", "")) / n, 4).as("punct_ratio"),
+      round(length(regexp_replace(text, "[^0-9]", "")) / n, 4).as("digit_ratio"),
+      round(size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double")
+        / size(toks), 4).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1] — heuristic linear blend of the
+    * features a filtering pipeline would threshold on. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens").cast("double") / 100.0, lit(1.0))
+    val diversity = f.getField("n_uniq_tokens").cast("double") /
+      greatest(f.getField("n_tokens").cast("double"), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - f.getField("punct_ratio") * 5)
+    round((lenScore + diversity + punctPenalty) / 3.0, 4)
+  }
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  /** Stopword profiles for the n-gram-heuristic language ID. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"))
+
+  /** Language ID: score = stopword hits per profile; highest count wins,
+    * ties broken alphabetically; zero hits everywhere -> 'und'; CJK
+    * codepoints present -> 'zh' short-circuit. Deterministic and
+    * SQL-expressible (oracle mirrors the same formula).
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangProfiles.map { case (lang, sw) =>
+      struct(size(filter(toks, t => t.isin(sw: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max picks (max hits, then max lang) — to get alphabetical
+    // tie-break we negate via sorting on (hits desc, lang asc): use
+    // array_sort over (hits, lang) and take the element that sorts last
+    // on hits but first on lang: encode as (hits, reversed-rank lang).
+    val best = aggregate(
+      array(scores: _*),
+      struct(lit(-1).as("hits"), lit("und").as("lang")),
+      (acc, x) =>
+        when(x.getField("hits") > acc.getField("hits"), x)
+          .when(x.getField("hits") === acc.getField("hits") &&
+            x.getField("lang") < acc.getField("lang") &&
+            acc.getField("hits") > lit(-1), x)
+          .otherwise(acc))
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best.getField("hits") <= 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Rolling polynomial fingerprint over whitespace tokens —
+    * order-sensitive document hash (a content-defined signature usable
+    * for shift-tolerant chunk dedup). Accumulates modulo a 30-bit prime
+    * so every intermediate stays overflow-free under ANSI mode. */
+  def rollingFingerprint(text: Column): Column = {
+    val M = 1000000007L
+    aggregate(tokens(text), lit(5381L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+
+  /** Normalized content fingerprint (exact-dedup key modulo whitespace
+    * and case): md5 of lowercased, whitespace-collapsed text. */
+  def normalizedFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

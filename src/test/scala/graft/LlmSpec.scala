@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash signatures are deterministic and equal for equal texts") {
+    val s1 = Dedup.minhashSignatures(docs, "doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s2 = Dedup.minhashSignatures(docs, "doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(s1 === s2)
+    assert(s1(1L) === s1(4L)) // identical text -> identical signature
+    assert(s1(1L) !== s1(3L))
+  }
+
+  test("minhash-LSH near-dups: finds exact+near pairs, not disjoint ones") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", $"text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical -> hamming 0, near-dup -> small, disjoint -> large") {
+    val sh = Dedup.simhash64(docs, "doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) === 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    val nd = Dedup.simhashNearDups(docs, "doc_id", $"text", maxDist = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 4L)))
+  }
+
+  test("word n-grams and shingles shapes") {
+    val r = docs.filter($"doc_id" === 3)
+      .select(Dedup.wordNgrams($"text", 2).as("ng"), Dedup.shingles($"text", 5).as("sh"))
+      .head()
+    assert(r.getSeq[String](0).contains("completely different"))
+    assert(r.getSeq[String](1).forall(_.length == 5))
+  }
+
+  test("cosine math: self-similarity 1, orthogonal 0") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), 3).collect()
+    assert(top.head.getLong(0) === 1L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val cos = top.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cos(2L)) < 1e-9)
+    assert(math.abs(cos(3L) - math.sqrt(0.5)) < 1e-6)
+  }
+
+  test("ANN LSH on real embeddings: self is rank 1, decent recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val ann = Similarity.annTopKPerQuery(e, queries, "vec_id", "embedding",
+      "query_id", k = 5, numBits = 8)
+    val byQ = ann.collect().groupBy(_.getAs[Long]("query_id"))
+    (0L until 3L).foreach { q =>
+      val rows = byQ(q).sortBy(-_.getAs[Double]("cos"))
+      assert(rows.head.getAs[Long]("vec_id") === q, "self must be top hit")
+      assert(math.abs(rows.head.getAs[Double]("cos") - 1.0) < 1e-6)
+    }
+    // candidate cosines must equal the exact cosine for the same pair
+    val qv = e.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byQ(0L).foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos") - exact(r.getAs[Long]("vec_id"))) < 1e-9)
+    }
+  }
+
+  test("IVF top-k: self is rank 1 per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    val r = Similarity.ivfTopKPerQuery(e, queries, "vec_id", "embedding",
+      "query_id", k = 3, nlist = 8, nprobe = 3)
+    val byQ = r.collect().groupBy(_.getAs[Long]("query_id"))
+    (0L until 3L).foreach { q =>
+      assert(byQ(q).maxBy(_.getAs[Double]("cos")).getAs[Long]("vec_id") === q)
+    }
+  }
+
+  test("language ID: stopword profiles and und fallback") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist nicht mit der katze auf dem sofa und das ist gut"),
+      (3L, "el perro y el gato en la casa de los abuelos"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.languageId($"text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("rolling fingerprint: order-sensitive, deterministic") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.rollingFingerprint($"text")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === r(3L))
+    assert(r(1L) !== r(2L))
+  }
+
+  test("multimodal: typed decode pass and frame sampling round-trip") {
+    implicit val s = spark
+    val df = Seq((1L, "hello world payload"), (2L, "xy")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val decoded = Multimodal.decode(Multimodal.asMedia(df, "doc_id", "payload"))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(decoded(1L).byte_len === 19L)
+    assert(decoded(1L).meta.width === 19)
+    assert(decoded(1L).meta.format === "odd")
+    // frame chunks reassemble to the original payload
+    val fs = Multimodal.frameSample(df, "payload", 4)
+      .select($"doc_id", concat(col("frames").getItem(0), col("frames").getItem(1),
+        col("frames").getItem(2), col("frames").getItem(3)).cast("string").as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fs(1L) === "hello world payload")
+  }
+}
