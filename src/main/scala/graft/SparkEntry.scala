@@ -248,6 +248,123 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- S6 INSERT..VALUES literal rows joined to a table
+    "q_s6_values" -> ((s, dir) => {
+      import s.implicits._
+      val v = Seq((0, "AFRICA-X"), (1, "AMERICA-X")).toDF("r_key", "label")
+      region(s, dir).join(broadcast(v), col("r_regionkey") === col("r_key"))
+        .select(col("r_regionkey"), col("r_name"), col("label"))
+        .orderBy("r_regionkey")
+    }),
+
+    // ---- P4/P7 3VL exclusion: NULL-predicate rows survive the delete
+    //      (osm-road-graphs.sql:19-28 semantics on TPC-H data)
+    "q_p4_3vl_exclude" -> ((s, dir) => {
+      val li = lineitem(s, dir).withColumn("nf", expr("nullif(l_returnflag, 'N')"))
+      RelOps.deleteWhere(li, col("nf").isin("R") || col("l_discount") > 0.09)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- F2-F7 array function pack (element_at 1-based, size, reverse,
+    //      array_sort, array_remove on split tokens)
+    "q_f_array_pack" -> ((s, dir) => {
+      val toks = split(col("p_type"), " ")
+      part(s, dir).select(col("p_partkey"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"),
+          size(toks).cast("long").as("n_toks"),
+          array_join(reverse(toks), " ").as("rev"),
+          array_join(array_sort(toks), " ").as("sorted"),
+          array_join(array_remove(toks, "PLATED"), " ").as("no_plated"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- F12-F16 case/math/cast pack
+    "q_f_math_case" -> ((s, dir) => {
+      lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          ceil(col("l_quantity") / 2.0).cast("long").as("half_up"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"),
+          pmod(col("l_orderkey"), lit(7)).as("bucket"),
+          when(col("l_quantity") > 25, "big").otherwise("small").as("qty_class"),
+          col("l_quantity").cast("string").as("qty_str"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_str")
+    }),
+
+    // ---- F19 timestamp/date function surface
+    "q_f_dates" -> ((s, dir) => {
+      orders(s, dir).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- F9/P6 substring position
+    "q_f9_instr" -> ((s, dir) => {
+      part(s, dir)
+        .select(instr(col("p_type"), "BRASS").cast("long").as("pos"))
+        .groupBy("pos").agg(count(lit(1)).as("cnt"))
+        .orderBy("pos")
+    }),
+
+    // ---- O3 LIMIT n OFFSET m over a total order
+    "q_o3_limit_offset" -> ((s, dir) => {
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10).limit(100)
+    }),
+
+    // ---- X5 weighted median, scalar form (general-functions.sql:52-75)
+    //      with integer weights so cumulative sums are exact
+    "q_x5_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val li = lineitem(s, dir).select(col("l_quantity").as("x"),
+        round(col("l_extendedprice")).cast("long").as("w"))
+      val wm = WeightedMedian.weightedMedian(li, "x", "w")
+      Seq(wm.getOrElse(Double.NaN)).toDF("weighted_median")
+    }),
+
+    // ---- X6 weighted median by group (general-functions.sql:84-106)
+    "q_x6_wm_by_group" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_returnflag"),
+        col("l_quantity").as("x"),
+        round(col("l_extendedprice")).cast("long").as("w"))
+      WeightedMedian.weightedMedianByGroup(li, "x", "w", "l_returnflag")
+        .orderBy("group_id")
+    }),
+
+    // ---- J7 spatial-style join, grid-salted scale path: equi-join on
+    //      coarse cells (neighbor cells exploded on ONE side only), exact
+    //      band predicate after — never an all-pairs cross join
+    //      (osm-road-graphs-fix.sql:91 is the anti-pattern)
+    "q_j7_grid" -> ((s, dir) => {
+      val c = customer(s, dir)
+        .withColumn("cell", floor(col("c_acctbal") / 5.0).cast("long"))
+      val sup = supplier(s, dir)
+        .withColumn("cell0", floor(col("s_acctbal") / 5.0).cast("long"))
+        .withColumn("cell", explode(array(col("cell0") - 1, col("cell0"), col("cell0") + 1)))
+      c.join(sup, Seq("cell"))
+        .filter(col("c_nationkey") === col("s_nationkey") &&
+          abs(col("c_acctbal") - col("s_acctbal")) <= 5.0)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("pairs"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- S2/S4 SQL surface: temp views + spark.sql text query
+    "q_sql_surface" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("customer_v")
+      orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_mktsegment, count(*) AS cnt,
+                      round(avg(o_totalprice), 2) AS avg_price
+               FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // ---- blocked near-dup: word-set Jaccard within (lang, source)
     //      blocks — candidate generation is an equi-join on the block
     //      key, never an all-pairs cross join
@@ -525,6 +642,81 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
                 md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",
+    "q_s6_values" ->
+      """WITH v(r_key, label) AS (VALUES (0, 'AFRICA-X'), (1, 'AMERICA-X'))
+         SELECT r_regionkey, r_name, label
+         FROM region JOIN v ON r_regionkey = r_key
+         ORDER BY r_regionkey""",
+    "q_p4_3vl_exclude" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+         WHERE NOT coalesce((nullif(l_returnflag, 'N') IN ('R'))
+                            OR l_discount > 0.09, false)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_f_array_pack" ->
+      """SELECT p_partkey,
+                string_split(p_type, ' ')[1] AS first_tok,
+                string_split(p_type, ' ')[-1] AS last_tok,
+                len(string_split(p_type, ' ')) AS n_toks,
+                array_to_string(list_reverse(string_split(p_type, ' ')), ' ') AS rev,
+                array_to_string(list_sort(string_split(p_type, ' ')), ' ') AS sorted,
+                array_to_string(list_filter(string_split(p_type, ' '),
+                                            t -> t != 'PLATED'), ' ') AS no_plated
+         FROM part ORDER BY p_partkey""",
+    "q_f_math_case" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(ceil(l_quantity / 2.0) AS BIGINT) AS half_up,
+                greatest(l_tax, l_discount) AS max_rate,
+                least(l_tax, l_discount) AS min_rate,
+                CAST(mod(l_orderkey, 7) AS BIGINT) AS bucket,
+                CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS qty_class,
+                CAST(l_quantity AS VARCHAR) AS qty_str
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_str""",
+    "q_f_dates" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(month(o_orderdate) AS BIGINT) AS mo,
+                CAST(day(o_orderdate) AS BIGINT) AS dom,
+                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q_f9_instr" ->
+      """SELECT CAST(strpos(p_type, 'BRASS') AS BIGINT) AS pos, count(*) AS cnt
+         FROM part GROUP BY pos ORDER BY pos""",
+    "q_o3_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10""",
+    "q_x5_weighted_median" ->
+      """WITH src AS (SELECT l_quantity AS x,
+                             CAST(round(l_extendedprice) AS BIGINT) AS w
+                      FROM lineitem),
+         wm AS (SELECT x,
+                  sum(coalesce(w, 0)) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum,
+                  sum(coalesce(w, 0)) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevsum,
+                  sum(coalesce(w, 0)) OVER () AS total
+                FROM src)
+         SELECT avg(x) AS weighted_median FROM wm
+         WHERE total / 2 BETWEEN prevsum AND runsum""",
+    "q_x6_wm_by_group" ->
+      """WITH src AS (SELECT l_returnflag AS g, l_quantity AS x,
+                             CAST(round(l_extendedprice) AS BIGINT) AS w
+                      FROM lineitem),
+         wm AS (SELECT g, x,
+                  sum(coalesce(w, 0)) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum,
+                  sum(coalesce(w, 0)) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevsum,
+                  sum(coalesce(w, 0)) OVER (PARTITION BY g) AS total
+                FROM src)
+         SELECT CAST(g AS VARCHAR) AS group_id, CAST(max(x) AS DOUBLE) AS weighted_median
+         FROM wm WHERE total / 2 BETWEEN prevsum AND runsum
+         GROUP BY g ORDER BY group_id""",
+    "q_j7_grid" ->
+      """SELECT c_nationkey, count(*) AS pairs
+         FROM customer, supplier
+         WHERE c_nationkey = s_nationkey AND abs(c_acctbal - s_acctbal) <= 5.0
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_sql_surface" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                round(avg(o_totalprice), 2) AS avg_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_d_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, lang, source,
                            list_distinct(string_split(text, ' ')) AS ws

@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog / materialization surface (SURVEY §2.1): the reference's
+  * DDL + CTAS + INSERT + ALTER staging idioms as engine policy.
+  *
+  * Materialization policy (SURVEY §4): `saveAsTable` only for
+  * user-visible outputs; purely intermediate stages should stay lazy or
+  * use `cache()`/`localCheckpoint()` — S4 is for the former.
+  */
+object CatalogOps {
+
+  /** S3 — `CREATE SCHEMA IF NOT EXISTS` (osm-explore.sql:5). */
+  def createNamespace(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+
+  /** S4 — `DROP TABLE IF EXISTS t; CREATE TABLE t AS SELECT ...`
+    * (osm-explore.sql:9-16 and 25+ other sites). */
+  def materialize(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").saveAsTable(table)
+
+  /** S5 — `INSERT INTO t SELECT ...` (osm-pois-extract.sql:9-48). */
+  def appendTo(df: DataFrame, table: String): Unit =
+    df.write.mode("append").saveAsTable(table)
+
+  /** S9 — `ALTER TABLE ADD COLUMN` + backfill as an immutable rewrite
+    * (osm-complete-graphs.sql:59-61): schema evolution is a
+    * `withColumn` + overwrite in DataFrame land. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      value: org.apache.spark.sql.Column): Unit = {
+    val evolved = spark.table(table).withColumn(name, value)
+    // write through a temp view to avoid reading the table being overwritten
+    val tmp = evolved.localCheckpoint(eager = true)
+    tmp.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(table)
+  }
+
+  /** S11 — stats collection standing in for the reference's manual
+    * `n_distinct` overrides (pgsnapshot_schema_0.6.sql:146-170): feed
+    * the CBO real numbers instead. */
+  def analyze(spark: SparkSession, table: String, cols: Seq[String]): Unit =
+    spark.sql(
+      s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+}
+
+/** S10 — export boundary (osm-pg-etl.md:31-113): the reference round-trips
+  * edge lists through pandas/igraph via COPY; our hand-off is Parquet/CSV
+  * (fastest columnar path) or a driver-side collect for the igraph call
+  * itself — the ONE sanctioned collect boundary in the engine.
+  */
+object Export {
+  def toParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def toCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** The igraph hand-off: (start, end, cost) tuples on the driver. */
+  def collectEdgeList(edges: DataFrame, start: String = "start_node",
+      end: String = "end_node", cost: String = "length"): Array[(Long, Long, Double)] =
+    edges.select(start, end, cost).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+}

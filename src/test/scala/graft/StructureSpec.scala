@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.etl.{CatalogOps, Export}
+import graft.osm.{GeometricSplit, OsmModel, RoadGraph}
+import graft.streaming.ActionFeed
+
+/** Geometric split path, pgr_createTopology analog, catalog/export
+  * helpers, and the streaming action feed. */
+class StructureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val t = OsmModel.microFixture(spark)
+  private lazy val net = RoadGraph.imputeSpeedLimits(
+    RoadGraph.excludeModes(RoadGraph.carNetwork(t.ways))).cache()
+
+  test("geometric split (grid-bucketed) == topological split on the fixture") {
+    val topo = RoadGraph.buildMergedNetwork(t)
+      .select("edge_id", "nodes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    val geo = GeometricSplit.split(net)
+      .select("edge_id", "nodes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(geo === topo)
+  }
+
+  test("createTopology: shared snapped endpoints get one vertex id") {
+    val merged = RoadGraph.buildMergedNetwork(t)
+    val withTopo = GeometricSplit.createTopology(merged)
+    // n3 is the endpoint of four segments (W1 halves + W2 halves) — all
+    // four must agree on the vertex id at n3's snapped position
+    val n3Sides = withTopo
+      .filter(col("end_node") === 3 || col("start_node") === 3)
+      .select(when(col("end_node") === 3, col("target"))
+        .otherwise(col("source")).as("vid"))
+      .collect().map(_.getInt(0)).toSet
+    assert(n3Sides.size === 1)
+    // distinct vertex ids are dense 1..n
+    val vids = withTopo.select(explode(array(col("source"), col("target"))))
+      .distinct().collect().map(_.getInt(0)).sorted
+    assert(vids.toSeq === (1 to vids.length))
+  }
+
+  test("catalog ops: namespace + CTAS + append + addColumn + analyze") {
+    val db = "graft_test_ns"
+    CatalogOps.createNamespace(spark, db)
+    val tbl = s"$db.edges"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(s"spark-warehouse/$db.db/edges")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(loc)
+    }
+    CatalogOps.materialize(Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v"), tbl)
+    assert(spark.table(tbl).count() === 2)
+    CatalogOps.appendTo(Seq((3L, 4.0)).toDF("id", "v"), tbl)
+    assert(spark.table(tbl).count() === 3)
+    CatalogOps.addColumn(spark, tbl, "doubled", col("v") * 2)
+    val r = spark.table(tbl).filter(col("id") === 3).head
+    assert(r.getAs[Double]("doubled") === 8.0)
+    CatalogOps.analyze(spark, tbl, Seq("id", "v"))
+    spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP DATABASE $db")
+  }
+
+  test("export: parquet round-trip and the sanctioned edge-list collect") {
+    val dir = Files.createTempDirectory("graft-export").toString
+    val merged = RoadGraph.buildMergedNetwork(t)
+    Export.toParquet(merged.select("start_node", "end_node", "edge_id", "length"), dir + "/p")
+    assert(spark.read.parquet(dir + "/p").count() === merged.count())
+    val edges = Export.collectEdgeList(merged)
+    assert(edges.length === 8)
+    assert(edges.forall(_._3 > 0))
+  }
+
+  test("action feed: affected-way derivation and incremental rebuild merge") {
+    // changeset: node 3 modified, way 109 modified
+    val batch = Seq(("N", "M", 3L), ("W", "M", 109L))
+      .toDF("data_type", "action", "id")
+    val affected = ActionFeed.affectedWays(batch, t.wayNodes)
+    val ids = affected.collect().map(_.getLong(0)).toSet
+    assert(ids === Set(101L, 102L, 109L)) // ways containing n3 + way 109
+    val rebuilt = ActionFeed.rebuildAffected(spark, t, affected)
+    // rebuilding the affected subset reproduces exactly their rows from
+    // the full pipeline (splits are per-way — SURVEY §7.4-8)
+    val full = RoadGraph.buildMergedNetwork(t)
+    val expect = full.join(affected, full("edge_id") === affected("way_id"), "left_semi")
+      .select("edge_id", "nodes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    val got = rebuilt.select("edge_id", "nodes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(got === expect)
+    // merge = unaffected rows + rebuilt rows == full rebuild
+    val mergedAll = ActionFeed.applyMerge(full, affected, rebuilt)
+    assert(mergedAll.count() === full.count())
+  }
+
+  test("action feed end to end over MemoryStream micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = ActionFeed.start(
+      stream.toDF().toDF("data_type", "action", "id"),
+      (batch, id) => {
+        val aff = ActionFeed.affectedWays(batch, t.wayNodes)
+        seen += ((id, aff.collect().map(_.getLong(0)).toSet))
+      })
+    stream.addData(("N", "M", 3L))
+    q.processAllAvailable()
+    stream.addData(("W", "D", 104L))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.map(_._2) === Seq(Set(101L, 102L), Set(104L)))
+  }
+}
