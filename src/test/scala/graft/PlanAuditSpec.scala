@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale properties the 100 TB design rests on,
+  * asserted against the actual Catalyst output so regressions fail CI —
+  * broadcast placement, pushdown/pruning, and the absence of cartesian
+  * products or single-partition windows in hot paths.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def optimized(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+
+  test("dimension joins broadcast (J1 inner, J2 attr copy, J3 range)") {
+    Seq("q_j1_inner", "q_j2_attr_copy", "q_j3_range").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q should broadcast")
+    }
+  }
+
+  test("no cartesian product anywhere except the sanctioned broadcast cross joins") {
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan (flagship)") {
+    val p = plan("q_flagship_tag_freq")
+    // column pruning: the customer scan must read only the two source
+    // columns of the map, nothing else
+    assert(p.contains("ReadSchema") &&
+      p.contains("c_mktsegment") && !p.contains("c_acctbal"),
+      "scan should be pruned to map-source columns")
+  }
+
+  test("semi/anti joins are real semi/anti operators, not filters-after-join") {
+    assert(plan("q_j4_semi").contains("LeftSemi"))
+    assert(plan("q_j6_anti").contains("LeftAnti"))
+  }
+
+  test("W5 share avoids single-partition window (scalar agg + broadcast)") {
+    val p = plan("q_w5_share")
+    assert(!p.contains("Window"), "q_w5_share must not use a window at all")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("grid join (J7) is an equi-join on the cell key") {
+    val p = plan("q_j7_grid")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "grid join must be a keyed join")
+  }
+
+  test("exact dedup is a single hash-aggregate pipeline, no join") {
+    val p = plan("q_d_exact_dedup")
+    assert(p.contains("HashAggregate"))
+    assert(!p.toLowerCase.contains("join"), "dedup must not join")
+  }
+
+  test("blocked Jaccard join keys on the block columns, no cross join") {
+    val p = optimized("q_d_jaccard_pairs")
+    assert(p.contains("Join Inner") && p.contains("lang"),
+      "pair generation must be an equi-join on block keys")
+  }
+
+  test("partial aggregation (map-side combine) in the flagship aggregate") {
+    val p = plan("q_flagship_tag_freq")
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("Exchange hashpartitioning"))
+  }
+
+  test("whole-stage codegen covers the scan->project->filter hot paths") {
+    // AQE only annotates codegen stages in the FINAL plan — execute first
+    Seq("q_t_text_stats", "q_f_math_case", "q_t_quality").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // the write path spawns its own QueryExecution; collect
+                   // finalizes THIS one's adaptive plan
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("codegen id"), s"$q should codegen:\n$p")
+    }
+  }
+
+  test("median imputation broadcasts the per-class median table") {
+    val t = osm.OsmModel.microFixture(spark)
+    val p = osm.RoadGraph.imputeSpeedLimits(
+      osm.RoadGraph.excludeModes(osm.RoadGraph.carNetwork(t.ways)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("AQE is enabled in the session") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+  }
+}
