@@ -248,6 +248,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- A4 scalar count
+    "q_a4_count" -> ((s, dir) =>
+      lineitem(s, dir).agg(count(lit(1)).as("cnt"))),
+
+    // ---- A12 DISTINCT projection
+    "q_a12_distinct" -> ((s, dir) =>
+      lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- W2 last_value over a running frame ending 1 PRECEDING
+    //      (the weighted-median building block, general-functions.sql:64)
+    "q_w2_lastval" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+          last(col("o_totalprice")).over(w).as("prev_carried"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- W6 row_number
+    "q_w6_rownum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- U3 INTERSECT / EXCEPT
+    "q_u3_setops" -> ((s, dir) => {
+      val c = customer(s, dir).select(col("c_nationkey").as("n_key"))
+      val sup = supplier(s, dir).select(col("s_nationkey").as("n_key"))
+      c.intersect(sup).withColumn("op", lit("both"))
+        .unionByName(c.except(sup).withColumn("op", lit("customer_only")))
+        .orderBy("op", "n_key")
+    }),
+
     // ---- S6 INSERT..VALUES literal rows joined to a table
     "q_s6_values" -> ((s, dir) => {
       import s.implicits._
@@ -645,6 +681,31 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
                 md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",
+    "q_a4_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q_a12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_w2_lastval" ->
+      """SELECT o_custkey, o_orderkey,
+                last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_carried
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_w6_rownum" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_u3_setops" ->
+      """SELECT n_key, 'both' AS op FROM
+           (SELECT c_nationkey AS n_key FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT n_key, 'customer_only' AS op FROM
+           (SELECT c_nationkey AS n_key FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier)
+         ORDER BY op, n_key""",
     "q_s6_values" ->
       """WITH v(r_key, label) AS (VALUES (0, 'AFRICA-X'), (1, 'AMERICA-X'))
          SELECT r_regionkey, r_name, label
