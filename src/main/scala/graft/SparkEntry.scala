@@ -480,6 +480,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     }),
 
+    // ---- IVF-style ANN: coarse quantization + nprobe cluster pruning
+    //      (rows-only: centroid assignment is engine-side; LlmSpec
+    //      asserts self-rank-1 and exact-cosine candidates)
+    "q_s_ivf_ann" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      llm.Similarity.ivfTopKPerQuery(e, queries, "vec_id", "embedding",
+          "query_id", k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+    }),
+
+    // ---- X5 scalable form: range-partitioned prefix sums instead of a
+    //      global window — must agree with the window semantics, so it
+    //      shares q_x5's oracle
+    "q_x5b_wm_scalable" -> ((s, dir) => {
+      import s.implicits._
+      val li = lineitem(s, dir).select(col("l_quantity").as("x"),
+        round(col("l_extendedprice")).cast("long").as("w"))
+      val wm = WeightedMedian.weightedMedianScalable(li, "x", "w")
+      Seq(wm.getOrElse(Double.NaN)).toDF("weighted_median")
+    }),
+
     // ---- multimodal decode through the typed mapPartitions pass
     "q_mm_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -762,6 +786,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10""",
     "q_x5_weighted_median" ->
+      """WITH src AS (SELECT l_quantity AS x,
+                             CAST(round(l_extendedprice) AS BIGINT) AS w
+                      FROM lineitem),
+         wm AS (SELECT x,
+                  sum(coalesce(w, 0)) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum,
+                  sum(coalesce(w, 0)) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevsum,
+                  sum(coalesce(w, 0)) OVER () AS total
+                FROM src)
+         SELECT avg(x) AS weighted_median FROM wm
+         WHERE total / 2 BETWEEN prevsum AND runsum""",
+    "q_x5b_wm_scalable" ->
       """WITH src AS (SELECT l_quantity AS x,
                              CAST(round(l_extendedprice) AS BIGINT) AS w
                       FROM lineitem),

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("get_ints_from_text"),
         new ExpressionInfo(classOf[ExtractInts].getName, "get_ints_from_text"),
         (children: Seq[Expression]) => ExtractInts(children.head)))
+    ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }
 

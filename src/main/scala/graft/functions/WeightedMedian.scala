@@ -52,6 +52,58 @@ object WeightedMedian {
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
+  /** X5 at scale: same reference semantics as [[weightedMedian]] but
+    * WITHOUT the single-partition global window. Two passes over a
+    * range-partitioned sort:
+    *   1. per-partition weight/row totals -> driver prefix scan
+    *      (tiny: one row per partition — the J8 scalar boundary);
+    *   2. per-partition running sums seeded with the broadcast prefix
+    *      offsets, emitting candidate rows where total/2 lands in
+    *      [prevsum, runsum] (global row 1 excluded — PG's NULL-bound
+    *      BETWEEN).
+    * Candidate average is computed distributedly (all-zero-weight
+    * inputs make EVERY row a candidate — never collect them).
+    * `mapPartitions` is justified here per the custom-op preference
+    * order: a cross-partition prefix scan is genuinely per-partition
+    * imperative logic.
+    */
+  def weightedMedianScalable(df: DataFrame, x: String, w: String,
+      numPartitions: Int = 0): Option[Double] = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val prepared = df
+      .select(col(x).cast("double").as("x"),
+        coalesce(col(w), lit(0)).cast("double").as("w"))
+      .repartitionByRange(parts, col("x"))
+      .sortWithinPartitions("x")
+      .persist()
+    try {
+      val partAgg = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0.0; var n = 0L
+        it.foreach { r => s += r.getDouble(1); n += 1 }
+        Iterator((pid, s, n))
+      }.collect().sortBy(_._1)
+      val totalN = partAgg.map(_._3).sum
+      if (totalN == 0) return None
+      val half = partAgg.map(_._2).sum / 2
+      val wOff = partAgg.scanLeft(0.0)(_ + _._2).init
+      val nOff = partAgg.scanLeft(0L)(_ + _._3).init
+      val bc = spark.sparkContext.broadcast((wOff, nOff, half))
+      val (sum, n) = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val (wo, no, h) = bc.value
+        var run = wo(pid); var idx = no(pid)
+        it.flatMap { r =>
+          val prev = run
+          run += r.getDouble(1); idx += 1
+          if (idx > 1 && prev <= h && h <= run) Some((r.getDouble(0), 1L))
+          else None
+        }
+      }.fold((0.0, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      if (n == 0) None else Some(sum / n)
+    } finally { prepared.unpersist(); () }
+  }
+
   /** X6 grouped form (UDTF-shaped in PG, a plain DataFrame here):
     * returns `(group_id, weighted_median)`. Windows are partitioned by
     * the group key — parallel across groups, one shuffle; the per-group
