@@ -480,6 +480,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     }),
 
+    // ---- embedding-cosine near-dup (LSH-bucketed self-join + exact
+    //      verify; rows-only — seeded hyperplanes are engine-side)
+    "q_d_embedding_pairs" -> ((s, dir) => {
+      llm.Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.9, numBits = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- IVF-style ANN: coarse quantization + nprobe cluster pruning
     //      (rows-only: centroid assignment is engine-side; LlmSpec
     //      asserts self-rank-1 and exact-cosine candidates)

@@ -64,6 +64,18 @@ object Geo {
   /** ST_NumGeometries analog for our multi-point/line arrays (F22). */
   def numGeometries(g: Column): Column = size(g)
 
+  /** A8: ST_Union/ST_Multi over points — in our model a multipoint IS
+    * the deduplicated collected array (osm-road-graphs-fix.sql:83,94).
+    * Aggregate function: use inside agg(). */
+  def collectMultiPoint(p: Column): Column =
+    array_distinct(collect_list(p))
+
+  /** F22 ST_Intersection of two vertex sets (the blade computation,
+    * osm-road-graphs-fix.sql:96): shared points of two lines. */
+  def sharedPoints(a: Column, b: Column): Column =
+    array_intersect(array_distinct(a), array_distinct(b))
+
+
   /** Grid cell id for a point at the given cell size (degrees) — the
     * scale path for the spatial theta self-join J7: equi-join on cell,
     * then exact predicate, instead of the all-pairs ST_Touches join the

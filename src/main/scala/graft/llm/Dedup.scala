@@ -131,6 +131,26 @@ object Dedup {
     verifyJaccard(pairs, sets, idCol, "__set", threshold)
   }
 
+  /** Embedding-cosine near-dup: hyperplane-LSH bucket join (the same
+    * machinery as ANN, self-joined), exact cosine verify on collisions.
+    * Never all-pairs: bucket equality is the join key. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numBits: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = Similarity.hyperplanes(numBits, dim)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      Similarity.lshBucket(col(vecCol), planes).as("__bucket")).persist()
+    val l = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val r = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    l.join(r, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** SimHash (64-bit): token hashes vote per bit position; sign of the
     * vote sum sets the bit. One explode + one hash aggregate (64 sums).
     */

@@ -39,6 +39,36 @@ case class OsmAction(data_type: String, action: String, id: Long)
 case class OsmTables(nodes: DataFrame, ways: DataFrame, wayNodes: DataFrame)
 
 object OsmModel {
+  import org.apache.spark.sql.types._
+
+  private val pointType = StructType(Seq(
+    StructField("lon", DoubleType), StructField("lat", DoubleType)))
+  private def common = Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("version", IntegerType),
+    StructField("user_id", IntegerType),
+    StructField("tstamp", TimestampType),
+    StructField("changeset_id", LongType),
+    StructField("tags", MapType(StringType, StringType)))
+
+  /** Canonical source schemas (S1 ingestion boundary, SURVEY §1.3) —
+    * applied on read so malformed input fails fast instead of
+    * schema-drifting downstream. */
+  val nodesSchema: StructType = StructType(common :+ StructField("geom", pointType))
+  val waysSchema: StructType = StructType(common ++ Seq(
+    StructField("nodes", ArrayType(LongType)),
+    StructField("linestring", ArrayType(pointType))))
+  val wayNodesSchema: StructType = StructType(Seq(
+    StructField("way_id", LongType, nullable = false),
+    StructField("node_id", LongType, nullable = false),
+    StructField("sequence_id", IntegerType, nullable = false)))
+
+  /** S1: read pre-converted Parquet OSM tables with enforced schemas. */
+  def readTables(spark: SparkSession, dir: String): OsmTables = OsmTables(
+    spark.read.schema(nodesSchema).parquet(s"$dir/nodes.parquet"),
+    spark.read.schema(waysSchema).parquet(s"$dir/ways.parquet"),
+    spark.read.schema(wayNodesSchema).parquet(s"$dir/way_nodes.parquet"))
+
   /** Derive way_nodes from ways.nodes arrays — 0-based sequence. */
   def wayNodesOf(spark: SparkSession, ways: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._

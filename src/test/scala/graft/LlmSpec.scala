@@ -96,6 +96,35 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("embedding near-dup: identical vectors pair at cos=1, orthogonal don't") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),       // exact dup of 1
+      (3L, Seq(0.99f, 0.01f, 0.5f, 0.2f)),     // near dup of 1
+      (4L, Seq(-1.0f, 0.2f, -0.5f, 3.0f))).toDF("vec_id", "embedding")
+    val pairs = graft.llm.Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.99, numBits = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("geo aggregates: multipoint collect and shared points (blade computation)") {
+    import graft.functions.Geo
+    val lines = Seq(
+      (1L, Seq((0.0, 0.0), (1.0, 0.0), (2.0, 0.0))),
+      (2L, Seq((1.0, 0.0), (1.0, 1.0)))).toDF("id", "raw")
+      .select($"id", transform($"raw", p =>
+        struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+    val shared = lines.filter($"id" === 1).select($"line".as("a"))
+      .crossJoin(lines.filter($"id" === 2).select($"line".as("b")))
+      .select(Geo.sharedPoints($"a", $"b").as("s")).head.getSeq[Any](0)
+    assert(shared.length === 1) // the (1,0) blade point
+    val mp = lines.select(explode($"line").as("p"))
+      .agg(Geo.collectMultiPoint($"p").as("mp")).head.getSeq[Any](0)
+    assert(mp.length === 4) // 5 vertices, (1,0) shared -> 4 distinct
+  }
+
   test("language ID: stopword profiles and und fallback") {
     val df = Seq(
       (1L, "the cat is on the mat and it is happy"),
