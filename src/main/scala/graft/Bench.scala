@@ -34,6 +34,9 @@ object Bench {
           errors ::= name
           false
         }
+      // operators persist self-join inputs internally; drop them between
+      // queries so earlier queries' cache doesn't skew later timings
+      spark.catalog.clearCache()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
