@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("watermarked windowed counts over micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.startToMemory(stream.toDF(), "wc_test")
+    stream.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 3.0),
+      Event(3, ts(20), 2, "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc_test").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set(
+      ("2026-01-01 10:00:00.0", "click", 2L, 2.0),
+      ("2026-01-01 10:00:00.0", "view", 1L, 5.0)))
+    q.stop()
+  }
+
+  test("sessionization accumulates per-user state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionize(stream.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sess_test").start()
+    stream.addData(Event(1, ts(1), 7, "click", 2.0))
+    q.processAllAvailable()
+    stream.addData(Event(2, ts(2), 7, "click", 3.0), Event(3, ts(2), 8, "view", 1.0))
+    q.processAllAvailable()
+    val byUser = spark.table("sess_test").as[EventStream.SessionOut]
+      .collect().groupBy(_.user_id)
+    // user 7's state carried across batches: second emission sees count 2
+    assert(byUser(7L).map(_.events).max === 2L)
+    assert(math.abs(byUser(7L).maxBy(_.events).total - 5.0) < 1e-9)
+    assert(byUser(8L).map(_.events).max === 1L)
+    q.stop()
+  }
+}
