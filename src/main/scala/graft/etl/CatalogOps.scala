@@ -35,6 +35,27 @@ object CatalogOps {
     tmp.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(table)
   }
 
+  /** S11 — the `CLUSTER`/index analog (pgsnapshot_schema_0.6.sql:112-116):
+    * bucket + sort the table by its hot join key so later equi-joins on
+    * that key are co-located — no shuffle on the bucketed sides
+    * (asserted in StructureSpec). */
+  def materializeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
+  /** S11 — physical range-clustering for non-catalog Parquet output:
+    * `repartitionByRange` + `sortWithinPartitions` gives the CLUSTER
+    * effect (row-group locality + min/max pruning on the sort key). */
+  def writeClustered(df: DataFrame, path: String,
+      clusterCols: Seq[String]): Unit =
+    df.repartitionByRange(clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** S11 — stats collection standing in for the reference's manual
     * `n_distinct` overrides (pgsnapshot_schema_0.6.sql:146-170): feed
     * the CBO real numbers instead. */

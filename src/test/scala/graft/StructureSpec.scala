@@ -68,6 +68,25 @@ class StructureSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP DATABASE $db")
   }
 
+  test("bucketed materialization: co-located join runs without shuffling the bucketed sides") {
+    val db = "graft_test_bk"
+    CatalogOps.createNamespace(spark, db)
+    Seq(s"$db.wn_b", s"$db.roads_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CatalogOps.materializeBucketed(t.wayNodes, s"$db.wn_b", 4,
+      Seq("way_id"), Seq("way_id", "sequence_id"))
+    CatalogOps.materializeBucketed(
+      t.ways.select(col("id").as("way_id"), col("tags")), s"$db.roads_b", 4,
+      Seq("way_id"))
+    val joined = spark.table(s"$db.wn_b")
+      .join(spark.table(s"$db.roads_b").hint("merge"), "way_id")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+    Seq(s"$db.wn_b", s"$db.roads_b").foreach(t => spark.sql(s"DROP TABLE $t"))
+    spark.sql(s"DROP DATABASE $db")
+  }
+
   test("export: parquet round-trip and the sanctioned edge-list collect") {
     val dir = Files.createTempDirectory("graft-export").toString
     val merged = RoadGraph.buildMergedNetwork(t)
