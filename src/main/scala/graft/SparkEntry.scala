@@ -140,6 +140,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- A10 again through the native TypedImperativeAggregate path
+    //      (raw buffer + binary partial state vs the typed Aggregator)
+    "q_a10b_median_native" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(GF.medianExactNative(col("l_quantity")).as("med_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- A11 percentile_cont within group (osm-complete-graphs.sql:33-38)
     "q_a11_percentile" -> ((s, dir) => {
       lineitem(s, dir)
@@ -700,6 +709,9 @@ object SparkEntry {
                 count(*) AS cnt
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q_a10_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_a10b_median_native" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_a11_percentile" ->

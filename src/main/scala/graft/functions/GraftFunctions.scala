@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("get_ints_from_text"),
         new ExpressionInfo(classOf[ExtractInts].getName, "get_ints_from_text"),
         (children: Seq[Expression]) => ExtractInts(children.head)))
+    ext.injectFunction(
+      (new FunctionIdentifier("median_exact_native"),
+        new ExpressionInfo(classOf[MedianImperative].getName, "median_exact_native"),
+        (children: Seq[Expression]) =>
+          MedianImperative(org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.DoubleType))
+            .toAggregateExpression()))
     ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }
@@ -47,4 +54,7 @@ object GraftFunctions {
 
   /** The custom-expression form, resolved through the injected function. */
   def extractInts(c: Column): Column = call_function("get_ints_from_text", c)
+
+  /** The TypedImperativeAggregate median (injected function). */
+  def medianExactNative(c: Column): Column = call_function("median_exact_native", c)
 }

@@ -77,6 +77,23 @@ class MedianSpec extends SparkTestBase {
     assert(df.agg(GF.medianExact($"x")).head.getDouble(0) === 501.0)
   }
 
+  test("TypedImperativeAggregate median == Aggregator median == percentile") {
+    val r = tempTable.agg(
+      graft.functions.GraftFunctions.medianExactNative($"k"),
+      GF.medianExact($"k"), percentile($"k", lit(0.5))).head
+    assert(r.getDouble(0) === 2.35)
+    assert(r.getDouble(0) === r.getDouble(1))
+    assert(r.getDouble(0) === r.getDouble(2))
+    // serialize/deserialize round-trip across partitions + null handling
+    val big = spark.sparkContext.parallelize(
+      (1 to 1001).map(_.toDouble), 9).toDF("x")
+    assert(big.agg(graft.functions.GraftFunctions.medianExactNative($"x"))
+      .head.getDouble(0) === 501.0)
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    assert(allNull.agg(graft.functions.GraftFunctions.medianExactNative($"x"))
+      .head.isNullAt(0))
+  }
+
   test("finish semantics match _final_median directly") {
     import graft.functions.MedianBuf
     assert(MedianAggregator.finish(MedianBuf(List(0, 1, 5, 3, 2.7, 2))) === 2.35)
