@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, DateTimeUtils}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the pgsnapshot COPY-dump format — the TSV
+  * files Osmosis' `--write-pgsql-dump` task produces for the pgsnapshot
+  * schema the reference loads (etl/osm-load.sh:29 uses the direct
+  * `--write-pgsql` path; the dump files are its offline twin). This is
+  * the S1 "custom DSv2 for the ingest boundary" stretch goal (SURVEY
+  * §7.3).
+  *
+  * Format (PostgreSQL COPY text encoding, one entity table per file):
+  *   - tab-separated, `\N` for NULL;
+  *   - `tags` as hstore text: `"k"=>"v", "k2"=>"v2"`;
+  *   - `nodes` as PG array text: `{1,2,3}`;
+  *   - geometry as WKT `POINT(lon lat)` / `LINESTRING(lon lat, ...)`
+  *     (our geometry model; real dumps carry hex EWKB — swap the
+  *     geometry parser to support them).
+  *
+  * Connector surface exercised: TableProvider -> Table(SupportsRead) ->
+  * ScanBuilder with REAL column pruning (SupportsPushDownRequiredColumns
+  * — unprojected columns are never parsed, which for this row-oriented
+  * text format is the dominant cost) -> Batch with one InputPartition
+  * per file -> PartitionReader[InternalRow].
+  *
+  * Usage:
+  *   spark.read.format("graft.sources.PgSnapshotDumpSource")
+  *     .option("entity", "ways").load(path)
+  */
+class PgSnapshotDumpSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgSnapshotDump.schemaFor(options.get("entity"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    PgDumpTable(schema, properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object PgSnapshotDump {
+  val pointType: StructType = StructType(Seq(
+    StructField("lon", DoubleType), StructField("lat", DoubleType)))
+
+  def schemaFor(entity: String): StructType = entity match {
+    case "nodes" => StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("version", IntegerType),
+      StructField("user_id", IntegerType),
+      StructField("tstamp", TimestampType),
+      StructField("changeset_id", LongType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("geom", pointType)))
+    case "ways" => StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("version", IntegerType),
+      StructField("user_id", IntegerType),
+      StructField("tstamp", TimestampType),
+      StructField("changeset_id", LongType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("nodes", ArrayType(LongType)),
+      StructField("linestring", ArrayType(pointType))))
+    case "way_nodes" => StructType(Seq(
+      StructField("way_id", LongType, nullable = false),
+      StructField("node_id", LongType, nullable = false),
+      StructField("sequence_id", IntegerType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"unknown entity '$other' (nodes | ways | way_nodes)")
+  }
+
+  /** Parse one hstore text literal into key/value arrays. */
+  def parseHstore(s: String): (Array[UTF8String], Array[UTF8String]) = {
+    val ks = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val vs = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val m = java.util.regex.Pattern
+      .compile(""""((?:[^"\\]|\\.)*)"=>"((?:[^"\\]|\\.)*)"""").matcher(s)
+    while (m.find()) {
+      ks += UTF8String.fromString(unescape(m.group(1)))
+      vs += UTF8String.fromString(unescape(m.group(2)))
+    }
+    (ks.toArray, vs.toArray)
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  def parseLongArray(s: String): Array[Long] = {
+    val inner = s.stripPrefix("{").stripSuffix("}")
+    if (inner.isEmpty) Array.empty
+    else inner.split(",").map(_.trim.toLong)
+  }
+
+  def parsePoint(s: String): InternalRow = {
+    val inner = s.stripPrefix("POINT(").stripSuffix(")")
+    val Array(lon, lat) = inner.trim.split("\\s+").map(_.toDouble)
+    InternalRow(lon, lat)
+  }
+
+  def parseLine(s: String): ArrayData = {
+    val inner = s.stripPrefix("LINESTRING(").stripSuffix(")")
+    val pts = inner.split(",").map { p =>
+      val Array(lon, lat) = p.trim.split("\\s+").map(_.toDouble)
+      InternalRow(lon, lat): Any
+    }
+    ArrayData.toArrayData(pts)
+  }
+}
+
+case class PgDumpTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def schema(): StructType = tableSchema
+  override def name(): String = s"pgsnapshot_dump($path)"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PgDumpScanBuilder(tableSchema, path)
+}
+
+class PgDumpScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = PgDumpScan(fullSchema, required, path)
+}
+
+case class PgDumpFilePartition(file: String) extends InputPartition
+
+case class PgDumpScan(fullSchema: StructType, required: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted
+      else Array(path)
+    files.map(PgDumpFilePartition(_): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PgDumpReaderFactory(fullSchema, required)
+}
+
+case class PgDumpReaderFactory(fullSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PgDumpReader(fullSchema, required,
+      partition.asInstanceOf[PgDumpFilePartition].file)
+}
+
+/** Line reader: splits on tabs, parses ONLY the required columns
+  * (column pruning pays here — hstore/array parsing dominates). */
+class PgDumpReader(fullSchema: StructType, required: StructType, file: String)
+    extends PartitionReader[InternalRow] {
+  private val source = scala.io.Source.fromFile(file)
+  private val lines = source.getLines()
+  // position of each required column in the file's full column order
+  private val fieldIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    val cells = lines.next().split("\t", -1)
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < fieldIdx.length) {
+      val raw = cells(fieldIdx(i))
+      values(i) =
+        if (raw == "\\N") null
+        else required.fields(i).dataType match {
+          case LongType => raw.toLong
+          case IntegerType => raw.toInt
+          case TimestampType =>
+            DateTimeUtils.stringToTimestampAnsi(UTF8String.fromString(raw),
+              java.time.ZoneOffset.UTC)
+          case MapType(StringType, StringType, _) =>
+            val (ks, vs) = PgSnapshotDump.parseHstore(raw)
+            ArrayBasedMapData(ks.asInstanceOf[Array[Any]], vs.asInstanceOf[Array[Any]])
+          case ArrayType(LongType, _) =>
+            ArrayData.toArrayData(PgSnapshotDump.parseLongArray(raw))
+          case t if t == PgSnapshotDump.pointType => PgSnapshotDump.parsePoint(raw)
+          case ArrayType(e, _) if e == PgSnapshotDump.pointType =>
+            PgSnapshotDump.parseLine(raw)
+          case StringType => UTF8String.fromString(raw)
+          case other => throw new IllegalStateException(s"unhandled type $other")
+        }
+      i += 1
+    }
+    current = InternalRow.fromSeq(values.toIndexedSeq)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = source.close()
+}
