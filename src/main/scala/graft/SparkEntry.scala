@@ -101,6 +101,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- as-of join (point-in-time): each event gets the user's latest
+    //      click at-or-before its timestamp — composed as union +
+    //      running last() (one shuffle, no join node); oracle is
+    //      DuckDB's native ASOF LEFT JOIN
+    "q_j9_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = RelOps.top1PerGroup(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value")),
+        Seq("user_id", "ts"), Seq(col("click_id").desc))
+      ops.AsOfJoin.joinAsOf(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          clicks, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          round(col("click_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- A1+A3 group-count + HAVING-style post-filter (osm-road-graphs.sql:66-76)
     "q_a1_a3_having" -> ((s, dir) => {
       lineitem(s, dir)
@@ -695,6 +714,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
          ORDER BY o_orderkey""",
+    "q_j9_asof" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, event_id AS click_id, value AS click_value
+           FROM events WHERE event_type = 'click'
+           QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) = 1)
+         SELECT e.event_id, e.user_id, c.click_id,
+                round(c.click_value, 4) AS click_value
+         FROM events e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY e.event_id""",
     "q_a1_a3_having" ->
       """SELECT l_partkey, count(*) AS cnt FROM lineitem
          GROUP BY l_partkey HAVING count(*) > 35 ORDER BY l_partkey""",

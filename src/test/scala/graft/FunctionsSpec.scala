@@ -91,6 +91,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(r === Map("a" -> Some(1), "b" -> Some(20), "c" -> None, "d" -> Some(4)))
   }
 
+  test("joinAsOf: <= visibility, per-key isolation, no-match nulls") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 9L, "r9"))
+      .toDF("k", "t", "rv")
+    val r = AsOfJoin.joinAsOf(left, right, Seq("k"), "t", "t")
+      .collect().map(x => x.getAs[String]("ev") -> Option(x.getAs[String]("rv"))).toMap
+    assert(r("e1") === Some("r10")) // equal timestamp IS visible
+    assert(r("e2") === Some("r15")) // latest at-or-before
+    assert(r("e3") === None)        // right row is in the future
+  }
+
   test("property: reverse(reverse(a)) == a (seeded)") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { _ =>
