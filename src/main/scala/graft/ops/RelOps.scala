@@ -79,6 +79,34 @@ object RelOps {
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
 
+  /** Skew-salted broadcast-replicate join: for a fact table with a few
+    * hot keys, split each hot key's rows across `buckets` salted
+    * sub-keys (deterministic: salt = hash of the fact row's other
+    * columns mod buckets) and replicate the dimension side once per
+    * bucket, then equi-join on (key, salt). Result is identical to the
+    * plain join (asserted in tests); the win is that one hot key's rows
+    * no longer land in a single task. AQE's skew-join handles sort-merge
+    * skew automatically — this helper is for the cases AQE can't split
+    * (e.g. a downstream aggregation keyed on the hot key).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int, saltSource: Column): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for decomposable aggregates on skewed
+    * keys: partial-aggregate on (key, salt), then combine on key. Spark
+    * already map-side-combines; the explicit second phase additionally
+    * splits a hot key's REDUCE work across `buckets` tasks. */
+  def saltedCount(df: DataFrame, key: String, buckets: Int,
+      saltSource: Column): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).as("cnt"))
+
   /** W5 at scale: a whole-table aggregate made available to every row
     * without an empty-partition window (`SUM(w) OVER ()` collapses to a
     * single partition at 100x — SURVEY §7.4-6). One scalar row, cross

@@ -104,6 +104,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(r("e3") === None)        // right row is in the future
   }
 
+  test("salted join and salted count match their unsalted equivalents") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_partkey", $"l_orderkey", $"l_quantity")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select($"p_partkey".as("l_partkey"), $"p_brand")
+    val plain = fact.join(dim, "l_partkey")
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = RelOps.saltedJoin(fact, dim, "l_partkey", 8, $"l_orderkey")
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    val plainCnt = fact.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedCnt = RelOps.saltedCount(fact, "l_partkey", 8, $"l_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltedCnt === plainCnt)
+  }
+
   test("property: reverse(reverse(a)) == a (seeded)") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { _ =>
