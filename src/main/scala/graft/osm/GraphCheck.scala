@@ -1,0 +1,57 @@
+package graft.osm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Graph-construction validation utilities over the exported edge list.
+  *
+  * The reference hands the edge list to igraph for real graph analytics
+  * (osm-pg-etl.md:34-52) — that stays the design here too. But a
+  * network-build pipeline needs cheap in-engine sanity checks before
+  * exporting 10^9 edges: is the graph in one piece, how many isolated
+  * fragments did the mode filters create?
+  *
+  * Connected components via iterative min-label propagation: each
+  * round joins labels across edges and keeps the minimum; terminates
+  * when no label changes (diameter-bounded; road networks have small
+  * effective diameter after the large component forms). Each round is
+  * one shuffle; `localCheckpoint` cuts lineage so plans stay flat.
+  */
+object GraphCheck {
+
+  /** (node_id, component) for the undirected graph of the edge list. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("start_node").as("a"), col("end_node").as("b"))
+      .unionByName(edges.select(col("end_node").as("a"), col("start_node").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node_id"))
+      .distinct()
+      .withColumn("component", col("node_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbor = sym
+        .join(labels, sym("b") === labels("node_id"))
+        .select(col("a").as("node_id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("node_id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "__old"), "node_id")
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Component count + size of the largest — the one-line health check
+    * before export. */
+  def componentSummary(edges: DataFrame): (Long, Long) = {
+    val sizes = connectedComponents(edges)
+      .groupBy("component").agg(count(lit(1)).as("n"))
+    val r = sizes.agg(count(lit(1)), max(col("n"))).head
+    (r.getLong(0), r.getLong(1))
+  }
+}

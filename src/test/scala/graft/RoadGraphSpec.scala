@@ -113,6 +113,19 @@ class RoadGraphSpec extends SparkTestBase {
       "tertiary" -> 2L, "primary" -> 1L, "footway" -> 1L))
   }
 
+  test("connected components: fixture network splits into 3 fragments") {
+    val (nComp, largest) = osm.GraphCheck.componentSummary(merged)
+    // endpoint graph: {1,3,4,5,6} via W1+W2 (n2 is interior, not an
+    // endpoint), {7,8,12} via W3+W9, {9,10} via W4/W6
+    assert(nComp === 3L)
+    assert(largest === 5L)
+    val comp = osm.GraphCheck.connectedComponents(merged)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === comp(6L)) // same fragment through shared node n3
+    assert(comp(7L) === comp(12L))
+    assert(comp(1L) !== comp(9L))
+  }
+
   test("POI pivot: nodes and ways long format") {
     val pn = PoisExtract.poisNodes(t.nodes)
       .select("node_id", "key", "values").collect()
