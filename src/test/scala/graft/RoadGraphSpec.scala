@@ -126,6 +126,22 @@ class RoadGraphSpec extends SparkTestBase {
     assert(comp(1L) !== comp(9L))
   }
 
+  test("explore parity: all 18 node/way summary tables build; spot-check values") {
+    val all = osm.ExploreParity.buildAll(t.nodes, t.ways).toMap
+    assert(all.size === 18)
+    val amenity = all("amenity_nodes_values").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(amenity === Map("cafe" -> 1L, "bench" -> 1L))
+    val oneway = all("highway_oneway_values").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(oneway === Map(("primary", "yes") -> 1L, ("motorway", "-1") -> 1L))
+    val coTags = all("highway_other_tags").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every car-relevant way carries 'highway'; counts include all 8 tagged ways
+    assert(coTags("highway") === 8L)
+    assert(coTags("maxspeed") === 3L)
+  }
+
   test("POI pivot: nodes and ways long format") {
     val pn = PoisExtract.poisNodes(t.nodes)
       .select("node_id", "key", "values").collect()
