@@ -640,6 +640,13 @@ object SparkEntry {
         .orderBy("edge_id")
     }),
 
+    // ---- osm-explore flagship summary on the fixture (tagValueCounts,
+    //      osm-explore.sql:10-16 — the §7.2 minimum slice on OSM data)
+    "q_osm_explore" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.TagExplore.tagValueCounts(t.ways, "highway")
+    }),
+
     // ---- complete multi-modal network with car/pedestrian/bicycle
     //      flags (osm-complete-graphs.sql:8-151, strict semantics incl.
     //      the AND/OR-precedence quirk; oracle mirrors the cascade)
@@ -1069,6 +1076,11 @@ object SparkEntry {
                 coalesce(w.speed_limit, m.m) AS speed_limit
          FROM ways w LEFT JOIN med m ON w.highway = m.highway
          ORDER BY edge_id""",
+    "q_osm_explore" ->
+      """SELECT highway, count(*) AS count FROM (VALUES
+           ('residential'),('tertiary'),('primary'),('motorway'),
+           ('footway'),('motorway'),('residential'),('tertiary')) t(highway)
+         GROUP BY highway ORDER BY count DESC, highway""",
     "q_osm_complete_flags" ->
       """WITH w(edge_id, highway, access, service, bicycle_t, cycleway, foot,
                 footway, motor_vehicle, bus) AS (VALUES

@@ -86,29 +86,75 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
-  /** IVF-style coarse quantization: centroids = a deterministic sample of
-    * the corpus (first `nlist` ids — a stand-in for k-means, which would
-    * slot in here unchanged); every vector is assigned to its nearest
-    * centroid (broadcast argmax — one corpus scan); queries search only
-    * their `nprobe` nearest centroid lists (semi-join prune before the
-    * exact rescore).
+  /** Per-centroid cosine scores as one array column (the centroid
+    * matrix is folded into the expression as literals — broadcast-free,
+    * fully codegen'd). Materialize with withColumn before reusing. */
+  def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map(c => cosine(vec, typedlit(c))): _*)
+
+  /** Argmax over a materialized scores column: 0-based centroid id,
+    * lowest index on ties. (Structs are avoided throughout — CreateArray
+    * and when/otherwise coercion strip struct field names.) */
+  def bestFromScores(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
+  /** Indices of the `n` best scores: comparator-sorted index array
+    * (stable: ties break by index). */
+  def topFromScores(scores: Column, cnt: Int, n: Int): Column = {
+    val idxs = sequence(lit(0), lit(cnt - 1))
+    val sorted = array_sort(idxs, (l, r) =>
+      when(element_at(scores, l + 1) > element_at(scores, r + 1), -1)
+        .when(element_at(scores, l + 1) < element_at(scores, r + 1), 1)
+        .otherwise(l - r))
+    slice(sorted, 1, n)
+  }
+
+  /** Deterministic Lloyd k-means over the embedding column: init = first
+    * `nlist` vectors by id, then `iters` rounds of assign (one corpus
+    * scan, codegen'd argmax) + per-dimension mean (posexplode +
+    * hash agg). The centroid matrix (nlist x dim doubles) round-trips
+    * through the driver each round — the standard k-means driver loop,
+    * O(nlist*dim) per round, independent of corpus size. Empty clusters
+    * keep their previous centroid.
     */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = corpus.orderBy(idCol).limit(nlist)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .withColumn("__scores", centroidScores(col(vecCol), centroids))
+        .select(bestFromScores(col("__scores")).as("__c"),
+          posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy("__c", "__d").agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF ANN: k-means coarse quantization; every corpus vector is
+    * assigned to its nearest centroid (one scan, no join); queries
+    * search only their `nprobe` nearest centroid lists (equi-join prune
+    * before the exact rescore). */
   def ivfTopKPerQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(idCol).limit(nlist)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
-    def assign(df: DataFrame, vcol: Column, n: Int) = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("__cd", cosine(vcol, col("__cv")))
-      val w = Window.partitionBy(df.columns.head).orderBy(col("__cd").desc, col("__cid"))
-      scored.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= n)
-        .drop("__cd", "__crn", "__cv")
-    }
-    val corpusAssigned = assign(corpus.select(col(idCol), col(vecCol)), col(vecCol), 1)
-    val queryProbes = assign(queries.select(col(qidCol), col(vecCol).as("__qv")),
-      col("__qv"), nprobe)
-    val cand = corpusAssigned.join(broadcast(queryProbes), "__cid")
+      nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val corpusAssigned = corpus
+      .withColumn("__scores", centroidScores(col(vecCol), cents))
+      .select(col(idCol), col(vecCol), bestFromScores(col("__scores")).as("__cid"))
+    val probes = queries.select(col(qidCol), col(vecCol).as("__qv"))
+      .withColumn("__scores", centroidScores(col("__qv"), cents))
+      .withColumn("__cid",
+        explode(topFromScores(col("__scores"), cents.size, nprobe)))
+      .drop("__scores")
+    val cand = corpusAssigned.join(broadcast(probes), "__cid")
       .select(col(qidCol), col(idCol), cosine(col(vecCol), col("__qv")).as("cos"))
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
     cand.withColumn("__rn", row_number().over(w))
