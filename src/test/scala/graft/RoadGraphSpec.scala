@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.osm.{OsmModel, PoisExtract, RoadGraph, TagExplore}
+import graft.osm.{ExploreIVM, OsmModel, PoisExtract, RoadGraph, TagExplore}
 
 /** End-to-end pipeline assertions on the micro-OSM fixture with
   * hand-computed expectations (FIXTURES.md §2): way splitting at shared
@@ -140,6 +140,35 @@ class RoadGraphSpec extends SparkTestBase {
     // every car-relevant way carries 'highway'; counts include all 8 tagged ways
     assert(coTags("highway") === 8L)
     assert(coTags("maxspeed") === 3L)
+  }
+
+  test("explore IVM: delta-folded summary == full recompute after a changeset") {
+    import spark.implicits._
+    val before = TagExplore.tagValueCounts(t.ways, "highway")
+    // changeset: 105 footway -> residential (modify), 104 deleted,
+    // new way 110 highway=service (create)
+    val removed = t.ways.filter($"id".isin(105L, 104L))
+    val afterWays = t.ways.filter($"id" =!= 104L)
+      .withColumn("tags", when($"id" === 105,
+        map(lit("highway"), lit("residential"))).otherwise($"tags"))
+    val added = afterWays.filter($"id" === 105L)
+      .unionByName(afterWays.limit(0)) // plus the created way below
+    val created = Seq((110L, Map("highway" -> "service"))).toDF("id", "tags")
+      .select($"id", lit(1).as("version"), lit(1).as("user_id"),
+        lit(null).cast("timestamp").as("tstamp"), lit(1L).as("changeset_id"),
+        $"tags", lit(null).cast("array<bigint>").as("nodes"),
+        lit(null).cast("array<struct<lon:double,lat:double>>").as("linestring"))
+    val fullAfter = TagExplore.tagValueCounts(
+      afterWays.unionByName(created), "highway")
+    val incremental = ExploreIVM.applyDelta(before, "highway",
+      removed, added.unionByName(created))
+    val a = fullAfter.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = incremental.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(!b.contains("footway"))       // value count dropped to zero
+    assert(b("service") === 1L)          // new value appeared
+    assert(b("residential") === 3L)      // 2 existing + modified 105
+    assert(b("motorway") === 1L)         // one of two deleted
   }
 
   test("POI pivot: nodes and ways long format") {
