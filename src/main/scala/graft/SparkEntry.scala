@@ -473,6 +473,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BPE-ish subword pre-tokenizer (regexp_extract_all both sides)
+    "q_t_bpe_tokens" -> ((s, dir) => {
+      val toks = llm.TextAnalysis.bpeishTokens(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- quality features + composite score
     "q_t_quality" -> ((s, dir) => {
       val f = llm.TextAnalysis.qualityFeatures(col("text"))
@@ -943,6 +953,13 @@ object SparkEntry {
            WHEN en >= greatest(es, fr) THEN 'en'
            WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang
          FROM s ORDER BY doc_id""",
+    "q_t_bpe_tokens" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS toks
+                    FROM documents)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+                toks[1] AS first_tok, toks[-1] AS last_tok
+         FROM t ORDER BY doc_id""",
     "q_t_quality" ->
       """WITH f AS (SELECT doc_id,
            round(len(list_filter(string_split(text, ' '),
