@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MedianImperative(org.apache.spark.sql.catalyst.expressions.Cast(
             children.head, org.apache.spark.sql.types.DoubleType))
             .toAggregateExpression()))
+    ext.injectFunction(
+      (new FunctionIdentifier("vector_sum"),
+        new ExpressionInfo(classOf[VectorSum].getName, "vector_sum"),
+        (children: Seq[Expression]) =>
+          VectorSum(org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head,
+            ArrayType(org.apache.spark.sql.types.DoubleType)))
+            .toAggregateExpression()))
     ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }
@@ -57,4 +65,7 @@ object GraftFunctions {
 
   /** The TypedImperativeAggregate median (injected function). */
   def medianExactNative(c: Column): Column = call_function("median_exact_native", c)
+
+  /** Element-wise array-sum aggregate (injected [[VectorSum]]). */
+  def vectorSum(c: Column): Column = call_function("vector_sum", c)
 }

@@ -40,6 +40,21 @@ object Dedup {
       i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
+  /** Portable 31-bit content hash: first 8 hex chars of md5, parsed as
+    * an int, reduced mod p = 2^31-1. md5 is the one hash both this
+    * engine and an independent SQL oracle (DuckDB
+    * `('0x' || substr(md5(x),1,8))::BIGINT`) compute identically, which
+    * makes every hash-derived answer independently checkable — unlike
+    * `xxhash64`, whose seeds/mixing are engine-specific. */
+  private[llm] def md5Hash31(c: Column): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(2147483647L))
+
+  /** Portable 60-bit content hash (first 15 hex chars of md5). 60 bits
+    * keeps `1L << j` and the hash itself comfortably inside a signed
+    * long on both engines. */
+  private[llm] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Deterministic MinHash parameters: numPerm (a,b) pairs from a fixed
     * seed; `a` odd, both bounded to 31 bits so `a * h31 + b` stays well
     * inside a Long under ANSI mode (Spark 4 default: overflow throws,
@@ -65,7 +80,7 @@ object Dedup {
     val params = minhashParams(numPerm)
     val exploded = df
       .select(col(idCol), explode(rawShingles(text, shingleK)).as("__sh"))
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(2147483647L)))
+      .withColumn("__h", md5Hash31(col("__sh")))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * lit(a) + lit(b), lit(2147483647L))).as(s"__m$i")
     }
@@ -74,16 +89,18 @@ object Dedup {
         array((0 until numPerm).map(i => col(s"__m$i")): _*).as("signature"))
   }
 
-  /** Banded LSH candidate pairs over MinHash signatures: band hash ->
-    * equi-join on (band, hash). Docs agreeing on any band collide.
+  /** Banded LSH candidate pairs over MinHash signatures: band key ->
+    * equi-join on (band, key). Docs agreeing on any band collide.
     * Never materializes the cross product: the join key is
-    * (band_idx, band_hash), so work is proportional to true collisions.
-    */
+    * (band_idx, band_key), so work is proportional to true collisions.
+    * The band key is the band's signature slice joined as a string —
+    * semantically the same equality as hashing the slice, but portable
+    * (an independent SQL oracle reproduces it verbatim). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val bandHashes = (0 until bands).map { b =>
-      xxhash64(concat_ws("|",
-        slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
+      concat_ws("|",
+        slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
     }
     // the banded relation feeds both sides of the self-join — persist so
     // the signature aggregation upstream runs once, not twice
@@ -151,32 +168,43 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash (64-bit): token hashes vote per bit position; sign of the
-    * vote sum sets the bit. One explode + one hash aggregate (64 sums).
-    */
-  def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(split(text, "\\s+")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { j =>
-      sum(when(col("__h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"__v$j")
-    }
-    val bits = (0 until 64).map { j =>
-      when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    exploded.groupBy(idCol).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  /** SimHash bit width: 60 = 15 md5 hex chars, so the token hash is
+    * reproducible by an independent SQL oracle, and 4 pigeonhole chunks
+    * stay an even 15 bits. */
+  val SimhashBits = 60
+
+  /** SimHash (60-bit): token hashes vote per bit position; sign of the
+    * vote sum sets the bit. One explode + ONE aggregate buffer: each
+    * token contributes a ±1 vote vector and [[graft.functions.VectorSum]]
+    * folds them element-wise — O(bits) state per group, map-side
+    * combine, no 60-column agg schema and no posexplode row blowup. */
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val voteVec = transform(sequence(lit(0), lit(SimhashBits - 1)),
+      j => when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1.0d)
+        .otherwise(-1.0d))
+    // disjoint bit values sum == OR; powers as a literal array keeps the
+    // fold a single zip_with + aggregate (all built-in, codegen'd)
+    val powers = typedlit(Seq.tabulate(SimhashBits)(j => 1L << j))
+    val sig = aggregate(
+      zip_with(col("__votes"), powers,
+        (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol), explode(split(text, "\\s+")).as("__t"))
+      .withColumn("__h", md5Hash60(col("__t")))
+      .groupBy(idCol)
+      .agg(graft.functions.GraftFunctions.vectorSum(voteVec).as("__votes"))
+      .select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64 bits into 4 16-bit chunks
+  /** SimHash near-dup candidates: band the 60 bits into 4 15-bit chunks
     * (pigeonhole: any pair within Hamming distance 3 shares a chunk),
     * equi-join on (chunk_idx, chunk), verify exact Hamming <= maxDist.
     */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
       maxDist: Int = 3): DataFrame = {
-    val sh = simhash64(df, idCol, text)
+    val sh = simhash(df, idCol, text)
     val chunks = (0 until 4).map { i =>
-      shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+      shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))
     }
     // feeds both self-join sides — persist so the simhash aggregation
     // runs once

@@ -86,11 +86,15 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
-  /** Per-centroid cosine scores as one array column (the centroid
-    * matrix is folded into the expression as literals — broadcast-free,
-    * fully codegen'd). Materialize with withColumn before reusing. */
+  /** Per-centroid cosine scores as one array column. The centroid
+    * matrix enters the plan as ONE `array<array<double>>` literal and a
+    * `transform` lambda computes every score — expression size is
+    * O(1) in `nlist` (vs one cosine subtree per centroid, which at
+    * nlist≥a few hundred blows past Janino's method-size limits and
+    * falls back to interpreted eval). Materialize with withColumn
+    * before reusing. */
   def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.map(c => cosine(vec, typedlit(c))): _*)
+    transform(typedlit(centroids), c => cosine(vec, c))
 
   /** Argmax over a materialized scores column: 0-based centroid id,
     * lowest index on ties. (Structs are avoided throughout — CreateArray
@@ -119,24 +123,43 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Seq[Seq[Double]] = {
-    var centroids: Seq[Seq[Double]] = corpus.orderBy(idCol).limit(nlist)
+    // the loop rescans the corpus once per iteration (+ the caller's
+    // assignment pass) — persist the 2-column projection once
+    val vecs = corpus.select(col(idCol), col(vecCol)).persist()
+    var centroids: Seq[Seq[Double]] = vecs.orderBy(idCol).limit(nlist)
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     for (_ <- 1 to iters) {
-      val means = corpus
+      // single-pass per-cluster mean: VectorSum folds each vector into an
+      // O(dim) buffer per cluster — no posexplode (dim× row blowup), no
+      // dim-wide agg schema; one narrow hash agg of nlist groups
+      val means = vecs
         .withColumn("__scores", centroidScores(col(vecCol), centroids))
-        .select(bestFromScores(col("__scores")).as("__c"),
-          posexplode(col(vecCol)).as(Seq("__d", "__x")))
-        .groupBy("__c", "__d").agg(avg(col("__x").cast("double")).as("__m"))
+        .select(bestFromScores(col("__scores")).as("__c"), col(vecCol))
+        .groupBy("__c")
+        .agg(graft.functions.GraftFunctions.vectorSum(col(vecCol)).as("__s"),
+          count(lit(1)).as("__n"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          r.getInt(0) -> r.getSeq[Double](1).map(_ / n).toSeq
+        }.toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    vecs.unpersist()
     centroids
   }
+
+  /** Deterministic init centroids: the first `nlist` corpus vectors by
+    * id. Used directly as a fixed coarse quantizer when the partition
+    * must be reproducible by an independent oracle (IVF recall only
+    * needs centroids to be *some* reasonable partition; Lloyd refinement
+    * improves it but floating-point mean order makes refined centroids
+    * engine-specific). */
+  def initCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Seq[Seq[Double]] =
+    corpus.orderBy(idCol).limit(nlist).select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 
   /** IVF ANN: k-means coarse quantization; every corpus vector is
     * assigned to its nearest centroid (one scan, no join); queries
@@ -146,6 +169,14 @@ object Similarity {
       vecCol: String, qidCol: String, k: Int, nlist: Int = 16,
       nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, qidCol, k, cents,
+      nprobe)
+  }
+
+  /** IVF search against an explicit centroid matrix (trained or fixed). */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val corpusAssigned = corpus
       .withColumn("__scores", centroidScores(col(vecCol), cents))
       .select(col(idCol), col(vecCol), bestFromScores(col("__scores")).as("__cid"))
