@@ -179,12 +179,14 @@ object Dedup {
     * folds them element-wise — O(bits) state per group, map-side
     * combine, no 60-column agg schema and no posexplode row blowup. */
   def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val voteVec = transform(sequence(lit(0), lit(SimhashBits - 1)),
-      j => when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1.0d)
-        .otherwise(-1.0d))
     // disjoint bit values sum == OR; powers as a literal array keeps the
     // fold a single zip_with + aggregate (all built-in, codegen'd)
     val powers = typedlit(Seq.tabulate(SimhashBits)(j => 1L << j))
+    // per-token ±1 vote per bit: test each bit by AND-ing against its
+    // power-of-two (shiftright needs a literal shift, so a Column lambda
+    // index can't drive it — the bitmask test is equivalent and codegen'd)
+    val voteVec = transform(powers,
+      p => when(col("__h").bitwiseAND(p) === p, 1.0d).otherwise(-1.0d))
     val sig = aggregate(
       zip_with(col("__votes"), powers,
         (v, p) => when(v > 0, p).otherwise(lit(0L))),
@@ -196,15 +198,21 @@ object Dedup {
       .select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 60 bits into 4 15-bit chunks
-    * (pigeonhole: any pair within Hamming distance 3 shares a chunk),
+  /** SimHash near-dup candidates: band the 60 bits into `maxDist + 1`
+    * chunks (pigeonhole: a pair within Hamming distance maxDist differs
+    * in at most maxDist chunks, so at least one of the maxDist+1 chunks
+    * is shared — the bound holds for ANY maxDist, not just the default),
     * equi-join on (chunk_idx, chunk), verify exact Hamming <= maxDist.
     */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
       maxDist: Int = 3): DataFrame = {
     val sh = simhash(df, idCol, text)
-    val chunks = (0 until 4).map { i =>
-      shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))
+    val numChunks = maxDist + 1
+    // near-equal chunk widths covering all SimhashBits bits exactly
+    val bounds = (0 to numChunks).map(i => i * SimhashBits / numChunks)
+    val chunks = (0 until numChunks).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
     }
     // feeds both self-join sides — persist so the simhash aggregation
     // runs once

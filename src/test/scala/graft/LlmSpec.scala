@@ -25,7 +25,11 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("minhash-LSH near-dups: finds exact+near pairs, not disjoint ones") {
-    val pairs = Dedup.minhashNearDups(docs, "doc_id", $"text", threshold = 0.5)
+    // bands=8 (rows/band=4) centers the S-curve at ~0.59, so a J~0.85
+    // near-dup pair collides with p~0.997 — recall here is a theory
+    // guarantee, not a lucky draw of the fixed hash seeds
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", $"text", bands = 8,
+        threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
     assert(pairs.contains((1L, 2L)))
@@ -33,7 +37,7 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("simhash: identical -> hamming 0, near-dup -> small, disjoint -> large") {
-    val sh = Dedup.simhash64(docs, "doc_id", $"text").collect()
+    val sh = Dedup.simhash(docs, "doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(4L)) === 0)
