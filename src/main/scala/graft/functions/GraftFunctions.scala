@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 import scala.reflect.runtime.universe.typeTag
@@ -56,9 +56,19 @@ object GraftFunctions {
   /** F1 as a pure built-in composition — semantically identical to the
     * [[ExtractInts]] expression (tested equivalent); stays entirely in
     * codegen'd built-ins. get_ints_from_text per general-functions.sql:3-5.
+    * Like ExtractInts, runs exceeding Int.MaxValue are DROPPED, not
+    * thrown: the length guard runs before any cast, so a pathological
+    * 2^31+ digit run (phone number, vandalized maxspeed) can't trip
+    * Spark 4's ANSI overflow and kill the whole job.
     */
-  def extractIntsBuiltin(c: Column): Column =
-    filter(split(c, "[^0-9]+"), x => x =!= "").cast(ArrayType(IntegerType))
+  def extractIntsBuiltin(c: Column): Column = {
+    val trimmed = transform(
+      filter(split(c, "[^0-9]+"), x => x =!= ""),
+      x => regexp_replace(x, "^0+(?=.)", ""))
+    val short = filter(trimmed, x => length(x) <= 10) // <=10 digits fits a long
+    filter(short, x => x.cast(LongType) <= Int.MaxValue.toLong)
+      .cast(ArrayType(IntegerType))
+  }
 
   /** The custom-expression form, resolved through the injected function. */
   def extractInts(c: Column): Column = call_function("get_ints_from_text", c)

@@ -20,6 +20,12 @@ import org.apache.spark.sql.DataFrame
   * Tie semantics: a right row at exactly `leftTs` IS visible
   * (`<=`, matching DuckDB/pandas ASOF). Right rows must be unique per
   * (keys, rightTs) — pre-dedupe with `RelOps.top1PerGroup` otherwise.
+  *
+  * Row atomicity: all right value columns are carried as ONE struct
+  * through a single `last(ignoreNulls)`, so the matched row arrives
+  * verbatim — including its NULLs. (Per-column `last` would backfill a
+  * NULL value column from an OLDER right row and could mix columns from
+  * different rows, diverging from DuckDB/pandas ASOF.)
   */
 object AsOfJoin {
 
@@ -30,23 +36,26 @@ object AsOfJoin {
     require(rightVals.intersect(leftCols).isEmpty,
       s"overlapping non-key columns: ${rightVals.intersect(leftCols).mkString(",")}")
 
+    val rvStruct = struct(rightVals.map(col): _*)
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__src")) ++
         leftCols.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        Seq(lit(null).cast(right.select(rvStruct).schema.head.dataType)
+          .as("__rv")): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__src")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        Seq(rvStruct.as("__rv")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__src") === 1).drop("__ts", "__src")
+    val filled = l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    filled.filter(col("__src") === 1)
+      .select(keys.map(col) ++ leftCols.map(col) ++
+        rightVals.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

@@ -207,8 +207,12 @@ object RoadGraph {
     * `strictOsmSemantics = true` reproduces the reference exactly,
     * including its trap: a motorway with NULL oneway fails
     * `oneway != '-1'` under 3VL and silently vanishes from every branch
-    * (SURVEY §7.4-2). `false` treats NULL-oneway motorways as forward
-    * (the evident intent — motorways are implicitly oneway in OSM).
+    * (SURVEY §7.4-2), and its reverse INSERTs reverse only `nodes` while
+    * `geom` keeps the original drawing direction
+    * (osm-road-graphs.sql:204-208). `false` treats NULL-oneway motorways
+    * as forward (the evident intent — motorways are implicitly oneway in
+    * OSM) and reverses `geom` along with `nodes` so the geometry runs
+    * start->end like every forward edge.
     */
   def directed(merged: DataFrame, strictOsmSemantics: Boolean = true): DataFrame = {
     val twoWay = (col("oneway").isNull || col("oneway") === "no") &&
@@ -228,7 +232,8 @@ object RoadGraph {
         col("end_node").as("start_node"), col("start_node").as("end_node"),
         col("edge_id"), col("tags"), reverse(col("nodes")).as("nodes"),
         col("length"), col("speed_limit"), col("highway"), col("oneway"),
-        reverse(col("geom")).as("geom"))
+        (if (strictOsmSemantics) col("geom")
+         else reverse(col("geom"))).as("geom"))
 
     val cols = Seq("start_node", "end_node", "edge_id", "tags", "nodes",
       "length", "speed_limit", "highway", "oneway", "geom")

@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * §7.3).
   *
   * Format (PostgreSQL COPY text encoding, one entity table per file):
-  *   - tab-separated, `\N` for NULL;
+  *   - tab-separated, `\N` for NULL; COPY escapes (`\t \n \r \\ \b \f
+  *     \v`, octal `\ooo`, hex `\xhh`) decoded per cell — a tag value
+  *     containing a literal tab/newline/backslash round-trips;
   *   - `tags` as hstore text: `"k"=>"v", "k2"=>"v2"`;
   *   - `nodes` as PG array text: `{1,2,3}`;
   *   - geometry as WKT `POINT(lon lat)` / `LINESTRING(lon lat, ...)`
@@ -50,6 +52,50 @@ class PgSnapshotDumpSource extends TableProvider {
 object PgSnapshotDump {
   val pointType: StructType = StructType(Seq(
     StructField("lon", DoubleType), StructField("lat", DoubleType)))
+
+  /** Decode PostgreSQL COPY text-format escapes inside one cell
+    * (`\t \n \r \b \f \v \\`, octal `\ooo`, hex `\xhh`). Fast path:
+    * cells without a backslash (the overwhelming majority) return the
+    * same String instance — no allocation. An unrecognized escape
+    * keeps the escaped character, matching COPY's reader. */
+  def decodeCopyEscapes(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\\' || i == s.length - 1) { sb.append(c); i += 1 }
+      else {
+        val e = s.charAt(i + 1)
+        i += 2
+        e match {
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'v' => sb.append('\u000b')
+          case '\\' => sb.append('\\')
+          case 'x' =>
+            var v = 0; var n = 0
+            while (n < 2 && i < s.length &&
+                Character.digit(s.charAt(i), 16) >= 0) {
+              v = v * 16 + Character.digit(s.charAt(i), 16); i += 1; n += 1
+            }
+            if (n == 0) sb.append('x') else sb.append(v.toChar)
+          case o if o >= '0' && o <= '7' =>
+            var v = o - '0'; var n = 1
+            while (n < 3 && i < s.length &&
+                s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+              v = v * 8 + (s.charAt(i) - '0'); i += 1; n += 1
+            }
+            sb.append(v.toChar)
+          case other => sb.append(other)
+        }
+      }
+    }
+    sb.toString
+  }
 
   def schemaFor(entity: String): StructType = entity match {
     case "nodes" => StructType(Seq(
@@ -175,9 +221,13 @@ class PgDumpReader(fullSchema: StructType, required: StructType, file: String)
     val values = new Array[Any](required.length)
     var i = 0
     while (i < fieldIdx.length) {
-      val raw = cells(fieldIdx(i))
+      val cell = cells(fieldIdx(i))
+      // \N is the null marker only BEFORE escape decoding (a data cell
+      // containing the two chars \N arrives as \\N)
+      val raw = if (cell == "\\N") null
+        else PgSnapshotDump.decodeCopyEscapes(cell)
       values(i) =
-        if (raw == "\\N") null
+        if (raw == null) null
         else required.fields(i).dataType match {
           case LongType => raw.toLong
           case IntegerType => raw.toInt

@@ -15,10 +15,13 @@ import graft.osm.{OsmTables, RoadGraph}
   * Model: each micro-batch IS one changeset transaction; the
   * `foreachBatch` body is the `osmosisUpdate` extension point. Derived
   * maintenance is tractable because way-splitting never crosses way
-  * boundaries (SURVEY §7.4-8): a changeset invalidates exactly the ways
-  * it names plus the ways containing its changed nodes — recompute the
-  * split chain for that bounded keyset, merge into the materialized
-  * output.
+  * boundaries (SURVEY §7.4-8): a changeset invalidates the ways it
+  * names, the ways containing its changed nodes, AND the ways sharing
+  * any node with a changed way — that last hop is load-bearing, because
+  * creating or deleting a way through an existing node flips that
+  * node's shared status and moves the split boundaries of every
+  * untouched neighbor way through it. Recompute the split chain for
+  * that bounded keyset, merge into the materialized output.
   */
 object ActionFeed {
 
@@ -31,15 +34,28 @@ object ActionFeed {
       .foreachBatch { (batch: DataFrame, id: Long) => onBatch(batch, id) }
       .start()
 
-  /** The bounded invalidation keyset: way ids directly changed (W rows)
-    * plus ways containing any changed node (N rows joined through
-    * way_nodes). Semi-join shaped — no wide shuffle. */
+  /** The bounded invalidation keyset: way ids directly changed (W rows),
+    * ways containing any changed node (N rows joined through way_nodes),
+    * and ways sharing any node with a changed way (changed ways'
+    * way_nodes joined back to all way_nodes on node_id — the
+    * shared-status flip hop). Semi-join shaped — no wide shuffle.
+    *
+    * Soundness for W-deletes: a deleted way's rows are gone from the
+    * post-change way_nodes, so pass the UNION of the pre- and
+    * post-change way_nodes snapshots as `wayNodes` (extra ids only
+    * widen the keyset — rebuild is idempotent per way). */
   def affectedWays(batch: DataFrame, wayNodes: DataFrame): DataFrame = {
     val directWays = batch.filter(col("data_type") === "W")
       .select(col("id").as("way_id"))
     val changedNodes = batch.filter(col("data_type") === "N").select(col("id"))
+    // nodes whose shared-status may flip: the changed nodes themselves
+    // plus every node of a changed way
+    val nodesOfChangedWays = wayNodes
+      .join(directWays, Seq("way_id"), "left_semi")
+      .select(col("node_id").as("id"))
+    val touchedNodes = changedNodes.unionByName(nodesOfChangedWays).distinct()
     val waysViaNodes = wayNodes
-      .join(changedNodes, wayNodes("node_id") === changedNodes("id"), "left_semi")
+      .join(touchedNodes, wayNodes("node_id") === touchedNodes("id"), "left_semi")
       .select("way_id")
     directWays.unionByName(waysViaNodes).distinct()
   }

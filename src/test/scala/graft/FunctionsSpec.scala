@@ -9,8 +9,11 @@ class FunctionsSpec extends SparkTestBase {
   import spark.implicits._
 
   test("ExtractInts expression == built-in composition, both match PG semantics") {
+    // the last three: >2^31 run, >10^19 run (would overflow even a long
+    // cast under ANSI), long leading-zero run — all dropped, never thrown
     val df = Seq("50 mph", "80 km/h", "1-URGENT", "no digits", "", "12;34 56",
-      "007", "2000000000x1").toDF("s")
+      "007", "2000000000x1", "4294967296", "99999999999999999999 ok 3",
+      "0000000000000000007").toDF("s")
     val r = df.select(GF.extractInts($"s").as("a"), GF.extractIntsBuiltin($"s").as("b"))
       .collect()
     r.foreach { row =>
@@ -26,6 +29,9 @@ class FunctionsSpec extends SparkTestBase {
     assert(byInput("") === Nil)
     assert(byInput("12;34 56") === List(12, 34, 56))
     assert(byInput("007") === List(7))
+    assert(byInput("4294967296") === Nil)
+    assert(byInput("99999999999999999999 ok 3") === List(3))
+    assert(byInput("0000000000000000007") === List(7))
   }
 
   test("ExtractInts via SQL (injected function) and null propagation") {
@@ -102,6 +108,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(r("e1") === Some("r10")) // equal timestamp IS visible
     assert(r("e2") === Some("r15")) // latest at-or-before
     assert(r("e3") === None)        // right row is in the future
+  }
+
+  test("joinAsOf: matched row arrives atomically, NULLs included") {
+    import graft.ops.AsOfJoin
+    // latest right row (t=10) has rv2 NULL; an older row (t=5) has both.
+    // ASOF must return the t=10 row verbatim — rv1="a", rv2=NULL — not
+    // backfill rv2="y" from t=5 (per-column carry would).
+    val left = Seq((1L, 12L, "e1")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, Some("x"), Some("y")), (1L, 10L, Some("a"), None))
+      .toDF("k", "t", "rv1", "rv2")
+    val row = AsOfJoin.joinAsOf(left, right, Seq("k"), "t", "t").head()
+    assert(row.getAs[String]("rv1") === "a")
+    assert(row.getAs[String]("rv2") === null)
   }
 
   test("salted join and salted count match their unsalted equivalents") {

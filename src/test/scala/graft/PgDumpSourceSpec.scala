@@ -42,6 +42,29 @@ class PgDumpSourceSpec extends SparkTestBase {
     assert(rows(1).isNullAt(rows(1).fieldIndex("user_id")))
   }
 
+  test("COPY text escapes decoded per cell (tab/newline/backslash in tags)") {
+    // COPY escapes a literal tab as \t, newline as \n, backslash as \\.
+    // A backslash in an hstore VALUE is escaped twice (hstore text
+    // doubles it, then COPY doubles each '\' again -> 4 in the file);
+    // control chars are raw at the hstore layer, so they carry one COPY
+    // escape only.
+    val hstoreCell =
+      """"note"=>"line1\nline2\ttabbed", "path"=>"C:\\\\tmp""""
+    val path = writeDump("ways.txt", Seq(
+      Seq("201", "1", "1", "2020-01-01 00:00:00", "1", hstoreCell,
+        "{1,2}", "LINESTRING(0 0, 1 0)").mkString("\t")))
+    val df = spark.read.format(fmt).option("entity", "ways").load(path)
+    val tags = df.head.getAs[Map[String, String]]("tags")
+    assert(tags("note") === "line1\nline2\ttabbed")
+    assert(tags("path") === "C:\\tmp")
+    // the octal/hex forms COPY's reader accepts
+    import graft.sources.PgSnapshotDump.decodeCopyEscapes
+    assert(decodeCopyEscapes("""a\011b""") === "a\tb")
+    assert(decodeCopyEscapes("""a\x41b""") === "aAb")
+    assert(decodeCopyEscapes("plain") eq "plain") // fast path: same instance
+    assert(decodeCopyEscapes("""\N""") === "N")   // post-null-check meaning
+  }
+
   test("column pruning reaches the scan (only projected columns parsed)") {
     val path = writeDump("ways.txt", Seq(
       Seq("7", "1", "1", "2020-01-01 00:00:00", "1",

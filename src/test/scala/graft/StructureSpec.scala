@@ -103,7 +103,9 @@ class StructureSpec extends SparkTestBase {
       .toDF("data_type", "action", "id")
     val affected = ActionFeed.affectedWays(batch, t.wayNodes)
     val ids = affected.collect().map(_.getLong(0)).toSet
-    assert(ids === Set(101L, 102L, 109L)) // ways containing n3 + way 109
+    // ways containing n3 (101,102) + way 109 + ways sharing a node with
+    // way 109 (n8 -> 103, n12 -> 105,107): the shared-status-flip hop
+    assert(ids === Set(101L, 102L, 103L, 105L, 107L, 109L))
     val rebuilt = ActionFeed.rebuildAffected(spark, t, affected)
     // rebuilding the affected subset reproduces exactly their rows from
     // the full pipeline (splits are per-way — SURVEY §7.4-8)
@@ -134,6 +136,10 @@ class StructureSpec extends SparkTestBase {
     stream.addData(("W", "D", 104L))
     q.processAllAvailable()
     q.stop()
-    assert(seen.map(_._2) === Seq(Set(101L, 102L), Set(104L)))
+    // deleting W104 also invalidates W106, which shares nodes 9,10 and
+    // whose endpoints' shared status flips with 104 gone (the wayNodes
+    // passed here still carries 104's rows — the pre-change snapshot the
+    // delete case needs)
+    assert(seen.map(_._2) === Seq(Set(101L, 102L), Set(104L, 106L)))
   }
 }
