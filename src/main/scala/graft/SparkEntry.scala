@@ -450,15 +450,16 @@ object SparkEntry {
     }),
 
     // ---- MinHash-LSH near-dup (banded candidates -> exact-Jaccard
-    //      verify). xxhash64 signatures are not DuckDB-expressible:
-    //      rows-only check here, recall properties in LlmSpec.
+    //      verify). md5-portable hash family -> the full pipeline is
+    //      DuckDB-replicated in the oracle; recall properties in LlmSpec.
     "q_d_minhash_pairs" -> ((s, dir) => {
       llm.Dedup.minhashNearDups(documents(s, dir), "doc_id", col("text"),
           numPerm = 32, shingleK = 5, bands = 4, threshold = 0.4)
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- SimHash near-dup (16-bit chunk pigeonhole banding)
+    // ---- SimHash near-dup (maxDist+1-chunk pigeonhole banding,
+    //      DuckDB-replicated oracle via the portable 60-bit md5 hash)
     "q_d_simhash_pairs" -> ((s, dir) => {
       llm.Dedup.simhashNearDups(documents(s, dir), "doc_id", col("text"),
           maxDist = 6)
@@ -1147,6 +1148,92 @@ object SparkEntry {
          SELECT CAST(p.node_id AS BIGINT) AS node_id, p."key", p."values",
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
-         ORDER BY node_id, p."key""""
+         ORDER BY node_id, p."key"""",
+    "q_d_minhash_pairs" -> minhashOracleSql,
+    "q_d_simhash_pairs" -> simhashOracleSql
   )
+
+  /** DuckDB replica of the whole MinHash-LSH pipeline — possible only
+    * because every hash is md5-derived (portable by design; see
+    * [[graft.llm.Dedup.md5Hash31]]). Generated from the SAME
+    * `minhashParams` the engine uses, so the two sides cannot drift. */
+  private def minhashOracleSql: String = {
+    val ps = llm.Dedup.minhashParams(32)
+    val mins = ps.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a + $b) % 2147483647) AS m$i"
+    }.mkString(",\n    ")
+    val bandVals = (0 until 4).map { b =>
+      val cols = (0 until 8).map(j => s"m${b * 8 + j}").mkString(",")
+      s"($b, concat_ws('|',$cols))"
+    }.mkString(",")
+    s"""WITH sh AS (
+    SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+    FROM documents, LATERAL unnest(range(1, greatest(length(text)-4,1)+1)) AS t(i)
+  ),
+  h AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) % 2147483647 AS h
+    FROM sh
+  ),
+  sig AS (
+    SELECT doc_id,
+    $mins
+    FROM h GROUP BY doc_id
+  ),
+  bands AS (
+    SELECT doc_id, b.band, b.bh FROM sig, LATERAL (VALUES $bandVals) AS b(band, bh)
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+  ),
+  sets AS (
+    SELECT doc_id, list_distinct(list(s)) AS st FROM sh GROUP BY doc_id
+  ),
+  verified AS (
+    SELECT id_a, id_b,
+      CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) /
+        len(list_distinct(list_concat(sa.st, sb.st))) AS j
+    FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+              JOIN sets sb ON cand.id_b = sb.doc_id
+  )
+  SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified
+  WHERE j >= 0.4 ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB replica of the SimHash pipeline (60-bit portable md5 token
+    * hash; bit j of a doc's simhash = majority vote over its tokens).
+    * Chunk boundaries are derived exactly like
+    * [[graft.llm.Dedup.simhashNearDups]] derives them for maxDist=6. */
+  private def simhashOracleSql: String = {
+    val bits = llm.Dedup.SimhashBits
+    val numChunks = 7 // maxDist 6 + 1, matching the q_d_simhash_pairs call
+    val bounds = (0 to numChunks).map(i => i * bits / numChunks)
+    val chunkVals = (0 until numChunks).map { i =>
+      val lo = bounds(i); val mask = (1L << (bounds(i + 1) - lo)) - 1L
+      s"($i, $lo, $mask)"
+    }.mkString(",")
+    s"""WITH tok AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents)
+  ),
+  bits AS (
+    SELECT doc_id, j,
+      CASE WHEN 2 * count(*) FILTER (WHERE (h >> CAST(j AS INTEGER)) & 1 = 1) > count(*)
+           THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END AS bitval
+    FROM tok, LATERAL unnest(range(0, $bits)) AS tt(j)
+    GROUP BY doc_id, j
+  ),
+  sig AS (SELECT doc_id, sum(bitval) AS simhash FROM bits GROUP BY doc_id),
+  chunks AS (
+    SELECT doc_id, simhash, c.i AS chunk_idx, (simhash >> c.lo) & c.mask AS chunk
+    FROM sig, LATERAL (VALUES $chunkVals) AS c(i, lo, mask)
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  )
+  SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b"""
+  }
 }

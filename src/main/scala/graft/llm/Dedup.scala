@@ -59,7 +59,7 @@ object Dedup {
     * seed; `a` odd, both bounded to 31 bits so `a * h31 + b` stays well
     * inside a Long under ANSI mode (Spark 4 default: overflow throws,
     * so the classic wrap-around trick is out). */
-  private[llm] def minhashParams(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+  private[graft] def minhashParams(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPerm)(((rnd.nextInt(Int.MaxValue).toLong | 1L),
       rnd.nextInt(Int.MaxValue).toLong))
