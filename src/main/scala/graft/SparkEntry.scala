@@ -321,6 +321,25 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // ---- S10 JDBC export round-trip: supplier -> embedded Derby
+    //      (batched parallel INSERTs) -> partitioned JDBC read-back ->
+    //      aggregate. The oracle aggregates the parquet directly, so a
+    //      green row proves the database hand-off is lossless.
+    "q_s10_jdbc_roundtrip" -> ((s, dir) => {
+      val db = java.nio.file.Files.createTempDirectory("graft-jdbc")
+        .toString + "/db"
+      val url = s"jdbc:derby:$db;create=true"
+      val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      val sup = supplier(s, dir).select("s_suppkey", "s_nationkey", "s_acctbal")
+      etl.Export.toJdbc(sup, url, "supplier_rt", numPartitions = 4,
+        options = opts)
+      etl.Export.fromJdbc(s, url, "supplier_rt", "s_suppkey",
+          0L, 1000000L, 4, opts)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), round(sum("s_acctbal"), 2).as("acctbal"))
+        .orderBy("s_nationkey")
+    }),
+
     // ---- P4/P7 3VL exclusion: NULL-predicate rows survive the delete
     //      (osm-road-graphs.sql:19-28 semantics on TPC-H data)
     "q_p4_3vl_exclude" -> ((s, dir) => {
@@ -1149,6 +1168,10 @@ object SparkEntry {
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
          ORDER BY node_id, p."key"""",
+    "q_s10_jdbc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+                round(sum(s_acctbal), 2) AS acctbal
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_d_minhash_pairs" -> minhashOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql
   )

@@ -65,9 +65,12 @@ object CatalogOps {
 }
 
 /** S10 — export boundary (osm-pg-etl.md:31-113): the reference round-trips
-  * edge lists through pandas/igraph via COPY; our hand-off is Parquet/CSV
-  * (fastest columnar path) or a driver-side collect for the igraph call
-  * itself — the ONE sanctioned collect boundary in the engine.
+  * edge lists through pandas/igraph via COPY; our hand-offs are
+  * Parquet/CSV (fastest columnar path), a real JDBC write-back (the
+  * database hand-off the reference documents as its fastest path —
+  * COPY-style batched inserts over N parallel connections), or a
+  * driver-side collect for the igraph call itself — the ONE sanctioned
+  * collect boundary in the engine.
   */
 object Export {
   def toParquet(df: DataFrame, path: String): Unit =
@@ -75,6 +78,50 @@ object Export {
 
   def toCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JDBC write-back (osm-pg-etl.md:80-113 "Fast Solution" analog):
+    * each of `numPartitions` tasks opens one connection and streams
+    * `batchSize`-row INSERT batches — Spark's distributed equivalent of
+    * the reference's single-connection COPY pipe. At cluster scale the
+    * receiving database is the bottleneck: cap `numPartitions` to what
+    * it can absorb (the reference's Postgres default would be ~2x its
+    * max_worker_processes) rather than letting 1000 executors connect.
+    */
+  def toJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "overwrite", batchSize: Int = 10000,
+      numPartitions: Int = 8,
+      options: Map[String, String] = Map.empty): Unit = {
+    val capped = if (df.rdd.getNumPartitions > numPartitions)
+      df.coalesce(numPartitions) else df
+    options.foldLeft(
+        capped.write.format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+          .option("batchsize", batchSize.toString)
+          .option("isolationLevel", "READ_COMMITTED")) {
+        case (w, (k, v)) => w.option(k, v)
+      }
+      .mode(mode).save()
+  }
+
+  /** Parallel JDBC read-back: `numPartitions` range-pruned scans on
+    * `partitionColumn` (each task reads one stride), so re-ingesting an
+    * exported table is distributed, not a single-connection pull. */
+  def fromJdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int = 8,
+      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+        spark.read.format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+          .option("partitionColumn", partitionColumn)
+          .option("lowerBound", lowerBound.toString)
+          .option("upperBound", upperBound.toString)
+          .option("numPartitions", numPartitions.toString)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      .load()
 
   /** The igraph hand-off: (start, end, cost) tuples on the driver. */
   def collectEdgeList(edges: DataFrame, start: String = "start_node",

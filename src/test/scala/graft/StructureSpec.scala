@@ -97,6 +97,30 @@ class StructureSpec extends SparkTestBase {
     assert(edges.forall(_._3 > 0))
   }
 
+  test("export: JDBC round-trip through embedded Derby (S10)") {
+    val db = Files.createTempDirectory("graft-derby").toString + "/edges"
+    val url = s"jdbc:derby:$db;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val merged = RoadGraph.buildMergedNetwork(t)
+      .select($"edge_id", $"start_node", $"end_node", $"length")
+    Export.toJdbc(merged, url, "edges", numPartitions = 2, options = opts)
+    val back = Export.fromJdbc(spark, url, "edges",
+      partitionColumn = "edge_id", lowerBound = 0L, upperBound = 1000L,
+      numPartitions = 4, options = opts)
+    // the partitioned read produces range-pruned parallel scans
+    assert(back.rdd.getNumPartitions === 4)
+    val a = merged.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), math.round(r.getDouble(3) * 1000))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), math.round(r.getDouble(3) * 1000))).toSet
+    assert(b === a)
+    // append mode accumulates
+    Export.toJdbc(merged, url, "edges", mode = "append",
+      numPartitions = 2, options = opts)
+    assert(Export.fromJdbc(spark, url, "edges", "edge_id", 0L, 1000L,
+      4, opts).count() === 2 * merged.count())
+  }
+
   test("action feed: affected-way derivation and incremental rebuild merge") {
     // changeset: node 3 modified, way 109 modified
     val batch = Seq(("N", "M", 3L), ("W", "M", 109L))
