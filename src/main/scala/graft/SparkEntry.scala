@@ -677,6 +677,30 @@ object SparkEntry {
       osm.TagExplore.tagValueCounts(t.ways, "highway")
     }),
 
+    // ---- relations tag summaries (osm-explore.sql:211-249): the four
+    //      *_relations_values tables stacked with a tag discriminator
+    "q_rel_explore" -> ((s, dir) => {
+      val (rels, _) = osm.OsmModel.microRelations(s)
+      val stacked = Seq("amenity", "leisure", "sport", "landuse").map { k =>
+        osm.TagExplore.tagValueCounts(rels, k)
+          .select(lit(k).as("tag"), col(k).as("value"), col("count"))
+      }
+      RelOps.unionAll(stacked).orderBy("tag", "value")
+    }),
+
+    // ---- relation_members end-to-end: relation 'type' x member_type
+    //      membership stats through the members join
+    "q_rel_members" -> ((s, dir) => {
+      val (rels, members) = osm.OsmModel.microRelations(s)
+      rels.select(col("id").as("relation_id"),
+          element_at(col("tags"), "type").as("rel_type"))
+        .join(members, "relation_id")
+        .groupBy("rel_type", "member_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("relation_id")).as("n_rels"))
+        .orderBy("rel_type", "member_type")
+    }),
+
     // ---- complete multi-modal network with car/pedestrian/bicycle
     //      flags (osm-complete-graphs.sql:8-151, strict semantics incl.
     //      the AND/OR-precedence quirk; oracle mirrors the cascade)
@@ -1168,6 +1192,26 @@ object SparkEntry {
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
          ORDER BY node_id, p."key"""",
+    "q_rel_explore" ->
+      """WITH rel_tags(rel_id, tag, "value") AS (VALUES
+           (201,'leisure','park'), (203,'amenity','parking'),
+           (204,'landuse','forest'), (205,'leisure','pitch'),
+           (205,'sport','soccer'))
+         SELECT tag, "value", count(*) AS count FROM rel_tags
+         WHERE tag IN ('amenity','leisure','sport','landuse')
+         GROUP BY tag, "value" ORDER BY tag, "value"""",
+    "q_rel_members" ->
+      """WITH rels(relation_id, rel_type) AS (VALUES
+           (201,'multipolygon'),(202,'route'),(203,'multipolygon'),
+           (204,'boundary'),(205,'multipolygon'),(206,'route')),
+         members(relation_id, member_type) AS (VALUES
+           (201,'W'),(201,'W'),(202,'W'),(202,'W'),(202,'W'),(202,'N'),
+           (203,'W'),(204,'W'),(204,'W'),(205,'W'),(205,'N'),
+           (206,'W'),(206,'R'))
+         SELECT rel_type, member_type, count(*) AS cnt,
+                count(DISTINCT relation_id) AS n_rels
+         FROM rels JOIN members USING (relation_id)
+         GROUP BY rel_type, member_type ORDER BY rel_type, member_type""",
     "q_s10_jdbc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS cnt,
                 round(sum(s_acctbal), 2) AS acctbal

@@ -78,6 +78,41 @@ object OsmModel {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** Relation fixture companion to [[microFixture]]: 6 relations over
+    * its ways/nodes — multipolygons (incl. a POI-tagged one), routes
+    * (incl. a relation-typed member), a boundary — with members of all
+    * three types (pgsnapshot 0.6 relations/relation_members,
+    * pgsnapshot_schema_0.6.sql:62-80). Exercises the four
+    * `*_relations_values` summaries (osm-explore.sql:211-249). */
+  def microRelations(spark: SparkSession): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val t = ts("2020-05-08 12:00:00")
+    def rel(id: Long, tags: Map[String, String]) =
+      OsmRelation(id, 1, 1, t, 1L, tags)
+    val relations = Seq(
+      rel(201, Map("type" -> "multipolygon", "leisure" -> "park", "name" -> "North Park")),
+      rel(202, Map("type" -> "route", "route" -> "bus", "ref" -> "12")),
+      rel(203, Map("type" -> "multipolygon", "amenity" -> "parking", "parking" -> "surface")),
+      rel(204, Map("type" -> "boundary", "landuse" -> "forest")),
+      rel(205, Map("type" -> "multipolygon", "leisure" -> "pitch", "sport" -> "soccer")),
+      rel(206, Map("type" -> "route", "route" -> "hiking"))).toDF()
+    val members = Seq(
+      RelationMember(201, 105, "W", "outer", 0),
+      RelationMember(201, 107, "W", "inner", 1),
+      RelationMember(202, 101, "W", "", 0),
+      RelationMember(202, 102, "W", "", 1),
+      RelationMember(202, 103, "W", "", 2),
+      RelationMember(202, 3, "N", "stop", 3),
+      RelationMember(203, 108, "W", "outer", 0),
+      RelationMember(204, 105, "W", "outer", 0),
+      RelationMember(204, 107, "W", "outer", 1),
+      RelationMember(205, 108, "W", "outer", 0),
+      RelationMember(205, 5, "N", "", 1),
+      RelationMember(206, 101, "W", "", 0),
+      RelationMember(206, 201, "R", "", 1)).toDF()
+    (relations, members)
+  }
+
   /** Hand-built micro-OSM fixture (FIXTURES.md §2): ~12 nodes, 7 ways
     * chosen to trigger every graph-pipeline branch — interior splits,
     * median imputation, text speed limits, oneway forward/reverse,

@@ -126,9 +126,16 @@ class RoadGraphSpec extends SparkTestBase {
     assert(comp(1L) !== comp(9L))
   }
 
-  test("explore parity: all 18 node/way summary tables build; spot-check values") {
-    val all = osm.ExploreParity.buildAll(t.nodes, t.ways).toMap
-    assert(all.size === 18)
+  test("explore parity: all 22 summary tables build (incl. relations); spot-check values") {
+    val (rels, _) = osm.OsmModel.microRelations(spark)
+    val all = osm.ExploreParity.buildAll(t.nodes, t.ways, Some(rels)).toMap
+    assert(all.size === 22)
+    val relLeisure = all("leisure_relations_values").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(relLeisure === Map("park" -> 1L, "pitch" -> 1L))
+    val relAmenity = all("amenity_relations_values").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(relAmenity === Map("parking" -> 1L))
     val amenity = all("amenity_nodes_values").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(amenity === Map("cafe" -> 1L, "bench" -> 1L))
