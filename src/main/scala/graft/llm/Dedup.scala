@@ -102,11 +102,13 @@ object Dedup {
       concat_ws("|",
         slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
     }
-    // the banded relation feeds both sides of the self-join — persist so
-    // the signature aggregation upstream runs once, not twice
+    // the banded relation feeds both sides of the self-join; both sides
+    // shuffle on (band, band_hash) over an identical subtree, so
+    // ReuseExchange computes the signature aggregation once and serves
+    // the second side from shuffle files — no executor storage pinned,
+    // nothing to unpersist (verified in PlanAuditSpec)
     val banded = sigs.select(col(idCol),
         posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
-      .persist()
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
@@ -140,32 +142,47 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
       numPerm: Int = 32, shingleK: Int = 5, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // shingle sets are consumed twice in verification (both pair sides):
-    // persist the (small: one row per doc) set relation
-    val sets = df.select(col(idCol), shingles(text, shingleK).as("__set")).persist()
+    // shingle sets are consumed twice in verification (both pair sides);
+    // recomputing them is one narrow pass over the scan per side — at
+    // scale that's cheaper than pinning a text-sized relation in
+    // executor storage for the rest of the job
+    val sets = df.select(col(idCol), shingles(text, shingleK).as("__set"))
     val sigs = minhashSignatures(df, idCol, text, numPerm, shingleK)
     val pairs = lshCandidatePairs(sigs, idCol, bands, numPerm / bands)
     verifyJaccard(pairs, sets, idCol, "__set", threshold)
   }
 
-  /** Embedding-cosine near-dup: hyperplane-LSH bucket join (the same
-    * machinery as ANN, self-joined), exact cosine verify on collisions.
-    * Never all-pairs: bucket equality is the join key. */
+  /** Embedding-cosine near-dup: OR-amplified hyperplane LSH. A pair is
+    * a candidate if it collides in ANY of `numTables` independent
+    * `numBits`-bit tables — recall for a pair at angular similarity p
+    * is 1-(1-p^numBits)^numTables, a design guarantee instead of a
+    * single-table coin flip (defaults: cos 0.95 -> ~99.5%). Candidate
+    * ids are deduped across tables BEFORE vectors are re-joined for the
+    * exact-cosine verify, so each surviving pair is scored exactly once
+    * and the wide vector rows never ride through the candidate shuffle.
+    * Never all-pairs: (table, bucket) equality is the join key. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numBits: Int = 12, dim: Int = 64): DataFrame = {
-    val planes = Similarity.hyperplanes(numBits, dim)
-    val bucketed = df.select(col(idCol), col(vecCol),
-      Similarity.lshBucket(col(vecCol), planes).as("__bucket")).persist()
-    val l = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val r = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
-    l.join(r, "__bucket")
+      threshold: Double = 0.95, numBits: Int = 12, dim: Int = 64,
+      numTables: Int = 16): DataFrame = {
+    val buckets = (0 until numTables).map { t =>
+      Similarity.lshBucket(col(vecCol),
+        Similarity.hyperplanes(numBits, dim, seed = 42L + t))
+    }
+    // narrow projection, 2 slim columns after the explode — recompute
+    // per join side beats pinning executor storage
+    val bucketed = df.select(col(idCol),
+      posexplode(array(buckets: _*)).as(Seq("__tbl", "__bkt")))
+    val l = bucketed.select(col("__tbl"), col("__bkt"), col(idCol).as("id_a"))
+    val r = bucketed.select(col("__tbl"), col("__bkt"), col(idCol).as("id_b"))
+    val cand = l.join(r, Seq("__tbl", "__bkt"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .distinct()
   }
 
   /** SimHash bit width: 60 = 15 md5 hex chars, so the token hash is
@@ -214,11 +231,11 @@ object Dedup {
       val lo = bounds(i); val width = bounds(i + 1) - lo
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
     }
-    // feeds both self-join sides — persist so the simhash aggregation
-    // runs once
+    // feeds both self-join sides; ReuseExchange runs the simhash
+    // aggregation once and serves both (chunk_idx, chunk) shuffles from
+    // its output — no pinned storage (verified in PlanAuditSpec)
     val chunked = sh.select(col(idCol), col("simhash"),
         posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
-      .persist()
     val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("__ha"),
       col("chunk_idx"), col("chunk"))
     val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("__hb"),

@@ -76,6 +76,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Exchange hashpartitioning"))
   }
 
+  test("dedup self-joins reuse one exchange, no pinned cache (minhash/simhash)") {
+    Seq("q_d_minhash_pairs", "q_d_simhash_pairs").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE finalizes reuse decisions at execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$q: signature agg should feed both join sides via ReuseExchange")
+      assert(!p.contains("InMemoryTableScan"),
+        s"$q: no executor-storage cache expected")
+    }
+  }
+
   test("whole-stage codegen covers the scan->project->filter hot paths") {
     // AQE only annotates codegen stages in the FINAL plan — execute first
     Seq("q_t_text_stats", "q_f_math_case", "q_t_quality").foreach { q =>
