@@ -526,8 +526,9 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
-    // ---- LSH-bucketed ANN (scale path; xxhash-free but seeded
-    //      hyperplanes are engine-side -> rows-only + LlmSpec recall)
+    // ---- LSH-bucketed ANN (scale path). The seeded hyperplanes are
+    //      spliced into the DuckDB oracle as literals, so the whole
+    //      bucket->join->rescore->rank pipeline is independently checked
     "q_s_ann_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 5)
@@ -1220,6 +1221,7 @@ object SparkEntry {
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_d_minhash_pairs" -> minhashOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
+    "q_s_ann_lsh" -> annLshOracleSql,
     // exact brute force over all pairs — tractable at oracle scale, and
     // the engine's OR-amplified LSH is expected to reproduce it exactly
     // (~99.5% per-pair recall; zero false positives by construction)
@@ -1241,6 +1243,48 @@ object SparkEntry {
                                       CAST(b.embedding AS DOUBLE[])))) >= 0.9
          ORDER BY id_a, id_b"""
   )
+
+  /** DuckDB replica of the LSH-ANN pipeline: the seed-deterministic
+    * hyperplanes enter as DOUBLE[] literals generated from the SAME
+    * [[graft.llm.Similarity.hyperplanes]] call the query uses, so
+    * bucketing, the bucket join, exact rescore and per-query ranking
+    * are all independently recomputed. (Double arithmetic agrees
+    * bit-for-bit: both engines fold the dot product left-to-right.) */
+  private def annLshOracleSql: String = {
+    val planes = llm.Similarity.hyperplanes(6, 64)
+    val vals = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(pid, p) AS (VALUES
+    $vals),
+  b AS (
+    SELECT e.vec_id,
+      CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.p) > 0
+               THEN 1 << pl.pid ELSE 0 END) AS BIGINT) AS bucket
+    FROM embeddings e, planes pl
+    GROUP BY e.vec_id
+  ),
+  cb AS (SELECT b.vec_id, bucket, e.embedding
+         FROM b JOIN embeddings e USING (vec_id)),
+  qb AS (SELECT vec_id AS query_id, bucket, embedding AS qv
+         FROM cb WHERE vec_id < 5),
+  cand AS (
+    SELECT qb.query_id, cb.vec_id,
+      list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(qb.qv AS DOUBLE[])) /
+        (sqrt(list_dot_product(CAST(cb.embedding AS DOUBLE[]),
+                               CAST(cb.embedding AS DOUBLE[]))) *
+         sqrt(list_dot_product(CAST(qb.qv AS DOUBLE[]),
+                               CAST(qb.qv AS DOUBLE[])))) AS cos
+    FROM cb JOIN qb USING (bucket)
+  ),
+  ranked AS (
+    SELECT query_id, vec_id, cos,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+    FROM cand
+  )
+  SELECT query_id, vec_id, round(cos, 6) AS cos FROM ranked WHERE rn <= 5
+  ORDER BY query_id, cos DESC, vec_id"""
+  }
 
   /** DuckDB replica of the whole MinHash-LSH pipeline — possible only
     * because every hash is md5-derived (portable by design; see

@@ -53,7 +53,7 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: numBits x dim, seed-fixed. */
-  private[llm] def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
