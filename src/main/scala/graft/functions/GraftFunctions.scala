@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             children.head,
             ArrayType(org.apache.spark.sql.types.DoubleType)))
             .toAggregateExpression()))
+    ext.injectFunction(
+      (new FunctionIdentifier("matvec"),
+        new ExpressionInfo(classOf[MatVec].getName, "matvec"),
+        (children: Seq[Expression]) => MatVec(children(0), children(1))))
     ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }
@@ -78,4 +82,9 @@ object GraftFunctions {
 
   /** Element-wise array-sum aggregate (injected [[VectorSum]]). */
   def vectorSum(c: Column): Column = call_function("vector_sum", c)
+
+  /** Codegen'd matrix-vector product against a literal matrix
+    * (injected [[MatVec]]): per-row dots of `vec` with each matrix row. */
+  def matVec(matrix: Seq[Seq[Double]], vec: Column): Column =
+    call_function("matvec", typedlit(matrix), vec)
 }

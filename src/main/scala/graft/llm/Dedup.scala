@@ -164,14 +164,23 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 12, dim: Int = 64,
       numTables: Int = 16): DataFrame = {
-    val buckets = (0 until numTables).map { t =>
-      Similarity.lshBucket(col(vecCol),
-        Similarity.hyperplanes(numBits, dim, seed = 42L + t))
-    }
+    // ALL numTables*numBits projections in ONE codegen'd matvec against
+    // the stacked plane matrix (HOF-composed dots are CodegenFallback —
+    // interpreted + boxed — and 192 of them per row dominated the whole
+    // query). Table t's bucket is the t-th numBits-slice of the sign
+    // vector — arrays are first-class join keys, no bitmask packing.
+    val planeMatrix = Seq.tabulate(numTables)(t =>
+      Similarity.hyperplanes(numBits, dim, seed = 42L + t)).flatten
+    val signs = transform(
+      graft.functions.GraftFunctions.matVec(planeMatrix, col(vecCol)),
+      x => x > 0)
+    val tableBuckets = (0 until numTables).map(t =>
+      slice(col("__signs"), t * numBits + 1, numBits))
     // narrow projection, 2 slim columns after the explode — recompute
     // per join side beats pinning executor storage
-    val bucketed = df.select(col(idCol),
-      posexplode(array(buckets: _*)).as(Seq("__tbl", "__bkt")))
+    val bucketed = df.withColumn("__signs", signs)
+      .select(col(idCol),
+        posexplode(array(tableBuckets: _*)).as(Seq("__tbl", "__bkt")))
     val l = bucketed.select(col("__tbl"), col("__bkt"), col(idCol).as("id_a"))
     val r = bucketed.select(col("__tbl"), col("__bkt"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("__tbl", "__bkt"))
