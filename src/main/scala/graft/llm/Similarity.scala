@@ -58,12 +58,16 @@ object Similarity {
     Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id (sign bits of hyperplane projections) for a vector. */
+  /** LSH bucket id (sign bits of hyperplane projections) for a vector.
+    * All projections come from ONE codegen'd matvec; the bit packing is
+    * a tiny HOF fold over the resulting numBits-length array (disjoint
+    * power-of-two summands, so sum == OR). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (h, i) =>
-      when(dot(vec, typedlit(h)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val dots = graft.functions.GraftFunctions.matVec(planes, vec)
+    val powers = typedlit(planes.indices.map(i => 1L << i))
+    aggregate(
+      zip_with(dots, powers, (d, p) => when(d > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** ANN via hyperplane LSH: bucket corpus and queries, equi-join on
@@ -86,15 +90,18 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
-  /** Per-centroid cosine scores as one array column. The centroid
-    * matrix enters the plan as ONE `array<array<double>>` literal and a
-    * `transform` lambda computes every score — expression size is
-    * O(1) in `nlist` (vs one cosine subtree per centroid, which at
-    * nlist≥a few hundred blows past Janino's method-size limits and
-    * falls back to interpreted eval). Materialize with withColumn
-    * before reusing. */
-  def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    transform(typedlit(centroids), c => cosine(vec, c))
+  /** Per-centroid cosine scores as one array column. The dot products
+    * run through the codegen'd [[graft.functions.MatVec]] primitive
+    * (higher-order-function dots are CodegenFallback — interpreted and
+    * boxed); centroid norms are precomputed driver-side with the same
+    * left-to-right fold, so scores stay bit-identical to the
+    * `cosine(vec, c)` formulation. Expression size is O(1) in `nlist`.
+    * Materialize with withColumn before reusing. */
+  def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val norms = centroids.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))
+    val dots = graft.functions.GraftFunctions.matVec(centroids, vec)
+    zip_with(dots, typedlit(norms), (d, n) => d / (norm(vec) * n))
+  }
 
   /** Argmax over a materialized scores column: 0-based centroid id,
     * lowest index on ties. (Structs are avoided throughout — CreateArray
