@@ -636,6 +636,29 @@ object SparkEntry {
       segs.unionByName(unsplit).orderBy("way_id", "nodes_csv")
     }),
 
+    // ---- complete-graph mode-flag cascade at DATA SCALE: ways
+    //      synthesized deterministically from `part` (sf-proportional),
+    //      full build chain (network -> median imputation -> cascade),
+    //      aggregated per highway class. The oracle re-derives the same
+    //      synthesis + cascade in SQL.
+    "q_osm_complete_scale" -> ((s, dir) => {
+      osm.CompleteGraph.build(scaleWays(s, dir), strictOsmSemantics = true)
+        .groupBy("highway")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("car") === 1, 1L).otherwise(0L)).as("car_yes"),
+          sum(when(col("car") === 0, 1L).otherwise(0L)).as("car_no"),
+          sum(when(col("pedestrian") === 1, 1L).otherwise(0L)).as("ped_yes"),
+          sum(when(col("bicycle") === 1, 1L).otherwise(0L)).as("bike_yes"),
+          sum(col("speed_limit").cast("long")).as("speed_sum"))
+        .orderBy("highway")
+    }),
+
+    // ---- tag k/v exploration at DATA SCALE over the same synthesized
+    //      ways (osm-explore.sql:43-56 shape on sf-proportional rows)
+    "q_osm_explore_scale" -> ((s, dir) => {
+      osm.TagExplore.tagKvCounts(scaleWays(s, dir), "highway")
+    }),
+
     // ---- OSM flagship pipeline on the micro fixture (the oracle rebuilds
     //      the same fixture with VALUES CTEs and re-derives the splitting
     //      in reference-shaped SQL — osm-road-graphs.sql:66-165)
@@ -1195,6 +1218,52 @@ object SparkEntry {
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
          ORDER BY node_id, p."key"""",
+    "q_osm_complete_scale" -> (s"""WITH $scaleWaysSql,
+         med AS (SELECT highway,
+                   CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY speed_raw))
+                        AS INTEGER) AS med_speed
+                 FROM w WHERE speed_raw IS NOT NULL GROUP BY highway),
+         ws AS (SELECT w.*, COALESCE(speed_raw, med_speed) AS speed_limit
+                FROM w LEFT JOIN med USING (highway)),
+         base AS (SELECT *, CASE
+             WHEN access IN ('no','private','permit','customers','forestry','agricultural','military','emergency','bus','delivery','restricted') THEN 0
+             WHEN service IN ('drive-through','emergency_access','bus') THEN 0
+             WHEN highway IN ('disused','dismantled','razed','rest_area','corridor','construction','abandoned','raceway','proposed','planned','platform') THEN 0
+             ELSE NULL END AS b FROM ws),
+         carc AS (SELECT *, CASE
+             WHEN highway IN ('steps','footway','pedestrian','cycleway','bridleway','elevator','sidewalk') THEN 0
+             WHEN bicycle_t = 'designated' OR cycleway = 'designated' OR foot = 'designated'
+                  OR footway IN ('sidewalk','crossing','yes')
+                  OR motor_vehicle IN ('no','private')
+                  OR service IN ('parking_aisle','parking') OR bus = 'designated' THEN 0
+             WHEN b IS NULL AND highway IN ('motorway','primary','tertiary','secondary','primary_link','tertiary_link','secondary_link','trunk','trunk_link','motorway_link','motorway_junction') THEN 1
+             ELSE b END AS car FROM base),
+         p1 AS (SELECT *, CASE WHEN highway IN ('motorway','trunk','trunk_link','motorway_link','motorway_junction') THEN 0
+                               WHEN bus = 'designated' THEN 0 ELSE b END AS pp FROM carc),
+         p2 AS (SELECT *, CASE WHEN pp IS NULL AND highway IN ('steps','footway','pedestrian','bridleway','elevator','sidewalk','living_street','path') THEN 1 ELSE pp END AS pq FROM p1),
+         p3 AS (SELECT *, CASE WHEN (pq IS NULL AND foot = 'designated') OR footway IN ('sidewalk','crossing','yes') THEN 1 ELSE pq END AS pedestrian FROM p2),
+         b1 AS (SELECT *, CASE WHEN highway IN ('motorway','trunk','trunk_link','motorway_link','motorway_junction') THEN 0
+                               WHEN bus = 'designated' THEN 0 ELSE b END AS bb FROM p3),
+         b2 AS (SELECT *, CASE WHEN bb IS NULL AND highway IN ('cycleway','living_street') THEN 1 ELSE bb END AS bq FROM b1),
+         b3 AS (SELECT *, CASE WHEN (bq IS NULL AND bicycle_t = 'designated') OR cycleway = 'designated' THEN 1 ELSE bq END AS bicycle FROM b2)
+         SELECT highway, count(*) AS cnt,
+                CAST(sum(CASE WHEN car = 1 THEN 1 ELSE 0 END) AS BIGINT) AS car_yes,
+                CAST(sum(CASE WHEN car = 0 THEN 1 ELSE 0 END) AS BIGINT) AS car_no,
+                CAST(sum(CASE WHEN pedestrian = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ped_yes,
+                CAST(sum(CASE WHEN bicycle = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bike_yes,
+                CAST(sum(speed_limit) AS BIGINT) AS speed_sum
+         FROM b3 GROUP BY highway ORDER BY highway"""),
+    "q_osm_explore_scale" -> (s"""WITH $scaleWaysSql,
+         kv AS (
+           SELECT 'highway' AS tag, highway AS "value" FROM w
+           UNION ALL SELECT 'access', access FROM w
+           UNION ALL SELECT 'foot', foot FROM w
+           UNION ALL SELECT 'bicycle', bicycle_t FROM w
+           UNION ALL SELECT 'maxspeed', speed_raw || ' km/h' FROM w)
+         SELECT tag, "value", count(*) AS count FROM kv
+         WHERE "value" IS NOT NULL
+         GROUP BY tag, "value"
+         ORDER BY tag, count DESC, "value""""),
     "q_rel_explore" ->
       """WITH rel_tags(rel_id, tag, "value") AS (VALUES
            (201,'leisure','park'), (203,'amenity','parking'),
@@ -1243,6 +1312,47 @@ object SparkEntry {
                                       CAST(b.embedding AS DOUBLE[])))) >= 0.9
          ORDER BY id_a, id_b"""
   )
+
+  /** Deterministic sf-proportional OSM-shaped ways synthesized from
+    * `part`: 8 highway classes, sparse access/foot/bicycle tags and a
+    * textual maxspeed, all keyed off p_partkey residues so an
+    * independent SQL oracle re-derives the identical table. Null-valued
+    * entries are filtered out of the map (absent tag == absent key). */
+  private def scaleWays(s: SparkSession, dir: String): DataFrame = {
+    val hws = Seq("residential", "footway", "motorway", "cycleway",
+      "primary", "steps", "service", "path")
+    part(s, dir).select(
+      col("p_partkey").as("id"),
+      map_filter(map(
+        lit("highway"), element_at(typedlit(hws),
+          (col("p_partkey") % 8 + 1).cast("int")),
+        lit("access"), when(col("p_partkey") % 7 === 0, "private"),
+        lit("foot"), when(col("p_partkey") % 5 === 0, "designated"),
+        lit("bicycle"), when(col("p_partkey") % 11 === 0, "designated"),
+        lit("maxspeed"), when(col("p_partkey") % 3 === 0,
+          concat((col("p_size") * 10).cast("string"), lit(" km/h")))),
+        (k, v) => v.isNotNull).as("tags"),
+      array(col("p_partkey"), col("p_partkey") + lit(1)).as("nodes"),
+      array(struct(lit(0.0).as("lon"), lit(0.0).as("lat")),
+        struct(lit(0.001).as("lon"), lit(0.0).as("lat"))).as("linestring"))
+  }
+
+  /** The `w`-CTE both scale oracles share: the SQL re-derivation of
+    * [[scaleWays]]. */
+  private val scaleWaysSql: String =
+    """w AS (
+      SELECT p_partkey AS id,
+        list_extract(['residential','footway','motorway','cycleway',
+                      'primary','steps','service','path'],
+                     CAST(p_partkey % 8 + 1 AS INTEGER)) AS highway,
+        CASE WHEN p_partkey % 7 = 0 THEN 'private' END AS access,
+        CASE WHEN p_partkey % 5 = 0 THEN 'designated' END AS foot,
+        CASE WHEN p_partkey % 11 = 0 THEN 'designated' END AS bicycle_t,
+        CAST(NULL AS VARCHAR) AS service, CAST(NULL AS VARCHAR) AS cycleway,
+        CAST(NULL AS VARCHAR) AS footway, CAST(NULL AS VARCHAR) AS motor_vehicle,
+        CAST(NULL AS VARCHAR) AS bus,
+        CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size * 10 AS INTEGER) END AS speed_raw
+      FROM part)"""
 
   /** DuckDB replica of the LSH-ANN pipeline: the seed-deterministic
     * hyperplanes enter as DOUBLE[] literals generated from the SAME
