@@ -25,8 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `tags` as hstore text: `"k"=>"v", "k2"=>"v2"`;
   *   - `nodes` as PG array text: `{1,2,3}`;
   *   - geometry as WKT `POINT(lon lat)` / `LINESTRING(lon lat, ...)`
-  *     (our geometry model; real dumps carry hex EWKB — swap the
-  *     geometry parser to support them).
+  *     OR PostGIS hex EWKB (what a real `--write-pgsql-dump` emits) —
+  *     both byte orders, SRID flag handled.
   *
   * Connector surface exercised: TableProvider -> Table(SupportsRead) ->
   * ScanBuilder with REAL column pruning (SupportsPushDownRequiredColumns
@@ -145,19 +145,84 @@ object PgSnapshotDump {
     else inner.split(",").map(_.trim.toLong)
   }
 
-  def parsePoint(s: String): InternalRow = {
-    val inner = s.stripPrefix("POINT(").stripSuffix(")")
-    val Array(lon, lat) = inner.trim.split("\\s+").map(_.toDouble)
-    InternalRow(lon, lat)
-  }
-
-  def parseLine(s: String): ArrayData = {
-    val inner = s.stripPrefix("LINESTRING(").stripSuffix(")")
-    val pts = inner.split(",").map { p =>
-      val Array(lon, lat) = p.trim.split("\\s+").map(_.toDouble)
-      InternalRow(lon, lat): Any
+  /** Geometry cells accept BOTH encodings: WKT (`POINT(lon lat)`, our
+    * documented fixture form) and the hex EWKB an actual Osmosis
+    * `--write-pgsql-dump` emits (PostGIS hex: byte order, type word
+    * with the 0x20000000 SRID flag, optional SRID, coords). */
+  def parsePoint(s: String): InternalRow =
+    if (s.startsWith("POINT(")) {
+      val inner = s.stripPrefix("POINT(").stripSuffix(")")
+      val Array(lon, lat) = inner.trim.split("\\s+").map(_.toDouble)
+      InternalRow(lon, lat)
+    } else {
+      val r = new EwkbReader(s)
+      require(r.geomType == 1, s"expected EWKB Point, got type ${r.geomType}")
+      InternalRow(r.readDouble(), r.readDouble())
     }
-    ArrayData.toArrayData(pts)
+
+  def parseLine(s: String): ArrayData =
+    if (s.startsWith("LINESTRING(")) {
+      val inner = s.stripPrefix("LINESTRING(").stripSuffix(")")
+      val pts = inner.split(",").map { p =>
+        val Array(lon, lat) = p.trim.split("\\s+").map(_.toDouble)
+        InternalRow(lon, lat): Any
+      }
+      ArrayData.toArrayData(pts)
+    } else {
+      val r = new EwkbReader(s)
+      require(r.geomType == 2, s"expected EWKB LineString, got type ${r.geomType}")
+      val n = r.readInt()
+      val pts = new Array[Any](n)
+      var i = 0
+      while (i < n) { pts(i) = InternalRow(r.readDouble(), r.readDouble()); i += 1 }
+      ArrayData.toArrayData(pts)
+    }
+
+  /** Minimal PostGIS hex-EWKB cursor: handles both byte orders and the
+    * SRID flag; Z/M geometries are rejected (OSM is 2D). */
+  private[sources] final class EwkbReader(hex: String) {
+    private val bytes = new Array[Byte](hex.length / 2)
+    locally {
+      var i = 0
+      while (i < bytes.length) {
+        bytes(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+          Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+        i += 1
+      }
+    }
+    private var pos = 0
+    private val littleEndian = { val b = bytes(0); pos = 1; b == 1 }
+
+    def readInt(): Int = {
+      var v = 0
+      var i = 0
+      while (i < 4) {
+        val b = bytes(pos + (if (littleEndian) 3 - i else i)) & 0xFF
+        v = (v << 8) | b
+        i += 1
+      }
+      pos += 4
+      v
+    }
+
+    def readDouble(): Double = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val b = bytes(pos + (if (littleEndian) 7 - i else i)) & 0xFF
+        v = (v << 8) | b
+        i += 1
+      }
+      pos += 8
+      java.lang.Double.longBitsToDouble(v)
+    }
+
+    val geomType: Int = {
+      val raw = readInt()
+      require((raw & 0xC0000000) == 0, "Z/M EWKB geometries unsupported (OSM is 2D)")
+      if ((raw & 0x20000000) != 0) readInt() // skip SRID
+      raw & 0x1FFFFFFF
+    }
   }
 }
 

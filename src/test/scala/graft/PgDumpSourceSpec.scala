@@ -65,6 +65,31 @@ class PgDumpSourceSpec extends SparkTestBase {
     assert(decodeCopyEscapes("""\N""") === "N")   // post-null-check meaning
   }
 
+  test("hex EWKB geometry cells parse like their WKT equivalents") {
+    // real --write-pgsql-dump output carries PostGIS hex EWKB; the three
+    // vectors below are POINT(19.26 42.43) in little- and big-endian
+    // EWKB (SRID 4326) and LINESTRING(0 0, 0.01 0, 0.02 0) LE
+    val ptLE = "0101000020E6100000C3F5285C8F423340D7A3703D0A374540"
+    val ptBE = "0020000001000010E64033428F5C28F5C34045370A3D70A3D7"
+    val lineLE = "0102000020E610000003000000000000000000000000000000000000007B14AE47E17A843F00000000000000007B14AE47E17A943F0000000000000000"
+    val nPath = writeDump("nodes.txt", Seq(
+      Seq("1", "1", "1", "2020-01-01 00:00:00", "1", "\\N", ptLE).mkString("\t"),
+      Seq("2", "1", "1", "2020-01-01 00:00:00", "1", "\\N", ptBE).mkString("\t")))
+    val nodes = spark.read.format(fmt).option("entity", "nodes").load(nPath)
+      .orderBy("id").collect()
+    Seq(0, 1).foreach { i =>
+      val g = nodes(i).getStruct(nodes(i).fieldIndex("geom"))
+      assert(g.getDouble(0) === 19.26 && g.getDouble(1) === 42.43)
+    }
+    val wPath = writeDump("ways.txt", Seq(
+      Seq("7", "1", "1", "2020-01-01 00:00:00", "1",
+        """"highway"=>"primary"""", "{1,2,3}", lineLE).mkString("\t")))
+    val w = spark.read.format(fmt).option("entity", "ways").load(wPath).head
+    val line = w.getSeq[org.apache.spark.sql.Row](w.fieldIndex("linestring"))
+    assert(line.map(p => (p.getDouble(0), p.getDouble(1))) ===
+      Seq((0.0, 0.0), (0.01, 0.0), (0.02, 0.0)))
+  }
+
   test("column pruning reaches the scan (only projected columns parsed)") {
     val path = writeDump("ways.txt", Seq(
       Seq("7", "1", "1", "2020-01-01 00:00:00", "1",
