@@ -460,6 +460,12 @@ object SparkEntry {
         col("ws").as("wb"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
+        // size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+        // pairs failing the ratio can never reach the threshold — the
+        // O(n) set ops below then run on a fraction of the candidates.
+        // Semantics-preserving: the oracle needs no equivalent filter.
+        .filter(least(size(col("wa")), size(col("wb"))).cast("double") >=
+          greatest(size(col("wa")), size(col("wb"))) * 0.6)
         .withColumn("jaccard",
           size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb"))))
