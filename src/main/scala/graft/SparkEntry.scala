@@ -763,6 +763,21 @@ object SparkEntry {
           length(col("payload")).cast("long").as("byte_len"),
           md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id")
+    }),
+
+    // ---- multimodal feature-extract pass (typed mapPartitions, one
+    //      model session per partition; deterministic stub features so
+    //      the oracle replicates them from octet_length)
+    "q_mm_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = llm.Multimodal.asMedia(
+        documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+      llm.Multimodal.featureExtract(media, dim = 8).toDF()
+        .select(col("doc_id"),
+          element_at(col("features"), 1).as("f1"),
+          element_at(col("features"), 8).as("f8"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1224,6 +1239,13 @@ object SparkEntry {
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
          ORDER BY node_id, p."key"""",
+    "q_mm_features" ->
+      """SELECT doc_id,
+                CAST((octet_length(CAST(text AS BLOB)) * 1) % 97 AS FLOAT)
+                  / CAST(97 AS FLOAT) AS f1,
+                CAST((octet_length(CAST(text AS BLOB)) * 8) % 97 AS FLOAT)
+                  / CAST(97 AS FLOAT) AS f8
+         FROM documents ORDER BY doc_id""",
     "q_osm_complete_scale" -> (s"""WITH $scaleWaysSql,
          med AS (SELECT highway,
                    CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY speed_raw))

@@ -49,6 +49,39 @@ object Multimodal {
     }
   }
 
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Batched feature extraction (the embedding-model pass of a training
+    * pipeline): one partition = one model session. STUB: features
+    * derive deterministically from the payload length so an
+    * independent SQL oracle can replicate them; swap the tabulate for
+    * an encoder call to productionize. */
+  def featureExtract(items: Dataset[MediaItem], dim: Int = 8)
+      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    items.mapPartitions { it =>
+      // per-partition init (encoder/model handle) would go here
+      it.map { m =>
+        val n = m.payload.length
+        MediaFeatures(m.doc_id,
+          Array.tabulate(dim)(i => ((n * (i + 1)) % 97) / 97.0f))
+      }
+    }
+  }
+
+  /** Batched resize pass. STUB: "resampling" truncates the payload to
+    * the target pixel budget — the real contract (typed in/out, per-
+    * partition batching, payload bytes rewritten) is what's exercised. */
+  def resize(items: Dataset[MediaItem], width: Int, height: Int)
+      (implicit spark: SparkSession): Dataset[MediaItem] = {
+    import spark.implicits._
+    val budget = width * height
+    items.mapPartitions { it =>
+      it.map(m => MediaItem(m.doc_id,
+        java.util.Arrays.copyOf(m.payload, math.min(m.payload.length, budget))))
+    }
+  }
+
   /** Frame sampling: split the payload into `n` evenly-sized chunks via
     * binary substring — pure column ops, no decode needed for the
     * plumbing (a real pipeline would decode each chunk downstream). */

@@ -163,5 +163,15 @@ class LlmSpec extends SparkTestBase {
         col("frames").getItem(2), col("frames").getItem(3)).cast("string").as("re"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fs(1L) === "hello world payload")
+    // feature extraction: deterministic stub features from byte length
+    val media = Multimodal.asMedia(df, "doc_id", "payload")
+    val feats = Multimodal.featureExtract(media, dim = 4)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(feats(1L) === Seq.tabulate(4)(i => ((19 * (i + 1)) % 97) / 97.0f))
+    assert(feats(1L) !== feats(2L))
+    // resize truncates payloads to the pixel budget, never grows them
+    val resized = Multimodal.resize(media, 2, 3)
+      .collect().map(m => m.doc_id -> m.payload.length).toMap
+    assert(resized(1L) === 6 && resized(2L) === 2)
   }
 }
