@@ -568,6 +568,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     }),
 
+    // ---- IVF with the FIXED deterministic quantizer (first-nlist
+    //      centroids, no Lloyd refinement): same search machinery as
+    //      q_s_ivf_ann but reproducible by an independent SQL oracle —
+    //      centroid scoring, nprobe pruning, rescore and ranking all
+    //      recomputed in DuckDB.
+    "q_s_ivf_fixed" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      llm.Similarity.ivfTopKWithCentroids(e, queries, "vec_id", "embedding",
+          "query_id", k = 5, cents, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+    }),
+
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
     //      global window — must agree with the window semantics, so it
     //      shares q_x5's oracle
@@ -1319,6 +1335,50 @@ object SparkEntry {
     "q_d_minhash_pairs" -> minhashOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
     "q_s_ann_lsh" -> annLshOracleSql,
+    // IVF with the fixed first-16 quantizer: assignment (argmax cosine,
+    // ties to the lowest centroid id), nprobe=4 pruning, exact rescore,
+    // per-query top-5 — all recomputed independently. Cosines match
+    // bit-for-bit (left-to-right folds on both engines).
+    "q_s_ivf_fixed" ->
+      """WITH cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         scores AS (
+           SELECT v.vec_id, c.cid,
+             list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c) /
+               (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(v.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.c, c.c))) AS cs
+           FROM embeddings v CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM scores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM scores WHERE vec_id < 5) WHERE rn <= 4),
+         cand AS (
+           SELECT p.query_id, a.vec_id,
+             list_dot_product(CAST(cv.embedding AS DOUBLE[]),
+                              CAST(qv.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(cv.embedding AS DOUBLE[]),
+                                      CAST(cv.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(qv.embedding AS DOUBLE[]),
+                                      CAST(qv.embedding AS DOUBLE[])))) AS cos
+           FROM probes p
+           JOIN assign a ON a.cid = p.cid
+           JOIN embeddings cv ON cv.vec_id = a.vec_id
+           JOIN embeddings qv ON qv.vec_id = p.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           FROM cand)
+         SELECT query_id, vec_id, round(cos, 6) AS cos FROM ranked WHERE rn <= 5
+         ORDER BY query_id, cos DESC, vec_id""",
     // exact brute force over all pairs — tractable at oracle scale, and
     // the engine's OR-amplified LSH is expected to reproduce it exactly
     // (~99.5% per-pair recall; zero false positives by construction)
