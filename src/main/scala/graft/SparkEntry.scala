@@ -452,13 +452,21 @@ object SparkEntry {
     //      blocks — candidate generation is an equi-join on the block
     //      key, never an all-pairs cross join
     "q_d_jaccard_pairs" -> ((s, dir) => {
+      // salted self-join: block sizes are data-dependent and unbounded
+      // (one giant lang x source block would otherwise land on ONE
+      // task). Left rows replicate R times, right rows carry
+      // hash(id) % R; joining on (block, replica == salt) matches every
+      // pair exactly once while capping per-task work at |block|^2/R.
+      val R = 8
       val d = documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("ws"))
       val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-        col("ws").as("wa"))
+          col("ws").as("wa"))
+        .withColumn("__rep", explode(typedlit((0 until R))))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-        col("ws").as("wb"))
-      a.join(b, Seq("lang", "source"))
+          col("ws").as("wb"))
+        .withColumn("__rep", pmod(xxhash64(col("id_b")), lit(R)).cast("int"))
+      a.join(b, Seq("lang", "source", "__rep"))
         .filter(col("id_a") < col("id_b"))
         // size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
         // pairs failing the ratio can never reach the threshold — the
