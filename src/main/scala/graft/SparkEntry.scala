@@ -462,7 +462,7 @@ object SparkEntry {
         array_distinct(split(col("text"), " ")).as("ws"))
       val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
           col("ws").as("wa"))
-        .withColumn("__rep", explode(typedlit((0 until R))))
+        .withColumn("__rep", explode(typedlit((0 until R).toList)))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
           col("ws").as("wb"))
         .withColumn("__rep", pmod(xxhash64(col("id_b")), lit(R)).cast("int"))

@@ -29,6 +29,20 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("cnt"), col("avg_value"))
 
+  /** Streaming exact dedup (the training-feed version of
+    * `llm.Dedup.exactDedup`): watermark bounds the dedup state, then
+    * `dropDuplicates` on the content fingerprint keeps the FIRST
+    * arrival of each payload and drops re-deliveries inside the
+    * watermark horizon. State is one row per distinct fingerprint per
+    * horizon — bounded, unlike an unwatermarked global dedup. */
+  def dedupStream(events: DataFrame, fingerprint: org.apache.spark.sql.Column,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("__fp", fingerprint)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)

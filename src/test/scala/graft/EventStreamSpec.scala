@@ -31,6 +31,26 @@ class EventStreamSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming exact dedup keeps first arrival per fingerprint") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val deduped = EventStream.dedupStream(stream.toDF(),
+      concat_ws("|", col("event_type"), col("value")))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dd_test").start()
+    stream.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "click", 1.0),  // same payload -> dropped
+      Event(3, ts(3), 1, "view", 9.0))
+    q.processAllAvailable()
+    stream.addData(Event(4, ts(4), 3, "click", 1.0)) // re-delivery across batches -> dropped
+    q.processAllAvailable()
+    val ids = spark.table("dd_test").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L))
+    q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark

@@ -76,6 +76,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Exchange hashpartitioning"))
   }
 
+  test("scale-way synthesis prunes the part scan to its two source columns") {
+    val p = plan("q_osm_complete_scale")
+    assert(p.contains("p_partkey") && p.contains("p_size") &&
+      !p.contains("p_name") && !p.contains("p_retailprice"),
+      s"part scan should read only p_partkey/p_size:\n$p")
+  }
+
   test("dedup self-joins reuse one exchange, no pinned cache (minhash/simhash)") {
     Seq("q_d_minhash_pairs", "q_d_simhash_pairs").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
