@@ -209,24 +209,8 @@ private[sources] final class PbView(buf: Array[Byte], start: Int, len: Int) {
 object OsmPbf {
   import PgSnapshotDump.pointType
 
-  def schemaFor(entity: String): StructType = entity match {
-    case "nodes" | "ways" | "way_nodes" => PgSnapshotDump.schemaFor(entity)
-    case "relations" => StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("version", IntegerType),
-      StructField("user_id", IntegerType),
-      StructField("tstamp", TimestampType),
-      StructField("changeset_id", LongType),
-      StructField("tags", MapType(StringType, StringType))))
-    case "relation_members" => StructType(Seq(
-      StructField("relation_id", LongType, nullable = false),
-      StructField("member_id", LongType, nullable = false),
-      StructField("member_type", StringType, nullable = false),
-      StructField("member_role", StringType, nullable = false),
-      StructField("sequence_id", IntegerType, nullable = false)))
-    case other => throw new IllegalArgumentException(
-      s"unknown entity '$other' (nodes | ways | way_nodes | relations | relation_members)")
-  }
+  /** Same five pgsnapshot entity schemas as the TSV dump reader. */
+  def schemaFor(entity: String): StructType = PgSnapshotDump.schemaFor(entity)
 
   /** Blob -> raw PrimitiveBlock bytes (raw or zlib). */
   private def inflateBlob(blob: Array[Byte]): Array[Byte] = {

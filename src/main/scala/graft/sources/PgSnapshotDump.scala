@@ -119,8 +119,21 @@ object PgSnapshotDump {
       StructField("way_id", LongType, nullable = false),
       StructField("node_id", LongType, nullable = false),
       StructField("sequence_id", IntegerType, nullable = false)))
+    case "relations" => StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("version", IntegerType),
+      StructField("user_id", IntegerType),
+      StructField("tstamp", TimestampType),
+      StructField("changeset_id", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    case "relation_members" => StructType(Seq(
+      StructField("relation_id", LongType, nullable = false),
+      StructField("member_id", LongType, nullable = false),
+      StructField("member_type", StringType, nullable = false),
+      StructField("member_role", StringType, nullable = false),
+      StructField("sequence_id", IntegerType, nullable = false)))
     case other => throw new IllegalArgumentException(
-      s"unknown entity '$other' (nodes | ways | way_nodes)")
+      s"unknown entity '$other' (nodes | ways | way_nodes | relations | relation_members)")
   }
 
   /** Parse one hstore text literal into key/value arrays. */

@@ -90,6 +90,24 @@ class PgDumpSourceSpec extends SparkTestBase {
       Seq((0.0, 0.0), (0.01, 0.0), (0.02, 0.0)))
   }
 
+  test("relations + relation_members TSV entities parse") {
+    val rPath = writeDump("relations.txt", Seq(
+      Seq("201", "1", "7", "2020-05-08 12:00:00", "9",
+        """"type"=>"multipolygon", "leisure"=>"park"""").mkString("\t")))
+    val rels = spark.read.format(fmt).option("entity", "relations").load(rPath)
+      .collect()
+    assert(rels.length === 1 && rels(0).getLong(0) === 201L)
+    assert(rels(0).getAs[Map[String, String]]("tags")("leisure") === "park")
+    // role is NOT NULL in pgsnapshot — Osmosis writes '' for roleless
+    val mPath = writeDump("relation_members.txt", Seq(
+      Seq("201", "105", "W", "outer", "0").mkString("\t"),
+      Seq("201", "11", "N", "", "1").mkString("\t")))
+    val ms = spark.read.format(fmt).option("entity", "relation_members")
+      .load(mPath).orderBy("sequence_id").collect()
+    assert(ms(0).getString(2) === "W" && ms(0).getString(3) === "outer")
+    assert(ms(1).getString(2) === "N" && ms(1).getString(3) === "")
+  }
+
   test("column pruning reaches the scan (only projected columns parsed)") {
     val path = writeDump("ways.txt", Seq(
       Seq("7", "1", "1", "2020-01-01 00:00:00", "1",
