@@ -517,6 +517,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- token-budget document chunking (pre-training sharding: one
+    //      doc -> ordered <=40-token chunks, pure column-op explode)
+    "q_t_chunks" -> ((s, dir) => {
+      llm.TextAnalysis.chunkByTokens(documents(s, dir), "doc_id",
+          col("text"), maxTokens = 40)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- quality features + composite score
     "q_t_quality" -> ((s, dir) => {
       val f = llm.TextAnalysis.qualityFeatures(col("text"))
@@ -1263,6 +1271,19 @@ object SparkEntry {
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
          ORDER BY node_id, p."key"""",
+    "q_t_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         c AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+             array_to_string(
+               list_slice(toks, i*40 + 1, least((i+1)*40, len(toks))), ' ')
+               AS chunk_text,
+             CAST(least((i+1)*40, len(toks)) - i*40 AS BIGINT) AS n_tokens
+           FROM t, LATERAL unnest(
+             range(0, CAST(greatest(ceil(len(toks)/40.0), 1) AS BIGINT))) AS u(i))
+         SELECT doc_id, chunk_id, chunk_text, n_tokens FROM c
+         ORDER BY doc_id, chunk_id""",
     "q_mm_features" ->
       """SELECT doc_id,
                 CAST((octet_length(CAST(text AS BLOB)) * 1) % 97 AS FLOAT)

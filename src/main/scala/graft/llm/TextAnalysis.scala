@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -46,6 +46,26 @@ object TextAnalysis {
       greatest(f.getField("n_tokens").cast("double"), lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - f.getField("punct_ratio") * 5)
     round((lenScore + diversity + punctPenalty) / 3.0, 4)
+  }
+
+  /** Token-budget chunking (the pre-training sharding op: one document
+    * -> ceil(n_tokens / maxTokens) ordered chunks, whitespace token
+    * boundaries). A pure column-op explode: no UDF, no shuffle beyond
+    * the caller's — the chunk count column keeps `ceil` arithmetic in
+    * codegen and the slices share one split(). Returns
+    * (idCol, chunk_id 0-based, chunk_text, n_tokens). */
+  def chunkByTokens(df: DataFrame, idCol: String, text: Column,
+      maxTokens: Int): DataFrame = {
+    val nChunks = greatest(
+      ceil(size(col("__toks")).cast("double") / maxTokens).cast("int"), lit(1))
+    df.select(col(idCol), tokens(text).as("__toks"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * maxTokens + 1, lit(maxTokens))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_tokens"))
   }
 
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
