@@ -142,6 +142,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(saltedCnt === plainCnt)
   }
 
+  test("sketch forms track their exact counterparts (HLL distinct, approx percentile)") {
+    // the 100 TB-pragmatic forms: approx_count_distinct (HyperLogLog++)
+    // and percentile_approx — assert they land within their documented
+    // error envelopes of the exact answers on real data
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val r = li.select(
+      countDistinct($"l_partkey").as("exact_d"),
+      approx_count_distinct($"l_partkey", 0.02).as("approx_d"),
+      percentile($"l_quantity", lit(0.5)).as("exact_p"),
+      percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx_p")).head()
+    val (ed, ad) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(ad - ed) / ed < 0.05, s"HLL off: exact=$ed approx=$ad")
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 1.0,
+      s"approx percentile off: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+  }
+
   test("property: reverse(reverse(a)) == a (seeded)") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { _ =>

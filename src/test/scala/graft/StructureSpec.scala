@@ -145,6 +145,32 @@ class StructureSpec extends SparkTestBase {
     assert(mergedAll.count() === full.count())
   }
 
+  test("action feed: W-delete through a shared node un-splits the neighbor (IVM == full)") {
+    import graft.osm.OsmTables
+    // the advisor's unsoundness case: deleting W102 (5-3-6) makes n3
+    // single-way, so untouched neighbor W101 ([1,2,3,4], previously
+    // split at n3) must collapse back to one edge. The shared-node hop
+    // in affectedWays is what invalidates 101 here.
+    val before = RoadGraph.buildMergedNetwork(t)
+    val newWays = t.ways.filter($"id" =!= 102L)
+    val newTables = OsmTables(t.nodes, newWays,
+      graft.osm.OsmModel.wayNodesOf(spark, newWays))
+    val batch = Seq(("W", "D", 102L)).toDF("data_type", "action", "id")
+    // pre-change way_nodes still carry 102's rows — the delete-case input
+    val affected = ActionFeed.affectedWays(batch, t.wayNodes)
+    assert(affected.collect().map(_.getLong(0)).toSet === Set(101L, 102L, 108L))
+    val rebuilt = ActionFeed.rebuildAffected(spark, newTables, affected)
+    val merged = ActionFeed.applyMerge(before, affected, rebuilt)
+    val fullNew = RoadGraph.buildMergedNetwork(newTables)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"edge_id", $"nodes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(shape(merged) === shape(fullNew))
+    // and the neighbor really is unsplit now
+    assert(shape(fullNew).count(_._1 == 101L) === 1)
+    assert(shape(before).count(_._1 == 101L) === 2)
+  }
+
   test("action feed end to end over MemoryStream micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(String, String, Long)]
