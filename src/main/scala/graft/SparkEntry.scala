@@ -725,6 +725,19 @@ object SparkEntry {
         .orderBy("edge_id", "start_node", "end_node", "nodes_csv")
     }),
 
+    // ---- directed expansion under the documented evident-intent mode:
+    //      NULL-oneway motorways become forward edges instead of
+    //      silently vanishing in the reference's 3VL trap
+    "q_osm_directed_intent" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.RoadGraph.directed(
+          osm.RoadGraph.buildMergedNetwork(t).localCheckpoint(true),
+          strictOsmSemantics = false)
+        .select(col("edge_id"), col("start_node"), col("end_node"),
+          array_join(col("nodes").cast("array<string>"), ",").as("nodes_csv"))
+        .orderBy("edge_id", "start_node", "end_node", "nodes_csv")
+    }),
+
     // ---- OSM median speed imputation (osm-road-graphs.sql:43-54)
     "q_osm_impute" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
@@ -1198,6 +1211,31 @@ object SparkEntry {
            UNION ALL
            SELECT edge_id, start_node, end_node, nodes_csv FROM merged2
             WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+           UNION ALL
+           SELECT edge_id, end_node, start_node, nodes_csv_rev FROM merged2
+            WHERE oneway = '-1')
+         SELECT CAST(edge_id AS BIGINT) AS edge_id,
+                CAST(start_node AS BIGINT) AS start_node,
+                CAST(end_node AS BIGINT) AS end_node, nodes_csv
+         FROM directed ORDER BY edge_id, start_node, end_node, nodes_csv"""),
+    "q_osm_directed_intent" -> (OsmOracle.graphPrefix +
+      """,
+         attrs(way_id, highway, oneway) AS (VALUES
+           (101,'residential',CAST(NULL AS VARCHAR)),(102,'tertiary',CAST(NULL AS VARCHAR)),
+           (103,'primary','yes'),(104,'motorway','-1'),
+           (106,'motorway',CAST(NULL AS VARCHAR)),(109,'tertiary',CAST(NULL AS VARCHAR))),
+         merged2 AS (SELECT m.*, a.highway, a.oneway
+                     FROM merged m JOIN attrs a ON m.edge_id = a.way_id),
+         directed AS (
+           SELECT edge_id, start_node, end_node, nodes_csv FROM merged2
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT edge_id, end_node, start_node, nodes_csv_rev FROM merged2
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT edge_id, start_node, end_node, nodes_csv FROM merged2
+            WHERE oneway = 'yes'
+               OR (highway = 'motorway' AND (oneway IS NULL OR oneway != '-1'))
            UNION ALL
            SELECT edge_id, end_node, start_node, nodes_csv_rev FROM merged2
             WHERE oneway = '-1')
