@@ -791,6 +791,20 @@ object SparkEntry {
         .orderBy("edge_id")
     }),
 
+    // ---- mode-flag cascade under evident intent: the NULL-guard
+    //      distributes over both disjuncts of the pedestrian/bicycle
+    //      dedicated rules, so a designated-footway match can no longer
+    //      overturn an earlier pedestrian=0
+    "q_osm_complete_intent" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.CompleteGraph.build(t.ways, strictOsmSemantics = false)
+        .select(col("edge_id"), col("highway"),
+          col("car").cast("short").as("car"),
+          col("pedestrian").cast("short").as("pedestrian"),
+          col("bicycle").cast("short").as("bicycle"))
+        .orderBy("edge_id")
+    }),
+
     // ---- OSM POI pivot from nodes (osm-pois-extract.sql:3-48)
     "q_osm_pois_nodes" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
@@ -1291,6 +1305,43 @@ object SparkEntry {
                                WHEN bus = 'designated' THEN 0 ELSE b END AS bb FROM p3),
          b2 AS (SELECT *, CASE WHEN bb IS NULL AND highway IN ('cycleway','living_street') THEN 1 ELSE bb END AS bq FROM b1),
          b3 AS (SELECT *, CASE WHEN (bq IS NULL AND bicycle_t = 'designated') OR cycleway = 'designated' THEN 1 ELSE bq END AS bicycle FROM b2)
+         SELECT CAST(edge_id AS BIGINT) AS edge_id, highway,
+                CAST(car AS SMALLINT) AS car,
+                CAST(pedestrian AS SMALLINT) AS pedestrian,
+                CAST(bicycle AS SMALLINT) AS bicycle
+         FROM b3 ORDER BY edge_id""",
+    "q_osm_complete_intent" ->
+      """WITH w(edge_id, highway, access, service, bicycle_t, cycleway, foot,
+                footway, motor_vehicle, bus) AS (VALUES
+           (101, 'residential', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+           (102, 'tertiary', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+           (103, 'primary', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+           (104, 'motorway', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+           (105, 'footway', NULL, NULL, NULL, NULL, NULL, 'sidewalk', NULL, NULL),
+           (106, 'motorway', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+           (107, 'residential', 'private', NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+           (109, 'tertiary', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)),
+         base AS (SELECT *, CASE
+             WHEN access IN ('no','private','permit','customers','forestry','agricultural','military','emergency','bus','delivery','restricted') THEN 0
+             WHEN service IN ('drive-through','emergency_access','bus') THEN 0
+             WHEN highway IN ('disused','dismantled','razed','rest_area','corridor','construction','abandoned','raceway','proposed','planned','platform') THEN 0
+             ELSE NULL END AS b FROM w),
+         carc AS (SELECT *, CASE
+             WHEN highway IN ('steps','footway','pedestrian','cycleway','bridleway','elevator','sidewalk') THEN 0
+             WHEN bicycle_t = 'designated' OR cycleway = 'designated' OR foot = 'designated'
+                  OR footway IN ('sidewalk','crossing','yes')
+                  OR motor_vehicle IN ('no','private')
+                  OR service IN ('parking_aisle','parking') OR bus = 'designated' THEN 0
+             WHEN b IS NULL AND highway IN ('motorway','primary','tertiary','secondary','primary_link','tertiary_link','secondary_link','trunk','trunk_link','motorway_link','motorway_junction') THEN 1
+             ELSE b END AS car FROM base),
+         p1 AS (SELECT *, CASE WHEN highway IN ('motorway','trunk','trunk_link','motorway_link','motorway_junction') THEN 0
+                               WHEN bus = 'designated' THEN 0 ELSE b END AS pp FROM carc),
+         p2 AS (SELECT *, CASE WHEN pp IS NULL AND highway IN ('steps','footway','pedestrian','bridleway','elevator','sidewalk','living_street','path') THEN 1 ELSE pp END AS pq FROM p1),
+         p3 AS (SELECT *, CASE WHEN pq IS NULL AND (foot = 'designated' OR footway IN ('sidewalk','crossing','yes')) THEN 1 ELSE pq END AS pedestrian FROM p2),
+         b1 AS (SELECT *, CASE WHEN highway IN ('motorway','trunk','trunk_link','motorway_link','motorway_junction') THEN 0
+                               WHEN bus = 'designated' THEN 0 ELSE b END AS bb FROM p3),
+         b2 AS (SELECT *, CASE WHEN bb IS NULL AND highway IN ('cycleway','living_street') THEN 1 ELSE bb END AS bq FROM b1),
+         b3 AS (SELECT *, CASE WHEN bq IS NULL AND (bicycle_t = 'designated' OR cycleway = 'designated') THEN 1 ELSE bq END AS bicycle FROM b2)
          SELECT CAST(edge_id AS BIGINT) AS edge_id, highway,
                 CAST(car AS SMALLINT) AS car,
                 CAST(pedestrian AS SMALLINT) AS pedestrian,
