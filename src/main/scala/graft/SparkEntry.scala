@@ -460,20 +460,27 @@ object SparkEntry {
       val R = 8
       val d = documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("ws"))
-      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-          col("ws").as("wa"))
+      // candidate generation runs on SLIM rows (id + set size): the
+      // salted 8x replication never duplicates the word arrays, and the
+      // size-ratio prefilter — J(A,B) <= min/max set size, so failing
+      // pairs can't reach 0.6 — prunes before the wide fetch.
+      val slim = d.select(col("lang"), col("source"), col("doc_id"),
+        size(col("ws")).as("n"))
+      val a = slim.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+          col("n").as("na"))
         .withColumn("__rep", explode(typedlit((0 until R).toList)))
-      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-          col("ws").as("wb"))
+      val b = slim.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+          col("n").as("nb"))
         .withColumn("__rep", pmod(xxhash64(col("id_b")), lit(R)).cast("int"))
-      a.join(b, Seq("lang", "source", "__rep"))
+      val cand = a.join(b, Seq("lang", "source", "__rep"))
         .filter(col("id_a") < col("id_b"))
-        // size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
-        // pairs failing the ratio can never reach the threshold — the
-        // O(n) set ops below then run on a fraction of the candidates.
-        // Semantics-preserving: the oracle needs no equivalent filter.
-        .filter(least(size(col("wa")), size(col("wb"))).cast("double") >=
-          greatest(size(col("wa")), size(col("wb"))) * 0.6)
+        .filter(least(col("na"), col("nb")).cast("double") >=
+          greatest(col("na"), col("nb")) * 0.6)
+        .select("id_a", "id_b")
+      // wide word arrays join in only for surviving candidates
+      val wa = d.select(col("doc_id").as("id_a"), col("ws").as("wa"))
+      val wb = d.select(col("doc_id").as("id_b"), col("ws").as("wb"))
+      cand.join(wa, "id_a").join(wb, "id_b")
         .withColumn("jaccard",
           size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb"))))
