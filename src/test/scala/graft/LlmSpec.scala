@@ -55,6 +55,21 @@ class LlmSpec extends SparkTestBase {
     assert(r.getSeq[String](1).forall(_.length == 5))
   }
 
+  test("chunkByTokens: exact multiples, remainders, tiny docs") {
+    import graft.llm.TextAnalysis
+    val df = Seq((1L, "a b c d e f"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(df, "doc_id", $"text", maxTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(c => (c._3, c._4)).toSeq ===
+      Seq(("a b c", 3L), ("d e f", 3L))) // exact multiple: no ragged tail
+    assert(byDoc(2L).map(c => (c._3, c._4)).toSeq === Seq(("x y z", 3L)))
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq === Seq(("solo", 1L)))
+    // chunks reassemble to the original token stream
+    assert(byDoc(1L).sortBy(_._2).map(_._3).mkString(" ") === "a b c d e f")
+  }
+
   test("cosine math: self-similarity 1, orthogonal 0") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
