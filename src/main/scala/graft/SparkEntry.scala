@@ -95,7 +95,7 @@ object SparkEntry {
     // ---- J8 driver-composed scalar subquery (general-functions.sql:61,68)
     "q_j8_scalar" -> ((s, dir) => {
       val o = orders(s, dir)
-      val maxPrice = o.agg(max(col("o_totalprice"))).head.getDouble(0)
+      val maxPrice = o.agg(max(col("o_totalprice"))).head().getDouble(0)
       o.filter(col("o_totalprice") > lit(0.9 * maxPrice))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
@@ -549,7 +549,7 @@ object SparkEntry {
     "q_s_cosine_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = e.filter(col("vec_id") === 0).select("embedding")
-        .head.getSeq[Float](0)
+        .head().getSeq[Float](0)
       llm.Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))

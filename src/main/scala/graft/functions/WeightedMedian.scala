@@ -43,12 +43,12 @@ object WeightedMedian {
     */
   def weightedMedian(df: DataFrame, x: String, w: String): Option[Double] = {
     val n = df.count() // J8: driver-composed scalar, spliced as a literal
-    val total = df.agg(sum(coalesce(col(w), lit(0))).as("t")).head.get(0)
+    val total = df.agg(sum(coalesce(col(w), lit(0))).as("t")).head().get(0)
     if (n == 0 || total == null) return None
     val withCums = cumCols(x, w, Nil).foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
     val cand = withCums.filter(
       (lit(total) / 2).between(col("__prevsum"), col("__runsum")))
-    val r = cand.agg(avg(col(x))).head
+    val r = cand.agg(avg(col(x))).head()
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 

@@ -36,7 +36,7 @@ object AsOfJoin {
     require(rightVals.intersect(leftCols).isEmpty,
       s"overlapping non-key columns: ${rightVals.intersect(leftCols).mkString(",")}")
 
-    val rvStruct = struct(rightVals.map(col): _*)
+    val rvStruct = struct(rightVals.toIndexedSeq.map(col): _*)
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__src")) ++

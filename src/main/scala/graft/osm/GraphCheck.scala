@@ -51,7 +51,7 @@ object GraphCheck {
   def componentSummary(edges: DataFrame): (Long, Long) = {
     val sizes = connectedComponents(edges)
       .groupBy("component").agg(count(lit(1)).as("n"))
-    val r = sizes.agg(count(lit(1)), max(col("n"))).head
+    val r = sizes.agg(count(lit(1)), max(col("n"))).head()
     (r.getLong(0), r.getLong(1))
   }
 }
