@@ -41,9 +41,34 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+
+    // PBF ingest vs the reference's ONE published anchor (BASELINE.md:
+    // 160 s Osmosis Montenegro load): synthesize the same entity counts,
+    // land all five pgsnapshot tables as parquet through OsmPbfSource.
+    // SPARK_GRAFT_SKIP_PBF=1 opts out.
+    val pbfIngest =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_PBF")) -1.0
+      else try {
+        val dir = java.nio.file.Files.createTempDirectory("pbf-bench").toString
+        val pbf = s"$dir/synthetic.osm.pbf"
+        tools.PbfIngestBench.generate(pbf, 1400000, 160000, 10000)
+        val t0 = System.nanoTime()
+        Seq("nodes", "ways", "way_nodes", "relations", "relation_members")
+          .foreach { e =>
+            spark.read.format("graft.sources.OsmPbfSource")
+              .option("entity", e).load(pbf)
+              .write.mode("overwrite").parquet(s"$dir/$e.parquet")
+          }
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pbf_ingest FAILED: ${e.getMessage}")
+        errors ::= "pbf_ingest"
+        -1.0
+      }
+
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"pbf_ingest_sec":$pbfIngest,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
