@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PgSnapshotDump
+
+/** Seeded property checks for round-4 primitives: the codegen'd MatVec
+  * vs the higher-order-function formulation, COPY-escape decoding,
+  * chunking reassembly, and the SimHash pigeonhole bound. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234L)
+
+  test("MatVec == aggregate∘zip_with dot for random matrices/vectors") {
+    (1 to 5).foreach { _ =>
+      val rows = rnd.nextInt(8) + 1
+      val dim = rnd.nextInt(16) + 1
+      val mat = Seq.fill(rows)(Seq.fill(dim)(rnd.nextDouble() * 10 - 5))
+      val vec = Seq.fill(dim)((rnd.nextFloat() * 10 - 5))
+      val df = Seq(Tuple1(vec)).toDF("v")
+      val viaMatVec = df.select(
+        functions.GraftFunctions.matVec(mat, $"v").as("r"))
+        .head().getSeq[Double](0)
+      val viaHof = df.select(transform(typedlit(mat), p =>
+          aggregate(zip_with($"v", p, (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, x) => acc + x)).as("r"))
+        .head().getSeq[Double](0)
+      assert(viaMatVec === viaHof) // bit-identical: same fold order
+    }
+  }
+
+  test("decodeCopyEscapes inverts COPY encoding for arbitrary strings") {
+    def copyEncode(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+    val alphabet = "ab\\ \t\n\r\"xyZ09"
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      assert(PgSnapshotDump.decodeCopyEscapes(copyEncode(s)) === s,
+        s"roundtrip failed for ${s.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("chunkByTokens reassembles the token stream, every chunk <= budget") {
+    (1 to 5).foreach { _ =>
+      val budget = rnd.nextInt(7) + 1
+      val texts = Seq.fill(3)(
+        Seq.fill(rnd.nextInt(40) + 1)(
+          "tok" + rnd.nextInt(1000)).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = llm.TextAnalysis
+        .chunkByTokens(df, "doc_id", $"text", budget)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3)))
+      chunks.groupBy(_._1).foreach { case (id, cs) =>
+        assert(cs.forall(_._4 <= budget))
+        val reassembled = cs.sortBy(_._2).map(_._3).mkString(" ")
+        assert(reassembled === texts(id.toInt))
+      }
+    }
+  }
+
+  test("simhash banding pigeonhole: pairs within maxDist always share a chunk") {
+    // pure bit-level property of the chunk-bounds derivation
+    val bits = llm.Dedup.SimhashBits
+    (1 to 2000).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << bits) - 1)
+      val maxDist = rnd.nextInt(8) + 1
+      val flips = rnd.shuffle((0 until bits).toList)
+        .take(rnd.nextInt(maxDist + 1))
+      val h2 = flips.foldLeft(h)((acc, j) => acc ^ (1L << j))
+      val numChunks = maxDist + 1
+      val bounds = (0 to numChunks).map(i => i * bits / numChunks)
+      val shares = (0 until numChunks).exists { i =>
+        val lo = bounds(i); val mask = (1L << (bounds(i + 1) - lo)) - 1L
+        ((h >> lo) & mask) == ((h2 >> lo) & mask)
+      }
+      assert(shares, s"pair at distance ${flips.size} shares no chunk (maxDist=$maxDist)")
+    }
+  }
+}
