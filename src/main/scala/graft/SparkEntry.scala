@@ -745,6 +745,15 @@ object SparkEntry {
         .orderBy("edge_id", "start_node", "end_node", "nodes_csv")
     }),
 
+    // ---- connected-components health check over the merged network
+    //      (iterative min-label propagation; oracle = recursive CTE)
+    "q_osm_components" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.GraphCheck.connectedComponents(
+          osm.RoadGraph.buildMergedNetwork(t).localCheckpoint(true))
+        .orderBy("node_id")
+    }),
+
     // ---- OSM median speed imputation (osm-road-graphs.sql:43-54)
     "q_osm_impute" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
@@ -1239,6 +1248,20 @@ object SparkEntry {
                 CAST(start_node AS BIGINT) AS start_node,
                 CAST(end_node AS BIGINT) AS end_node, nodes_csv
          FROM directed ORDER BY edge_id, start_node, end_node, nodes_csv"""),
+    "q_osm_components" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") +
+      """,
+         sym AS (
+           SELECT start_node AS a, end_node AS b FROM merged
+           UNION
+           SELECT end_node, start_node FROM merged),
+         reach(node_id, label) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+           UNION
+           SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node_id)
+         SELECT CAST(node_id AS BIGINT) AS node_id,
+                CAST(min(label) AS BIGINT) AS component
+         FROM reach GROUP BY node_id ORDER BY node_id"""),
     "q_osm_directed_intent" -> (OsmOracle.graphPrefix +
       """,
          attrs(way_id, highway, oneway) AS (VALUES
