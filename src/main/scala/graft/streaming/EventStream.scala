@@ -85,6 +85,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: correlate two event feeds on a key
+    * where the right event lands within `[left.ts, left.ts + horizon]`.
+    * Both sides carry watermarks, and the time-range condition is what
+    * BOUNDS the join state — without it Spark would buffer both streams
+    * forever. This is the impressions-to-conversions shape of a
+    * training-feed pipeline (label joins). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("__k"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("__k2"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col("__k") === col("__k2") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("__k").as(key), col("l_ts"), col("l_type"),
+        col("r_ts"), col("r_type"), col("r_value"))
+  }
+
   /** Start a windowed-count stream into an in-memory sink (tests /
     * interactive inspection); production would writeStream to a real
     * sink with a checkpoint location. */

@@ -51,6 +51,26 @@ class EventStreamSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("stream-stream interval join correlates within the horizon only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = graft.streaming.EventStream.intervalJoin(
+      clicks.toDF(), buys.toDF(), "user_id", horizon = "10 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_test").start()
+    clicks.addData(Event(1, ts(0), 1, "click", 1.0))
+    clicks.addData(Event(2, ts(0), 2, "click", 1.0))
+    buys.addData(
+      Event(10, ts(5), 1, "buy", 9.0),   // within 10 min of user 1's click
+      Event(11, ts(20), 2, "buy", 5.0))  // 20 min later: outside horizon
+    q.processAllAvailable()
+    val rows = spark.table("ij_test").collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getDouble(5)))
+    assert(rows.toSet === Set((1L, "buy", 9.0)))
+    q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
