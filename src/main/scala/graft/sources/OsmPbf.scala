@@ -160,7 +160,11 @@ private[sources] final class PbView(buf: Array[Byte], start: Int, len: Int) {
     var b = 0
     do {
       b = buf(pos) & 0xFF; pos += 1
-      v |= (b & 0x7FL) << shift; shift += 7
+      // bytes past bit 63 only sign-extend a 10-byte negative int64;
+      // shifting by >=64 would wrap (JVM masks the shift count) and
+      // corrupt the value, so ignore their payload bits
+      if (shift < 64) v |= (b & 0x7FL) << shift
+      shift += 7
     } while ((b & 0x80) != 0)
     v
   }
@@ -334,19 +338,19 @@ object OsmPbf {
           var dVersions = Array.empty[Long]; var dTs = Array.empty[Long]
           var dCs = Array.empty[Long]; var dUid = Array.empty[Long]
           while (d.hasMore) d.nextField() match {
-            case 1 => ids = d.packedSints()
+            case 1 => ids = ids ++ d.packedSints()
             case 5 => // DenseInfo
               val di = d.readBytesView()
               while (di.hasMore) di.nextField() match {
-                case 1 => dVersions = di.packedVarints()
-                case 2 => dTs = di.packedSints()
-                case 3 => dCs = di.packedSints()
-                case 4 => dUid = di.packedSints()
+                case 1 => dVersions = dVersions ++ di.packedVarints()
+                case 2 => dTs = dTs ++ di.packedSints()
+                case 3 => dCs = dCs ++ di.packedSints()
+                case 4 => dUid = dUid ++ di.packedSints()
                 case _ => di.skip()
               }
-            case 8 => lats = d.packedSints()
-            case 9 => lons = d.packedSints()
-            case 10 => kv = d.packedVarints()
+            case 8 => lats = lats ++ d.packedSints()
+            case 9 => lons = lons ++ d.packedSints()
+            case 10 => kv = kv ++ d.packedVarints()
             case _ => d.skip()
           }
           var id = 0L; var lat = 0L; var lon = 0L
@@ -379,10 +383,10 @@ object OsmPbf {
           var info = noInfo
           while (w.hasMore) w.nextField() match {
             case 1 => id = w.readVarint()
-            case 2 => keys = w.packedVarints()
-            case 3 => vals = w.packedVarints()
+            case 2 => keys = keys ++ w.packedVarints()
+            case 3 => vals = vals ++ w.packedVarints()
             case 4 => info = parseInfo(w.readBytesView(), dateGranularity)
-            case 8 => refs = w.packedSints()
+            case 8 => refs = refs ++ w.packedSints()
             case _ => w.skip()
           }
           var acc = 0L
@@ -407,12 +411,12 @@ object OsmPbf {
           var info = noInfo
           while (r.hasMore) r.nextField() match {
             case 1 => id = r.readVarint()
-            case 2 => keys = r.packedVarints()
-            case 3 => vals = r.packedVarints()
+            case 2 => keys = keys ++ r.packedVarints()
+            case 3 => vals = vals ++ r.packedVarints()
             case 4 => info = parseInfo(r.readBytesView(), dateGranularity)
-            case 8 => roles = r.packedVarints()
-            case 9 => memids = r.packedSints()
-            case 10 => types = r.packedVarints()
+            case 8 => roles = roles ++ r.packedVarints()
+            case 9 => memids = memids ++ r.packedSints()
+            case 10 => types = types ++ r.packedVarints()
             case _ => r.skip()
           }
           if (entity == "relations") {
