@@ -340,6 +340,28 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    // ---- S11 bucketed materialization round-trip inside the
+    //      correctness gate: both sides bucketed on the join key, read
+    //      back from the catalog, co-located join, aggregate. Oracle
+    //      aggregates the parquet directly — green proves the bucketed
+    //      write/read path is lossless.
+    "q_s11_bucketed" -> ((s, dir) => {
+      etl.CatalogOps.createNamespace(s, "graft_bk")
+      etl.CatalogOps.materializeBucketed(
+        orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_bk.orders_b", 8, Seq("o_custkey"))
+      etl.CatalogOps.materializeBucketed(
+        customer(s, dir).select("c_custkey", "c_mktsegment"),
+        "graft_bk.cust_b", 8, Seq("c_custkey"))
+      s.table("graft_bk.orders_b")
+        .join(s.table("graft_bk.cust_b")
+          .withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- P4/P7 3VL exclusion: NULL-predicate rows survive the delete
     //      (osm-road-graphs.sql:19-28 semantics on TPC-H data)
     "q_p4_3vl_exclude" -> ((s, dir) => {
@@ -1476,6 +1498,11 @@ object SparkEntry {
                 count(DISTINCT relation_id) AS n_rels
          FROM rels JOIN members USING (relation_id)
          GROUP BY rel_type, member_type ORDER BY rel_type, member_type""",
+    "q_s11_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_s10_jdbc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS cnt,
                 round(sum(s_acctbal), 2) AS acctbal
