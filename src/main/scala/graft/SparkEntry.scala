@@ -347,6 +347,15 @@ object SparkEntry {
     //      write/read path is lossless.
     "q_s11_bucketed" -> ((s, dir) => {
       etl.CatalogOps.createNamespace(s, "graft_bk")
+      // a fresh in-memory catalog refuses to overwrite a managed
+      // location left by a PREVIOUS session's run — drop both layers
+      Seq("orders_b", "cust_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_bk.$t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/graft_bk.db/$t")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       etl.CatalogOps.materializeBucketed(
         orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
         "graft_bk.orders_b", 8, Seq("o_custkey"))
