@@ -29,17 +29,23 @@ object GraphCheck {
       .distinct()
       .withColumn("component", col("node_id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels only ever decrease, so the label SUM is a fixpoint
+    // detector: one scalar aggregate per round instead of a
+    // join-and-count convergence check
+    var prevSum = java.math.BigDecimal.valueOf(Long.MaxValue)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val viaNeighbor = sym
         .join(labels, sym("b") === labels("node_id"))
         .select(col("a").as("node_id"), col("component"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy("node_id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "__old"), "node_id")
-        .filter(col("component") =!= col("__old")).count()
+      val s = next.agg(sum(col("component")).cast("decimal(38,0)")).head()
+        .getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }
