@@ -601,11 +601,14 @@ object SparkEntry {
 
     // ---- embedding-cosine near-dup (OR-amplified LSH self-join + exact
     //      verify). Oracle is the exact brute force: sound because the
-    //      16-table amplification puts recall at threshold ~99.5%, and
-    //      false positives are impossible (exact rescore).
+    //      amplification is sized for THIS threshold — at cos 0.9 the
+    //      per-plane agreement is p = 1-acos(0.9)/pi ~= 0.856, so 8-bit
+    //      tables give recall 1-(1-p^8)^16 ~= 99.6% (12-bit tables would
+    //      be ~93% here — they only hit 99.5% at the 0.95 default).
+    //      False positives are impossible (exact rescore).
     "q_d_embedding_pairs" -> ((s, dir) => {
       llm.Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.9, numBits = 12, numTables = 16)
+          threshold = 0.9, numBits = 8, numTables = 16)
         .orderBy("id_a", "id_b")
     }),
 

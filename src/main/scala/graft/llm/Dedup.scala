@@ -156,7 +156,10 @@ object Dedup {
     * a candidate if it collides in ANY of `numTables` independent
     * `numBits`-bit tables — recall for a pair at angular similarity p
     * is 1-(1-p^numBits)^numTables, a design guarantee instead of a
-    * single-table coin flip (defaults: cos 0.95 -> ~99.5%). Candidate
+    * single-table coin flip (defaults: cos 0.95 -> ~99.5%). The bound
+    * is threshold-specific: size numBits/numTables for the OPERATING
+    * threshold, not the default — e.g. at cos 0.9 the 12x16 default
+    * drops to ~93% recall while 8x16 restores ~99.6%. Candidate
     * ids are deduped across tables BEFORE vectors are re-joined for the
     * exact-cosine verify, so each surviving pair is scored exactly once
     * and the wide vector rows never ride through the candidate shuffle.

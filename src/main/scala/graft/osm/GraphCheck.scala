@@ -42,10 +42,14 @@ object GraphCheck {
       val next = labels.unionByName(viaNeighbor)
         .groupBy("node_id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("component")).cast("decimal(38,0)")).head()
+      // cast BEFORE summing: planet-scale node ids (~1e10) over ~1e9
+      // nodes overflow a Long accumulator (ANSI mode throws); a
+      // decimal(38,0) accumulator has ~19 digits of headroom. An empty
+      // edge set yields a null sum — treat it as converged.
+      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head()
         .getDecimal(0)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      converged = s == null || s.compareTo(prevSum) == 0
+      prevSum = if (s == null) prevSum else s
       labels = next
       i += 1
     }

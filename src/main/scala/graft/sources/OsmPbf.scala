@@ -72,16 +72,24 @@ case class PbfScan(fullSchema: StructType, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Index OSMData blob extents by reading only the framing. */
+  /** Index OSMData blob extents by reading only the framing. Paths
+    * resolve through the Hadoop FileSystem API (exactly like a parquet
+    * scan): local files, HDFS, and object stores all work, and the
+    * partition carries the fully-qualified URI so executors on other
+    * hosts open the same filesystem, not their local disk. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = {
-      val f = new java.io.File(path)
-      if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".pbf")).sorted
-      else Array(f)
-    }
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(_.getPath.getName.endsWith(".pbf"))
+          .sortBy(_.getPath.getName).map(_.getPath)
+      else Array(root)
     files.flatMap { f =>
       val in = new java.io.DataInputStream(
-        new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+        new java.io.BufferedInputStream(fs.open(f)))
       val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
       var offset = 0L
       try {
@@ -99,8 +107,10 @@ case class PbfScan(fullSchema: StructType, required: StructType,
           }
           val blobStart = offset + 4 + headerLen
           if (blobType == "OSMData")
-            parts += PbfBlobPartition(f.getPath, blobStart, dataSize)
-          in.skipBytes(dataSize)
+            parts += PbfBlobPartition(
+              fs.makeQualified(f).toString, blobStart, dataSize)
+          var toSkip = dataSize
+          while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
           offset = blobStart + dataSize
         }
       } catch { case _: java.io.EOFException => () }
@@ -109,27 +119,33 @@ case class PbfScan(fullSchema: StructType, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    PbfReaderFactory(required, entity)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    PbfReaderFactory(required, entity,
+      new org.apache.spark.util.SerializableConfiguration(conf))
+  }
 }
 
-case class PbfReaderFactory(required: StructType, entity: String)
+case class PbfReaderFactory(required: StructType, entity: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PbfBlobPartition]
-    new PbfBlobReader(required, entity, p)
+    new PbfBlobReader(required, entity, p, conf)
   }
 }
 
 /** Decodes one OSMData blob into rows of the requested entity. */
-class PbfBlobReader(required: StructType, entity: String, part: PbfBlobPartition)
+class PbfBlobReader(required: StructType, entity: String,
+    part: PbfBlobPartition,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
-    val raf = new java.io.RandomAccessFile(part.file, "r")
-    raf.seek(part.offset)
+    val p = new org.apache.hadoop.fs.Path(part.file)
+    val in = p.getFileSystem(conf.value).open(p)
     val blob = new Array[Byte](part.length)
-    raf.readFully(blob)
-    raf.close()
+    try { in.readFully(part.offset, blob) } finally { in.close() }
     OsmPbf.decodeBlob(blob, entity, required).iterator
   }
   private var current: InternalRow = _
@@ -230,10 +246,22 @@ object OsmPbf {
     }
     if (raw != null) raw
     else {
+      // raw_size is optional in the spec: when absent, start from a
+      // guess and keep inflating until the stream reports finished,
+      // growing the buffer as needed — a one-shot inflate() into a
+      // guessed buffer would silently truncate the PrimitiveBlock.
       val inf = new java.util.zip.Inflater()
       inf.setInput(zlib)
-      val out = new Array[Byte](if (rawSize >= 0) rawSize else zlib.length * 8)
-      val n = inf.inflate(out)
+      var out = new Array[Byte](
+        if (rawSize >= 0) math.max(rawSize, 1) else math.max(zlib.length * 4, 1 << 16))
+      var n = 0
+      while (!inf.finished()) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        val w = inf.inflate(out, n, out.length - n)
+        if (w == 0 && inf.needsInput())
+          throw new java.io.EOFException("truncated zlib stream in PBF blob")
+        n += w
+      }
       inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     }

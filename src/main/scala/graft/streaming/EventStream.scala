@@ -30,17 +30,21 @@ object EventStream {
         col("cnt"), col("avg_value"))
 
   /** Streaming exact dedup (the training-feed version of
-    * `llm.Dedup.exactDedup`): watermark bounds the dedup state, then
-    * `dropDuplicates` on the content fingerprint keeps the FIRST
-    * arrival of each payload and drops re-deliveries inside the
-    * watermark horizon. State is one row per distinct fingerprint per
-    * horizon — bounded, unlike an unwatermarked global dedup. */
+    * `llm.Dedup.exactDedup`): keeps the FIRST arrival of each payload
+    * fingerprint and drops re-deliveries inside the watermark horizon.
+    * Uses `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`:
+    * with plain dropDuplicates the event-time column must be among the
+    * dedup keys for the watermark to evict state, and `__fp` alone would
+    * accumulate one state row per distinct fingerprint forever. The
+    * WithinWatermark variant expires each fingerprint's state once the
+    * watermark passes its first-seen event time, so state is bounded to
+    * the distinct fingerprints of one horizon. */
   def dedupStream(events: DataFrame, fingerprint: org.apache.spark.sql.Column,
       watermark: String = "2 hours"): DataFrame =
     events
       .withColumn("__fp", fingerprint)
       .withWatermark("ts", watermark)
-      .dropDuplicates("__fp")
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

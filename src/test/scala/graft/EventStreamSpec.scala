@@ -51,6 +51,28 @@ class EventStreamSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("dedup state is evicted once the watermark passes (bounded state)") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val deduped = EventStream.dedupStream(stream.toDF(),
+      col("event_type"), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ddw_test").start()
+    stream.addData(Event(1, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past 10:01 + 10min so fp state expires
+    stream.addData(Event(2, ts(30), 2, "view", 2.0))
+    q.processAllAvailable()
+    // same fingerprint again AFTER expiry: re-emitted — proof the state
+    // row was evicted rather than retained forever
+    stream.addData(Event(3, ts(35), 3, "click", 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("ddw_test").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("stream-stream interval join correlates within the horizon only") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Event]

@@ -139,6 +139,28 @@ class OsmPbfSpec extends SparkTestBase {
     assert(rm === Set((201L, 101L, "W", "outer", 0), (201L, 102L, "W", "outer", 1)))
   }
 
+  test("blob without raw_size inflates fully (buffer growth loop)") {
+    // raw_size (Blob field 2) is optional in the spec. Build a large,
+    // highly compressible block — repeated-delta dense nodes — so the
+    // deflated payload is far smaller than the raw block and any
+    // one-shot guess-sized inflate would truncate it.
+    val n = 20000
+    val strings = Seq("")
+    val stringTable = ld(1, strings.flatMap(s => str(1, s)).toArray)
+    val dense = ld(2,
+      packedS(1, 1L +: Seq.fill(n - 1)(1L)) ++
+      packedS(8, 420000000L +: Seq.fill(n - 1)(0L)) ++
+      packedS(9, 190000000L +: Seq.fill(n - 1)(100L)))
+    val block = stringTable ++ ld(2, dense)
+    val zlib = deflate(block)
+    assert(zlib.length * 4 < block.length, "fixture must force buffer growth")
+    val blobNoRawSize = ld(3, zlib) // field 2 (raw_size) deliberately absent
+    val rows = sources.OsmPbf.decodeBlob(blobNoRawSize, "nodes",
+      sources.OsmPbf.schemaFor("nodes"))
+    assert(rows.length === n)
+    assert(rows.head.getLong(0) === 1L && rows.last.getLong(0) === n.toLong)
+  }
+
   test("pbf feeds the road-graph pipeline end to end") {
     implicit val s = spark
     val nodes = spark.read.format(fmt).option("entity", "nodes").load(path)

@@ -126,6 +126,12 @@ class RoadGraphSpec extends SparkTestBase {
     assert(comp(1L) !== comp(9L))
   }
 
+  test("connected components: empty edge set converges without NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("start_node", "end_node")
+    assert(osm.GraphCheck.connectedComponents(empty).count() === 0L)
+  }
+
   test("explore parity: all 22 summary tables build (incl. relations); spot-check values") {
     val (rels, _) = osm.OsmModel.microRelations(spark)
     val all = osm.ExploreParity.buildAll(t.nodes, t.ways, Some(rels)).toMap
