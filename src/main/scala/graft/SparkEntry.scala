@@ -695,12 +695,22 @@ object SparkEntry {
         .withColumn("sequence_id", (row_number().over(w) - 1).cast("int"))
         .drop("l_linenumber")
         .localCheckpoint(true) // feeds 5 downstream stages
+      // materialize EVERY intermediate once, exactly like the reference's
+      // step tables (osm-road-graphs.sql creates a table per step): the
+      // chain references shared/lengths/splits/limits 2-4x each, and
+      // left as views the DAG inlines each use — measured 48 scans of wn
+      // and 52 shuffles in one plan. Checkpointed, the plan is linear and
+      // each stage computes once. (On a cluster these would be bucketed
+      // step tables / reliable checkpoints — see q_s11_bucketed.)
       val net = wn.select(col("way_id").as("edge_id")).distinct()
-      val shared = osm.RoadGraph.sharedNodes(wn, net)
-      val lengths = osm.RoadGraph.waysLength(wn, net)
+        .localCheckpoint(true)
+      val shared = osm.RoadGraph.sharedNodes(wn, net).localCheckpoint(true)
+      val lengths = osm.RoadGraph.waysLength(wn, net).localCheckpoint(true)
       val splits = osm.RoadGraph.splitNodes(wn, net, shared, lengths)
+        .localCheckpoint(true)
       val limits = osm.RoadGraph.mergeLimits(wn, splits, shared, lengths)
-      val ntm = osm.RoadGraph.nodesToMerge(wn, net, limits)
+        .localCheckpoint(true)
+      val ntm = osm.RoadGraph.nodesToMerge(wn, net, limits).localCheckpoint(true)
       val segs = ntm.groupBy("way_id", "group_id")
         .agg(array_join(
           RelOps.orderedListAgg(col("sequence_id"), col("node_id").cast("string")),
@@ -713,6 +723,23 @@ object SparkEntry {
           RelOps.orderedListAgg(col("sequence_id"), col("node_id").cast("string")),
           ",").as("nodes_csv"))
       segs.unionByName(unsplit).orderBy("way_id", "nodes_csv")
+    }),
+
+    // ---- the SAME split at data scale, array-first: 3 shuffles total
+    //      (node ref-count, count join-back, per-way ordered collect) +
+    //      codegen'd array slicing — no window, no range join, no step
+    //      materialization. Same oracle as the relational chain: the
+    //      two formulations must be row-identical.
+    "q_osm_split_array" -> ((s, dir) => {
+      val wn0 = lineitem(s, dir)
+        .select(col("l_orderkey").as("way_id"), col("l_partkey").as("node_id"),
+          col("l_linenumber"))
+      osm.RoadGraph.splitSegments(wn0, "way_id", "node_id",
+          struct(col("l_linenumber"), col("node_id")))
+        .select(col("way_id"),
+          array_join(transform(col("nodes"), _.cast("string")), ",")
+            .as("nodes_csv"))
+        .orderBy("way_id", "nodes_csv")
     }),
 
     // ---- complete-graph mode-flag cascade at DATA SCALE: ways
@@ -893,6 +920,56 @@ object SparkEntry {
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Column names/types must match the Spark side.
     */
+  /** Shared by q_osm_split_scale (relational chain) and
+    * q_osm_split_array (array formulation): both must reproduce this
+    * result exactly. */
+  private val oracleSplitScaleSql =
+    """WITH way_nodes AS (
+         SELECT l_orderkey AS way_id, l_partkey AS node_id,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey) - 1 AS INT) AS sequence_id
+         FROM lineitem),
+       shared AS (SELECT node_id FROM way_nodes GROUP BY node_id HAVING count(*) > 1),
+       lengths AS (SELECT way_id, max(sequence_id) AS length
+                   FROM way_nodes WHERE sequence_id > 1 GROUP BY way_id),
+       splits AS (
+         SELECT n.way_id, n.node_id, n.sequence_id
+         FROM way_nodes n
+         JOIN shared s ON n.node_id = s.node_id
+         JOIN lengths l ON n.way_id = l.way_id AND n.sequence_id < l.length
+         WHERE n.sequence_id > 0),
+       base AS (
+         SELECT way_id,
+                lag(sequence_id, 1, 0) OVER (PARTITION BY way_id ORDER BY sequence_id) AS bottom_limit,
+                sequence_id AS top_limit
+         FROM way_nodes
+         WHERE sequence_id > 0
+           AND way_id IN (SELECT way_id FROM splits)
+           AND node_id IN (SELECT node_id FROM shared)),
+       lastseg AS (
+         SELECT b.way_id, b.top_limit AS bottom_limit, l.length AS top_limit
+         FROM (SELECT way_id, max(top_limit) AS top_limit FROM base GROUP BY way_id) b
+         JOIN lengths l ON b.way_id = l.way_id AND b.top_limit < l.length),
+       lims AS (SELECT * FROM base UNION ALL SELECT * FROM lastseg),
+       ntm AS (
+         SELECT w.way_id, l.top_limit AS group_id, w.sequence_id, w.node_id
+         FROM way_nodes w
+         JOIN lims l ON w.way_id = l.way_id
+                    AND w.sequence_id BETWEEN l.bottom_limit AND l.top_limit),
+       segs AS (
+         SELECT way_id,
+                array_to_string(list(CAST(node_id AS VARCHAR)
+                  ORDER BY sequence_id), ',') AS nodes_csv
+         FROM ntm GROUP BY way_id, group_id
+         UNION ALL
+         SELECT way_id,
+                array_to_string(list(CAST(node_id AS VARCHAR)
+                  ORDER BY sequence_id), ',') AS nodes_csv
+         FROM way_nodes
+         WHERE way_id NOT IN (SELECT DISTINCT way_id FROM ntm)
+         GROUP BY way_id)
+       SELECT way_id, nodes_csv FROM segs ORDER BY way_id, nodes_csv"""
+
   def oracleSql: Map[String, String] = Map(
     "q_flagship_tag_freq" ->
       """SELECT c_mktsegment AS tag_value, count(*) AS cnt
@@ -1206,52 +1283,10 @@ object SparkEntry {
     "q_e_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
          FROM events GROUP BY k ORDER BY k""",
-    "q_osm_split_scale" ->
-      """WITH way_nodes AS (
-           SELECT l_orderkey AS way_id, l_partkey AS node_id,
-                  CAST(row_number() OVER (PARTITION BY l_orderkey
-                       ORDER BY l_linenumber, l_partkey) - 1 AS INT) AS sequence_id
-           FROM lineitem),
-         shared AS (SELECT node_id FROM way_nodes GROUP BY node_id HAVING count(*) > 1),
-         lengths AS (SELECT way_id, max(sequence_id) AS length
-                     FROM way_nodes WHERE sequence_id > 1 GROUP BY way_id),
-         splits AS (
-           SELECT n.way_id, n.node_id, n.sequence_id
-           FROM way_nodes n
-           JOIN shared s ON n.node_id = s.node_id
-           JOIN lengths l ON n.way_id = l.way_id AND n.sequence_id < l.length
-           WHERE n.sequence_id > 0),
-         base AS (
-           SELECT way_id,
-                  lag(sequence_id, 1, 0) OVER (PARTITION BY way_id ORDER BY sequence_id) AS bottom_limit,
-                  sequence_id AS top_limit
-           FROM way_nodes
-           WHERE sequence_id > 0
-             AND way_id IN (SELECT way_id FROM splits)
-             AND node_id IN (SELECT node_id FROM shared)),
-         lastseg AS (
-           SELECT b.way_id, b.top_limit AS bottom_limit, l.length AS top_limit
-           FROM (SELECT way_id, max(top_limit) AS top_limit FROM base GROUP BY way_id) b
-           JOIN lengths l ON b.way_id = l.way_id AND b.top_limit < l.length),
-         lims AS (SELECT * FROM base UNION ALL SELECT * FROM lastseg),
-         ntm AS (
-           SELECT w.way_id, l.top_limit AS group_id, w.sequence_id, w.node_id
-           FROM way_nodes w
-           JOIN lims l ON w.way_id = l.way_id
-                      AND w.sequence_id BETWEEN l.bottom_limit AND l.top_limit),
-         segs AS (
-           SELECT way_id,
-                  array_to_string(list(CAST(node_id AS VARCHAR)
-                    ORDER BY sequence_id), ',') AS nodes_csv
-           FROM ntm GROUP BY way_id, group_id
-           UNION ALL
-           SELECT way_id,
-                  array_to_string(list(CAST(node_id AS VARCHAR)
-                    ORDER BY sequence_id), ',') AS nodes_csv
-           FROM way_nodes
-           WHERE way_id NOT IN (SELECT DISTINCT way_id FROM ntm)
-           GROUP BY way_id)
-         SELECT way_id, nodes_csv FROM segs ORDER BY way_id, nodes_csv""",
+    "q_osm_split_scale" -> oracleSplitScaleSql,
+    // identical oracle: the array formulation must match the relational
+    // chain row for row
+    "q_osm_split_array" -> oracleSplitScaleSql,
     "q_osm_split_merge" -> (OsmOracle.graphPrefix +
       """
          SELECT CAST(edge_id AS BIGINT) AS edge_id,

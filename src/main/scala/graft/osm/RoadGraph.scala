@@ -200,6 +200,51 @@ object RoadGraph {
     merged.unionByName(untouched)
   }
 
+  /** Single-pass split: the whole Step-7..11 chain
+    * (osm-road-graphs.sql:66-127) re-expressed array-first — the 100 TB
+    * formulation. The relational chain ([[sharedNodes]] ->
+    * [[waysLength]] -> [[splitNodes]] -> [[mergeLimits]] ->
+    * [[nodesToMerge]]) mirrors the reference's step tables and costs
+    * ~10 shuffles with every intermediate consumed 2-4x; but the split
+    * is per-way local once each node knows its reference count, so
+    * Spark can do it in THREE shuffles of the big table, total:
+    *
+    *   1. count node references (hash agg on node_id),
+    *   2. join the counts back (node_id axis),
+    *   3. ordered-collect each way's (node, shared) array (way_id axis),
+    *
+    * then segment boundaries and slicing are pure codegen'd array
+    * expressions — no window, no range join, no step materialization.
+    * Boundary semantics proven equal to the chain in RoadGraphSpec:
+    * boundaries = first position ++ interior positions whose node has
+    * >1 reference ++ last position; consecutive-boundary slices are the
+    * segments; ways with <3 nodes or no interior shared node pass
+    * through whole.
+    *
+    * Returns one row per segment: (wayCol, nodes array<long>).
+    */
+  def splitSegments(wayNodes: DataFrame, wayCol: String, nodeCol: String,
+      sortCol: Column): DataFrame = {
+    val counts = wayNodes.groupBy(nodeCol)
+      .agg(count(lit(1)).as("__refs"))
+    val ways = wayNodes.join(counts, Seq(nodeCol))
+      .groupBy(wayCol)
+      .agg(RelOps.orderedListAgg(sortCol,
+        struct(col(nodeCol).as("n"), (col("__refs") > 1).as("sh"))).as("__ns"))
+    val n = size(col("__ns"))
+    // 1-based element positions; sequence(1, n) never runs backwards
+    val interior = filter(sequence(lit(1), n),
+      p => p > 1 && p < n && element_at(col("__ns"), p).getField("sh"))
+    val bounds = concat(array(lit(1)), interior, array(n))
+    val segments = transform(sequence(lit(1), size(bounds) - 1), i =>
+      slice(col("__ns"), element_at(bounds, i),
+        element_at(bounds, i + lit(1)) - element_at(bounds, i) + lit(1)))
+    ways
+      .select(col(wayCol), explode(segments).as("__seg"))
+      .select(col(wayCol),
+        transform(col("__seg"), x => x.getField("n")).as("nodes"))
+  }
+
   /** Directed expansion (osm-road-graphs.sql:183-220): 4-branch union —
     * two-way links both directions (reverse F4 on the back edge),
     * forward oneways, reverse-drawn oneways.

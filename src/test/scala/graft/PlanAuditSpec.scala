@@ -95,6 +95,14 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("array-form split runs in <= 3 shuffles (its design contract)") {
+    val p = plan("q_osm_split_array")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, plan:\n$p")
+    assert(!p.contains("Window"), "array form must not need a window")
+  }
+
   test("whole-stage codegen covers the scan->project->filter hot paths") {
     // AQE only annotates codegen stages in the FINAL plan — execute first
     Seq("q_t_text_stats", "q_f_math_case", "q_t_quality").foreach { q =>

@@ -126,6 +126,29 @@ class RoadGraphSpec extends SparkTestBase {
     assert(comp(1L) !== comp(9L))
   }
 
+  test("array-form split == relational chain on the micro fixture") {
+    val wn = t.wayNodes.join(net.select("edge_id"),
+      t.wayNodes("way_id") === col("edge_id"), "left_semi")
+    val segs = RoadGraph.splitSegments(wn, "way_id", "node_id",
+        col("sequence_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(segs === Set(
+      (101L, List(1L, 2L, 3L)), (101L, List(3L, 4L)),
+      (102L, List(5L, 3L)), (102L, List(3L, 6L)),
+      (103L, List(7L, 8L)), (104L, List(9L, 10L)),
+      (106L, List(10L, 9L)), (109L, List(8L, 12L))))
+  }
+
+  test("array-form split == relational chain at sf0.001 (row-identical)") {
+    val sf = "/root/testdata/sf0.001"
+    val chain = SparkEntry.queries("q_osm_split_scale")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val arr = SparkEntry.queries("q_osm_split_array")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(arr.length === chain.length)
+    assert(arr === chain)
+  }
+
   test("connected components: empty edge set converges without NPE") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("start_node", "end_node")
