@@ -815,6 +815,20 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- connected components at DATA SCALE on a worst-case topology:
+    //      64-node CHAIN components synthesized from part (edge k->k+1
+    //      unless k % 64 == 0). Chains are the adversarial case for
+    //      naive min-label propagation (needs 64 rounds = the diameter);
+    //      pointer jumping converges in ~log2(64). The oracle is the
+    //      closed form of the block structure.
+    "q_osm_components_scale" -> ((s, dir) => {
+      val edges = part(s, dir)
+        .filter(col("p_partkey") % 64 =!= 0)
+        .select(col("p_partkey").cast("long").as("start_node"),
+          (col("p_partkey") + 1).cast("long").as("end_node"))
+      osm.GraphCheck.connectedComponents(edges).orderBy("node_id")
+    }),
+
     // ---- OSM median speed imputation (osm-road-graphs.sql:43-54)
     "q_osm_impute" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
@@ -1331,6 +1345,17 @@ object SparkEntry {
          SELECT CAST(node_id AS BIGINT) AS node_id,
                 CAST(min(label) AS BIGINT) AS component
          FROM reach GROUP BY node_id ORDER BY node_id"""),
+    // chain components have the closed form component(k) = its block min
+    "q_osm_components_scale" ->
+      """WITH nodes AS (
+           SELECT CAST(p_partkey AS BIGINT) AS node_id FROM part
+           WHERE p_partkey % 64 <> 0
+           UNION
+           SELECT CAST(p_partkey + 1 AS BIGINT) FROM part
+           WHERE p_partkey % 64 <> 0)
+         SELECT node_id,
+                CAST(node_id - ((node_id - 1) % 64) AS BIGINT) AS component
+         FROM nodes ORDER BY node_id""",
     "q_osm_directed_intent" -> (OsmOracle.graphPrefix +
       """,
          attrs(way_id, highway, oneway) AS (VALUES

@@ -11,16 +11,32 @@ import org.apache.spark.sql.DataFrame
   * exporting 10^9 edges: is the graph in one piece, how many isolated
   * fragments did the mode filters create?
   *
-  * Connected components via iterative min-label propagation: each
-  * round joins labels across edges and keeps the minimum; terminates
-  * when no label changes (diameter-bounded; road networks have small
-  * effective diameter after the large component forms). Each round is
-  * one shuffle; `localCheckpoint` cuts lineage so plans stay flat.
+  * Connected components via min-label propagation WITH pointer jumping:
+  * each round (1) lowers every node's label to the min over its
+  * neighbors' labels, then (2) contracts label chains by one hop
+  * (label := label's label — sound because a label is always the id of
+  * a node in the same component, so the invariant is preserved and the
+  * inner join on the label key loses no rows). Plain neighbor
+  * propagation needs diameter-many rounds — fatal on a planet road
+  * graph whose effective diameter is thousands; the jump step halves
+  * label-tree heights so convergence is O(log diameter) (the
+  * pointer-doubling idea behind the alternating large-star/small-star
+  * MapReduce components algorithm). Terminates at the fixpoint: if
+  * neither step changes any label, labels are constant within each
+  * component and equal to its min. Each round is two shuffle joins +
+  * one aggregate; `localCheckpoint` cuts lineage so plans stay flat.
   */
 object GraphCheck {
 
   /** (node_id, component) for the undirected graph of the edge list. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** Same, also returning the number of rounds to the fixpoint —
+    * observable evidence of the O(log diameter) convergence (asserted
+    * on a long chain in RoadGraphSpec). */
+  def connectedComponentsWithRounds(edges: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
     val sym = edges.select(col("start_node").as("a"), col("end_node").as("b"))
       .unionByName(edges.select(col("end_node").as("a"), col("start_node").as("b")))
       .distinct()
@@ -39,8 +55,15 @@ object GraphCheck {
       val viaNeighbor = sym
         .join(labels, sym("b") === labels("node_id"))
         .select(col("a").as("node_id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
+      val lowered = labels.unionByName(viaNeighbor)
         .groupBy("node_id").agg(min(col("component")).as("component"))
+      // pointer jump: component := component's component (one-hop chain
+      // contraction). Every label value is a node_id key of `lowered`,
+      // so the inner join is total.
+      val ptr = lowered
+        .select(col("node_id").as("__c"), col("component").as("__cc"))
+      val next = lowered.join(ptr, lowered("component") === ptr("__c"))
+        .select(col("node_id"), col("__cc").as("component"))
         .localCheckpoint(true)
       // cast BEFORE summing: planet-scale node ids (~1e10) over ~1e9
       // nodes overflow a Long accumulator (ANSI mode throws); a
@@ -53,7 +76,7 @@ object GraphCheck {
       labels = next
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   /** Component count + size of the largest — the one-line health check

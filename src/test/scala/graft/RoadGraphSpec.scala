@@ -155,6 +155,19 @@ class RoadGraphSpec extends SparkTestBase {
     assert(osm.GraphCheck.connectedComponents(empty).count() === 0L)
   }
 
+  test("connected components: 256-chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the adversarial case: naive min-label propagation
+    // needs diameter (255) rounds; pointer jumping must land well under
+    val chain = (1L until 256L).map(k => (k, k + 1)).toDF("start_node", "end_node")
+    val (labels, rounds) =
+      osm.GraphCheck.connectedComponentsWithRounds(chain, maxIter = 20)
+    assert(rounds <= 12, s"took $rounds rounds — pointer jumping broken?")
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length === 256)
+    assert(comp.forall(_._2 === 1L), "all labels must reach the chain min")
+  }
+
   test("explore parity: all 22 summary tables build (incl. relations); spot-check values") {
     val (rels, _) = osm.OsmModel.microRelations(spark)
     val all = osm.ExploreParity.buildAll(t.nodes, t.ways, Some(rels)).toMap
