@@ -508,13 +508,17 @@ object SparkEntry {
         .filter(least(col("na"), col("nb")).cast("double") >=
           greatest(col("na"), col("nb")) * 0.6)
         .select("id_a", "id_b")
-      // wide word arrays join in only for surviving candidates
+      // wide word arrays join in only for surviving candidates.
+      // |A ∪ B| = |A| + |B| - |A ∩ B| for distinct sets: one hash-set
+      // build per pair instead of two (array_union would rebuild and
+      // dedup a second array just to take its size).
       val wa = d.select(col("doc_id").as("id_a"), col("ws").as("wa"))
       val wb = d.select(col("doc_id").as("id_b"), col("ws").as("wb"))
       cand.join(wa, "id_a").join(wb, "id_b")
+        .withColumn("__i", size(array_intersect(col("wa"), col("wb"))))
         .withColumn("jaccard",
-          size(array_intersect(col("wa"), col("wb"))).cast("double") /
-            size(array_union(col("wa"), col("wb"))))
+          col("__i").cast("double") /
+            (size(col("wa")) + size(col("wb")) - col("__i")))
         .filter(col("jaccard") >= 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")

@@ -122,10 +122,13 @@ object Dedup {
       setCol: String, threshold: Double): DataFrame = {
     val a = sets.select(col(idCol).as("id_a"), col(setCol).as("__sa"))
     val b = sets.select(col(idCol).as("id_b"), col(setCol).as("__sb"))
+    // |A ∪ B| = |A| + |B| - |A ∩ B| for distinct sets: one per-pair
+    // hash-set build instead of two (no array_union materialization)
     pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb"))))
+        col("__i").cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -106,11 +106,22 @@ case class PbfScan(fullSchema: StructType, required: StructType,
             case _ => h.skip()
           }
           val blobStart = offset + 4 + headerLen
-          if (blobType == "OSMData")
+          if (blobType == "OSMData") {
             parts += PbfBlobPartition(
               fs.makeQualified(f).toString, blobStart, dataSize)
-          var toSkip = dataSize
-          while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+            var toSkip = dataSize
+            while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+          } else if (blobType == "OSMHeader") {
+            // a conforming reader must REFUSE files whose
+            // required_features it does not implement (PBF spec) —
+            // silently decoding e.g. historical data would be wrong
+            val blob = new Array[Byte](dataSize)
+            in.readFully(blob)
+            OsmPbf.checkRequiredFeatures(blob)
+          } else {
+            var toSkip = dataSize
+            while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+          }
           offset = blobStart + dataSize
         }
       } catch { case _: java.io.EOFException => () }
@@ -258,12 +269,31 @@ object OsmPbf {
       while (!inf.finished()) {
         if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
         val w = inf.inflate(out, n, out.length - n)
-        if (w == 0 && inf.needsInput())
+        if (w == 0 && inf.needsInput() && !inf.finished())
           throw new java.io.EOFException("truncated zlib stream in PBF blob")
         n += w
       }
       inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+  }
+
+  /** The feature set this decoder implements. */
+  private[graft] val supportedFeatures = Set("OsmSchema-V0.6", "DenseNodes")
+
+  /** HeaderBlock required_features gate (PBF spec: "A reader must
+    * refuse a file with required features it does not support"). */
+  private[graft] def checkRequiredFeatures(headerBlob: Array[Byte]): Unit = {
+    val block = inflateBlob(headerBlob)
+    val v = new PbView(block, 0, block.length)
+    while (v.hasMore) v.nextField() match {
+      case 4 =>
+        val feat = v.readString()
+        if (!supportedFeatures(feat))
+          throw new UnsupportedOperationException(
+            s"PBF file requires feature '$feat' which this reader does not implement " +
+              s"(supported: ${supportedFeatures.mkString(", ")})")
+      case _ => v.skip()
     }
   }
 

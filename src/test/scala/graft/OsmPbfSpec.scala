@@ -161,6 +161,38 @@ class OsmPbfSpec extends SparkTestBase {
     assert(rows.head.getLong(0) === 1L && rows.last.getLong(0) === n.toLong)
   }
 
+  test("required_features gate: supported pass, unknown refuse") {
+    // HeaderBlock field 4 = required_features
+    val ok = str(4, "OsmSchema-V0.6") ++ str(4, "DenseNodes")
+    sources.OsmPbf.checkRequiredFeatures(
+      vi(2, ok.length) ++ ld(3, deflate(ok)))
+    val bad = str(4, "OsmSchema-V0.6") ++ str(4, "HistoricalInformation")
+    val e = intercept[UnsupportedOperationException] {
+      sources.OsmPbf.checkRequiredFeatures(
+        vi(2, bad.length) ++ ld(3, deflate(bad)))
+    }
+    assert(e.getMessage.contains("HistoricalInformation"))
+  }
+
+  test("a file whose header requires unknown features is refused at planning") {
+    val feats = str(4, "HistoricalInformation")
+    val hBlob = vi(2, feats.length) ++ ld(3, deflate(feats))
+    val hHeader = str(1, "OSMHeader") ++ vi(3, hBlob.length)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(hHeader.length); dos.write(hHeader); dos.write(hBlob)
+    dos.close()
+    val f = new java.io.File(
+      Files.createTempDirectory("pbfbad").toFile, "bad.osm.pbf")
+    Files.write(f.toPath, out.toByteArray)
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("entity", "nodes").load(f.getPath).count()
+    }
+    assert(e.getMessage.contains("HistoricalInformation") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("HistoricalInformation"))
+  }
+
   test("pbf feeds the road-graph pipeline end to end") {
     implicit val s = spark
     val nodes = spark.read.format(fmt).option("entity", "nodes").load(path)
