@@ -606,13 +606,17 @@ object SparkEntry {
     // ---- embedding-cosine near-dup (OR-amplified LSH self-join + exact
     //      verify). Oracle is the exact brute force: sound because the
     //      amplification is sized for THIS threshold — at cos 0.9 the
-    //      per-plane agreement is p = 1-acos(0.9)/pi ~= 0.856, so 8-bit
-    //      tables give recall 1-(1-p^8)^16 ~= 99.6% (12-bit tables would
-    //      be ~93% here — they only hit 99.5% at the 0.95 default).
-    //      False positives are impossible (exact rescore).
+    //      per-plane agreement is p = 1-acos(0.9)/pi ~= 0.856, and the
+    //      16x12 default only reaches ~93% recall here. Of the two ways
+    //      to buy recall back, MORE TABLES at full width beats FEWER
+    //      BITS: 32x12 gives 1-(1-p^12)^32 ~= 99.6% with candidate mass
+    //      n^2 * 32/2^12, 8x cheaper than 16x8's n^2 * 16/2^8 at equal
+    //      recall (candidate verify dominates; the extra matvec width is
+    //      codegen'd and trivial). False positives are impossible
+    //      (exact rescore).
     "q_d_embedding_pairs" -> ((s, dir) => {
       llm.Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.9, numBits = 8, numTables = 16)
+          threshold = 0.9, numBits = 12, numTables = 32)
         .orderBy("id_a", "id_b")
     }),
 

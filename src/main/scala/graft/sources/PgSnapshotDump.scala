@@ -267,7 +267,12 @@ case class PgDumpScan(fullSchema: StructType, required: StructType, path: String
   override def planInputPartitions(): Array[InputPartition] = {
     val f = new java.io.File(path)
     val files =
-      if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted
+      if (f.isDirectory)
+        f.listFiles().filter(_.isFile)
+          // skip Hadoop sink artifacts so a PgSnapshotDumpWriter output
+          // directory reads back directly (_SUCCESS, .part-*.crc)
+          .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+          .map(_.getPath).sorted
       else Array(path)
     files.map(PgDumpFilePartition(_): InputPartition)
   }

@@ -123,6 +123,39 @@ class PgDumpSourceSpec extends SparkTestBase {
     assert(df.head.getString(0) === "primary")
   }
 
+  test("writer round-trip: adversarial cells survive write -> read exactly") {
+    import org.apache.spark.sql.Row
+    val schema = sources.PgSnapshotDump.schemaFor("ways")
+    val nasty = Map(
+      "tab\there" -> "new\nline",
+      "back\\slash" -> "quo\"te",
+      "looks=>like" -> "\\N",           // the two-char string, NOT null
+      "plain" -> "value")
+    val ts = java.sql.Timestamp.valueOf("2020-05-08 12:00:00.123456")
+    val rows = Seq(
+      Row(101L, 1, 7, ts, 9L, nasty, Seq(1L, 2L, 3L),
+        Seq(Row(0.0, 0.0), Row(0.01, 42.5))),
+      Row(102L, null, null, null, null, null, Seq.empty[Long], null),
+      Row(103L, 2, null, ts, 1L, Map.empty[String, String], Seq(7L), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("dumpw").toString + "/ways"
+    sources.PgSnapshotDumpWriter.write(df, "ways", dir)
+    val back = spark.read.format(fmt).option("entity", "ways").load(dir)
+      .orderBy("id").collect()
+    assert(back.length === 3)
+    assert(back(0).getAs[Map[String, String]]("tags") === nasty)
+    assert(back(0).getAs[java.sql.Timestamp]("tstamp") === ts)
+    assert(back(0).getSeq[Long](back(0).fieldIndex("nodes")) === Seq(1L, 2L, 3L))
+    val line = back(0).getSeq[Row](back(0).fieldIndex("linestring"))
+    assert(line.map(p => (p.getDouble(0), p.getDouble(1))) ===
+      Seq((0.0, 0.0), (0.01, 42.5)))
+    assert(back(1).isNullAt(back(1).fieldIndex("tags")))
+    assert(back(1).isNullAt(back(1).fieldIndex("tstamp")))
+    assert(back(1).getSeq[Long](back(1).fieldIndex("nodes")) === Seq.empty)
+    assert(back(2).getAs[Map[String, String]]("tags") === Map.empty)
+  }
+
   test("dump round-trips into the road-graph pipeline (nodes + ways dir scan)") {
     val dir = Files.createTempDirectory("pgdump2").toFile
     def put(name: String, lines: Seq[String]): Unit = {
