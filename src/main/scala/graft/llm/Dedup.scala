@@ -27,7 +27,7 @@ object Dedup {
     * duplicates (min of a multiset == min of its set), so the signature
     * path uses this and skips array_distinct — which is quadratic on
     * string arrays and dominated the signature job. */
-  private[llm] def rawShingles(text: Column, k: Int): Column =
+  private[graft] def rawShingles(text: Column, k: Int): Column =
     transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k)))
@@ -46,7 +46,7 @@ object Dedup {
     * `('0x' || substr(md5(x),1,8))::BIGINT`) compute identically, which
     * makes every hash-derived answer independently checkable — unlike
     * `xxhash64`, whose seeds/mixing are engine-specific. */
-  private[llm] def md5Hash31(c: Column): Column =
+  private[graft] def md5Hash31(c: Column): Column =
     pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(2147483647L))
 
   /** Portable 60-bit content hash (first 15 hex chars of md5). 60 bits

@@ -89,6 +89,96 @@ object EventStream {
       }
   }
 
+  case class BandBucketState(firstId: Long, firstTsMs: Long)
+  case class DupCandidate(id_a: Long, id_b: Long, band: Int)
+
+  /** Streaming MinHash-LSH near-dup candidates: the streaming sibling
+    * of `llm.Dedup.minhashNearDups`'s candidate stage. Signatures are
+    * computed per row with array expressions (array_min over the
+    * universal-hash family — no aggregate, so the plan stays a stateless
+    * projection), then each document explodes to its `bands` band keys
+    * and `flatMapGroupsWithState` keyed on (band, key) remembers the
+    * FIRST document per bucket inside the watermark horizon. A later
+    * document landing in an occupied bucket emits
+    * `(id_a = first, id_b = later, band)` — the candidate pair, to be
+    * exact-verified downstream exactly like the batch path. Event-time
+    * timeout removes a bucket's state once the watermark passes its
+    * first-seen time + horizon, so state is bounded to one horizon of
+    * distinct band buckets (same bound as the batch band relation).
+    *
+    * The hash family is the SAME portable md5-derived one as the batch
+    * operator, so streaming and batch candidates agree on identical
+    * input. */
+  def nearDupCandidates(docs: DataFrame, idCol: String,
+      text: org.apache.spark.sql.Column, watermark: String = "1 hour",
+      numPerm: Int = 16, bands: Int = 4, shingleK: Int = 5)
+      (implicit spark: SparkSession): Dataset[DupCandidate] = {
+    import graft.llm.Dedup
+    import spark.implicits._
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+    val horizonMs = parseDurationMs(watermark)
+    val params = Dedup.minhashParams(numPerm)
+    val sig = {
+      val mins = params.map { case (a, b) =>
+        array_min(transform(col("__hs"),
+          h => pmod(h * lit(a) + lit(b), lit(2147483647L))))
+      }
+      array(mins: _*)
+    }
+    val bandKeys = (0 until bands).map(b =>
+      concat_ws("|", slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))
+    docs
+      .withWatermark("ts", watermark)
+      .select(col(idCol).as("id"), col("ts"),
+        transform(Dedup.shingles(text, shingleK),
+          s => Dedup.md5Hash31(s)).as("__hs"))
+      .withColumn("__sig", sig)
+      .select(col("id"), col("ts"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .as[(Long, Timestamp, Int, String)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BandBucketState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // process in event-time order so "first" is deterministic
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var first = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+            sorted.foreach { r =>
+              first match {
+                case None =>
+                  first = Some(BandBucketState(r._1, r._2.getTime))
+                case Some(f) if f.firstId != r._1 =>
+                  out += DupCandidate(f.firstId, r._1, band)
+                case _ => () // re-delivery of the first doc itself
+              }
+            }
+            state.update(first.get)
+            // must stay above the current watermark (a late first event
+            // could otherwise schedule an already-passed timeout)
+            state.setTimeoutTimestamp(math.max(
+              first.get.firstTsMs + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  private def parseDurationMs(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+")
+    val base = unit.toLowerCase match {
+      case u if u.startsWith("second") => 1000L
+      case u if u.startsWith("minute") => 60000L
+      case u if u.startsWith("hour") => 3600000L
+      case u if u.startsWith("day") => 86400000L
+      case other => throw new IllegalArgumentException(s"unknown unit $other")
+    }
+    n.toLong * base
+  }
+
   /** Stream-stream interval join: correlate two event feeds on a key
     * where the right event lands within `[left.ts, left.ts + horizon]`.
     * Both sides carry watermarks, and the time-range condition is what

@@ -93,6 +93,40 @@ class EventStreamSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming near-dup: band-bucket candidates, bounded by event-time timeout") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    // Event stands in for a doc feed: event_id = doc id, event_type = text
+    val stream = MemoryStream[Event]
+    val cands = EventStream.nearDupCandidates(stream.toDF(), "event_id",
+      col("event_type"), watermark = "10 minutes", numPerm = 16, bands = 4)
+    val q = cands.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("nd_test").start()
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    stream.addData(Event(1, ts(1), 1, text, 0.0))
+    q.processAllAvailable()
+    // identical text -> collides in ALL 4 bands; unrelated text -> none
+    stream.addData(Event(2, ts(2), 2, text, 0.0),
+      Event(3, ts(2), 3, "completely different content xyz", 0.0))
+    q.processAllAvailable()
+    val pairs = spark.table("nd_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSet === (0 until 4).map(b => (1L, 2L, b)).toSet)
+    // advance the watermark past first-seen + horizon: the no-data
+    // timeout batch removes doc 1's bucket state, so a NEW identical
+    // doc opens fresh buckets and pairs with nothing
+    stream.addData(Event(9, ts(40), 9, "watermark advancer unrelated", 0.0))
+    q.processAllAvailable()
+    stream.addData(Event(4, ts(45), 4, text, 0.0))
+    q.processAllAvailable()
+    val after = spark.table("nd_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!after.exists(_._2 == 4L),
+      "doc 4 must open fresh buckets after state expiry")
+    q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
