@@ -579,6 +579,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic stratified sampling + split assignment: the
+    //      md5-coin decisions are reproducible across engines, reruns
+    //      and partitionings (rand() is none of those) — verified
+    //      bit-for-bit by the DuckDB oracle computing the same coins
+    "q_t_hash_sample" -> ((s, dir) => {
+      val sampled = llm.Curation.sampleByHash(documents(s, dir),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0), defaultRate = 0.1)
+      sampled
+        .withColumn("split", llm.Curation.splitAssign(col("doc_id")))
+        .groupBy("lang", "split").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "split")
+    }),
+
+    // ---- benchmark decontamination: every doc sharing any word 8-gram
+    //      with the benchmark subset (doc_id % 97 == 0) is dropped;
+    //      broadcast semi-join of the tiny gram set, anti-join back
+    "q_t_decontam" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val benchmark = d.filter(col("doc_id") % 97 === 0)
+      llm.Curation.decontaminate(d, benchmark, "doc_id", col("text"), n = 8)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline; driver-collected
     //      query vector spliced as a literal)
     "q_s_cosine_topk" -> ((s, dir) => {
@@ -1277,6 +1302,36 @@ object SparkEntry {
                        + n_uniq / CAST(greatest(n_tokens, 1) AS DOUBLE)
                        + greatest(0.0, 1.0 - punct_ratio * 5)) / 3.0, 4) AS score
          FROM f ORDER BY doc_id""",
+    "q_t_hash_sample" ->
+      """WITH u AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 AS coin,
+                  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                            WHEN 'zh' THEN 1.0 ELSE 0.1 END AS rate
+           FROM documents),
+         s AS (
+           SELECT lang,
+                  CASE WHEN coin < 0.8 THEN 'train'
+                       WHEN coin < 0.9 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM u WHERE coin < rate)
+         SELECT lang, split, count(*) AS cnt
+         FROM s GROUP BY lang, split ORDER BY lang, split""",
+    "q_t_decontam" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                       FROM documents),
+         grams AS (
+           SELECT doc_id, lang,
+                  array_to_string(t[i:i+7], ' ') AS g
+           FROM toks,
+                UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         dirty AS (SELECT DISTINCT doc_id FROM grams
+                   WHERE g IN (SELECT g FROM bench))
+         SELECT lang, count(*) AS kept
+         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+         GROUP BY lang ORDER BY lang""",
     "q_s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS x,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 class LlmSpec extends SparkTestBase {
   import spark.implicits._
@@ -68,6 +68,40 @@ class LlmSpec extends SparkTestBase {
     assert(byDoc(3L).map(c => (c._3, c._4)).toSeq === Seq(("solo", 1L)))
     // chunks reassemble to the original token stream
     assert(byDoc(1L).sortBy(_._2).map(_._3).mkString(" ") === "a b c d e f")
+  }
+
+  test("hash sampling: deterministic across reruns and partitionings; strata rates honored") {
+    val d = docs.withColumn("lang",
+      org.apache.spark.sql.functions.when($"doc_id" <= 2, "en").otherwise("de"))
+    val rates = Map("en" -> 1.0, "de" -> 0.0)
+    val once = Curation.sampleByHash(d, $"doc_id", $"lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Curation.sampleByHash(d.repartition(7), $"doc_id", $"lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once === Set(1L, 2L)) // rate 1.0 keeps all en, rate 0.0 drops all de
+    assert(once === again)       // partitioning-independent
+    // split assignment is a pure function of the key
+    val splits = d.select($"doc_id", Curation.splitAssign($"doc_id").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val splits2 = d.repartition(3)
+      .select($"doc_id", Curation.splitAssign($"doc_id").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits === splits2)
+    assert(splits.values.forall(Set("train", "val", "test")))
+  }
+
+  test("decontamination drops benchmark members and n-gram-overlapping docs only") {
+    // benchmark = doc 2; doc 1 and 4 share 8-grams with it (near/exact
+    // dup), doc 3 shares none
+    val benchmark = docs.filter($"doc_id" === 2)
+    val kept = Curation.decontaminate(docs, benchmark, "doc_id", $"text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+    // an empty benchmark keeps everything
+    val all = Curation.decontaminate(docs, docs.filter($"doc_id" < 0),
+      "doc_id", $"text", n = 8)
+      .count()
+    assert(all === 4L)
   }
 
   test("cosine math: self-similarity 1, orthogonal 0") {
