@@ -138,6 +138,29 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- A15 ROLLUP: multi-level aggregate in ONE pass (Expand feeds a
+    //      single hash agg — no union of per-level scans); subtotal rows
+    //      carry NULL group keys exactly like the SQL standard
+    "q_a15_rollup" -> ((s, dir) => {
+      lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- A16 PIVOT: long->wide conditional aggregation with an
+    //      explicit value list (keeps the plan a single hash agg; an
+    //      unlisted pivot would need a distinct-scan first)
+    "q_a16_pivot" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy("lang")
+        .pivot("source", Seq("src0", "src1", "src2"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("lang")
+    }),
+
     // ---- A6/O2 ordered array_agg (osm-road-graphs.sql:144): deterministic
     //      via array_sort(collect_list(struct(...))), never bare collect_list
     "q_a6_ordered_agg" -> ((s, dir) => {
@@ -1074,6 +1097,17 @@ object SparkEntry {
                 sum(l_quantity) AS sum_qty, round(avg(l_discount), 4) AS avg_disc
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q_a15_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_a16_pivot" ->
+      """SELECT lang,
+                count(*) FILTER (WHERE source = 'src0') AS src0,
+                count(*) FILTER (WHERE source = 'src1') AS src1,
+                count(*) FILTER (WHERE source = 'src2') AS src2
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_a6_ordered_agg" ->
       """SELECT l_orderkey,
                 array_to_string(list(CAST(l_partkey AS VARCHAR) ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)), ',') AS parts_csv,
