@@ -616,6 +616,15 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    // ---- fixed-size deterministic per-stratum sample: the 10 smallest
+    //      md5 coins per lang — reservoir sampling's reproducible twin
+    "q_t_stratified_fixed" -> ((s, dir) => {
+      llm.Curation.sampleFixedPerStratum(documents(s, dir),
+          col("doc_id"), col("lang"), n = 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    }),
+
     // ---- benchmark decontamination: every doc sharing any word 8-gram
     //      with the benchmark subset (doc_id % 97 == 0) is dropped;
     //      broadcast semi-join of the tiny gram set, anti-join back
@@ -1352,6 +1361,16 @@ object SparkEntry {
            FROM u WHERE coin < rate)
          SELECT lang, split, count(*) AS cnt
          FROM s GROUP BY lang, split ORDER BY lang, split""",
+    "q_t_stratified_fixed" ->
+      """WITH u AS (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               / 4294967296.0, doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang, source FROM u
+         WHERE rn <= 10 ORDER BY lang, doc_id""",
     "q_t_decontam" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                        FROM documents),

@@ -47,6 +47,22 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Fixed-size deterministic per-stratum sample: the `n` rows with the
+    * smallest hash coins in each stratum — what reservoir sampling gives
+    * you, but reproducible (same members every rerun, any partitioning,
+    * any engine) and distributed (one shuffle on the stratum key; the
+    * ranking window never sees more than a stratum per partition).
+    * Ties cannot happen: coins are injective on distinct keys up to md5
+    * collisions. */
+  def sampleFixedPerStratum(df: DataFrame, key: Column, stratum: Column,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashUniform(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Benchmark decontamination: drop every document sharing ANY word
     * `n`-gram with the benchmark set. Scale shape: the benchmark gram
     * set is tiny relative to the corpus, so Catalyst broadcasts it into
