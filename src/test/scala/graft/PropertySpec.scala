@@ -67,6 +67,46 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("array-form split == relational chain on random graphs with in-way repeats") {
+    import graft.ops.RelOps
+    import graft.osm.RoadGraph
+    // small node pool forces shared nodes; ways may revisit a node
+    // (duplicate (way, node) pairs) — the trickiest boundary semantic
+    val tuples = for {
+      w <- 1 to 120
+      len = 2 + rnd.nextInt(7)
+      (n, s) <- Seq.fill(len)(1 + rnd.nextInt(60)).zipWithIndex
+    } yield (w.toLong, n.toLong, s)
+    val wn = tuples.toDF("way_id", "node_id", "sequence_id")
+      .localCheckpoint(true)
+    val net = wn.select(col("way_id").as("edge_id")).distinct()
+    val shared = RoadGraph.sharedNodes(wn, net)
+    val lengths = RoadGraph.waysLength(wn, net)
+    val splits = RoadGraph.splitNodes(wn, net, shared, lengths)
+    val limits = RoadGraph.mergeLimits(wn, splits, shared, lengths)
+    val ntm = RoadGraph.nodesToMerge(wn, net, limits)
+    val segs = ntm.groupBy("way_id", "group_id")
+      .agg(array_join(
+        RelOps.orderedListAgg(col("sequence_id"), col("node_id").cast("string")),
+        ",").as("nodes_csv"))
+      .select("way_id", "nodes_csv")
+    val unsplit = wn
+      .join(ntm.select("way_id").distinct(), Seq("way_id"), "left_anti")
+      .groupBy("way_id")
+      .agg(array_join(
+        RelOps.orderedListAgg(col("sequence_id"), col("node_id").cast("string")),
+        ",").as("nodes_csv"))
+    val chain = segs.unionByName(unsplit)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val arr = RoadGraph.splitSegments(wn, "way_id", "node_id",
+        col("sequence_id"))
+      .select(col("way_id"),
+        array_join(transform(col("nodes"), _.cast("string")), ",").as("csv"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(arr.length === chain.length)
+    assert(arr === chain)
+  }
+
   test("simhash banding pigeonhole: pairs within maxDist always share a chunk") {
     // pure bit-level property of the chunk-bounds derivation
     val bits = llm.Dedup.SimhashBits
