@@ -56,6 +56,40 @@ object CatalogOps {
       .sortWithinPartitions(clusterCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) interleave of the low `bits` of two integer
+    * columns: bit i of `a` lands at position 2i+1, bit i of `b` at 2i.
+    * A pure fold of shift/mask/or column ops — whole-stage codegen'd.
+    * Callers supply comparable-scale non-negative ints (rank or
+    * fixed-grid encode first if the domains differ wildly). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val ai = a.cast("long")
+    val bi = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(ai, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(bi, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** S11 — Z-order clustered Parquet write (the lakehouse
+    * OPTIMIZE ZORDER analog): range-partition + sort on the Morton
+    * value so files own compact rectangles of the (a, b) domain and a
+    * narrow min/max-prunable filter on EITHER column touches O(sqrt)
+    * of the files — single-key clustering only serves its leading
+    * column. StructureSpec asserts the file-locality bound on a
+    * uniform grid. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** S11 — stats collection standing in for the reference's manual
     * `n_distinct` overrides (pgsnapshot_schema_0.6.sql:146-170): feed
     * the CBO real numbers instead. */

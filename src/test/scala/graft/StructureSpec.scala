@@ -87,6 +87,30 @@ class StructureSpec extends SparkTestBase {
     spark.sql(s"DROP DATABASE $db")
   }
 
+  test("z-ordered write: narrow filters on EITHER column touch few files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // uniform 256x256 grid -> 16 files ~ the 16 level-2 Z quadrants;
+    // a 1/8-range filter on x or y intersects 4 quadrants (plus up to
+    // two straddlers: repartitionByRange estimates boundaries by
+    // sampling, so a file can span a quadrant edge). A layout clustered
+    // on x alone would serve the x filter but leave the y filter
+    // touching ALL 16 — the property z-order adds.
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x, y)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    etl.CatalogOps.writeZOrdered(grid, dir, "x", "y", numFiles = 16, bits = 8)
+    val t = spark.read.parquet(dir)
+    def filesTouched(pred: org.apache.spark.sql.Column): Long =
+      t.filter(pred).select(input_file_name()).distinct().count()
+    val total = t.select(input_file_name()).distinct().count()
+    assert(total === 16L)
+    assert(filesTouched($"x" < 32) <= 6L)
+    assert(filesTouched($"y" < 32) <= 6L)
+    // and the data survives intact
+    assert(t.count() === 256L * 256L)
+  }
+
   test("export: parquet round-trip and the sanctioned edge-list collect") {
     val dir = Files.createTempDirectory("graft-export").toString
     val merged = RoadGraph.buildMergedNetwork(t)
