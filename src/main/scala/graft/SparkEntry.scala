@@ -616,6 +616,14 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    // ---- top TF-IDF term per doc (two hash aggs on the doc-term axis,
+    //      broadcast df join-back, scalar-agg corpus size — no OVER ())
+    "q_t_tfidf" -> ((s, dir) => {
+      llm.TextAnalysis.tfidfTopTerms(documents(s, dir), "doc_id",
+          col("text"), k = 1)
+        .orderBy("doc_id")
+    }),
+
     // ---- fixed-size deterministic per-stratum sample: the 10 smallest
     //      md5 coins per lang — reservoir sampling's reproducible twin
     "q_t_stratified_fixed" -> ((s, dir) => {
@@ -1361,6 +1369,22 @@ object SparkEntry {
            FROM u WHERE coin < rate)
          SELECT lang, split, count(*) AS cnt
          FROM s GROUP BY lang, split ORDER BY lang, split""",
+    "q_t_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY doc_id, t),
+         dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM terms GROUP BY t),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.t AS term,
+                  round(tf.tf * ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)), 4) AS tfidf,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)) DESC,
+                             tf.t) AS rn
+           FROM tf JOIN dfreq df ON tf.t = df.t, n)
+         SELECT doc_id, term, tfidf FROM scored
+         WHERE rn = 1 ORDER BY doc_id""",
     "q_t_stratified_fixed" ->
       """WITH u AS (
            SELECT doc_id, lang, source,

@@ -111,6 +111,33 @@ object TextAnalysis {
     * order-sensitive document hash (a content-defined signature usable
     * for shift-tolerant chunk dedup). Accumulates modulo a 30-bit prime
     * so every intermediate stays overflow-free under ANSI mode. */
+  /** Top-`k` TF-IDF terms per document. Classic two-aggregate shape,
+    * all on the (doc, term) axis: explode -> tf hash agg, term-axis df
+    * hash agg joined back (Catalyst broadcasts it — vocabulary is tiny
+    * relative to the corpus), corpus size N as a scalar agg broadcast
+    * (never `OVER ()`), then top-k per doc via a ranking window
+    * partitioned by doc. idf = ln((N+1)/(df+1)) — the smoothed form, no
+    * division-by-zero edge. Deterministic: ties break on the term. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, text: Column,
+      k: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol), explode(tokens(text)).as("__t"))
+    val tf = terms.groupBy(idCol, "__t").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col(idCol), col("__t")).distinct()
+      .groupBy("__t").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("__t"))
+    tf.join(dfreq, "__t")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log((col("__n") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("__t").as("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
   def rollingFingerprint(text: Column): Column = {
     val M = 1000000007L
     aggregate(tokens(text), lit(5381L),
