@@ -748,6 +748,24 @@ object SparkEntry {
         .orderBy("hour_start")
     }),
 
+    // ---- batch gaps-and-islands sessionization: lag flags a >30-min
+    //      gap, a running sum over the same window numbers the islands
+    //      — the batch shape of streaming sessionize, and the classic
+    //      two-window idiom (both windows share ONE partition-sort)
+    "q_e_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("__gap",
+          when(col("ts").cast("double") -
+            lag(col("ts"), 1).over(w).cast("double") > 1800.0, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("__gap")).over(w))
+        .groupBy("user_id")
+        .agg(countDistinct(col("sess_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ---- JSON functions over the events props column (SURVEY §2.9)
     "q_e_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -1430,6 +1448,21 @@ object SparkEntry {
                 CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0
                      THEN 'even' ELSE 'odd' END AS format
          FROM documents ORDER BY doc_id""",
+    "q_e_sessions" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                       THEN 1 ELSE 0 END AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id,
+                  sum(gap) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sess_id
+           FROM g)
+         SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
+                count(*) AS n_events
+         FROM s GROUP BY user_id ORDER BY user_id""",
     "q_e_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 count(*) AS cnt, round(avg(value), 4) AS avg_value
