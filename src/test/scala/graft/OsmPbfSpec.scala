@@ -161,6 +161,16 @@ class OsmPbfSpec extends SparkTestBase {
     assert(rows.head.getLong(0) === 1L && rows.last.getLong(0) === n.toLong)
   }
 
+  test("directory of .pbf files reads as their union (multi-file planning)") {
+    val dir = Files.createTempDirectory("pbfdir")
+    Files.copy(new java.io.File(path).toPath, dir.resolve("a.osm.pbf"))
+    Files.copy(new java.io.File(path).toPath, dir.resolve("b.osm.pbf"))
+    Files.write(dir.resolve("notes.txt"), "ignored".getBytes) // non-.pbf skipped
+    val n = spark.read.format(fmt).option("entity", "nodes")
+      .load(dir.toString).count()
+    assert(n === 6L) // 3 nodes per file, two files
+  }
+
   test("required_features gate: supported pass, unknown refuse") {
     // HeaderBlock field 4 = required_features
     val ok = str(4, "OsmSchema-V0.6") ++ str(4, "DenseNodes")
