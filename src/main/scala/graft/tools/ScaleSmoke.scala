@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom smoke: synthesizes inputs 10-100x beyond the sf0.1
+  * test data straight from `spark.range` (no files, so the cost
+  * measured is the operators', not the scan's) and runs the engine's
+  * two newest scale paths end to end:
+  *
+  *   - `RoadGraph.splitSegments` over `ways x nodesPerWay` way-nodes
+  *     with forced node sharing (every way shares boundary nodes with
+  *     its neighbor) — the 3-shuffle array-form split at data scale;
+  *   - `GraphCheck.connectedComponents` over a `chains x chainLen`
+  *     path graph — the adversarial topology where pointer jumping is
+  *     the difference between log2(chainLen) and chainLen rounds.
+  *
+  * Prints one JSON line with row counts, run times, and the component
+  * round count. `runMain graft.tools.ScaleSmoke [waysMillions]
+  * [chainsThousands]` (defaults 2 and 200: 16M way-node rows, 12.8M
+  * graph edges).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val waysM = if (args.nonEmpty) args(0).toDouble else 2.0
+    val chainsK = if (args.length > 1) args(1).toDouble else 200.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nWays = (waysM * 1e6).toLong
+    val perWay = 8
+    // way w owns nodes [7w, 7w+7]: consecutive ways SHARE their
+    // boundary node (endpoints -> no split), and every 10th way repeats
+    // its own node at positions 3 and 4 (interior shared -> splits into
+    // 3 segments). Expected segments = nWays + 2 * (nWays / 10).
+    val wn = spark.range(nWays * perWay).select(
+      (col("id") / perWay).cast("long").as("way_id"),
+      (col("id") % perWay).cast("int").as("sequence_id"))
+      .withColumn("node_id",
+        col("way_id") * (perWay - 1) +
+          when(col("way_id") % 10 === 0 && col("sequence_id") === 4, 3)
+            .otherwise(col("sequence_id")))
+      .select("way_id", "node_id", "sequence_id")
+
+    val t0 = System.nanoTime()
+    val segs = graft.osm.RoadGraph.splitSegments(wn, "way_id", "node_id",
+        col("sequence_id"))
+      .select(col("way_id"), size(col("nodes")).as("n"))
+      .agg(count(lit(1)).as("segments"), sum(col("n")).as("nodes_total"))
+      .head()
+    val splitSec = (System.nanoTime() - t0) / 1e9
+
+    val nChains = (chainsK * 1e3).toLong
+    val chainLen = 64
+    val edges = spark.range(nChains * (chainLen - 1)).select(
+      (col("id") / (chainLen - 1)).cast("long").as("__c"),
+      (col("id") % (chainLen - 1)).as("__i"))
+      .select(
+        (col("__c") * chainLen + col("__i")).as("start_node"),
+        (col("__c") * chainLen + col("__i") + 1).as("end_node"))
+    val t1 = System.nanoTime()
+    val (labels, rounds) =
+      graft.osm.GraphCheck.connectedComponentsWithRounds(edges)
+    val comp = labels.agg(count(lit(1)).as("nodes"),
+      countDistinct(col("component")).as("components")).head()
+    val ccSec = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
+      s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
+      s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
+      s""""cc_components":${comp.getLong(1)},"cc_rounds":$rounds,""" +
+      s""""cc_sec":$ccSec}""")
+    spark.stop()
+  }
+}
