@@ -644,6 +644,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- int8 embedding quantization: scale = max|x|/127, codes
+    //      round(x/scale) — 4x storage cut ahead of ANN; integer code
+    //      stats keep the oracle comparison exact
+    "q_s_quantize" -> ((s, dir) => {
+      val (scale, codes) = llm.Similarity.quantizeInt8(col("embedding"))
+      embeddings(s, dir)
+        .select(col("vec_id"), round(scale, 6).as("scale"), codes.as("__c"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("__c"), lit(0L), (a, x) => a + x).as("code_sum"),
+          array_min(col("__c")).as("code_min"),
+          array_max(col("__c")).as("code_max"))
+        .orderBy("vec_id")
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline; driver-collected
     //      query vector spliced as a literal)
     "q_s_cosine_topk" -> ((s, dir) => {
@@ -1427,6 +1441,23 @@ object SparkEntry {
          SELECT lang, count(*) AS kept
          FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
          GROUP BY lang ORDER BY lang""",
+    "q_s_quantize" ->
+      """WITH q AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, round(s, 6) AS scale,
+                  list_transform(embedding, x ->
+                    CASE WHEN s = 0 THEN 0
+                         ELSE CAST(round(CAST(x AS DOUBLE) / s) AS INT) END) AS codes
+           FROM q)
+         SELECT vec_id, scale,
+                CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                list_min(codes) AS code_min,
+                list_max(codes) AS code_max
+         FROM c ORDER BY vec_id""",
     "q_s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS x,

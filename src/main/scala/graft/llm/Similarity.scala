@@ -52,6 +52,25 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * code_i = round(x_i / scale) in [-127, 127] — the standard embedding
+    * compression (4x smaller than float32, 8x than float64) ahead of
+    * ANN: store codes + one scale, rescore survivors on the originals.
+    * Pure column expressions, deterministic (no calibration sampling).
+    * Returns (scaleCol, codesCol); all-zero vectors get scale 0 and
+    * all-zero codes. */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+    val codes = transform(vec, x =>
+      when(scale === 0.0, 0)
+        .otherwise(round(x.cast("double") / scale).cast("int")))
+    (scale, codes)
+  }
+
+  /** Inverse of [[quantizeInt8]]: x_i ~= code_i * scale. */
+  def dequantizeInt8(scale: Column, codes: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Deterministic random hyperplanes: numBits x dim, seed-fixed. */
   private[graft] def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -149,6 +149,20 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization: codes bounded, round-trip cosine >= 0.995 on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (scale, codes) = Similarity.quantizeInt8($"embedding")
+    val q = e.select($"vec_id", $"embedding", scale.as("s"), codes.as("c"))
+    val stats = q.select(
+      min(array_min($"c")).as("lo"), max(array_max($"c")).as("hi"),
+      min(Similarity.cosine($"embedding",
+        Similarity.dequantizeInt8($"s", $"c"))).as("worst_cos"))
+      .head()
+    assert(stats.getAs[Int]("lo") >= -127 && stats.getAs[Int]("hi") <= 127)
+    assert(stats.getAs[Double]("worst_cos") >= 0.995,
+      s"reconstruction too lossy: ${stats.getAs[Double]("worst_cos")}")
+  }
+
   test("embedding near-dup: identical vectors pair at cos=1, orthogonal don't") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
