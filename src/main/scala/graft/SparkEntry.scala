@@ -556,6 +556,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- the ACTIONABLE dedup: near-dup pairs -> connected-component
+    //      clusters -> keep the min-id canonical per cluster. The full
+    //      chain (shingles -> signatures -> bands -> verify -> cluster
+    //      -> anti-join) is DuckDB-replicated via a recursive CTE.
+    "q_d_neardup_keep" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val pairs = llm.Dedup.minhashNearDups(d, "doc_id", col("text"),
+        numPerm = 32, shingleK = 5, bands = 4, threshold = 0.4)
+      llm.Dedup.keepCanonical(d, "doc_id", pairs)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+
     // ---- SimHash near-dup (maxDist+1-chunk pigeonhole banding,
     //      DuckDB-replicated oracle via the portable 60-bit md5 hash)
     "q_d_simhash_pairs" -> ((s, dir) => {
@@ -1784,6 +1797,7 @@ object SparkEntry {
                 round(sum(s_acctbal), 2) AS acctbal
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_d_minhash_pairs" -> minhashOracleSql,
+    "q_d_neardup_keep" -> neardupKeepOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
     "q_s_ann_lsh" -> annLshOracleSql,
     // IVF with the fixed first-16 quantizer: assignment (argmax cosine,
@@ -1980,6 +1994,26 @@ object SparkEntry {
   )
   SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified
   WHERE j >= 0.4 ORDER BY id_a, id_b"""
+  }
+
+  /** Same pipeline CTEs, continued into cluster dedup: pairs ->
+    * recursive-CTE components -> drop non-canonical members. */
+  private def neardupKeepOracleSql: String = {
+    val base = minhashOracleSql
+    val prefix = base.substring(0, base.lastIndexOf("  SELECT id_a"))
+    prefix.replaceFirst("WITH sh AS", "WITH RECURSIVE sh AS") + """,
+  pairs AS (SELECT id_a, id_b FROM verified WHERE j >= 0.4),
+  sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+  reach(n, l) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+    UNION
+    SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.n),
+  comp AS (SELECT n AS doc_id, min(l) AS root FROM reach GROUP BY n),
+  dropped AS (SELECT doc_id FROM comp WHERE doc_id <> root)
+  SELECT lang, count(*) AS kept FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+  GROUP BY lang ORDER BY lang"""
   }
 
   /** DuckDB replica of the SimHash pipeline (60-bit portable md5 token

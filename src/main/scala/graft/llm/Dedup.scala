@@ -200,6 +200,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Near-dup pairs -> actionable dedup: cluster the pair graph with
+    * connected components (near-duplication is transitive-ish in
+    * practice — A~B and B~C usually means one cluster even when A~C
+    * missed the candidate stage) and keep ONE canonical document per
+    * cluster, the min id. Documents in no pair survive untouched via
+    * the anti-join. Composes the LLM candidate machinery with the
+    * pointer-jumping components operator, so cluster diameter costs
+    * log rounds, not diameter rounds. */
+  def keepCanonical(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = graft.osm.GraphCheck.connectedComponents(
+      pairs.select(col("id_a").as("start_node"), col("id_b").as("end_node")))
+    val dropped = comp.filter(col("node_id") =!= col("component"))
+      .select(col("node_id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** SimHash bit width: 60 = 15 md5 hex chars, so the token hash is
     * reproducible by an independent SQL oracle, and 4 pigeonhole chunks
     * stay an even 15 bits. */

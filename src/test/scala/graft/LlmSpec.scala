@@ -36,6 +36,19 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("keepCanonical: pair clusters collapse to their min id, unpaired docs survive") {
+    // docs 1, 2, 4 form one near-dup cluster (1~2, 1~4); doc 3 is alone
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", $"text", bands = 8,
+      threshold = 0.5)
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+    // no pairs at all -> everything survives
+    val none = Dedup.keepCanonical(docs, "doc_id",
+      pairs.filter($"id_a" < 0))
+    assert(none.count() === 4L)
+  }
+
   test("simhash: identical -> hamming 0, near-dup -> small, disjoint -> large") {
     val sh = Dedup.simhash(docs, "doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
