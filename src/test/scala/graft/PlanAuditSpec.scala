@@ -103,6 +103,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), "array form must not need a window")
   }
 
+  test("decontamination broadcasts the benchmark gram set into a semi-join") {
+    val p = plan("q_t_decontam")
+    assert(p.contains("BroadcastHashJoin LeftSemi") ||
+      p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark grams should broadcast, plan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project->filter hot paths") {
     // AQE only annotates codegen stages in the FINAL plan — execute first
     Seq("q_t_text_stats", "q_f_math_case", "q_t_quality").foreach { q =>
