@@ -161,6 +161,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- A17 CUBE + GROUPING(): all four grouping-set levels in one
+    //      Expand->hash-agg pass; grouping_id disambiguates real NULL
+    //      keys from subtotal rows (keys coalesced to 'ALL' for the
+    //      deterministic compare)
+    "q_a17_cube" -> ((s, dir) => {
+      lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("gid", "flag", "status")
+    }),
+
     // ---- A6/O2 ordered array_agg (osm-road-graphs.sql:144): deterministic
     //      via array_sort(collect_list(struct(...))), never bare collect_list
     "q_a6_ordered_agg" -> ((s, dir) => {
@@ -324,6 +341,20 @@ object SparkEntry {
       orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
           row_number().over(w).cast("long").as("rn"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- W8 rank family: ntile / percent_rank / cume_dist / dense_rank
+    //      share ONE window partition-sort (one shuffle, one sort —
+    //      Catalyst collapses same-spec windows into a single Window op)
+    "q_w8_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          dense_rank().over(w).cast("long").as("drank"))
+        .orderBy("o_orderkey")
     }),
 
     // ---- U3 INTERSECT / EXCEPT
@@ -657,6 +688,54 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- within-doc repetition (Gopher-style boilerplate filter):
+    //      top-bigram share via longest run in the SORTED bigram array —
+    //      a scan-local fold, NOT an explode+groupBy (which would
+    //      shuffle the whole corpus on (doc, bigram) at 100 TB); the
+    //      oracle computes the same number relationally
+    "q_t_repetition" -> ((s, dir) => {
+      val f = llm.TextAnalysis.repetitionFeatures(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          f.getField("dup_token_frac").as("dup_token_frac"),
+          f.getField("top_bigram_frac").as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII redaction + audit counts over a deterministically
+    //      enriched column (the synthetic corpus has no PII, so both
+    //      engines splice identical email/IP/phone strings in before
+    //      the regexes run — the counts are then provably non-zero)
+    "q_t_pii" -> ((s, dir) => {
+      val enriched = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val counts = llm.Curation.piiCounts(enriched)
+      documents(s, dir)
+        .select(col("doc_id"),
+          counts.getField("n_email").as("n_email"),
+          counts.getField("n_ipv4").as("n_ipv4"),
+          counts.getField("n_phone").as("n_phone"),
+          llm.Curation.redactPii(enriched).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- GPT-style sequence packing: global token offsets without a
+    //      global window — per-block running sums + a tiny block-prefix
+    //      relation broadcast back (no single-partition stage over the
+    //      corpus); the oracle IS the global window, proving the
+    //      block-decomposed form computes identical offsets
+    "q_t_packing" -> ((s, dir) => {
+      val d = documents(s, dir)
+      llm.Curation.packSequences(d, "doc_id",
+          llm.TextAnalysis.tokenCount(col("text")), seqLen = 512,
+          blockSize = 64L)
+        .orderBy("doc_id")
+    }),
+
     // ---- int8 embedding quantization: scale = max|x|/127, codes
     //      round(x/scale) — 4x storage cut ahead of ANN; integer code
     //      stats keep the oracle comparison exact
@@ -791,6 +870,21 @@ object SparkEntry {
         .agg(countDistinct(col("sess_id")).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // ---- built-in session_window (the batch face of streaming
+    //      sessionization): merges [ts, ts+30m) intervals per user, so
+    //      a >=30-min silence starts a new session — cross-checked
+    //      against the gaps-and-islands oracle computing the same cuts
+    "q_e_session_builtin" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_start")
     }),
 
     // ---- JSON functions over the events props column (SURVEY §2.9)
@@ -1170,6 +1264,13 @@ object SparkEntry {
                 count(*) FILTER (WHERE source = 'src1') AS src1,
                 count(*) FILTER (WHERE source = 'src2') AS src2
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_a17_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                COALESCE(l_returnflag, 'ALL') AS flag,
+                COALESCE(l_linestatus, 'ALL') AS status,
+                count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, flag, status""",
     "q_a6_ordered_agg" ->
       """SELECT l_orderkey,
                 array_to_string(list(CAST(l_partkey AS VARCHAR) ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)), ',') AS parts_csv,
@@ -1253,6 +1354,16 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_w8_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                CAST(dense_rank() OVER w AS BIGINT) AS drank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
     "q_u3_setops" ->
       """SELECT n_key, 'both' AS op FROM
            (SELECT c_nationkey AS n_key FROM customer
@@ -1454,6 +1565,58 @@ object SparkEntry {
          SELECT lang, count(*) AS kept
          FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
          GROUP BY lang ORDER BY lang""",
+    // relational mirror of the scan-local sorted-run fold: max per-doc
+    // bigram count == longest equal-adjacent run in the sorted array
+    "q_t_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         top AS (SELECT doc_id, max(c) AS best, sum(c) AS nbg
+                 FROM cnt GROUP BY doc_id)
+         SELECT d.doc_id,
+                round((len(t) - len(list_distinct(t)))
+                      / CAST(len(t) AS DOUBLE), 4) AS dup_token_frac,
+                COALESCE(round(best / CAST(nbg AS DOUBLE), 4), 0.0)
+                  AS top_bigram_frac
+         FROM toks d LEFT JOIN top ON d.doc_id = top.doc_id
+         ORDER BY d.doc_id""",
+    "q_t_pii" ->
+      """WITH e AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 tel 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS x
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(x,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(x,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(x, '\b\d{3}-\d{4}\b')) AS BIGINT)
+             AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(x,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+             '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+         FROM e ORDER BY doc_id""",
+    // the oracle IS the textbook global running sum; the engine computes
+    // it block-decomposed — identical offsets prove the decomposition
+    "q_t_packing" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents),
+         o AS (SELECT doc_id, n,
+                 COALESCE(CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS start_tok
+               FROM t)
+         SELECT doc_id, n AS n_tokens, start_tok,
+                start_tok // 512 AS seq_first,
+                (start_tok + greatest(n, 1) - 1) // 512 AS seq_last
+         FROM o ORDER BY doc_id""",
     "q_s_quantize" ->
       """WITH q AS (
            SELECT vec_id, embedding,
@@ -1507,6 +1670,23 @@ object SparkEntry {
          SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
                 count(*) AS n_events
          FROM s GROUP BY user_id ORDER BY user_id""",
+    // gaps-and-islands mirror of session_window's interval-merge: a new
+    // session starts exactly when ts - prev_ts >= the 30-min gap
+    "q_e_session_builtin" ->
+      """WITH g AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+                       THEN 1 ELSE 0 END AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(gap) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sid
+           FROM g)
+         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""",
     "q_e_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 count(*) AS cnt, round(avg(value), 4) AS avg_value

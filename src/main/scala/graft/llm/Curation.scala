@@ -81,4 +81,65 @@ object Curation {
       .select(idCol).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** PII patterns, deliberately RE2-compatible (no backrefs, no
+    * lookaround) so an independent engine applies the exact same
+    * regexes: emails, dotted-quad IPv4s, NANP-style phone fragments.
+    * Order matters for redaction: emails first (they contain dots that
+    * the IP pattern must not see), then IPs, then phones. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{4}\\b")
+
+  /** Redact every PII match with its `[KIND]` placeholder. A fold of
+    * codegen'd `regexp_replace`s — scan-local, zero shuffle, linear at
+    * any corpus size. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Per-kind PII hit counts as a struct (n_email, n_ipv4, n_phone) —
+    * the audit side of redaction (what a compliance report aggregates).
+    * Counts run on the RAW text, each pattern independently. */
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (name, pat) =>
+      regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
+    }: _*)
+
+  /** GPT-style sequence packing: documents are concatenated in `idCol`
+    * order and cut into fixed `seqLen`-token training sequences; a
+    * document may straddle a boundary. Emits per document its global
+    * token offset and the first/last sequence it lands in.
+    *
+    * Scale shape: the textbook formulation is one global running sum —
+    * a single-partition window, a non-starter at 100 TB. Here the
+    * running sum runs INSIDE deterministic id blocks (window partitioned
+    * by `floor(id / blockSize)`, never wider than `blockSize` docs) and
+    * each block is prefixed with the total of all earlier blocks — a
+    * second window over the per-block aggregate, whose row count is
+    * corpus/blockSize and whose cumulative sums broadcast back. Same
+    * numbers as the global window, no single-partition stage over the
+    * corpus. */
+  def packSequences(df: DataFrame, idCol: String, tokCount: Column,
+      seqLen: Int, blockSize: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), tokCount.cast("long").as("__n"),
+      floor(col(idCol).cast("long") / blockSize).as("__b"))
+    val wb = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = base.groupBy("__b").agg(sum("__n").as("__bn"))
+      .withColumn("__boff", coalesce(sum(col("__bn")).over(wb), lit(0L)))
+      .drop("__bn")
+    val wi = Window.partitionBy("__b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(blockOffsets), Seq("__b"))
+      .withColumn("start_tok",
+        col("__boff") + coalesce(sum(col("__n")).over(wi), lit(0L)))
+      .select(col(idCol), col("__n").as("n_tokens"), col("start_tok"),
+        floor(col("start_tok") / seqLen).cast("long").as("seq_first"),
+        floor((col("start_tok") + greatest(col("__n"), lit(1L)) - 1) / seqLen)
+          .cast("long").as("seq_last"))
+  }
 }

@@ -148,4 +148,40 @@ object TextAnalysis {
     * and case): md5 of lowercased, whitespace-collapsed text. */
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Within-document repetition features — the Gopher-style quality
+    * filters that drop boilerplate/spam before pre-training:
+    *   - `dup_token_frac`: fraction of tokens that are repeats of an
+    *     earlier token (1 - distinct/total),
+    *   - `top_bigram_frac`: share of all adjacent-token bigrams claimed
+    *     by the single most frequent bigram.
+    * Zero-shuffle by design: instead of exploding bigrams and running a
+    * per-document groupBy (a corpus-sized shuffle at 100 TB), the top
+    * bigram count is the longest equal-adjacent run in the SORTED
+    * bigram array — one `array_sort` + one codegen'd `aggregate` fold,
+    * all scan-local. Returns a struct (dup_token_frac, top_bigram_frac),
+    * both rounded to 4 places; a one-token document has no bigrams and
+    * scores 0.0. */
+  def repetitionFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // adjacent bigrams, NOT distinct (counts matter here)
+    val bgs = array_sort(transform(sequence(lit(1), greatest(n - 1, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val fold = aggregate(bgs,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    val nBg = size(bgs)
+    struct(
+      round((n - size(array_distinct(toks))).cast("double") / n, 4)
+        .as("dup_token_frac"),
+      when(nBg > 0,
+        round(fold.getField("best").cast("double") / nBg, 4))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
 }
