@@ -24,8 +24,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
+    // SPARK_GRAFT_ONLY=<regex> restricts to matching query names (dev
+    // iteration on one hot query without the full 92-query sweep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -68,7 +73,18 @@ object Bench {
       }
 
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"pbf_ingest_sec":$pbfIngest,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"pbf_ingest_sec":$pbfIngest,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's captured stdout tail truncates long runs — also land
+    // the complete per-query JSON as a repo artifact for round-over-round
+    // comparison (VERDICT r5 item 7)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_FULL.json")),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -689,16 +689,18 @@ object SparkEntry {
     }),
 
     // ---- within-doc repetition (Gopher-style boilerplate filter):
-    //      top-bigram share via longest run in the SORTED bigram array —
-    //      a scan-local fold, NOT an explode+groupBy (which would
-    //      shuffle the whole corpus on (doc, bigram) at 100 TB); the
-    //      oracle computes the same number relationally
+    //      one-pass native RepetitionStats expression — scan-local, NOT
+    //      an explode+groupBy (which would shuffle the whole corpus on
+    //      (doc, bigram) at 100 TB); the struct is materialized in its
+    //      own projection so it is computed ONCE per row (CollapseProject
+    //      won't inline a non-cheap alias referenced twice); the oracle
+    //      computes the same numbers relationally
     "q_t_repetition" -> ((s, dir) => {
-      val f = llm.TextAnalysis.repetitionFeatures(col("text"))
       documents(s, dir)
+        .withColumn("__f", llm.TextAnalysis.repetitionFeatures(col("text")))
         .select(col("doc_id"),
-          f.getField("dup_token_frac").as("dup_token_frac"),
-          f.getField("top_bigram_frac").as("top_bigram_frac"))
+          col("__f").getField("dup_token_frac").as("dup_token_frac"),
+          col("__f").getField("top_bigram_frac").as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 

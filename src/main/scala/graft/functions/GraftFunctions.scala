@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("matvec"),
         new ExpressionInfo(classOf[MatVec].getName, "matvec"),
         (children: Seq[Expression]) => MatVec(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("repetition_stats"),
+        new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+        (children: Seq[Expression]) => RepetitionStats(children.head)))
     ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }
@@ -87,4 +91,9 @@ object GraftFunctions {
     * (injected [[MatVec]]): per-row dots of `vec` with each matrix row. */
   def matVec(matrix: Seq[Seq[Double]], vec: Column): Column =
     call_function("matvec", typedlit(matrix), vec)
+
+  /** One-pass repetition features over a token array (injected
+    * [[RepetitionStats]]): struct(dup_token_frac, top_bigram_frac). */
+  def repetitionStats(tokens: Column): Column =
+    call_function("repetition_stats", tokens)
 }

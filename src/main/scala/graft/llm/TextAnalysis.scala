@@ -107,10 +107,6 @@ object TextAnalysis {
       .otherwise(best.getField("lang"))
   }
 
-  /** Rolling polynomial fingerprint over whitespace tokens —
-    * order-sensitive document hash (a content-defined signature usable
-    * for shift-tolerant chunk dedup). Accumulates modulo a 30-bit prime
-    * so every intermediate stays overflow-free under ANSI mode. */
   /** Top-`k` TF-IDF terms per document. Classic two-aggregate shape,
     * all on the (doc, term) axis: explode -> tf hash agg, term-axis df
     * hash agg joined back (Catalyst broadcasts it — vocabulary is tiny
@@ -138,6 +134,10 @@ object TextAnalysis {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Rolling polynomial fingerprint over whitespace tokens —
+    * order-sensitive document hash (a content-defined signature usable
+    * for shift-tolerant chunk dedup). Accumulates modulo a 30-bit prime
+    * so every intermediate stays overflow-free under ANSI mode. */
   def rollingFingerprint(text: Column): Column = {
     val M = 1000000007L
     aggregate(tokens(text), lit(5381L),
@@ -156,18 +156,34 @@ object TextAnalysis {
     *   - `top_bigram_frac`: share of all adjacent-token bigrams claimed
     *     by the single most frequent bigram.
     * Zero-shuffle by design: instead of exploding bigrams and running a
-    * per-document groupBy (a corpus-sized shuffle at 100 TB), the top
-    * bigram count is the longest equal-adjacent run in the SORTED
-    * bigram array — one `array_sort` + one codegen'd `aggregate` fold,
-    * all scan-local. Returns a struct (dup_token_frac, top_bigram_frac),
-    * both rounded to 4 places; a one-token document has no bigrams and
-    * scores 0.0. */
-  def repetitionFeatures(text: Column): Column = {
+    * per-document groupBy (a corpus-sized shuffle at 100 TB), both
+    * features come from the one-pass native
+    * [[graft.functions.RepetitionStats]] expression (codegen'd — the
+    * earlier HOF sort+fold formulation ran interpreted and crashed on
+    * sub-2-token docs). Returns a struct (dup_token_frac,
+    * top_bigram_frac), both rounded to 4 places; a one-token or empty
+    * document has no bigrams and scores `top_bigram_frac = 0.0`.
+    * Callers projecting BOTH fields should materialize the struct in
+    * its own projection (`withColumn`) so it is computed once. */
+  def repetitionFeatures(text: Column): Column =
+    graft.functions.GraftFunctions.repetitionStats(tokens(text))
+
+  /** Built-in-composition twin of [[repetitionFeatures]] — the sorted
+    * bigram array's longest equal-adjacent run equals the top bigram
+    * count. Kept for the native/HOF equivalence spec; the HOF
+    * `transform`/`aggregate` chain is CodegenFallback (interpreted), so
+    * production code routes through the native expression. The bigram
+    * array is guarded for n < 2: `sequence(1, n-1)` with n = 1 would
+    * produce the DESCENDING array [1, 0] and throw under ANSI on
+    * `element_at(toks, 0)`. */
+  def repetitionFeaturesBuiltin(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks)
     // adjacent bigrams, NOT distinct (counts matter here)
-    val bgs = array_sort(transform(sequence(lit(1), greatest(n - 1, lit(0))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val bgs = when(n >= 2,
+      array_sort(transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<string>"))
     val fold = aggregate(bgs,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {

@@ -250,4 +250,28 @@ class LlmSpec extends SparkTestBase {
       .collect().map(m => m.doc_id -> m.payload.length).toMap
     assert(resized(1L) === 6 && resized(2L) === 2)
   }
+
+  test("repetition features: native == builtin HOF, known values, sub-2-token docs don't throw") {
+    // "a b a b a b" -> 6 tokens, 2 distinct -> dup = 4/6 = 0.6667;
+    // bigrams: [a b, b a, a b, b a, a b] -> top "a b" x3 of 5 -> 0.6
+    val fixture = Seq(
+      (1L, "a b a b a b"),
+      (2L, "all tokens here are unique words"),
+      (3L, "solo"),            // one token: no bigrams (crashed the old HOF form)
+      (4L, ""),                // split("") -> [""]: one empty token
+      (5L, "x y")              // exactly one bigram
+    ).toDF("doc_id", "text")
+    def collectF(c: org.apache.spark.sql.Column) = fixture
+      .select($"doc_id", c.as("f"))
+      .select($"doc_id", $"f.dup_token_frac", $"f.top_bigram_frac")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val native = collectF(TextAnalysis.repetitionFeatures($"text"))
+    val builtin = collectF(TextAnalysis.repetitionFeaturesBuiltin($"text"))
+    assert(native === builtin)
+    assert(native(1L) === ((0.6667, 0.6)))
+    assert(native(2L) === ((0.0, 0.2))) // 6 uniq tokens, 5 uniq bigrams -> 1/5
+    assert(native(3L) === ((0.0, 0.0)))
+    assert(native(4L) === ((0.0, 0.0)))
+    assert(native(5L) === ((0.0, 1.0)))
+  }
 }

@@ -133,4 +133,20 @@ class PlanAuditSpec extends SparkTestBase {
   test("AQE is enabled in the session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
+
+  test("repetition stats expression evaluates once per row (no per-field inlining)") {
+    // projecting both struct fields must NOT duplicate the expression:
+    // the struct is aliased in its own projection and CollapseProject
+    // won't inline a non-cheap alias referenced twice
+    val df = SparkEntry.queries("q_t_repetition")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are annotated
+    // the adaptive dump repeats the tree under "== Initial Plan ==" — audit
+    // only the final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hits = "repetition_stats".r.findAllIn(p).length
+    assert(hits === 1, s"repetition_stats appears $hits times in plan:\n$p")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("codegen id"), "repetition path should be codegen'd")
+  }
 }
