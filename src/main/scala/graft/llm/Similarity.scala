@@ -199,6 +199,22 @@ object Similarity {
       nprobe)
   }
 
+  /** Per-query recall@k of an ANN result against the exact result: the
+    * fraction of the exact top-k ids the ANN result found. Both inputs
+    * are (qidCol, idCol, ...) top-k tables; queries the ANN missed
+    * entirely score 0. The join sides are k*|queries| rows — broadcast
+    * territory at any realistic query-batch size. */
+  def recallAtK(ann: DataFrame, exact: DataFrame, qidCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val hits = ann.select(qidCol, idCol)
+      .join(exact.select(qidCol, idCol), Seq(qidCol, idCol), "left_semi")
+      .groupBy(qidCol).agg(count(lit(1)).as("__hits"))
+    exact.select(qidCol).distinct()
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** IVF search against an explicit centroid matrix (trained or fixed). */
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
