@@ -794,22 +794,33 @@ object SparkEntry {
     }),
 
     // ---- IVF-style ANN with Lloyd-trained centroids, gated by RECALL
-    //      against the exact brute force (r5 verdict: the raw top-k
+    //      against the exact brute force (r5/r6 verdict: the raw top-k
     //      can't be oracled — Lloyd centroids are partition-order float
     //      sums — so the correctness row is the quality contract
-    //      instead: every query's recall@5 must clear the floor. The
-    //      floor has slack for centroid drift; LlmSpec pins the exact
-    //      per-query recall on the fixed test corpus.)
+    //      instead: every query's recall@5 must clear 0.95, i.e. with
+    //      k=5 the IVF answer must BE the exact answer per query. The
+    //      output is only (query_id, recall_ok) against a literal
+    //      VALUES oracle — no nondeterministic column escapes — and
+    //      LlmSpec "IVF recall" pins the exact per-query recall on the
+    //      fixed sf0.001 corpus. nprobe=12 (not 4) is what buys recall
+    //      1.0 here: RecallProbe at sf0.01 measures nprobe=4 → two
+    //      queries at 0.8, nprobe=8/10 → one at 0.8, nprobe=12 → all
+    //      1.0. Probing 12/16 lists prunes little on THIS corpus —
+    //      synthetic near-isotropic random vectors have no cluster
+    //      structure, so true neighbors scatter across cells; on real
+    //      embedding corpora (which cluster heavily) the same operator
+    //      hits high recall at nprobe ~= nlist/8. The dial is the
+    //      user's; the gate pins this config's quality.
     "q_s_ivf_ann" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val ann = llm.Similarity.ivfTopKPerQuery(e, queries, "vec_id",
-        "embedding", "query_id", k = 5, nlist = 16, nprobe = 4)
+        "embedding", "query_id", k = 5, nlist = 16, nprobe = 12)
       val exact = llm.Similarity.topKPerQuery(e, queries, "vec_id",
         "embedding", "query_id", k = 5)
-      llm.Similarity.recallAtK(ann, exact, "query_id", "vec_id", k = 5)
-        .select(col("query_id"), col("recall"), (col("recall") >= 0.8).as("recall_ok"))
+      llm.Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+        .select(col("query_id"), (col("recall") >= 0.95).as("recall_ok"))
         .orderBy("query_id")
     }),
 
@@ -1989,6 +2000,17 @@ object SparkEntry {
     "q_d_neardup_keep" -> neardupKeepOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
     "q_s_ann_lsh" -> annLshOracleSql,
+    // q_s_ivf_ann emits only the deterministic quality verdict
+    // (query_id, recall_ok) — the Lloyd-trained top-k itself is not
+    // oracle-able (float-sum centroids are partition-order-dependent),
+    // so the contract IS the recall gate: every query's recall@5 vs the
+    // exact brute force clears 0.95. The oracle is the literal expected
+    // verdict table.
+    "q_s_ivf_ann" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
+         FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+           AS t(query_id, recall_ok)
+         ORDER BY query_id""",
     // IVF with the fixed first-16 quantizer: assignment (argmax cosine,
     // ties to the lowest centroid id), nprobe=4 pruning, exact rescore,
     // per-query top-5 — all recomputed independently. Cosines match

@@ -202,17 +202,23 @@ object Similarity {
   /** Per-query recall@k of an ANN result against the exact result: the
     * fraction of the exact top-k ids the ANN result found. Both inputs
     * are (qidCol, idCol, ...) top-k tables; queries the ANN missed
-    * entirely score 0. The join sides are k*|queries| rows — broadcast
-    * territory at any realistic query-batch size. */
+    * entirely score 0. Both sides are deduped on (qid, id), and the
+    * denominator is the per-query EXACT row count — not a constant k —
+    * so recall reaches 1.0 even when the corpus is smaller than k, and
+    * duplicate ANN rows can never push recall past 1.0. The join sides
+    * are k*|queries| rows — broadcast territory at any realistic
+    * query-batch size. */
   def recallAtK(ann: DataFrame, exact: DataFrame, qidCol: String,
-      idCol: String, k: Int): DataFrame = {
-    val hits = ann.select(qidCol, idCol)
-      .join(exact.select(qidCol, idCol), Seq(qidCol, idCol), "left_semi")
+      idCol: String): DataFrame = {
+    val ex = exact.select(qidCol, idCol).distinct()
+    val hits = ann.select(qidCol, idCol).distinct()
+      .join(ex, Seq(qidCol, idCol), "left_semi")
       .groupBy(qidCol).agg(count(lit(1)).as("__hits"))
-    exact.select(qidCol).distinct()
+    ex.groupBy(qidCol).agg(count(lit(1)).as("__n"))
       .join(hits, Seq(qidCol), "left")
       .select(col(qidCol),
-        (coalesce(col("__hits"), lit(0L)).cast("double") / k).as("recall"))
+        (coalesce(col("__hits"), lit(0L)).cast("double") / col("__n"))
+          .as("recall"))
   }
 
   /** IVF search against an explicit centroid matrix (trained or fixed). */

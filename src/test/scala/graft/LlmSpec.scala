@@ -162,6 +162,39 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("recallAtK unit: zero/partial/full overlap, missing query, dup rows, short exact") {
+    // exact top-k: q0 has {1,2,3}, q1 has {4,5}, q2 has {6,7} (short —
+    // corpus smaller than k), q3 has {8}
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (2L, 7L), (3L, 8L)).toDF("query_id", "vec_id")
+    // ann: q0 full overlap (with a DUPLICATE row that must not overcount
+    // or push recall past 1.0), q1 partial (1 of 2 + a non-hit), q2
+    // zero overlap, q3 missing entirely
+    val ann = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 3L), (1L, 4L),
+      (1L, 99L), (2L, 50L), (2L, 51L)).toDF("query_id", "vec_id")
+    val r = Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r === Map(0L -> 1.0, 1L -> 0.5, 2L -> 0.0, 3L -> 0.0))
+  }
+
+  test("IVF recall: production config (nlist=16, nprobe=12) recall@5 is 1.0 per query") {
+    // pins the exact per-query recall@5 the q_s_ivf_ann gate asserts —
+    // same corpus, same config; a centroid-training or probe-pruning
+    // regression shows up here before the correctness harness runs
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding")
+    val ann = Similarity.ivfTopKPerQuery(e, queries, "vec_id", "embedding",
+      "query_id", k = 5, nlist = 16, nprobe = 12)
+    val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding",
+      "query_id", k = 5)
+    val r = Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === (0L until 5L).toSet)
+    (0L until 5L).foreach { q =>
+      assert(r(q) === 1.0, s"query $q recall ${r(q)} != 1.0")
+    }
+  }
+
   test("int8 quantization: codes bounded, round-trip cosine >= 0.995 on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (scale, codes) = Similarity.quantizeInt8($"embedding")
