@@ -77,13 +77,24 @@ object Bench {
     println(line)
     // the driver's captured stdout tail truncates long runs — also land
     // the complete per-query JSON as a repo artifact for round-over-round
-    // comparison (VERDICT r5 item 7)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_FULL.json")),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    // comparison (VERDICT r5 item 7). Only a FULL sweep at the driver's
+    // sf0.1 may claim the default artifact path — a SPARK_GRAFT_ONLY
+    // subset or a dev run at another SF would silently clobber the
+    // round-over-round record with an incomparable file (ADVICE r6).
+    // SPARK_GRAFT_BENCH_OUT still lands any run at an explicit path.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {
+      if (only.isEmpty && sfDir.endsWith("sf0.1")) Some("BENCH_FULL.json")
+      else { System.err.println(
+        s"[bench] partial/off-sf run (only=${only.nonEmpty}, sf=$sfDir): " +
+          "skipping BENCH_FULL.json; set SPARK_GRAFT_BENCH_OUT to land it")
+        None }
+    }
+    benchOut.foreach { path =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

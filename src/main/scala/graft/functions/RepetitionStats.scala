@@ -72,7 +72,10 @@ object RepetitionStats {
 
   /** Shared by interpreted eval and generated code. Null array elements
     * (impossible from `split`, but the type allows them) count as the
-    * empty token. */
+    * empty token — detected via `isNullAt`, which every ArrayData
+    * implementation honors; `getUTF8String` on a null slot returns null
+    * only for GenericArrayData, so a null-compare there would make the
+    * semantics depend on the array's physical format (ADVICE r6). */
   def eval(toks: ArrayData): InternalRow = {
     val n = toks.numElements()
     if (n == 0) return new GenericInternalRow(Array[Any](0.0, 0.0))
@@ -84,10 +87,7 @@ object RepetitionStats {
     val empty = UTF8String.EMPTY_UTF8
     var i = 0
     while (i < n) {
-      val t = {
-        val v = toks.getUTF8String(i)
-        if (v == null) empty else v
-      }
+      val t = if (toks.isNullAt(i)) empty else toks.getUTF8String(i)
       distinct.add(t)
       if (i > 0) {
         val key = UTF8String.concat(prev, space, t)

@@ -307,4 +307,24 @@ class LlmSpec extends SparkTestBase {
     assert(native(4L) === ((0.0, 0.0)))
     assert(native(5L) === ((0.0, 1.0)))
   }
+
+  test("repetition_stats: null array slots count as empty tokens in every physical format") {
+    // ("a", null, "a"): null -> "" so n=3, distinct {a, ""} -> dup 1/3;
+    // bigrams ("a "), (" a") each once -> top 1/2. The null slot must be
+    // detected via isNullAt — ColumnarArray (vectorized parquet) returns
+    // a non-null UTF8String for null slots, so a null-compare would give
+    // format-dependent answers (ADVICE r6).
+    val expected = (0.3333, 0.5)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.select(expr("repetition_stats(toks)").as("f"))
+        .select($"f.dup_token_frac", $"f.top_bigram_frac").head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val local = Seq(Tuple1(Seq("a", null, "a"))).toDF("toks")
+    assert(run(local) === expected, "GenericArrayData path")
+    val dir = java.nio.file.Files.createTempDirectory("repnull").toString
+    local.write.mode("overwrite").parquet(dir)
+    assert(run(spark.read.parquet(dir)) === expected,
+      "vectorized parquet (ColumnarArray) path")
+  }
 }
