@@ -1136,6 +1136,34 @@ object SparkEntry {
         .orderBy("node_id", "key")
     }),
 
+    // ---- OSM POI pivot from ways (osm-pois-extract.sql:51-71): same
+    //      branch-union shape as the nodes half plus the `highway IS
+    //      NULL` exclusion guard — fixture way 110 carries BOTH leisure
+    //      and highway and must be excluded; 112 carries two POI keys
+    //      and surfaces once per key
+    "q_osm_pois_ways" -> ((s, dir) => {
+      osm.PoisExtract.poisWays(osm.OsmModel.poisWaysFixture(s))
+        .select(col("way_id"), col("key"), col("values"), col("name"))
+        .orderBy("way_id", "key")
+    }),
+
+    // ---- Approach 1b: split at TRUE geometric crossings — ways that
+    //      cross with no shared vertex (osm-road-graphs-fix.sql:93-111).
+    //      Grid-bucketed segment-pair equi-join (never all-pairs; the
+    //      reference's own ST_Crosses form is flagged "Does not work
+    //      with large maps"); the X fixture must yield 4 halves meeting
+    //      at (0.01, 0.01), the endpoint-touch pair must NOT split.
+    //      Oracle = the hand-computed expected geometry.
+    "q_osm_cross_split" -> ((s, dir) => {
+      osm.GeometricSplit.splitWithCrossings(osm.GeometricSplit.crossingFixture(s))
+        .select(col("edge_id"),
+          round(element_at(col("geom"), 1).getField("lon"), 6).as("x1"),
+          round(element_at(col("geom"), 1).getField("lat"), 6).as("y1"),
+          round(element_at(col("geom"), -1).getField("lon"), 6).as("x2"),
+          round(element_at(col("geom"), -1).getField("lat"), 6).as("y2"))
+        .orderBy("edge_id", "x1", "y1")
+    }),
+
     // ---- multimodal plumbing: opaque binary payload column + typed
     //      metadata, exercised through the binary type end-to-end
     "q_mm_binary_meta" -> ((s, dir) => {
@@ -1901,6 +1929,46 @@ object SparkEntry {
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
          ORDER BY node_id, p."key"""",
+    // independent re-derivation of the way-POI extract incl. the
+    // exclusion guard: a way surfaces only if it has NO highway tag
+    "q_osm_pois_ways" ->
+      """WITH tags(way_id, "key", "value") AS (VALUES
+           (101,'highway','residential'),(101,'maxspeed','50'),(101,'name','First'),
+           (102,'highway','tertiary'),
+           (103,'highway','primary'),(103,'oneway','yes'),(103,'maxspeed','80 km/h'),
+           (104,'highway','motorway'),(104,'oneway','-1'),
+           (105,'highway','footway'),(105,'footway','sidewalk'),
+           (106,'highway','motorway'),
+           (107,'highway','residential'),(107,'access','private'),
+           (108,'leisure','park'),(108,'name','Central Park'),
+           (109,'highway','tertiary'),(109,'maxspeed','60'),
+           (110,'leisure','pitch'),(110,'highway','track'),(110,'name','Track Pitch'),
+           (111,'landuse','forest'),
+           (112,'sport','soccer'),(112,'amenity','community_centre'),(112,'name','Sports Club')),
+         poi AS (SELECT way_id, "key", "value" AS "values" FROM tags
+                 WHERE "key" IN ('leisure','landuse','sport','amenity')
+                   AND way_id NOT IN
+                     (SELECT way_id FROM tags WHERE "key" = 'highway'))
+         SELECT CAST(p.way_id AS BIGINT) AS way_id, p."key", p."values",
+                n."value" AS name
+         FROM poi p LEFT JOIN tags n ON n.way_id = p.way_id AND n."key" = 'name'
+         ORDER BY way_id, p."key"""",
+    // hand-computed expected split of the crossing fixture: the X pair
+    // (edges 1, 2) halves at the (0.01, 0.01) intersection; edge 3 far
+    // away and the endpoint-touch pair (4, 5) pass through unsplit
+    "q_osm_cross_split" ->
+      """SELECT CAST(edge_id AS BIGINT) AS edge_id,
+                CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+                CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+         FROM (VALUES
+           (1, 0.0,  0.0,  0.01, 0.01),
+           (1, 0.01, 0.01, 0.02, 0.02),
+           (2, 0.0,  0.02, 0.01, 0.01),
+           (2, 0.01, 0.01, 0.02, 0.0),
+           (3, 1.0,  1.0,  1.01, 1.0),
+           (4, 0.5,  0.5,  0.52, 0.5),
+           (5, 0.5,  0.5,  0.5,  0.52)) AS t(edge_id, x1, y1, x2, y2)
+         ORDER BY edge_id, x1, y1""",
     "q_t_chunks" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

@@ -84,27 +84,191 @@ object GeometricSplit {
     merged.unionByName(untouched)
   }
 
+  /** Approach 1b — TRUE geometric crossing points
+    * (osm-road-graphs-fix.sql:93-111): intersection points of way pairs
+    * that cross with NO shared vertex. The reference computes these with
+    * an all-pairs `ST_Touches OR ST_Crosses` self-join it flags "Does
+    * not work with large maps"; here each way explodes into segments,
+    * every segment lands in the grid cells its bbox spans, and candidate
+    * pairs come from an EQUI-join on the cell — work proportional to
+    * spatial collisions, not |ways|². The intersection itself is the
+    * standard planar parametric test (den = r×s; t, u = cross ratios;
+    * proper crossing when both parameters are interior).
+    *
+    * Returns one row per (way, crossing): `edge_id`, fractional
+    * `key` = 0-based segment index + parameter along it (orders the
+    * point between the segment's endpoints), and the point `pt`. Both
+    * ways of a pair see the bit-identical `pt` (computed once per pair
+    * row), so the downstream shared-point blade join matches exactly.
+    * Endpoint touches (parameter exactly 0/1) are NOT emitted for that
+    * side — a blade at a way's own vertex is the topological
+    * [[bladePositions]] case, not an insertion. */
+  def crossingPoints(net: DataFrame, cellDeg: Double = 0.01): DataFrame = {
+    val segs = net
+      .withColumn("__ga", slice(col("geom"), lit(1), size(col("geom")) - 1))
+      .withColumn("__gb", slice(col("geom"), lit(2), size(col("geom")) - 1))
+      .select(col("edge_id"),
+        posexplode(arrays_zip(col("__ga"), col("__gb"))).as(Seq("seg", "pp")))
+      .select(col("edge_id"), col("seg"),
+        col("pp.__ga").as("p1"), col("pp.__gb").as("p2"))
+      .withColumn("sx", explode(sequence(
+        floor(least(col("p1.lon"), col("p2.lon")) / cellDeg).cast("long"),
+        floor(greatest(col("p1.lon"), col("p2.lon")) / cellDeg).cast("long"))))
+      .withColumn("sy", explode(sequence(
+        floor(least(col("p1.lat"), col("p2.lat")) / cellDeg).cast("long"),
+        floor(greatest(col("p1.lat"), col("p2.lat")) / cellDeg).cast("long"))))
+    val l = segs.select(col("sx"), col("sy"), col("edge_id").as("id_a"),
+      col("seg").as("seg_a"), col("p1").as("a1"), col("p2").as("a2"))
+    val r = segs.select(col("sx"), col("sy"), col("edge_id").as("id_b"),
+      col("seg").as("seg_b"), col("p1").as("b1"), col("p2").as("b2"))
+    val rx = col("a2.lon") - col("a1.lon")
+    val ry = col("a2.lat") - col("a1.lat")
+    val sx = col("b2.lon") - col("b1.lon")
+    val sy = col("b2.lat") - col("b1.lat")
+    val qpx = col("b1.lon") - col("a1.lon")
+    val qpy = col("b1.lat") - col("a1.lat")
+    val den = rx * sy - ry * sx
+    val pairs = l.join(r, Seq("sx", "sy")).filter(col("id_a") < col("id_b"))
+      // a segment pair can share a grid cell more than once (bbox spans)
+      .dropDuplicates("id_a", "seg_a", "id_b", "seg_b")
+      .withColumn("__den", den)
+      .filter(col("__den") =!= 0.0) // parallel/collinear: no proper crossing
+      .withColumn("t", (qpx * sy - qpy * sx) / col("__den"))
+      .withColumn("u", (qpx * ry - qpy * rx) / col("__den"))
+      .filter(col("t").between(0.0, 1.0) && col("u").between(0.0, 1.0))
+      .withColumn("pt", struct(
+        (col("a1.lon") + col("t") * rx).as("lon"),
+        (col("a1.lat") + col("t") * ry).as("lat")))
+    val aSide = pairs.filter(col("t") > 0.0 && col("t") < 1.0)
+      .select(col("id_a").as("edge_id"),
+        (col("seg_a") + col("t")).as("key"), col("pt"))
+    val bSide = pairs.filter(col("u") > 0.0 && col("u") < 1.0)
+      .select(col("id_b").as("edge_id"),
+        (col("seg_b") + col("u")).as("key"), col("pt"))
+    aSide.unionByName(bSide).distinct()
+  }
+
+  /** Insert [[crossingPoints]] into the vertex arrays of the ways they
+    * cut. The inserted vertex gets a deterministic synthetic node id
+    * hashed from the point coordinates — negative, so it can never
+    * collide with real OSM ids, and identical on BOTH crossing ways so
+    * the topology agrees. Ways without crossings pass through via the
+    * anti-join branch (same shape as [[split]]'s untouched append). */
+  def insertCrossingVertices(net: DataFrame, cellDeg: Double = 0.01): DataFrame = {
+    val cross = crossingPoints(net, cellDeg)
+    val syntheticId = -abs(xxhash64(col("pt.lon"), col("pt.lat")))
+    val origVerts = net
+      .join(cross.select("edge_id").distinct(), Seq("edge_id"), "left_semi")
+      .select(col("edge_id"),
+        posexplode(arrays_zip(col("nodes"), col("geom"))).as(Seq("pos", "nv")))
+      .select(col("edge_id"), col("pos").cast("double").as("key"),
+        col("nv.nodes").as("node_id"), col("nv.geom").as("pt"))
+    val newVerts = cross.select(col("edge_id"), col("key"),
+      syntheticId.as("node_id"), col("pt"))
+    val rebuilt = origVerts.unionByName(newVerts)
+      .groupBy("edge_id")
+      .agg(
+        RelOps.orderedListAgg(col("key"), col("node_id")).as("nodes"),
+        RelOps.orderedListAgg(col("key"), col("pt")).as("geom"))
+    val attrs = net.select(col("edge_id").as("__ce"), col("tags"),
+      col("speed_limit"), col("highway"), col("oneway"))
+    val touched = rebuilt.join(attrs, col("edge_id") === col("__ce"))
+      .select(
+        element_at(col("nodes"), 1).as("start_node"),
+        element_at(col("nodes"), -1).as("end_node"),
+        col("edge_id"), col("tags"), col("nodes"),
+        Geo.geodesicLengthMeters(col("geom")).as("length"),
+        col("speed_limit"), col("highway"), col("oneway"), col("geom"))
+    val untouched = net
+      .join(cross.select("edge_id").distinct(), Seq("edge_id"), "left_anti")
+      .select("start_node", "end_node", "edge_id", "tags", "nodes",
+        "length", "speed_limit", "highway", "oneway", "geom")
+    touched.unionByName(untouched)
+  }
+
+  /** Approach 1 complete: insert true-crossing vertices, then split at
+    * every shared point — blades from shared vertices AND from
+    * geometric crossings in one pass of the same machinery. */
+  def splitWithCrossings(net: DataFrame, cellDeg: Double = 0.01): DataFrame =
+    split(insertCrossingVertices(net, cellDeg), cellDeg)
+
+  /** Crossing fixture in [[RoadGraph.mergedNetwork]] shape — edges 1/2
+    * form an X with NO shared node (the Approach-1b case the
+    * shared-vertex path misses: crossing at (0.01, 0.01)), edge 3 is
+    * far away (pass-through), edges 4/5 share only an ENDPOINT vertex
+    * (touch, must not split). Shared by the spec and the oracle query. */
+  private[graft] def crossingFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1L, 2L), Seq((0.0, 0.0), (0.02, 0.02))),
+      (2L, Seq(3L, 4L), Seq((0.0, 0.02), (0.02, 0.0))),
+      (3L, Seq(5L, 6L), Seq((1.0, 1.0), (1.01, 1.0))),
+      (4L, Seq(7L, 8L), Seq((0.5, 0.5), (0.52, 0.5))),
+      (5L, Seq(7L, 9L), Seq((0.5, 0.5), (0.5, 0.52))))
+      .toDF("edge_id", "nodes", "pts")
+      .select(
+        element_at(col("nodes"), 1).as("start_node"),
+        element_at(col("nodes"), -1).as("end_node"),
+        col("edge_id"), typedlit(Map("highway" -> "residential")).as("tags"),
+        col("nodes"), lit(0.0).as("length"), lit(50).as("speed_limit"),
+        lit("residential").as("highway"),
+        lit(null).cast("string").as("oneway"),
+        expr("transform(pts, p -> struct(p._1 as lon, p._2 as lat))").as("geom"))
+  }
+
   /** F23 — `pgr_createTopology` analog (osm-road-graphs-fix.sql:128-131):
     * snap edge endpoints to a tolerance grid, assign dense vertex ids
     * over the distinct snapped points, attach `source`/`target`.
-    * The ranking window runs over the (small) distinct-vertex set only;
-    * edges join back by snapped cell — no global window on the edge set.
+    *
+    * Dense ids WITHOUT a global window (planet-scale road graphs have
+    * ~10⁸ distinct vertices — a partition-less `row_number` funnels all
+    * of them through one task): range-partition the distinct cells by
+    * (sx, sy) and sort within partitions — ascending partition ids then
+    * hold a total order — and let `zipWithIndex` assign offsets. That
+    * primitive IS the two-phase scheme of
+    * [[graft.functions.WeightedMedian.weightedMedianScalable]]: one
+    * count job for per-partition sizes, driver prefix offsets, then a
+    * partition-local counter plus offset; no single-task bottleneck.
+    * Ids are deterministic: cell contents fix the sort, and
+    * RangePartitioner's sampling is seed-fixed for a fixed input, so
+    * the source and target joins (and any recompute) see identical ids
+    * — same (sx, sy)-ordered numbering the window form produced.
     */
   def createTopology(edges: DataFrame, tolerance: Double = 1e-4): DataFrame = {
+    val withSnap = snapEndpoints(edges, tolerance)
+    val spark = edges.sparkSession
+    val cells = sortedDistinctCells(withSnap)
+    val verts = spark.createDataFrame(
+      cells.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getStruct(0), i + 1L)
+      },
+      org.apache.spark.sql.types.StructType(
+        cells.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "vertex_id", org.apache.spark.sql.types.LongType, nullable = false)))
+    val src = verts.select(col("cell").as("__s"), col("vertex_id").as("source"))
+    val tgt = verts.select(col("cell").as("__t"), col("vertex_id").as("target"))
+    withSnap.join(src, "__s").join(tgt, "__t")
+      .drop("__s", "__t")
+  }
+
+  /** Edges with start/end snapped to the tolerance grid as `__s`/`__t`. */
+  private[graft] def snapEndpoints(edges: DataFrame, tolerance: Double): DataFrame = {
     def snap(p: org.apache.spark.sql.Column) = struct(
       round(p.getField("lon") / tolerance).cast("long").as("sx"),
       round(p.getField("lat") / tolerance).cast("long").as("sy"))
-    val withSnap = edges
+    edges
       .withColumn("__s", snap(element_at(col("geom"), 1)))
       .withColumn("__t", snap(element_at(col("geom"), -1)))
-    val verts = withSnap.select(col("__s").as("cell"))
+  }
+
+  /** The distinct snapped endpoint cells in global (sx, sy) order via
+    * range partitioning — the frame `createTopology` feeds to
+    * `zipWithIndex`. Exposed so PlanAuditSpec can assert the ordering
+    * is a range exchange, not a single-partition sort/window. */
+  private[graft] def sortedDistinctCells(withSnap: DataFrame): DataFrame =
+    withSnap.select(col("__s").as("cell"))
       .unionByName(withSnap.select(col("__t").as("cell")))
       .distinct()
-      .withColumn("vertex_id",
-        row_number().over(Window.orderBy(col("cell.sx"), col("cell.sy"))))
-    val src = verts.select(col("cell").as("__s"), col("vertex_id").as("source"))
-    val tgt = verts.select(col("cell").as("__t"), col("vertex_id").as("target"))
-    withSnap.join(broadcast(src), "__s").join(broadcast(tgt), "__t")
-      .drop("__s", "__t")
-  }
+      .repartitionByRange(col("cell.sx"), col("cell.sy"))
+      .sortWithinPartitions(col("cell.sx"), col("cell.sy"))
 }

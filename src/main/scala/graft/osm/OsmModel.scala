@@ -163,4 +163,26 @@ object OsmModel {
     val waysDf = ways.toDF()
     OsmTables(nodesDf, waysDf, wayNodesOf(spark, waysDf))
   }
+
+  /** Way-POI fixture (osm-pois-extract.sql:51-71 coverage): the micro
+    * fixture's ways plus three more so every way-POI key (leisure,
+    * landuse, sport, amenity) appears and the `highway IS NULL`
+    * exclusion guard provably fires — way 110 carries BOTH leisure and
+    * highway and must not surface; way 112 carries two POI keys and
+    * must surface twice. Kept separate from [[microFixture]] so the
+    * graph/explore oracles' enumerated counts stay valid. */
+  def poisWaysFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val t = ts("2020-05-08 12:00:00")
+    def way(id: Long, tags: Map[String, String], pts: (Long, Double, Double)*) =
+      OsmWay(id, 1, 1, t, 1L, tags, pts.map(_._1),
+        pts.map(p => Point(p._2, p._3)))
+    val extra = Seq(
+      way(110, Map("leisure" -> "pitch", "highway" -> "track",
+        "name" -> "Track Pitch"), (1L, 0.00, 0.0), (2L, 0.01, 0.0)),
+      way(111, Map("landuse" -> "forest"), (2L, 0.01, 0.0), (3L, 0.02, 0.0)),
+      way(112, Map("sport" -> "soccer", "amenity" -> "community_centre",
+        "name" -> "Sports Club"), (3L, 0.02, 0.0), (4L, 0.03, 0.0))).toDF()
+    microFixture(spark).ways.unionByName(extra)
+  }
 }

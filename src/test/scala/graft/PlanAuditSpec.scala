@@ -134,6 +134,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
 
+  test("createTopology has no partition-less window (dense ids via two-phase offsets)") {
+    // a global Window.orderBy funnels every distinct vertex (~10^8 at
+    // planet scale) through ONE task — the id assignment must show up
+    // as range partitioning + zipWithIndex instead
+    // a bare two-edge frame so the audited plan holds ONLY
+    // createTopology's own operators (the road-network build upstream
+    // has its own — partitioned, legitimate — windows)
+    import spark.implicits._
+    val net = Seq(
+      (1L, Seq((0.0, 0.0), (1.0, 1.0))),
+      (2L, Seq((1.0, 1.0), (2.0, 2.0)))).toDF("edge_id", "pts")
+      .select($"edge_id",
+        expr("transform(pts, p -> struct(p._1 as lon, p._2 as lat))").as("geom"))
+    val topo = osm.GeometricSplit.createTopology(net)
+    val p = topo.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"createTopology must not use any window:\n$p")
+    // the id ordering itself lives in the zipWithIndex input frame (a
+    // separate RDD lineage) — assert IT is a range exchange, i.e. the
+    // total order is distributed, not a single-partition sort
+    val cells = osm.GeometricSplit.sortedDistinctCells(
+      osm.GeometricSplit.snapEndpoints(net, 1e-4))
+    val cp = cells.queryExecution.executedPlan.toString
+    assert(cp.contains("rangepartitioning"),
+      s"cell ordering should be a range exchange:\n$cp")
+    assert(!cp.contains("SinglePartition") && !cp.contains("Window"),
+      s"no single-partition collapse in the id path:\n$cp")
+  }
+
+  test("true-crossing split pairs come from a cell equi-join, not all-pairs") {
+    val p = plan("q_osm_cross_split")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"crossing candidates must never be an all-pairs join:\n$p")
+  }
+
   test("repetition stats expression evaluates once per row (no per-field inlining)") {
     // projecting both struct fields must NOT duplicate the expression:
     // the struct is aliased in its own projection and CollapseProject

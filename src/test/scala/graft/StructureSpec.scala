@@ -37,12 +37,38 @@ class StructureSpec extends SparkTestBase {
       .filter(col("end_node") === 3 || col("start_node") === 3)
       .select(when(col("end_node") === 3, col("target"))
         .otherwise(col("source")).as("vid"))
-      .collect().map(_.getInt(0)).toSet
+      .collect().map(_.getLong(0)).toSet
     assert(n3Sides.size === 1)
     // distinct vertex ids are dense 1..n
     val vids = withTopo.select(explode(array(col("source"), col("target"))))
-      .distinct().collect().map(_.getInt(0)).sorted
-    assert(vids.toSeq === (1 to vids.length))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(vids.toSeq === (1L to vids.length))
+  }
+
+  test("true-crossing split: X with no shared node -> 4 edges; endpoint touch doesn't split") {
+    val net = GeometricSplit.crossingFixture(spark)
+    // the crossing itself: one interior point per way, parameter 0.5
+    val cps = GeometricSplit.crossingPoints(net).collect()
+    assert(cps.map(r => r.getLong(0) -> r.getDouble(1)).toSet ===
+      Set(1L -> 0.5, 2L -> 0.5))
+    val out = GeometricSplit.splitWithCrossings(net)
+    val rows = out.select("edge_id", "nodes", "geom").collect()
+    assert(rows.length === 7, "A and B split in two; C, D, E pass through")
+    val byEdge = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byEdge === Map(1L -> 2, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1))
+    // all four split halves end or start at the intersection and AGREE
+    // on one synthetic (negative) node id there
+    val splitHalves = rows.filter(r => r.getLong(0) <= 2)
+    val crossNodeIds = splitHalves.map { r =>
+      val nodes = r.getSeq[Long](1)
+      val geom = r.getSeq[org.apache.spark.sql.Row](2)
+      val atCross = geom.zipWithIndex.filter { case (p, _) =>
+        p.getDouble(0) === 0.01 && p.getDouble(1) === 0.01 }
+      assert(atCross.size === 1, s"edge half must touch the crossing: $r")
+      nodes(atCross.head._2)
+    }
+    assert(crossNodeIds.toSet.size === 1, "one shared synthetic node")
+    assert(crossNodeIds.head < 0, "synthetic ids are negative")
   }
 
   test("catalog ops: namespace + CTAS + append + addColumn + analyze") {
