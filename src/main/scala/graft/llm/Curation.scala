@@ -69,7 +69,17 @@ object Curation {
     * a LeftSemi over the exploded corpus grams (one narrow pass over
     * the big side, no shuffle of the corpus), then contaminated ids
     * anti-join back — never a cross product, never a corpus-sized
-    * shuffle. */
+    * shuffle.
+    *
+    * The broadcast is a CONTRACT, not a hope: benchmark suites are fixed
+    * artifacts that don't grow with the corpus, so the gram set stays
+    * under the broadcast threshold at any corpus scale. LlmScaleSmoke
+    * measured what happens when that contract is violated (benchmark
+    * scaled with the corpus): the semi-join silently degrades to
+    * sort-merge and runtime goes superlinear (exponent 1.25 at 10x). If
+    * a gram set ever must exceed the threshold, shuffle-hash-join on
+    * `__g` is the right fallback — raise the threshold or hint, don't
+    * let it sort-merge 10^11 exploded gram rows. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
       text: Column, n: Int = 8): DataFrame = {
     val benchGrams = benchmark

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Dedup}
+
+/** Scale-headroom smoke for the LLM dedup/curation hot path: synthesizes
+  * a document corpus straight from `spark.range` (no files — measures the
+  * operators, not the scan) and times the three heaviest curation
+  * operators at a base scale and at `factor` times that scale, reporting
+  * the empirical scaling exponent log(t_hi/t_lo)/log(factor) for each:
+  *
+  *   - `Dedup.minhashNearDups`  — shingle -> minhash -> banded LSH join
+  *     -> exact-Jaccard verify (the full near-dup chain);
+  *   - `Dedup.simhashNearDups`  — native VectorSum simhash -> pigeonhole
+  *     chunk join -> hamming verify;
+  *   - `Curation.decontaminate` — word-8-gram broadcast semi-join against
+  *     a benchmark set, then anti-join.
+  *
+  * The corpus is adversarially shaped like real near-dup data, not random
+  * noise: every 100th document is a 49/50-word copy of its neighbor (so
+  * LSH finds true pairs in numbers proportional to n, exercising the
+  * verify stage). A constant pair density per document is what makes the
+  * exponent meaningful: superlinear growth here means the banding/
+  * bucketing is degenerating into all-pairs, not that the fixture got
+  * denser. The decontamination benchmark set is a FIXED 10k documents
+  * (sharing the corpus's first 10k ids, so hits exist) regardless of
+  * corpus size — that matches reality (benchmark suites don't grow with
+  * the training corpus) and keeps the gram set broadcast-sized, which is
+  * the operator's documented contract: an early version of this fixture
+  * scaled the benchmark WITH the corpus and measured exponent 1.25, the
+  * broadcast semi-join silently degrading to sort-merge once the gram
+  * set crossed the broadcast threshold.
+  *
+  * Prints one JSON line. `runMain graft.tools.LlmScaleSmoke [baseDocsK]
+  * [factor]` (defaults 300 and 10: 300k docs vs 3M docs — the base must
+  * be big enough that per-job fixed costs don't dominate the low-scale
+  * timing, or the exponent reads as spuriously sublinear; a 100k-doc
+  * probe measured simhash FASTER at 1M than at 100k, i.e. pure noise).
+  */
+object LlmScaleSmoke {
+  /** ~50-word documents, 6-hex-char words, deterministic in id. Doc ids
+    * with id % 100 == 1 repeat doc id-1's first 49 words (true near-dup
+    * at Jaccard well above any sane threshold); all other docs are
+    * unique with high probability. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    spark.range(n).select(col("id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)), i => {
+        val srcId = when(col("id") % 100 === 1 && i < 49, col("id") - 1)
+          .otherwise(col("id"))
+        substring(md5(concat_ws("_", srcId.cast("string"), i.cast("string"))), 1, 6)
+      })).as("text"))
+  }
+
+  private def time(body: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = body
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseK = if (args.nonEmpty) args(0).toDouble else 300.0
+    val factor = if (args.length > 1) args(1).toDouble else 10.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nLo = (baseK * 1e3).toLong
+    val nHi = (nLo * factor).toLong
+
+    def runAll(n: Long): Map[String, (Double, Long)] = {
+      val docs = corpus(spark, n)
+      // fixed-size benchmark: ids overlap the corpus's first 10k docs
+      val bench = corpus(spark, math.min(10000L, n / 2))
+      Map(
+        "minhash" -> time(
+          Dedup.minhashNearDups(docs, "id", col("text")).count()),
+        "simhash" -> time(
+          Dedup.simhashNearDups(docs, "id", col("text")).count()),
+        "decontam" -> time(
+          Curation.decontaminate(docs, bench, "id", col("text")).count()))
+    }
+
+    // warm the JVM/codegen/JIT on a 1/10-scale run so the low-scale
+    // numbers aren't dominated by first-compile costs that would skew
+    // the exponent
+    runAll(math.max(2000L, nLo / 10))
+
+    val lo = runAll(nLo)
+    val hi = runAll(nHi)
+    val parts = Seq("minhash", "simhash", "decontam").map { op =>
+      val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
+      val exp = math.log(tHi / tLo) / math.log(factor)
+      f""""${op}_sec_lo":$tLo%.2f,"${op}_sec_hi":$tHi%.2f,""" +
+        s""""${op}_rows_lo":$rLo,"${op}_rows_hi":$rHi,""" +
+        f""""${op}_exponent":$exp%.3f"""
+    }
+    println(s"""{"metric":"llm_scale_smoke","docs_lo":$nLo,"docs_hi":$nHi,""" +
+      parts.mkString(",") + "}")
+    spark.stop()
+  }
+}
