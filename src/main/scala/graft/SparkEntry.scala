@@ -674,6 +674,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher-style named-rule filter: per-rule booleans so drop
+    //      rates are auditable per rule; thresholds tuned so the corpus
+    //      actually splits on len/stopwords/repetition (not all-true).
+    //      Booleans are exact cross-engine: both sides compare the same
+    //      integer-count divisions, no rounding tolerance needed.
+    "q_t_gopher_filter" -> ((s, dir) => {
+      llm.Curation.gopherFilter(documents(s, dir), "doc_id", col("text"),
+          minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6)
+        .orderBy("doc_id")
+    }),
+
+    // ---- temperature-scaled domain mixture weights (w ∝ share^alpha,
+    //      normalized): one hash agg + two broadcast scalar aggs, never
+    //      a window over the corpus
+    "q_t_mixture_weights" -> ((s, dir) => {
+      llm.Curation.mixtureWeights(documents(s, dir), "lang", alpha = 0.5)
+        .orderBy("lang")
+    }),
+
+    // ---- corpus-wide top-20 bigrams by raw count (vocabulary stats):
+    //      map-side partial agg shrinks the shuffle to the vocabulary;
+    //      orderBy.limit plans as TakeOrderedAndProject, not a global
+    //      sort (PlanAudit)
+    "q_t_top_ngrams" -> ((s, dir) => {
+      llm.TextAnalysis.topNgrams(documents(s, dir), col("text"), n = 2, k = 20)
+    }),
+
     // ---- deterministic stratified sampling + split assignment: the
     //      md5-coin decisions are reproducible across engines, reruns
     //      and partitionings (rand() is none of those) — verified
@@ -1590,6 +1617,41 @@ object SparkEntry {
                        + n_uniq / CAST(greatest(n_tokens, 1) AS DOUBLE)
                        + greatest(0.0, 1.0 - punct_ratio * 5)) / 3.0, 4) AS score
          FROM f ORDER BY doc_id""",
+    "q_t_gopher_filter" ->
+      """WITH f AS (SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                          'that','for','on','with','as','at','by'))) AS sw,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq
+         FROM documents)
+         SELECT doc_id,
+           n_tok BETWEEN 30 AND 10000 AS ok_len,
+           n_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0 AS ok_word_len,
+           n_punct / CAST(n_chars AS DOUBLE) <= 0.1 AS ok_symbol,
+           sw >= 2 AS ok_stopwords,
+           (n_tok - n_uniq) / CAST(n_tok AS DOUBLE) <= 0.6 AS ok_repetition,
+           (n_tok BETWEEN 30 AND 10000)
+             AND (n_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0)
+             AND (n_punct / CAST(n_chars AS DOUBLE) <= 0.1)
+             AND (sw >= 2)
+             AND ((n_tok - n_uniq) / CAST(n_tok AS DOUBLE) <= 0.6) AS pass
+         FROM f ORDER BY doc_id""",
+    "q_t_mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         p AS (SELECT lang, n_docs,
+                 pow(n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE), 0.5) AS pw
+               FROM c)
+         SELECT lang, n_docs, round(pw / (SELECT sum(pw) FROM p), 6) AS weight
+         FROM p ORDER BY lang""",
+    "q_t_top_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT t[i] || ' ' || t[i+1] AS gram
+               FROM toks, UNNEST(range(1, len(t))) AS r(i))
+         SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+         ORDER BY cnt DESC, gram LIMIT 20""",
     "q_t_hash_sample" ->
       """WITH u AS (
            SELECT doc_id, lang,

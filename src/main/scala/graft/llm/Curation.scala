@@ -92,6 +92,71 @@ object Curation {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Gopher-style named-rule quality filter — the form a production
+    * curation pipeline actually runs: each heuristic is its OWN boolean
+    * column so drop rates are auditable per rule (an aggregate score
+    * like [[TextAnalysis.qualityScore]] can't tell you WHY a corpus
+    * shrank 40%). Rules, all scan-local column compositions (zero
+    * shuffles, no UDFs):
+    *
+    *   - `ok_len`          minTokens <= n_tokens <= maxTokens
+    *   - `ok_word_len`     minAvgTokenLen <= chars/token <= maxAvgTokenLen
+    *   - `ok_symbol`       punctuation chars / chars <= maxSymbolRatio
+    *   - `ok_stopwords`    >= minStopwordHits English stopword tokens
+    *     (the Gopher "contains at least 2 of ..." naturalness check)
+    *   - `ok_repetition`   duplicated-token fraction <= maxDupTokenFrac
+    *     (1 - distinct/total; the boilerplate/spam signal)
+    *
+    * `pass` is the conjunction. Ratio comparisons are exact across
+    * engines: both sides divide the same integer counts, so the
+    * booleans can be oracled without rounding tolerance. */
+  def gopherFilter(docs: DataFrame, idCol: String, text: Column,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2,
+      maxDupTokenFrac: Double = 0.6): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    val nChars = length(text)
+    val okLen = n.between(minTokens, maxTokens)
+    val okWordLen = (nChars.cast("double") / n)
+      .between(minAvgTokenLen, maxAvgTokenLen)
+    val okSymbol = (length(regexp_replace(text, "[^\\p{Punct}]", ""))
+      .cast("double") / nChars) <= maxSymbolRatio
+    val okStopwords =
+      size(filter(toks, t => t.isin(TextAnalysis.EnStopwords: _*))) >=
+        minStopwordHits
+    val okRepetition = ((n - size(array_distinct(toks))).cast("double") / n) <=
+      maxDupTokenFrac
+    docs.select(col(idCol),
+      okLen.as("ok_len"), okWordLen.as("ok_word_len"),
+      okSymbol.as("ok_symbol"), okStopwords.as("ok_stopwords"),
+      okRepetition.as("ok_repetition"),
+      (okLen && okWordLen && okSymbol && okStopwords && okRepetition)
+        .as("pass"))
+  }
+
+  /** Temperature-scaled domain mixture weights — the sampling weights a
+    * multi-domain pre-training run draws with: w_g ∝ (n_g / N)^alpha,
+    * normalized to sum 1. alpha = 1 is proportional sampling, alpha = 0
+    * uniform; alpha ~ 0.3-0.7 is the usual "up-weight small domains"
+    * middle ground. Scale shape: one hash agg over the corpus (map-side
+    * partial), then two SCALAR aggregates broadcast back onto the tiny
+    * per-domain relation — never a window over the corpus, never a
+    * second corpus scan. */
+  def mixtureWeights(docs: DataFrame, groupCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("__N"))
+    val powed = counts.crossJoin(broadcast(total))
+      .withColumn("__p",
+        pow(col("n_docs").cast("double") / col("__N"), lit(alpha)))
+    val z = powed.agg(sum("__p").as("__Z"))
+    powed.crossJoin(broadcast(z))
+      .select(col(groupCol), col("n_docs"),
+        round(col("__p") / col("__Z"), 6).as("weight"))
+  }
+
   /** PII patterns, deliberately RE2-compatible (no backrefs, no
     * lookaround) so an independent engine applies the exact same
     * regexes: emails, dotted-quad IPv4s, NANP-style phone fragments.

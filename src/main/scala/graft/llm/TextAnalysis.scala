@@ -134,6 +134,27 @@ object TextAnalysis {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Corpus-wide top-`k` word `n`-grams by raw occurrence count — the
+    * vocabulary-building / corpus-statistics op. Counts every occurrence
+    * (not per-document presence, unlike [[Dedup.wordNgrams]]'s distinct
+    * sets). Scale shape: explode -> one hash aggregate (map-side partial
+    * combine shrinks the shuffle to the vocabulary, not the corpus),
+    * then `orderBy.limit(k)` which Spark plans as TakeOrderedAndProject
+    * — per-partition top-k heaps merged on the driver, NEVER a global
+    * sort of the vocabulary. Deterministic: ties break on the gram. */
+  def topNgrams(docs: DataFrame, text: Column, n: Int = 2,
+      k: Int = 20): DataFrame = {
+    val toks = tokens(text)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Rolling polynomial fingerprint over whitespace tokens —
     * order-sensitive document hash (a content-defined signature usable
     * for shift-tolerant chunk dedup). Accumulates modulo a 30-bit prime

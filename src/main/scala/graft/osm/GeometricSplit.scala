@@ -55,10 +55,15 @@ object GeometricSplit {
       .join(maxPos.withColumnRenamed("edge_id", "__me"),
         col("edge_id") === col("__me") && col("top") < col("maxpos"))
       .select(col("edge_id"), col("top").as("bottom"), col("maxpos").as("top"))
-    val limits = base.unionByName(lastSeg)
+    // tiny (one row per cut segment); cutting lineage here stops the
+    // blade join from re-running once per downstream consumer
+    val limits = base.unionByName(lastSeg).localCheckpoint(eager = true)
 
     val verts = net.select(col("edge_id").as("__ve"),
       posexplode(arrays_zip(col("nodes"), col("geom"))).as(Seq("pos", "nv")))
+    // consumed twice (attribute join + untouched anti-join); bounded by
+    // the ways that actually split, so materializing beats re-running
+    // the explode-join-agg chain per consumer
     val segs = verts.join(limits,
         col("__ve") === limits("edge_id") &&
           verts("pos").between(col("bottom"), col("top")))
@@ -67,6 +72,7 @@ object GeometricSplit {
         RelOps.orderedListAgg(col("pos"), col("nv.nodes")).as("nodes"),
         RelOps.orderedListAgg(col("pos"), col("nv.geom")).as("geom"))
       .select(col("edge_id"), col("nodes"), col("geom"))
+      .localCheckpoint(eager = true)
 
     val road = net.select(col("edge_id").as("__re"), col("tags"),
       col("speed_limit"), col("highway"), col("oneway"))
@@ -129,8 +135,6 @@ object GeometricSplit {
     val qpy = col("b1.lat") - col("a1.lat")
     val den = rx * sy - ry * sx
     val pairs = l.join(r, Seq("sx", "sy")).filter(col("id_a") < col("id_b"))
-      // a segment pair can share a grid cell more than once (bbox spans)
-      .dropDuplicates("id_a", "seg_a", "id_b", "seg_b")
       .withColumn("__den", den)
       .filter(col("__den") =!= 0.0) // parallel/collinear: no proper crossing
       .withColumn("t", (qpx * sy - qpy * sx) / col("__den"))
@@ -139,6 +143,13 @@ object GeometricSplit {
       .withColumn("pt", struct(
         (col("a1.lon") + col("t") * rx).as("lon"),
         (col("a1.lat") + col("t") * ry).as("lat")))
+      // report-at-home-cell dedup (the PBSM trick): a bbox-spanning
+      // segment pair meets in EVERY shared cell, but the intersection
+      // point's own cell is covered by both bboxes, so keeping only that
+      // cell's copy is exact — and costs a codegen'd filter instead of
+      // the shuffle a dropDuplicates(id_a, seg_a, id_b, seg_b) would pay
+      .filter(floor(col("pt.lon") / cellDeg).cast("long") === col("sx") &&
+        floor(col("pt.lat") / cellDeg).cast("long") === col("sy"))
     val aSide = pairs.filter(col("t") > 0.0 && col("t") < 1.0)
       .select(col("id_a").as("edge_id"),
         (col("seg_a") + col("t")).as("key"), col("pt"))
@@ -155,7 +166,11 @@ object GeometricSplit {
     * the topology agrees. Ways without crossings pass through via the
     * anti-join branch (same shape as [[split]]'s untouched append). */
   def insertCrossingVertices(net: DataFrame, cellDeg: Double = 0.01): DataFrame = {
-    val cross = crossingPoints(net, cellDeg)
+    // consumed three times below (semi-join, new-vertex union, anti-join);
+    // without cutting lineage each consumer re-runs the whole grid join —
+    // crossings are O(true intersections), tiny relative to the network,
+    // so materializing is cheap and the recompute it avoids is not
+    val cross = crossingPoints(net, cellDeg).localCheckpoint(eager = true)
     val syntheticId = -abs(xxhash64(col("pt.lon"), col("pt.lat")))
     val origVerts = net
       .join(cross.select("edge_id").distinct(), Seq("edge_id"), "left_semi")
@@ -188,9 +203,16 @@ object GeometricSplit {
 
   /** Approach 1 complete: insert true-crossing vertices, then split at
     * every shared point — blades from shared vertices AND from
-    * geometric crossings in one pass of the same machinery. */
+    * geometric crossings in one pass of the same machinery. The
+    * intermediate rebuilt network is checkpointed: [[split]] consumes
+    * its input from five places (blade join sides, vertex explode,
+    * attribute join, untouched anti-join), and re-deriving the crossing
+    * insertion for each would multiply the whole upstream chain — the
+    * same per-step materialization the reference's staged tables get
+    * for free. */
   def splitWithCrossings(net: DataFrame, cellDeg: Double = 0.01): DataFrame =
-    split(insertCrossingVertices(net, cellDeg), cellDeg)
+    split(insertCrossingVertices(net, cellDeg).localCheckpoint(eager = true),
+      cellDeg)
 
   /** Crossing fixture in [[RoadGraph.mergedNetwork]] shape — edges 1/2
     * form an X with NO shared node (the Approach-1b case the

@@ -327,4 +327,56 @@ class LlmSpec extends SparkTestBase {
     assert(run(spark.read.parquet(dir)) === expected,
       "vectorized parquet (ColumnarArray) path")
   }
+
+  test("gopherFilter: each rule fails on exactly the doc built to fail it") {
+    // doc 1 passes everything; 2 too short; 3 words too long; 4 too
+    // symbol-heavy; 5 no stopwords; 6 one token repeated (dup frac 9/10)
+    val fix = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away"),
+      (2L, "the tiny doc"),
+      (3L, "the extraordinarily incomprehensible internationalization " +
+        "antidisestablishmentarianism the characteristically"),
+      (4L, "the !!! ??? ### $$$ %%% &&& *** ((( ))) @@@ ;;; ::: the fox"),
+      (5L, "zebra yak xylophone wombat vulture urchin tapir stork rhino quail"),
+      (6L, "the the the the the the the the the fox"))
+      .toDF("doc_id", "text")
+    val r = Curation.gopherFilter(fix, "doc_id", $"text",
+        minTokens = 5, maxTokens = 100, minAvgTokenLen = 3.0,
+        maxAvgTokenLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 2,
+        maxDupTokenFrac = 0.6)
+      .collect().map(row => row.getLong(0) ->
+        (row.getBoolean(1), row.getBoolean(2), row.getBoolean(3),
+          row.getBoolean(4), row.getBoolean(5), row.getBoolean(6))).toMap
+    assert(r(1L) === ((true, true, true, true, true, true)))
+    assert(r(2L)._1 === false && r(2L)._6 === false, "too short fails ok_len")
+    assert(r(3L)._2 === false, "long words fail ok_word_len")
+    assert(r(4L)._3 === false, "symbol soup fails ok_symbol")
+    assert(r(5L)._4 === false, "no stopwords fails ok_stopwords")
+    assert(r(6L)._5 === false, "repeated token fails ok_repetition")
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(!r(_)._6), "any rule fail -> no pass")
+  }
+
+  test("mixtureWeights: sums to 1, alpha<1 up-weights small domains, alpha=1 proportional") {
+    val fix = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
+    val w = Curation.mixtureWeights(fix, "grp", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-5)
+    assert(w("small") > 0.1, "temperature up-weights the small domain")
+    assert(w("big") > w("small"))
+    val w1 = Curation.mixtureWeights(fix, "grp", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w1("big") === 0.9 && w1("small") === 0.1)
+  }
+
+  test("topNgrams: raw occurrence counts with deterministic tie-break, short docs skipped") {
+    val fix = Seq(
+      (1L, "a b a b a b"), // "a b" x3, "b a" x2
+      (2L, "a b c"),       // "a b", "b c"
+      (3L, "solo")         // no bigrams
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(fix, $"text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(top === List(("a b", 4L), ("b a", 2L), ("b c", 1L)))
+  }
 }
