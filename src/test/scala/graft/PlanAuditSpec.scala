@@ -170,6 +170,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"crossing candidates must never be an all-pairs join:\n$p")
   }
 
+  test("top-ngrams is partial-agg + top-k heap, never a global vocabulary sort") {
+    val p = plan("q_t_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit should plan as TakeOrderedAndProject:\n$p")
+    // exactly one exchange: the gram hash-agg shuffle (map-side partials
+    // before it); a second would mean the vocabulary is globally sorted
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"gram counting should be a hash aggregate with partials:\n$p")
+  }
+
+  test("gopher filter is scan-local: zero exchanges, whole-stage codegen") {
+    // audit the operator, not the gate query — the query's trailing
+    // orderBy adds a range exchange that exists only for the oracle's
+    // deterministic row order
+    val p = graft.llm.Curation.gopherFilter(
+        Tables.documents(spark, sf), "doc_id", col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Sort") &&
+      !p.contains("Aggregate"),
+      s"per-rule booleans must not shuffle (scan-local project):\n$p")
+    // one pass over one scan; the stopword HOF keeps the Project itself
+    // off codegen (CodegenFallback, like qualityFeatures) but the cost
+    // stays per-row and scan-local — the property that matters at 100 TB
+    assert("FileScan".r.findAllIn(p).length === 1,
+      s"exactly one scan pass:\n$p")
+  }
+
   test("repetition stats expression evaluates once per row (no per-field inlining)") {
     // projecting both struct fields must NOT duplicate the expression:
     // the struct is aliased in its own projection and CollapseProject
