@@ -236,6 +236,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- A12 at 100 TB: approx_count_distinct (HLL++) twin of the
+    //      exact DISTINCT — mergeable fixed-size sketches instead of an
+    //      exact distinct's full shuffle of the key space. Same gate
+    //      pattern as q_a10c: sketches aren't engine-portable, the
+    //      error bound (<= 5% vs exact, rsd 0.01) is the contract.
+    "q_a12b_approx_distinct" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_nd"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+        .select(col("l_returnflag"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
+            col("exact_nd") * lit(0.05)).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- A11 percentile_cont within group (osm-complete-graphs.sql:33-38)
     "q_a11_percentile" -> ((s, dir) => {
       lineitem(s, dir)
@@ -1388,6 +1405,10 @@ object SparkEntry {
     // Sketch output isn't engine-portable; the contract is the error bound —
     // the oracle says every group must come back approx_ok = true.
     "q_a10c_median_approx" ->
+      """SELECT l_returnflag, true AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Sketch values aren't engine-portable; the error bound is the contract.
+    "q_a12b_approx_distinct" ->
       """SELECT l_returnflag, true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_a11_percentile" ->

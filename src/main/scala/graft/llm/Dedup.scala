@@ -95,9 +95,23 @@ object Dedup {
     * (band_idx, band_key), so work is proportional to true collisions.
     * The band key is the band's signature slice joined as a string —
     * semantically the same equality as hashing the slice, but portable
-    * (an independent SQL oracle reproduces it verbatim). */
+    * (an independent SQL oracle reproduces it verbatim).
+    *
+    * `maxBucket` (off when <= 0) is the MEGABUCKET GUARD for 100 TB
+    * corpora: a bucket of B copies of the same boilerplate page yields
+    * B(B-1)/2 pairs — one viral template with 10^6 copies is 5*10^11
+    * pairs out of a single reduce key, a job-killer no partitioning
+    * fixes. Buckets larger than `maxBucket` switch from all-pairs to a
+    * STAR over the bucket's min id (B-1 pairs). For the dedup use the
+    * star is what matters: connected components see the same cluster
+    * whenever bucket members truly match the hub (exact/near-exact
+    * floods — precisely what megabuckets are). The trade: a leaf pair
+    * whose similarity survives verification only against each other,
+    * not the hub, is no longer emitted from THIS bucket (other bands
+    * can still catch it); pair-listing consumers who need completeness
+    * leave the guard off. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, maxBucket: Int = 0): DataFrame = {
     val bandHashes = (0 until bands).map { b =>
       concat_ws("|",
         slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
@@ -109,11 +123,32 @@ object Dedup {
     // nothing to unpersist (verified in PlanAuditSpec)
     val banded = sigs.select(col(idCol),
         posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    if (maxBucket <= 0) {
+      val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+      val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+      l.join(r, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    } else {
+      // one bucket-partitioned window computes size + hub; its shuffle
+      // partitioning is the same (band, band_hash) the join needs, so
+      // the split costs no extra exchange on the join path
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash")
+      val sized = banded
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__hub", min(col(idCol)).over(w))
+      val small = sized.filter(col("__bn") <= maxBucket)
+      val l = small.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+      val r = small.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+      val dense = l.join(r, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val star = sized
+        .filter(col("__bn") > maxBucket && col(idCol) =!= col("__hub"))
+        .select(col("__hub").as("id_a"), col(idCol).as("id_b"))
+      dense.unionByName(star).distinct()
+    }
   }
 
   /** Candidate pairs verified with exact set Jaccard over `setCol`
@@ -144,14 +179,14 @@ object Dedup {
     * candidates on 5k synthetic docs vs ~3k with 4x8). */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
       numPerm: Int = 32, shingleK: Int = 5, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     // shingle sets are consumed twice in verification (both pair sides);
     // recomputing them is one narrow pass over the scan per side — at
     // scale that's cheaper than pinning a text-sized relation in
     // executor storage for the rest of the job
     val sets = df.select(col(idCol), shingles(text, shingleK).as("__set"))
     val sigs = minhashSignatures(df, idCol, text, numPerm, shingleK)
-    val pairs = lshCandidatePairs(sigs, idCol, bands, numPerm / bands)
+    val pairs = lshCandidatePairs(sigs, idCol, bands, numPerm / bands, maxBucket)
     verifyJaccard(pairs, sets, idCol, "__set", threshold)
   }
 

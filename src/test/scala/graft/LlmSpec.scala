@@ -369,6 +369,31 @@ class LlmSpec extends SparkTestBase {
     assert(w1("big") === 0.9 && w1("small") === 0.1)
   }
 
+  test("LSH megabucket guard: oversized buckets go star-wise, clusters unchanged") {
+    // 60 identical docs: every band-bucket holds all 60. Uncapped that is
+    // C(60,2) = 1770 pairs out of one reduce key — the shape that at
+    // corpus scale (10^6 copies of one boilerplate page) is a job-killer.
+    val flood = (0L until 60L).map(i => (i, "the same boilerplate page " +
+      "repeated verbatim across the corpus every single time"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(flood, "doc_id", $"text",
+      bands = 4, threshold = 0.5, maxBucket = 8)
+    assert(capped.count() === 59,
+      "star over the hub: B-1 edges, not B(B-1)/2")
+    // connected components see the identical single cluster either way
+    val kept = Dedup.keepCanonical(flood, "doc_id", capped)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L), "flood collapses to the one canonical doc")
+    // below the cap, behavior is bit-identical to the uncapped path
+    val smallCap = Dedup.minhashNearDups(docs, "doc_id", $"text",
+        bands = 8, threshold = 0.5, maxBucket = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashNearDups(docs, "doc_id", $"text",
+        bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smallCap === uncapped)
+  }
+
   test("topNgrams: raw occurrence counts with deterministic tie-break, short docs skipped") {
     val fix = Seq(
       (1L, "a b a b a b"), // "a b" x3, "b a" x2
