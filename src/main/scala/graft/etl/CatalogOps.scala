@@ -96,6 +96,28 @@ object CatalogOps {
   def analyze(spark: SparkSession, table: String, cols: Seq[String]): Unit =
     spark.sql(
       s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+
+  /** Hive-style directory-partitioned Parquet write (PG's table
+    * partitioning analog, and THE 100 TB layout primitive for
+    * time-series facts): one directory per distinct partition-column
+    * tuple, so a filter on the partition column prunes whole
+    * directories at PLANNING time — the scan never lists, opens, or
+    * reads a non-matching file (`PartitionFilters` in the scan node,
+    * asserted in StructureSpec). A daily-partitioned 10-year events
+    * table answers a one-day query by reading 1/3650th of the data.
+    * Pair with a sortWithinPartitions on the secondary key for row-group
+    * pruning inside each partition. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(
+            (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+      else df
+    sorted.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
 }
 
 /** S10 — export boundary (osm-pg-etl.md:31-113): the reference round-trips

@@ -137,6 +137,27 @@ class StructureSpec extends SparkTestBase {
     assert(t.count() === 256L * 256L)
   }
 
+  test("partitioned write: a partition-column filter prunes directories at planning time") {
+    // 10 days x 100 events; a one-day query must read exactly the one
+    // day's files — PartitionFilters in the scan, not a post-scan filter
+    val events = (0 until 1000).map { i =>
+      (i.toLong, s"2024-01-${"%02d".format(i % 10 + 1)}", i * 10)
+    }.toDF("event_id", "day", "amount")
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    CatalogOps.writePartitioned(events, dir, Seq("day"))
+    val t = spark.read.parquet(dir)
+    val q = t.filter($"day" === "2024-01-03")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-03"),
+      s"day predicate should be a partition filter:\n$plan")
+    // the pruned scan touches only the one matching directory's files
+    val touched = q.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("day=2024-01-03")),
+      s"read outside the pruned partition: ${touched.mkString(", ")}")
+    assert(q.count() === 100L)
+  }
+
   test("export: parquet round-trip and the sanctioned edge-list collect") {
     val dir = Files.createTempDirectory("graft-export").toString
     val merged = RoadGraph.buildMergedNetwork(t)
