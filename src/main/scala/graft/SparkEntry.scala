@@ -835,6 +835,22 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    // ---- int8-domain search (the query half of q_s_quantize): scoring
+    //      runs on the codes alone — scales cancel in cosine, so no
+    //      dequantize, 4x less scan bandwidth — and integer dots are
+    //      exact, so the ranking gets a FULL value oracle, not a recall
+    //      gate
+    "q_s_int8_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      llm.Similarity.int8TopKPerQuery(e, queries, "vec_id", "embedding",
+          "query_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_i8"), 6).as("cos_i8"))
+        .orderBy(col("query_id"), col("cos_i8").desc, col("vec_id"))
+    }),
+
     // ---- LSH-bucketed ANN (scale path). The seeded hyperplanes are
     //      spliced into the DuckDB oracle as literals, so the whole
     //      bucket->join->rescore->rank pipeline is independently checked
@@ -1798,6 +1814,37 @@ object SparkEntry {
                 list_min(codes) AS code_min,
                 list_max(codes) AS code_max
          FROM c ORDER BY vec_id""",
+    // integer dots/norms are exact in both engines; doubles derived from
+    // them divide identically, so even the RANKING needs no tolerance
+    "q_s_int8_topk" ->
+      """WITH c AS (
+           SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CASE WHEN s = 0 THEN 0
+                         ELSE CAST(round(CAST(x AS DOUBLE) / s) AS INT) END) AS codes
+           FROM (SELECT vec_id, embedding,
+                        list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+                 FROM embeddings)),
+         q AS (SELECT vec_id AS query_id, codes AS qc FROM c WHERE vec_id < 5),
+         z AS (SELECT q.query_id, c.vec_id,
+                      unnest(c.codes) AS a, unnest(q.qc) AS b
+               FROM c CROSS JOIN q),
+         s AS (SELECT query_id, vec_id,
+                      CAST(sum(CAST(a AS BIGINT) * CAST(b AS BIGINT)) AS BIGINT) AS dot,
+                      CAST(sum(CAST(a AS BIGINT) * CAST(a AS BIGINT)) AS BIGINT) AS n2a,
+                      CAST(sum(CAST(b AS BIGINT) * CAST(b AS BIGINT)) AS BIGINT) AS n2b
+               FROM z GROUP BY query_id, vec_id)
+         SELECT query_id, vec_id,
+                round(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_i8
+         FROM s
+         QUALIFY row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) /
+                    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) DESC,
+                    vec_id) <= 5
+         ORDER BY query_id, cos_i8 DESC, vec_id""",
     "q_s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS x,

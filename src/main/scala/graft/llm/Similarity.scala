@@ -71,6 +71,37 @@ object Similarity {
   def dequantizeInt8(scale: Column, codes: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  /** Brute-force top-k per query scored ENTIRELY in the int8 domain —
+    * the search half of [[quantizeInt8]]: cosine is scale-invariant
+    * (cos(s_a·a, s_b·b) = cos(a, b)), so the per-vector scales cancel
+    * and the quantized codes need no dequantization at query time. At
+    * 100 TB that is the point of quantizing: 4x less scan bandwidth and
+    * cache footprint on the hot path, floats only ever touched for
+    * final rescoring if the caller wants it. A second property falls
+    * out: integer dot products and squared norms are EXACT (<= 127²·dim
+    * per pair, summed in long), so unlike float ANN the scores are
+    * bit-portable across engines and the whole ranking takes a full SQL
+    * oracle, not just a recall gate. */
+  def int8TopKPerQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int): DataFrame = {
+    def codesOf(v: Column) = quantizeInt8(v)._2
+    def norm2(c: Column) = aggregate(
+      transform(c, x => (x * x).cast("long")), lit(0L), (acc, x) => acc + x)
+    val cq = corpus.select(col(idCol), codesOf(col(vecCol)).as("__c"))
+    val qq = queries.select(col(qidCol), codesOf(col(vecCol)).as("__qc"))
+    val dotL = aggregate(
+      zip_with(col("__c"), col("__qc"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = cq.crossJoin(broadcast(qq))
+      .select(col(qidCol), col(idCol),
+        (dotL.cast("double") /
+          (sqrt(norm2(col("__c")).cast("double")) *
+            sqrt(norm2(col("__qc")).cast("double")))).as("cos_i8"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos_i8").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Deterministic random hyperplanes: numBits x dim, seed-fixed. */
   private[graft] def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -151,6 +151,32 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("int8-domain top-k: self is rank 1, ranking agrees with float brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val i8 = Similarity.int8TopKPerQuery(e, queries, "vec_id", "embedding",
+      "query_id", k = 5)
+    val byQ = i8.collect().groupBy(_.getAs[Long]("query_id"))
+    (0L until 3L).foreach { q =>
+      val rows = byQ(q).sortBy(-_.getAs[Double]("cos_i8"))
+      assert(rows.head.getAs[Long]("vec_id") === q, "self must be top hit")
+      assert(math.abs(rows.head.getAs[Double]("cos_i8") - 1.0) < 1e-9,
+        "self-cosine is exactly 1 in the integer domain")
+    }
+    // quantization perturbs cosines by O(1/127); with k=5 the int8 and
+    // float rankings should agree almost everywhere on this corpus
+    val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding",
+      "query_id", k = 5)
+    val r = Similarity.recallAtK(
+        i8.select($"query_id", $"vec_id"),
+        exact.select($"query_id", $"vec_id"), "query_id", "vec_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    (0L until 3L).foreach { q =>
+      assert(r(q) >= 0.8, s"query $q int8-vs-float recall ${r(q)} < 0.8")
+    }
+  }
+
   test("IVF top-k: self is rank 1 per query") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
