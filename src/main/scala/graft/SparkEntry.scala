@@ -1263,6 +1263,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal frame sampling: payload split into n byte-chunks
+    //      via binary substring, pure column ops (a video pipeline
+    //      decodes each chunk downstream). Frames are fingerprinted via
+    //      their hex image (DuckDB's md5 is VARCHAR-only), byte-exact
+    //      on both sides including multi-byte UTF-8 payloads
+    "q_mm_frames" -> ((s, dir) => {
+      val media = documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      llm.Multimodal.frameSample(media, "payload", n = 4)
+        .select(col("doc_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          array_join(transform(col("frames"), f => length(f).cast("long")), ",")
+            .as("frame_bytes_csv"),
+          md5(hex(element_at(col("frames"), 1))).as("first_frame_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal feature-extract pass (typed mapPartitions, one
     //      model session per partition; deterministic stub features so
     //      the oracle replicates them from octet_length)
@@ -2152,6 +2169,18 @@ object SparkEntry {
                 CAST((octet_length(CAST(text AS BLOB)) * 8) % 97 AS FLOAT)
                   / CAST(97 AS FLOAT) AS f8
          FROM documents ORDER BY doc_id""",
+    // byte-level frame split mirrored on the hex image (DuckDB has no
+    // blob slicing/md5 in this build); hex chars 2i-1..2i are byte i
+    "q_mm_frames" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                greatest(CAST(ceil(octet_length(encode(text)) / 4) AS INT), 1) AS ch
+           FROM documents)
+         SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+                array_to_string(
+                  [CAST(length(substring(hx, i*2*ch+1, 2*ch)) // 2 AS BIGINT)
+                   FOR i IN [0, 1, 2, 3]], ',') AS frame_bytes_csv,
+                md5(substring(hx, 1, 2*ch)) AS first_frame_md5
+         FROM b ORDER BY doc_id""",
     "q_osm_complete_scale" -> (s"""WITH $scaleWaysSql,
          med AS (SELECT highway,
                    CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY speed_raw))
