@@ -1280,6 +1280,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal resize pass (typed mapPartitions, payload bytes
+    //      rewritten to the pixel budget; codec honestly stubbed as a
+    //      truncation, so the oracle replicates it byte-exactly)
+    "q_mm_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = llm.Multimodal.asMedia(
+        documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+      llm.Multimodal.resize(media, width = 10, height = 10).toDF()
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("resized_bytes"),
+          md5(hex(col("payload"))).as("resized_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal feature-extract pass (typed mapPartitions, one
     //      model session per partition; deterministic stub features so
     //      the oracle replicates them from octet_length)
@@ -2168,6 +2183,14 @@ object SparkEntry {
                   / CAST(97 AS FLOAT) AS f1,
                 CAST((octet_length(CAST(text AS BLOB)) * 8) % 97 AS FLOAT)
                   / CAST(97 AS FLOAT) AS f8
+         FROM documents ORDER BY doc_id""",
+    // stub resize = byte truncation to the 10x10 budget; fingerprint via
+    // the hex image (same blob-function workaround as q_mm_frames)
+    "q_mm_resize" ->
+      """SELECT doc_id,
+                CAST(least(octet_length(encode(text)), 100) AS BIGINT) AS resized_bytes,
+                md5(substring(hex(encode(text)), 1,
+                    2 * least(octet_length(encode(text)), 100))) AS resized_md5
          FROM documents ORDER BY doc_id""",
     // byte-level frame split mirrored on the hex image (DuckDB has no
     // blob slicing/md5 in this build); hex chars 2i-1..2i are byte i
