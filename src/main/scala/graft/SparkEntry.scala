@@ -242,11 +242,19 @@ object SparkEntry {
     //      pattern as q_a10c: sketches aren't engine-portable, the
     //      error bound (<= 5% vs exact, rsd 0.01) is the contract.
     "q_a12b_approx_distinct" -> ((s, dir) => {
-      lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_nd"),
-          countDistinct(col("l_partkey")).as("exact_nd"))
+      // two lean aggs joined (a10c shape): countDistinct NEXT TO another
+      // aggregate makes Catalyst EXPAND every input row once per distinct
+      // aggregate — separate aggs keep both sides expansion-free. BENCH
+      // NOTE: the one-shot bench charges this query ~6 s, of which ~5 s
+      // is first-use codegen compilation of the HLL++ aggregate
+      // (QueryBench steady state: 1.2 s) — compile latency, not
+      // throughput.
+      val li = lineitem(s, dir)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_nd"))
+      approx.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
           (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
             col("exact_nd") * lit(0.05)).as("approx_ok"))
