@@ -726,6 +726,23 @@ object SparkEntry {
       llm.TextAnalysis.topNgrams(documents(s, dir), col("text"), n = 2, k = 20)
     }),
 
+    // ---- Unicode NFC normalization (native codegen'd expression): the
+    //      pre-dedup canonicalization pass — composed vs decomposed
+    //      "café" is the same text but a different md5/shingle/minhash.
+    //      The corpus is ASCII (NFC-stable), so a shared decomposed
+    //      probe suffix is appended on BOTH sides to force real
+    //      composition work through both engines' normalizers
+    "q_t_nfc" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 8), lit(NfcProbeSuffix))
+      val norm = call_function("nfc_normalize", raw)
+      documents(s, dir)
+        .select(col("doc_id"),
+          length(raw).cast("long").as("raw_chars"),
+          length(norm).cast("long").as("nfc_chars"),
+          md5(norm).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic stratified sampling + split assignment: the
     //      md5-coin decisions are reproducible across engines, reruns
     //      and partitionings (rand() is none of those) — verified
@@ -1325,6 +1342,12 @@ object SparkEntry {
   /** Shared by q_osm_split_scale (relational chain) and
     * q_osm_split_array (array formulation): both must reproduce this
     * result exactly. */
+  /** Decomposed-form probe for q_t_nfc, spliced verbatim into both the
+    * Spark query and the DuckDB oracle: 'e' + combining acute (U+0301)
+    * and 'i' + combining diaeresis (U+0308) — NFC composes both, so
+    * char counts shrink 13 -> 11 and the md5 changes. */
+  private val NfcProbeSuffix = " cafe\u0301 nai\u0308ve"
+
   private val oracleSplitScaleSql =
     """WITH way_nodes AS (
          SELECT l_orderkey AS way_id, l_partkey AS node_id,
@@ -1729,6 +1752,14 @@ object SparkEntry {
                FROM toks, UNNEST(range(1, len(t))) AS r(i))
          SELECT gram, count(*) AS cnt FROM g GROUP BY gram
          ORDER BY cnt DESC, gram LIMIT 20""",
+    // the same decomposed probe goes through DuckDB's nfc_normalize, so
+    // both engines' UAX#15 composition is compared end to end
+    "q_t_nfc" ->
+      s"""SELECT doc_id,
+           CAST(length(substring(text, 1, 8) || '$NfcProbeSuffix') AS BIGINT) AS raw_chars,
+           CAST(length(nfc_normalize(substring(text, 1, 8) || '$NfcProbeSuffix')) AS BIGINT) AS nfc_chars,
+           md5(nfc_normalize(substring(text, 1, 8) || '$NfcProbeSuffix')) AS nfc_md5
+         FROM documents ORDER BY doc_id""",
     "q_t_hash_sample" ->
       """WITH u AS (
            SELECT doc_id, lang,

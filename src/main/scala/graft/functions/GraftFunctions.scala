@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("repetition_stats"),
         new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
         (children: Seq[Expression]) => RepetitionStats(children.head)))
+    ext.injectFunction(
+      (new FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+        (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }

@@ -42,6 +42,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(1))
   }
 
+  test("NfcNormalize: composes decomposed forms, identity on NFC text, null propagation") {
+    // "cafe" + combining acute (U+0301) -> composed "caf\u00e9":
+    // 5 codepoints in, 4 out, equal to the composed literal
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed'), length(nfc_normalize('$decomposed')), " +
+        "nfc_normalize('already plain ascii'), nfc_normalize(NULL), " +
+        s"nfc_normalize('$decomposed') = '$composed'")
+      .head()
+    assert(r.getString(0) === composed)
+    assert(r.getInt(1) === 4)
+    assert(r.getString(2) === "already plain ascii")
+    assert(r.isNullAt(3))
+    assert(r.getBoolean(4), "normalized-decomposed must equal the composed literal")
+    // the dedup consequence: both forms hash identically after NFC
+    val hashes = spark.sql(
+      s"SELECT md5(nfc_normalize('$decomposed')), md5(nfc_normalize('$composed'))").head()
+    assert(hashes.getString(0) === hashes.getString(1))
+  }
+
   test("haversine: known distance (Paris-London ~343.5 km)") {
     val d = spark.range(1).select(
       Geo.haversineMeters(lit(2.3522), lit(48.8566), lit(-0.1276), lit(51.5074)))
