@@ -16,11 +16,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - `array_distinct(array_distinct(x))` -> `array_distinct(x)`:
   *    idempotent; dedup fingerprint pipelines chain it through helper
   *    boundaries.
+  *  - `nfc_normalize(nfc_normalize(x))` -> `nfc_normalize(x)`: NFC is
+  *    idempotent (UAX#15); curation pipelines normalize defensively at
+  *    helper boundaries, and each dropped application saves a per-row
+  *    `isNormalized` scan.
   */
 object GraftOptimizations extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Reverse(Reverse(child)) => child
       case ArrayDistinct(inner @ ArrayDistinct(_)) => inner
+      case NfcNormalize(inner @ NfcNormalize(_)) => inner
     }
 }

@@ -87,16 +87,19 @@ object Similarity {
     def codesOf(v: Column) = quantizeInt8(v)._2
     def norm2(c: Column) = aggregate(
       transform(c, x => (x * x).cast("long")), lit(0L), (acc, x) => acc + x)
+    // norms are per-ROW, computed before the pair join: inside the join
+    // each corpus norm would be re-folded once per query (and vice
+    // versa) — O((n+q)·dim) beats O(n·q·dim) for the same numbers
     val cq = corpus.select(col(idCol), codesOf(col(vecCol)).as("__c"))
+      .withColumn("__cn", sqrt(norm2(col("__c")).cast("double")))
     val qq = queries.select(col(qidCol), codesOf(col(vecCol)).as("__qc"))
+      .withColumn("__qn", sqrt(norm2(col("__qc")).cast("double")))
     val dotL = aggregate(
       zip_with(col("__c"), col("__qc"), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, x) => acc + x)
     val scored = cq.crossJoin(broadcast(qq))
       .select(col(qidCol), col(idCol),
-        (dotL.cast("double") /
-          (sqrt(norm2(col("__c")).cast("double")) *
-            sqrt(norm2(col("__qc")).cast("double")))).as("cos_i8"))
+        (dotL.cast("double") / (col("__cn") * col("__qn"))).as("cos_i8"))
     val w = Window.partitionBy(qidCol).orderBy(col("cos_i8").desc, col(idCol))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")

@@ -61,6 +61,13 @@ class FunctionsSpec extends SparkTestBase {
     val hashes = spark.sql(
       s"SELECT md5(nfc_normalize('$decomposed')), md5(nfc_normalize('$composed'))").head()
     assert(hashes.getString(0) === hashes.getString(1))
+    // peephole: defensive double-normalization collapses to one call
+    // (non-foldable input, else ConstantFolding would erase the evidence)
+    val optimized = spark.range(1)
+      .selectExpr("nfc_normalize(nfc_normalize(CAST(id AS STRING))) AS n")
+      .queryExecution.optimizedPlan.toString
+    assert("nfc_normalize".r.findAllIn(optimized).length === 1,
+      s"idempotence rule should collapse nested calls:\n$optimized")
   }
 
   test("haversine: known distance (Paris-London ~343.5 km)") {
