@@ -987,6 +987,25 @@ object SparkEntry {
         .orderBy("hour_start")
     }),
 
+    // ---- event-time HOPPING window (1h length, 30m slide): every event
+    //      lands in exactly two windows — the sliding-window batch shape;
+    //      Spark expands via its internal window generator, the oracle
+    //      expands the same two bucket starts explicitly
+    //      value sums ride DECIMAL(18,2), not double: the 2x window
+    //      expansion reorders the float summation enough that a
+    //      round(avg,4) landed on a half-ulp boundary vs DuckDB —
+    //      decimal arithmetic is exact on the 2-decimal source data
+    "q_e_hopping_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("cnt"), col("sum_value"))
+        .orderBy("win_start")
+    }),
+
     // ---- batch gaps-and-islands sessionization: lag flags a >30-min
     //      gap, a running sum over the same window numbers the islands
     //      — the batch shape of streaming sessionize, and the classic
@@ -1973,6 +1992,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 count(*) AS cnt, round(avg(value), 4) AS avg_value
          FROM events GROUP BY hour_start ORDER BY hour_start""",
+    "q_e_hopping_window" ->
+      """WITH w AS (
+           SELECT value, unnest([
+             time_bucket(INTERVAL 30 MINUTE, ts),
+             time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+           FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM w GROUP BY win_start ORDER BY win_start""",
     "q_e_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
          FROM events GROUP BY k ORDER BY k""",
