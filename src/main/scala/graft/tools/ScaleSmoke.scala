@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   *     its neighbor) — the 3-shuffle array-form split at data scale;
   *   - `GraphCheck.connectedComponents` over a `chains x chainLen`
   *     path graph — the adversarial topology where pointer jumping is
-  *     the difference between log2(chainLen) and chainLen rounds.
+  *     the difference between log2(chainLen) and chainLen rounds;
+  *   - `GeometricSplit.createTopology` over the split output's edges —
+  *     dense vertex-id assignment at data scale, the exact path the r6
+  *     review flagged when it was a partition-less window (planet road
+  *     graphs carry ~10^8 distinct vertices; the range-partition +
+  *     zipWithIndex two-phase scheme must hold there).
   *
   * Prints one JSON line with row counts, run times, and the component
   * round count. `runMain graft.tools.ScaleSmoke [waysMillions]
   * [chainsThousands]` (defaults 2 and 200: 16M way-node rows, 12.8M
-  * graph edges).
+  * graph edges, ~2M topology edges with ~2M distinct snapped vertices).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -71,11 +76,31 @@ object ScaleSmoke {
       countDistinct(col("component")).as("components")).head()
     val ccSec = (System.nanoTime() - t1) / 1e9
 
+    // dense vertex ids over nWays edges: each edge's endpoints snap to
+    // distinct grid cells (ids spread on a 100k x N grid), so the
+    // distinct-vertex relation is edge-count-sized — the volume the
+    // old global-window formulation funneled through ONE task
+    val topoEdges = spark.range(nWays).select(col("id").as("edge_id"),
+      array(
+        struct((col("id") % 100000).cast("double") * 0.001 as "lon",
+          (col("id") / 100000).cast("double") * 0.001 as "lat"),
+        struct(((col("id") + 1) % 100000).cast("double") * 0.001 as "lon",
+          ((col("id") + 1) / 100000).cast("double") * 0.001 as "lat"))
+        .as("geom"))
+    val t2 = System.nanoTime()
+    val topo = graft.osm.GeometricSplit.createTopology(topoEdges)
+      .agg(count(lit(1)).as("edges"),
+        countDistinct(col("source")).as("src_ids"),
+        max(col("target")).as("max_id")).head()
+    val topoSec = (System.nanoTime() - t2) / 1e9
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
       s""""cc_components":${comp.getLong(1)},"cc_rounds":$rounds,""" +
-      s""""cc_sec":$ccSec}""")
+      s""""cc_sec":$ccSec,"topo_edges":${topo.getLong(0)},""" +
+      s""""topo_src_ids":${topo.getLong(1)},"topo_max_id":${topo.getLong(2)},""" +
+      s""""topo_sec":$topoSec}""")
     spark.stop()
   }
 }
