@@ -37,6 +37,13 @@ object GraphCheck {
     * on a long chain in RoadGraphSpec). */
   def connectedComponentsWithRounds(edges: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
+    // NOTE (measured, round 7): pre-partitioning this relation on `b`
+    // before the checkpoint — so the per-round neighbor join would
+    // reuse the partitioning instead of re-exchanging |E| rows — ran
+    // 2x SLOWER on the 12.6M-edge smoke (218 s vs 107 s): the preserved
+    // hash distribution forces a per-round SORT of the big side for the
+    // sort-merge join, which costs more than the exchange it saves, and
+    // pins AQE out of the stage. Keep the plain checkpoint.
     val sym = edges.select(col("start_node").as("a"), col("end_node").as("b"))
       .unionByName(edges.select(col("end_node").as("a"), col("start_node").as("b")))
       .distinct()
