@@ -785,6 +785,68 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- URL canonicalization (C4-style web hygiene): a maximally
+    //      messy deterministic URL per doc (mixed case, www, default
+    //      port, utm params, trailing slash, fragment) through the
+    //      RE2-safe regexp fold; the oracle replays the identical
+    //      rewrites in DuckDB, string-exact
+    "q_t_url_normalize" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/Docs/"), col("doc_id"),
+        lit("/?utm_source=feed&utm_campaign=a1&id="), col("doc_id"),
+        lit("#sec2"))
+      val norm = llm.Curation.normalizeUrl(url)
+      documents(s, dir).select(col("doc_id"), norm.as("url_norm"),
+          llm.Curation.registeredDomain(norm).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- URL-keyed dedup: docs 0..249 carry the clean URL form,
+    //      250..499 the messy twin of the SAME page (www + port +
+    //      trailing slash); only canonicalization makes them collide.
+    //      Survivor per key = longest text, tie → smallest id. The
+    //      oracle derives the canonical key independently (it knows
+    //      both forms normalize to the clean one) — different
+    //      formulation, same rows
+    "q_t_url_dedup" -> ((s, dir) => {
+      val cls = col("doc_id") % 250
+      val url = concat(
+        when(col("doc_id") < 250, lit("https://example.com/p/"))
+          .otherwise(lit("HTTPS://WWW.EXAMPLE.COM:443/p/")),
+        cls,
+        when(col("doc_id") < 250, lit("")).otherwise(lit("/")))
+      llm.Curation.dedupByUrl(documents(s, dir), url,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ---- domain blocklist filter: per-doc host www.<source>.net →
+    //      registered domain <source>.net; a 3-domain blocklist
+    //      broadcast anti-joins the corpus (UT1-style blocklists are
+    //      corpus-independent, so the broadcast is a contract like
+    //      decontaminate's). Blocked sources vanish from the rollup
+    "q_t_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://WWW."), col("source"), lit(".net/a/"),
+        col("doc_id"))
+      val block = Seq("src3.net", "src7.net", "src15.net").toDF("domain")
+      llm.Curation.domainBlocklistFilter(documents(s, dir), url, block)
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+        .orderBy("source")
+    }),
+
+    // ---- CCNet-style corpus-LM quality score: add-k bigram model fit
+    //      on the corpus itself (two vocabulary-sized hash aggs from
+    //      ONE gram explode), each doc scored by mean bigram ln-prob.
+    //      Only the final mean is float → round(4) is the whole
+    //      cross-engine tolerance story
+    "q_t_lm_score" -> ((s, dir) => {
+      llm.TextAnalysis.ngramLmScore(documents(s, dir), "doc_id",
+          col("text"), k = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- within-doc repetition (Gopher-style boilerplate filter):
     //      one-pass native RepetitionStats expression — scan-local, NOT
     //      an explode+groupBy (which would shuffle the whole corpus on
@@ -1835,6 +1897,69 @@ object SparkEntry {
          SELECT lang, count(*) AS kept
          FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
          GROUP BY lang ORDER BY lang""",
+    // same RE2 rewrites replayed in DuckDB (only the utm strip needs
+    // the 'g' flag — DuckDB replaces first-match by default, Spark all)
+    "q_t_url_normalize" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/'
+               || doc_id || '/?utm_source=feed&utm_campaign=a1&id='
+               || doc_id || '#sec2' AS url
+           FROM documents),
+         n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+         n2 AS (SELECT doc_id, nf,
+                  regexp_extract(nf,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS rawauth
+                FROM n1),
+         n3 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(lower(rawauth),
+                    '://www\.', '://'), ':(80|443)$', '') AS auth,
+                  substr(nf, length(rawauth) + 1) AS rest
+                FROM n2),
+         n4 AS (SELECT doc_id, auth,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(rest, 'utm_[a-z]+=[^&]*&?', '', 'g'),
+                    '[?&]+$', ''), '/+\?', '?'), '/+$', '') AS tidy
+                FROM n3)
+         SELECT doc_id, auth || tidy AS url_norm,
+           regexp_extract(
+             regexp_extract(auth || tidy, '://([^/:?#]*)', 1),
+             '[^.]*\.[^.]*$') AS domain
+         FROM n4 ORDER BY doc_id""",
+    // independent formulation: the oracle knows both URL forms
+    // canonicalize to the clean one, so it builds the key directly
+    "q_t_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id, n_chars,
+                  'https://example.com/p/' || (doc_id % 250) AS un
+           FROM documents),
+         rk AS (
+           SELECT doc_id, n_chars,
+                  row_number() OVER (PARTITION BY un
+                    ORDER BY n_chars DESC, doc_id) AS rn
+           FROM u)
+         SELECT doc_id, n_chars FROM rk WHERE rn = 1 ORDER BY doc_id""",
+    // independent formulation: www.<source>.net registers as
+    // <source>.net, so blocking {src3,src7,src15}.net is a NOT IN on
+    // source
+    "q_t_domain_filter" ->
+      """SELECT source, count(*) AS kept FROM documents
+         WHERE source NOT IN ('src3', 'src7', 'src15')
+         GROUP BY source ORDER BY source""",
+    "q_t_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         gr AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+         bi AS (SELECT g, count(*) AS c2 FROM gr GROUP BY g),
+         bi2 AS (SELECT g, c2, string_split(g, ' ')[1] AS w1 FROM bi),
+         ctx AS (SELECT w1, sum(c2) AS c1 FROM bi2 GROUP BY w1),
+         v AS (SELECT count(*) AS v FROM ctx)
+         SELECT gr.doc_id, count(*) AS n_bigrams,
+                round(avg(ln((bi2.c2 + 0.5) / (ctx.c1 + 0.5 * v.v))), 4)
+                  AS lm_score
+         FROM gr JOIN bi2 USING (g) JOIN ctx USING (w1), v
+         GROUP BY gr.doc_id ORDER BY gr.doc_id""",
     // relational mirror of the scan-local sorted-run fold: max per-doc
     // bigram count == longest equal-adjacent run in the sorted array
     "q_t_repetition" ->

@@ -41,12 +41,12 @@ case class MatVec(matrix: Expression, vec: Expression)
     vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(m: Any, v: Any): Any =
-    MatVec.eval(mat, v.asInstanceOf[ArrayData], vecIsFloat)
+    MatVec.dot(mat, v.asInstanceOf[ArrayData], vecIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val matRef = ctx.addReferenceObj("matvecMatrix", mat, "double[][]")
     nullSafeCodeGen(ctx, ev, (_, v) =>
-      s"${ev.value} = graft.functions.MatVec.eval($matRef, $v, $vecIsFloat);")
+      s"${ev.value} = graft.functions.MatVec.dot($matRef, $v, $vecIsFloat);")
   }
 
   override protected def withNewChildrenInternal(
@@ -55,8 +55,13 @@ case class MatVec(matrix: Expression, vec: Expression)
 }
 
 object MatVec {
-  /** Shared by interpreted eval and generated code. */
-  def eval(mat: Array[Array[Double]], vec: ArrayData,
+  /** Shared by interpreted eval and generated code. Named `dot`, NOT
+    * `eval`: the class inherits `Expression.eval(InternalRow)`, and a
+    * same-named companion method gets NO static forwarder — the
+    * generated `graft.functions.MatVec.eval(...)` call then fails
+    * Janino compilation and the whole projection silently degrades to
+    * interpreted mode (found via the UnsafeProjection fallback WARN). */
+  def dot(mat: Array[Array[Double]], vec: ArrayData,
       isFloat: Boolean): ArrayData = {
     val varr: Array[Double] =
       if (isFloat) {

@@ -56,10 +56,11 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    RepetitionStats.eval(input.asInstanceOf[ArrayData])
+    RepetitionStats.evalTokens(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStats.eval($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RepetitionStats.evalTokens($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -75,8 +76,14 @@ object RepetitionStats {
     * empty token — detected via `isNullAt`, which every ArrayData
     * implementation honors; `getUTF8String` on a null slot returns null
     * only for GenericArrayData, so a null-compare there would make the
-    * semantics depend on the array's physical format (ADVICE r6). */
-  def eval(toks: ArrayData): InternalRow = {
+    * semantics depend on the array's physical format (ADVICE r6).
+    *
+    * Named `evalTokens`, NOT `eval`: the case class inherits
+    * `Expression.eval(InternalRow)`, and a same-named companion method
+    * gets NO static forwarder — the generated static call then fails
+    * Janino compilation and the projection silently degrades to
+    * interpreted mode (found via the UnsafeProjection fallback WARN). */
+  def evalTokens(toks: ArrayData): InternalRow = {
     val n = toks.numElements()
     if (n == 0) return new GenericInternalRow(Array[Any](0.0, 0.0))
     val distinct = new java.util.HashSet[UTF8String](n * 2)

@@ -183,6 +183,73 @@ object Curation {
       regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
     }: _*)
 
+  /** Authority part of a URL: scheme `://` host[:port], up to the first
+    * `/`, `?` or `#`. RE2-safe so an independent engine extracts the
+    * identical span. */
+  private val AuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  /** C4/RefinedWeb-style URL canonicalization — the key a web corpus
+    * dedups on. One document fetched via `HTTPS://WWW.Host.COM:443/p/`
+    * and another via `https://host.com/p` are the same page; without a
+    * canonical key, URL-level dedup misses them. Normalization:
+    * fragment dropped; scheme+host lowercased (path/query case is
+    * significant and kept); leading `www.` and default ports 80/443
+    * stripped; `utm_*` tracking params removed (with separator
+    * fix-up); trailing path slashes collapsed.
+    *
+    * Scale shape: a fold of codegen'd RE2-safe `regexp_replace`s —
+    * scan-local, zero shuffle, linear at any corpus size. No
+    * backreferences in any replacement string, so an independent
+    * engine (different backref syntax) applies the identical rewrite.
+    * Deliberately NOT a full WHATWG parser: no percent-decoding, no
+    * public-suffix list — the 90% canonicalization a corpus pipeline
+    * runs before [[dedupByUrl]]. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val rawAuth = regexp_extract(noFrag, AuthorityRe, 0)
+    val auth = regexp_replace(
+      regexp_replace(lower(rawAuth), "://www\\.", "://"), ":(80|443)$", "")
+    val rest = noFrag.substr(length(rawAuth) + 1, length(noFrag))
+    val noUtm = regexp_replace(rest, "utm_[a-z]+=[^&]*&?", "")
+    val tidy = regexp_replace(
+      regexp_replace(regexp_replace(noUtm, "[?&]+$", ""), "/+\\?", "?"),
+      "/+$", "")
+    concat(auth, tidy)
+  }
+
+  /** Naive registered domain (last two host labels) of a NORMALIZED
+    * url: `https://a.b.example.com/x` -> `example.com`. Good enough
+    * for blocklist keys on common TLDs; a public-suffix-list lookup
+    * (a broadcast map over suffixes) is the production upgrade and
+    * slots in behind the same signature. */
+  def registeredDomain(urlNorm: Column): Column =
+    regexp_extract(regexp_extract(urlNorm, "://([^/:?#]*)", 1),
+      "[^.]*\\.[^.]*$", 0)
+
+  /** URL-keyed dedup: one survivor per [[normalizeUrl]] key, chosen by
+    * `preference` order (typically longest text, then smallest id —
+    * the C4 "keep the most complete fetch" rule). One shuffle on the
+    * canonical key; the ranking window never sees more than one URL's
+    * fetches per group. */
+  def dedupByUrl(docs: DataFrame, url: Column,
+      preference: Seq[Column]): DataFrame =
+    graft.ops.RelOps.top1PerGroup(
+        docs.withColumn("__url", normalizeUrl(url)), Seq("__url"), preference)
+      .drop("__url")
+
+  /** Domain blocklist filter: drop every document whose registered
+    * domain appears in `blocklist` (a `domain` column). Scale shape:
+    * real blocklists (UT1, adult/spam lists) are millions of rows but
+    * corpus-independent and broadcast-sized, so this plans as a
+    * broadcast LeftAnti — one narrow pass over the corpus, no shuffle
+    * of the big side (same contract as [[decontaminate]]'s gram set). */
+  def domainBlocklistFilter(docs: DataFrame, url: Column,
+      blocklist: DataFrame, domCol: String = "domain"): DataFrame =
+    docs.withColumn("__dom", registeredDomain(normalizeUrl(url)))
+      .join(broadcast(blocklist.select(col(domCol).as("__dom")).distinct()),
+        Seq("__dom"), "left_anti")
+      .drop("__dom")
+
   /** GPT-style sequence packing: documents are concatenated in `idCol`
     * order and cut into fixed `seqLen`-token training sequences; a
     * document may straddle a boundary. Emits per document its global

@@ -142,17 +142,75 @@ object TextAnalysis {
     * then `orderBy.limit(k)` which Spark plans as TakeOrderedAndProject
     * — per-partition top-k heaps merged on the driver, NEVER a global
     * sort of the vocabulary. Deterministic: ties break on the gram. */
-  def topNgrams(docs: DataFrame, text: Column, n: Int = 2,
-      k: Int = 20): DataFrame = {
+  /** Raw (multiset, order-preserving) word n-gram list — unlike
+    * [[Dedup.wordNgrams]] NOT distinct'd: count-based consumers (LM
+    * fitting, top-k vocabulary) need multiplicities. Empty array for
+    * docs with fewer than `n` tokens. */
+  private[graft] def rawWordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val grams = when(size(toks) >= n,
+    when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    docs.select(explode(grams).as("gram"))
+  }
+
+  def topNgrams(docs: DataFrame, text: Column, n: Int = 2,
+      k: Int = 20): DataFrame = {
+    docs.select(explode(rawWordNgrams(text, n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
+  }
+
+  /** CCNet-style n-gram LM quality score: fit an add-k-smoothed bigram
+    * model ON the corpus itself, then score each document by its mean
+    * bigram log-probability. Low scores flag boilerplate/gibberish the
+    * corpus-wide distribution doesn't explain — the same signal CCNet
+    * gets from a KenLM model, derived here with two hash aggregates
+    * instead of an external model artifact.
+    *
+    * Model: P(w2|w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V), with
+    * C(w1 ·) the context count (sum of bigram counts starting at w1)
+    * and V the number of distinct contexts — both derived from the ONE
+    * exploded gram relation, so the corpus is scanned once.
+    *
+    * Scale shape: grams → hash-agg bigram counts (map-side partial
+    * shrinks the shuffle to the vocabulary) → context counts from the
+    * bigram table (vocabulary-sized, not corpus-sized) → score join on
+    * the gram key → per-doc hash agg. The model side of the score join
+    * is vocabulary-bounded; AQE broadcasts it when it fits and
+    * shuffle-joins on the gram key when it doesn't — never an
+    * all-pairs, never a window over the corpus. Documents with fewer
+    * than 2 tokens have no bigrams and drop out (no model evidence
+    * either way).
+    *
+    * Rounded to 4 decimals: the mean-of-ln is the only float in the
+    * pipeline and rounding makes it engine-portable (same tolerance
+    * discipline as [[tfidfTopTerms]]). */
+  def ngramLmScore(docs: DataFrame, idCol: String, text: Column,
+      k: Double = 0.5): DataFrame = {
+    val grams = docs.select(col(idCol), explode(rawWordNgrams(text, 2)).as("g"))
+    // The fitted model is persisted: it feeds three consumers (the
+    // score join, the context counts, V) whose pruned subtrees would
+    // otherwise each re-explode the CORPUS (plan-verified: without the
+    // persist, ReuseExchange misses and the scan+shuffle runs twice).
+    // Materializing the model is vocabulary-bounded, not corpus-
+    // bounded — exactly the artifact CCNet writes to disk. Lifecycle:
+    // the harnesses clearCache per query, same contract as
+    // Similarity's persisted vectors.
+    val bi = grams.groupBy("g").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", element_at(split(col("g"), " ", 2), 1))
+      .persist()
+    val ctx = bi.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = bi.join(ctx, "w1").select(col("g"), col("c2"), col("c1"))
+    val vocab = ctx.agg(count(lit(1)).as("__V"))
+    grams.join(model, "g")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("__V"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("__lp"), 4).as("lm_score"))
   }
 
   /** Rolling polynomial fingerprint over whitespace tokens —

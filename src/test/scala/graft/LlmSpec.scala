@@ -430,4 +430,43 @@ class LlmSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toList
     assert(top === List(("a b", 4L), ("b a", 2L), ("b c", 1L)))
   }
+
+  test("normalizeUrl: each rewrite rule on hand-built URLs; non-defaults survive") {
+    val cases = Seq(
+      // every rule at once: case, www, default port, utm, slash, fragment
+      ("HTTPS://WWW.Example.COM:443/Docs/5/?utm_source=x&id=3#f",
+        "https://example.com/Docs/5?id=3"),
+      // non-default port is SIGNIFICANT and kept
+      ("http://example.com:8080/a", "http://example.com:8080/a"),
+      // utm-only query: the bare '?' goes too
+      ("https://x.com/p?utm_source=a", "https://x.com/p"),
+      // utm in the middle: separator fix-up keeps one '&'
+      ("https://x.com/p?a=1&utm_medium=m&b=2", "https://x.com/p?a=1&b=2"),
+      // root slash strips; path case is preserved
+      ("https://X.com/", "https://x.com"),
+      // already-canonical input is a fixed point
+      ("https://example.com/p?id=3", "https://example.com/p?id=3"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.normalizeUrl($"u")).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g === want) }
+    // deep subdomain registers as the last two labels
+    val dom = Seq("https://a.b.example.co/x").toDF("u")
+      .select(Curation.registeredDomain(Curation.normalizeUrl($"u")))
+      .collect().head.getString(0)
+    assert(dom === "example.co")
+  }
+
+  test("ngramLmScore: hand-computed add-k bigram means; short docs drop out") {
+    // corpus: C("a b")=3, C("b a")=1; contexts a->3, b->1; V=2, k=0.5
+    // P(a b)=(3+.5)/(3+1)=.875  P(b a)=(1+.5)/(1+1)=.75
+    val fix = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLmScore(fix, "doc_id", $"text", k = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lnP1 = math.log(0.875); val lnP2 = math.log(0.75)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got === Set(
+      (1L, 3L, r4((2 * lnP1 + lnP2) / 3)), // "a b","b a","a b"
+      (2L, 1L, r4(lnP1))))                 // doc 3: no bigrams, no row
+  }
 }

@@ -214,4 +214,39 @@ class PlanAuditSpec extends SparkTestBase {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(formatted.contains("codegen id"), "repetition path should be codegen'd")
   }
+
+  test("native expressions COMPILE under codegen (no silent interpreter fallback)") {
+    // "the plan says WholeStageCodegen" is not enough: if the generated
+    // static call doesn't resolve (e.g. a companion method named `eval`
+    // gets no static forwarder because the class inherits
+    // Expression.eval), Janino fails at RUNTIME and Spark silently
+    // degrades the projection to interpreted mode — the plan string
+    // never changes. Forcing GenerateUnsafeProjection turns that
+    // degradation into a test failure.
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val toks = BoundReference(0, ArrayType(StringType), nullable = true)
+    val vec = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    val txt = BoundReference(2, StringType, nullable = true)
+    val mat = Literal.create(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      ArrayType(ArrayType(DoubleType)))
+    val exprs = Seq(
+      functions.RepetitionStats(toks),
+      functions.MatVec(mat, vec),
+      functions.ExtractInts(txt),
+      functions.NfcNormalize(txt))
+    val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino error
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      ArrayData.toArrayData(Array(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("a"))),
+      ArrayData.toArrayData(Array(3.0, 4.0)),
+      org.apache.spark.unsafe.types.UTF8String.fromString("x1 café 22"))
+    val out = proj(row)
+    assert(out.getStruct(0, 2).getDouble(0) === 0.5) // dup_token_frac
+    assert(out.getArray(1).getDouble(0) === 3.0)     // identity matvec
+    assert(out.getArray(2).getInt(0) === 1)          // extract_ints
+  }
 }

@@ -107,6 +107,33 @@ class PropertySpec extends SparkTestBase {
     assert(arr === chain)
   }
 
+  test("normalizeUrl is idempotent across generated messy URLs") {
+    // idempotence is the property URL-keyed dedup rests on: a key
+    // already in canonical form must never move again (otherwise two
+    // pipeline stages normalizing at different times disagree)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val urls = Seq.fill(120) {
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = pick(Seq("Example.COM", "a.b.example.net", "X.org"))
+      val port = pick(Seq("", ":443", ":80", ":8080"))
+      val path = pick(Seq("", "/", "/Docs/5", "/Docs/5/", "/a/b//"))
+      val query = pick(Seq("", "?id=3", "?utm_source=x", "?utm_a=1&id=3",
+        "?id=3&utm_b=2", "?utm_a=1&utm_b=2"))
+      val frag = pick(Seq("", "#f", "#sec-2"))
+      s"$scheme://$www$host$port$path$query$frag"
+    }
+    val once :: twice :: Nil = urls.toDF("u")
+      .select(graft.llm.Curation.normalizeUrl($"u").as("n1"))
+      .select($"n1", graft.llm.Curation.normalizeUrl($"n1").as("n2"))
+      .collect().toList.map(_.toSeq.map(_.toString)).transpose
+    once.zip(twice).zip(urls).foreach { case ((a, b), raw) =>
+      assert(a === b, s"not idempotent for $raw")
+      assert(!a.contains("#") && !a.toLowerCase.contains("utm_"),
+        s"fragment/utm survived in $a")
+    }
+  }
+
   test("simhash banding pigeonhole: pairs within maxDist always share a chunk") {
     // pure bit-level property of the chunk-bounds derivation
     val bits = llm.Dedup.SimhashBits
