@@ -661,6 +661,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- passage-level duplicate spans (Lee et al.): heavy-hitter
+    //      8-grams join back onto their positions; touching flagged
+    //      positions merge into maximal spans via a PER-DOC
+    //      gaps-and-islands window — no doc-to-doc comparison anywhere
+    "q_d_dup_passages" -> ((s, dir) => {
+      llm.Dedup.duplicatePassages(documents(s, dir), "doc_id", col("text"),
+          n = 8, minCount = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- language ID by stopword-profile scoring (deterministic formula,
     //      mirrored in the oracle)
     "q_t_language_id" -> ((s, dir) => {
@@ -2475,6 +2485,29 @@ object SparkEntry {
     "q_d_minhash_pairs" -> minhashOracleSql,
     "q_d_neardup_keep" -> neardupKeepOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
+    "q_d_dup_passages" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         gr AS (SELECT doc_id, i - 1 AS pos,
+                  array_to_string(t[i:i+7], ' ') AS g
+                FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+                WHERE len(t) >= 8),
+         dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, pos FROM gr
+                  WHERE g IN (SELECT g FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos), -9) + 8
+                        THEN 1 ELSE 0 END AS nw
+                 FROM hits),
+         isl2 AS (SELECT doc_id, pos,
+                    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS island
+                  FROM isl)
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) + 7 AS span_end, count(*) AS n_grams
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
     "q_s_ann_lsh" -> annLshOracleSql,
     // q_s_ivf_ann emits only the deterministic quality verdict
     // (query_id, recall_ok) — the Lloyd-trained top-k itself is not

@@ -314,4 +314,50 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Passage-level duplicate detection (the Lee-et-al "Deduplicating
+    * Training Data" signal at word-gram granularity): token spans whose
+    * `n`-grams occur at least `minCount` times ACROSS THE CORPUS
+    * (within-doc repeats count — "occurs more than once" is the
+    * criterion, wherever the copies live). Returns one row per maximal
+    * duplicated span: `(id, span_start, span_end, n_grams)` with
+    * 0-based inclusive token indices.
+    *
+    * Scale shape: positioned gram explode (linear in corpus tokens) →
+    * hash-agg gram counts (map-side partial shrinks the shuffle to the
+    * vocabulary) → the `>= minCount` HEAVY-HITTER set joins back
+    * (small; AQE broadcasts it) → overlapping/adjacent flagged
+    * positions merge into maximal spans with a gaps-and-islands window
+    * PARTITIONED BY DOCUMENT — no global window, no all-pairs
+    * doc-to-doc comparison anywhere (the gram table, not doc pairs,
+    * carries the cross-document evidence). Two flagged grams merge when
+    * their token ranges touch or overlap (gap opens when
+    * `pos > prev + n`).
+    *
+    * 100 TB knob: the shuffle carries the gram STRINGS (exact,
+    * oracle-checkable). At extreme scale, keying the count and
+    * join-back on `xxhash64(g)` cuts the shuffle ~6x for a
+    * vanishing false-flag probability — the approximation the
+    * suffix-array literature accepts; semantics here stay exact. */
+  def duplicatePassages(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol),
+      posexplode(TextAnalysis.rawWordNgrams(text, n)).as(Seq("pos", "g")))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("g")
+    val hits = grams.join(dup, "g").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    hits
+      .withColumn("__new",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(w), lit(-(n + 1))) + n, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
 }

@@ -431,6 +431,25 @@ class LlmSpec extends SparkTestBase {
     assert(top === List(("a b", 4L), ("b a", 2L), ("b c", 1L)))
   }
 
+  test("duplicatePassages: cross-doc and within-doc spans, touching spans merge") {
+    val fix = Seq(
+      (1L, "a b c d e f"),         // shares "a b c","b c d" with doc 2
+      (2L, "x a b c d y"),
+      (3L, "p q r s p q r s"),     // within-doc repeat; flagged positions
+                                   // 0,1,4,5 — 4 TOUCHES the [1..3] range
+                                   // (4 == 1+n), so one maximal span
+      (4L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassages(fix, "doc_id", $"text",
+        n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 0L, 3L, 2L),
+      (2L, 1L, 4L, 2L),
+      (3L, 0L, 7L, 4L)))
+  }
+
   test("normalizeUrl: each rewrite rule on hand-built URLs; non-defaults survive") {
     val cases = Seq(
       // every rule at once: case, www, default port, utm, slash, fragment
