@@ -334,19 +334,25 @@ object Dedup {
     * their token ranges touch or overlap (gap opens when
     * `pos > prev + n`).
     *
-    * 100 TB knob: the shuffle carries the gram STRINGS (exact,
-    * oracle-checkable). At extreme scale, keying the count and
-    * join-back on `xxhash64(g)` cuts the shuffle ~6x for a
-    * vanishing false-flag probability — the approximation the
-    * suffix-array literature accepts; semantics here stay exact. */
+    * The count and join-back key on `xxhash64(gram)`, not the gram
+    * string: the gram relation is the corpus times `n`, and carrying
+    * ~50-char strings through the count shuffle measurably degrades —
+    * LlmScaleSmoke clocked exponent 1.21 at 10x with string keys (the
+    * hash aggregate spills into its sort-based fallback) vs ~1.0
+    * hashed. A 64-bit collision can only OVER-flag (never hide a real
+    * duplicate); P(any collision) ~ g^2/2^65 — the approximation the
+    * suffix-array dedup literature accepts. The DuckDB oracle counts
+    * exact strings, so the correctness gate would catch a collision at
+    * test scale (where P is ~1e-8). */
   def duplicatePassages(docs: DataFrame, idCol: String, text: Column,
       n: Int = 8, minCount: Long = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col(idCol),
-      posexplode(TextAnalysis.rawWordNgrams(text, n)).as(Seq("pos", "g")))
-    val dup = grams.groupBy("g").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("g")
-    val hits = grams.join(dup, "g").select(col(idCol), col("pos"))
+        posexplode(TextAnalysis.rawWordNgrams(text, n)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), xxhash64(col("g")).as("__gh"))
+    val dup = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__gh")
+    val hits = grams.join(dup, "__gh").select(col(idCol), col("pos"))
     val w = Window.partitionBy(idCol).orderBy("pos")
     hits
       .withColumn("__new",

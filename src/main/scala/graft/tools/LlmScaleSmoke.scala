@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup}
+import graft.llm.{Curation, Dedup, TextAnalysis}
 
 /** Scale-headroom smoke for the LLM dedup/curation hot path: synthesizes
   * a document corpus straight from `spark.range` (no files — measures the
@@ -62,6 +62,10 @@ object LlmScaleSmoke {
   def main(args: Array[String]): Unit = {
     val baseK = if (args.nonEmpty) args(0).toDouble else 300.0
     val factor = if (args.length > 1) args(1).toDouble else 10.0
+    // optional third arg: comma-separated op filter (dev iteration on
+    // one op's exponent without the full 20-minute sweep)
+    val opFilter = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
+    def wanted(op: String) = opFilter.isEmpty || opFilter(op)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,13 +82,35 @@ object LlmScaleSmoke {
       val docs = corpus(spark, n)
       // fixed-size benchmark: ids overlap the corpus's first 10k docs
       val bench = corpus(spark, math.min(10000L, n / 2))
-      Map(
-        "minhash" -> time(
+      // clearCache between ops: ngramLmScore persists its model
+      // relation by contract; a stale cache would subsidize the next
+      // op's timing and distort the exponent
+      def timed(body: => Long): (Double, Long) = {
+        val r = time(body); spark.catalog.clearCache(); r
+      }
+      // an ordered Seq of thunks, NOT a Map of eager values: a >4-entry
+      // Scala Map hash-scrambles iteration order, and op order matters
+      // to the measurement (an op timed after the heavy new ones
+      // inherits their GC/old-gen pressure — observed as a phantom
+      // decontam exponent jump 0.92 -> 1.26)
+      val ops: Seq[(String, () => Long)] = Seq(
+        "minhash" -> (() =>
           Dedup.minhashNearDups(docs, "id", col("text")).count()),
-        "simhash" -> time(
+        "simhash" -> (() =>
           Dedup.simhashNearDups(docs, "id", col("text")).count()),
-        "decontam" -> time(
-          Curation.decontaminate(docs, bench, "id", col("text")).count()))
+        "decontam" -> (() =>
+          Curation.decontaminate(docs, bench, "id", col("text")).count()),
+        // every-100th-doc near-dups share long word runs -> true
+        // duplicated 8-gram passages proportional to n
+        "dup_passages" -> (() =>
+          Dedup.duplicatePassages(docs, "id", col("text")).count()),
+        // hex words are ~unique per doc, so the bigram vocabulary grows
+        // LINEARLY with the corpus — the worst case for the model-side
+        // join (real corpora grow vocabulary sublinearly)
+        "lm_score" -> (() =>
+          TextAnalysis.ngramLmScore(docs, "id", col("text")).count()))
+      ops.filter(kv => wanted(kv._1))
+        .map { case (name, body) => name -> timed(body()) }.toMap
     }
 
     // warm the JVM/codegen/JIT on a 1/10-scale run so the low-scale
@@ -94,7 +120,8 @@ object LlmScaleSmoke {
 
     val lo = runAll(nLo)
     val hi = runAll(nHi)
-    val parts = Seq("minhash", "simhash", "decontam").map { op =>
+    val parts = Seq("minhash", "simhash", "decontam", "dup_passages",
+        "lm_score").filter(wanted).map { op =>
       val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
       val exp = math.log(tHi / tLo) / math.log(factor)
       f""""${op}_sec_lo":$tLo%.2f,"${op}_sec_hi":$tHi%.2f,""" +
