@@ -215,6 +215,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(formatted.contains("codegen id"), "repetition path should be codegen'd")
   }
 
+  test("passage dedup: hashed-key heavy-hitter join-back, per-doc window only") {
+    val df = SparkEntry.queries("q_d_dup_passages")(spark, sf)
+    df.collect() // finalize AQE so join strategies are the real ones
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the flagged-gram set is small by construction -> broadcast, and
+    // the join key is the 64-bit hash, never the gram string
+    assert(p.contains("BroadcastHashJoin"), s"join-back should broadcast:\n$p")
+    assert(p.contains("xxhash64"), s"count/join key should be hashed:\n$p")
+    // islands window must be partitioned by document, never global
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"no partition-less window:\n$p")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      s"islands window should partition by doc_id:\n$p")
+  }
+
+  test("lm score: model relation cached once, feeds every consumer") {
+    val df = SparkEntry.queries("q_t_lm_score")(spark, sf)
+    df.collect()
+    // count over the FULL adaptive string: the cache's consumers sit
+    // inside nested broadcast-stage subtrees that the top-level final
+    // plan elides. The regression this guards is "persist() removed" —
+    // which zeroes InMemoryTableScan everywhere and re-explodes the
+    // corpus once per consumer (ReuseExchange misses because pruning
+    // differentiates the subtrees)
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryRelation".r.findAllIn(p).nonEmpty,
+      s"model should be cached:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"cache should have multiple consumers:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("native expressions COMPILE under codegen (no silent interpreter fallback)") {
     // "the plan says WholeStageCodegen" is not enough: if the generated
     // static call doesn't resolve (e.g. a companion method named `eval`
