@@ -909,11 +909,13 @@ object SparkEntry {
 
     // ---- int8 embedding quantization: scale = max|x|/127, codes
     //      round(x/scale) — 4x storage cut ahead of ANN; integer code
-    //      stats keep the oracle comparison exact
+    //      stats keep the oracle comparison exact; withInt8 keeps the
+    //      scale fold in its own projection (O(dim) per row, not
+    //      O(dim²) from re-folding inside the codes lambda)
     "q_s_quantize" -> ((s, dir) => {
-      val (scale, codes) = llm.Similarity.quantizeInt8(col("embedding"))
-      embeddings(s, dir)
-        .select(col("vec_id"), round(scale, 6).as("scale"), codes.as("__c"))
+      llm.Similarity.withInt8(embeddings(s, dir), col("embedding"),
+          "__s", "__c")
+        .select(col("vec_id"), round(col("__s"), 6).as("scale"), col("__c"))
         .select(col("vec_id"), col("scale"),
           aggregate(col("__c"), lit(0L), (a, x) => a + x).as("code_sum"),
           array_min(col("__c")).as("code_min"),
@@ -1063,18 +1065,18 @@ object SparkEntry {
     //      lands in exactly two windows — the sliding-window batch shape;
     //      Spark expands via its internal window generator, the oracle
     //      expands the same two bucket starts explicitly
-    //      value sums ride DECIMAL(18,2), not double: the 2x window
-    //      expansion reorders the float summation enough that a
-    //      round(avg,4) landed on a half-ulp boundary vs DuckDB —
-    //      decimal arithmetic is exact on the 2-decimal source data
+    //      value sums ride exact integer cents (BIGINT), not double or
+    //      DECIMAL: the 2x window expansion reorders float summation
+    //      onto half-ulp boundaries, and DECIMAL hashes non-portably
+    //      across parquet writers (scale/physical-type differences) —
+    //      round(value*100) as long is bit-portable by construction
     "q_e_hopping_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
-            .as("sum_value"))
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-          col("cnt"), col("sum_value"))
+          col("cnt"), col("sum_cents"))
         .orderBy("win_start")
     }),
 
@@ -1424,8 +1426,54 @@ object SparkEntry {
           element_at(col("features"), 1).as("f1"),
           element_at(col("features"), 8).as("f8"))
         .orderBy("doc_id")
+    }),
+
+    // ---- REAL image decode (JDK ImageIO, no stub): per-doc solid-color
+    //      PNGs are encoded in a typed pass (dims/pixel derived from
+    //      doc_id), then decoded by the actual codec — width/height come
+    //      from the raster and px0 proves pixel data round-trips
+    //      losslessly. The oracle predicts all of it from the same
+    //      arithmetic, so a header-only "decode" would fail on px0.
+    "q_mm_decode_png" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      llm.Multimodal.decode(pngMedia(s, dir)).toDF()
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.frames").as("frames"), col("meta.format").as("format"),
+          col("meta.px0").as("px0"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- REAL image resize (decode → bilinear Graphics2D resample →
+    //      re-encode → decode again): output dims must be the target,
+    //      and bilinear over a solid color is that color, so px0 is
+    //      still oracle-exact after two codec trips
+    "q_mm_resize_png" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      llm.Multimodal.decode(
+          llm.Multimodal.resize(pngMedia(s, dir), width = 8, height = 6))
+        .toDF()
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"), col("meta.px0").as("px0"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Deterministic PNG fixture stream for the `q_mm_*_png` queries: one
+    * solid-color image per document, dimensions and color pure
+    * functions of doc_id (so the DuckDB oracle predicts the decoded
+    * values without ever touching a codec). Encoding happens in the
+    * typed pass — the same per-partition batch shape a real ingest
+    * codec runs in. */
+  private def pngMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      llm.Multimodal.MediaItem(id, llm.Multimodal.encodePng(
+        (id % 31).toInt + 1, (id % 17).toInt + 1,
+        ((id * 2654435761L) % 0x1000000L).toInt))
+    }
+  }
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Column names/types must match the Spark side.
@@ -1907,8 +1955,10 @@ object SparkEntry {
          SELECT lang, count(*) AS kept
          FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
          GROUP BY lang ORDER BY lang""",
-    // same RE2 rewrites replayed in DuckDB (only the utm strip needs
-    // the 'g' flag — DuckDB replaces first-match by default, Spark all)
+    // same RE2 rewrites replayed in DuckDB (only the repeatable utm
+    // pass needs the 'g' flag — DuckDB replaces first-match by
+    // default, Spark all; the two '?'-anchored passes match at most
+    // once since a URL has one '?')
     "q_t_url_normalize" ->
       """WITH u AS (
            SELECT doc_id,
@@ -1928,7 +1978,10 @@ object SparkEntry {
                 FROM n2),
          n4 AS (SELECT doc_id, auth,
                   regexp_replace(regexp_replace(regexp_replace(
-                    regexp_replace(rest, 'utm_[a-z]+=[^&]*&?', '', 'g'),
+                    regexp_replace(regexp_replace(regexp_replace(
+                      rest, '&utm_[a-z]+=[^&]*', '', 'g'),
+                      '\?utm_[a-z]+=[^&]*&', '?'),
+                      '\?utm_[a-z]+=[^&]*$', ''),
                     '[?&]+$', ''), '/+\?', '?'), '/+$', '') AS tidy
                 FROM n3)
          SELECT doc_id, auth || tidy AS url_norm,
@@ -2091,6 +2144,24 @@ object SparkEntry {
                 CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0
                      THEN 'even' ELSE 'odd' END AS format
          FROM documents ORDER BY doc_id""",
+    // the real-codec round-trips: every output is a pure function of
+    // doc_id (fixture arithmetic), so DuckDB predicts what ImageIO must
+    // produce — including the lossless pixel probe
+    "q_mm_decode_png" ->
+      """SELECT doc_id,
+                CAST(doc_id % 31 + 1 AS INT) AS width,
+                CAST(doc_id % 17 + 1 AS INT) AS height,
+                CAST(1 AS INT) AS frames,
+                'png' AS format,
+                CAST((doc_id * 2654435761) % 16777216 AS INT) AS px0
+         FROM documents ORDER BY doc_id""",
+    "q_mm_resize_png" ->
+      """SELECT doc_id,
+                CAST(8 AS INT) AS width,
+                CAST(6 AS INT) AS height,
+                'png' AS format,
+                CAST((doc_id * 2654435761) % 16777216 AS INT) AS px0
+         FROM documents ORDER BY doc_id""",
     "q_e_sessions" ->
       """WITH g AS (
            SELECT user_id, ts, event_id,
@@ -2135,7 +2206,7 @@ object SparkEntry {
            FROM events)
          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
                 count(*) AS cnt,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM w GROUP BY win_start ORDER BY win_start""",
     "q_e_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt

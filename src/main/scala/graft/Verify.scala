@@ -45,7 +45,12 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a SPARK_GRAFT_ONLY run writes its subset to a DISTINCT filename:
+    // pointing a filtered dev run at the canonical outDir must never
+    // silently replace the full oracle artifact with a partial one
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

@@ -109,12 +109,18 @@ object CatalogOps {
     * pruning inside each partition. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    // repartition on the partition columns UNCONDITIONALLY: without it
+    // every upstream task writes one file per partition value it
+    // touches — T tasks × P values = the small-files explosion this
+    // helper exists to prevent. The secondary sort (for row-group
+    // pruning) is the only optional part.
+    val shaped = df.repartition(
+      partitionCols.map(org.apache.spark.sql.functions.col): _*)
     val sorted =
       if (sortCols.nonEmpty)
-        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(
-            (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
-      else df
+        shaped.sortWithinPartitions(
+          (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+      else shaped
     sorted.write.mode("overwrite")
       .partitionBy(partitionCols: _*).parquet(path)
   }

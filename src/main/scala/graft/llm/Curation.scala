@@ -210,7 +210,15 @@ object Curation {
     val auth = regexp_replace(
       regexp_replace(lower(rawAuth), "://www\\.", "://"), ":(80|443)$", "")
     val rest = noFrag.substr(length(rawAuth) + 1, length(noFrag))
-    val noUtm = regexp_replace(rest, "utm_[a-z]+=[^&]*&?", "")
+    // utm strip anchored to a parameter boundary in three backref-free
+    // passes (so `?xutm_a=1` or a path segment `/utm_source=x/` are
+    // untouched): drop non-first `&utm_...`, then a leading
+    // `?utm_...&` keeps its `?`, then a lone `?utm_...` goes entirely
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(rest, "&utm_[a-z]+=[^&]*", ""),
+        "\\?utm_[a-z]+=[^&]*&", "?"),
+      "\\?utm_[a-z]+=[^&]*$", "")
     val tidy = regexp_replace(
       regexp_replace(regexp_replace(noUtm, "[?&]+$", ""), "/+\\?", "?"),
       "/+$", "")

@@ -10,23 +10,65 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * amortize per-batch setup (model load, decoder init) exactly once per
   * partition.
   *
-  * STUB NOTE: no image/audio libraries exist in this container, so
-  * `decode` derives deterministic fake dimensions from the payload
-  * bytes. The Spark-side contract — schema, encoders, partition
-  * batching, pushdown-friendly metadata projection — is real and
-  * tested; swap `fakeDecode` for a codec call to productionize.
+  * CODEC NOTE: image payloads with a PNG signature decode through the
+  * REAL JDK codec (`javax.imageio` — no external dependency): true
+  * width/height from the decoded raster plus a pixel probe, and
+  * `resize` resamples through `Graphics2D` and re-encodes. Non-image
+  * payloads (and the audio/video formats whose libraries aren't in
+  * this container) fall back to a deterministic fake probe so an
+  * independent SQL oracle can still replicate the pipeline shape; swap
+  * `fakeDecode` for the codec of choice to productionize those.
   */
 object Multimodal {
 
-  case class MediaMeta(width: Int, height: Int, frames: Int, format: String)
+  case class MediaMeta(width: Int, height: Int, frames: Int, format: String,
+      px0: Int)
   case class MediaItem(doc_id: Long, payload: Array[Byte])
   case class DecodedItem(doc_id: Long, byte_len: Long, meta: MediaMeta)
 
-  /** Deterministic stand-in for a codec probe. */
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** PNG signature sniff — cheap, exact, and the dispatch point between
+    * the real JDK codec and the deterministic fake. */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 8 && PngMagic.indices.forall(i => payload(i) == PngMagic(i))
+
+  /** Deterministic stand-in for a codec probe (non-image payloads). */
   private def fakeDecode(payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     MediaMeta(width = n % 1024, height = (n * 7) % 768, frames = n % 30 + 1,
-      format = if (n % 2 == 0) "even" else "odd")
+      format = if (n % 2 == 0) "even" else "odd", px0 = n % 997)
+  }
+
+  /** REAL decode via the JDK's ImageIO: true raster dimensions plus the
+    * top-left pixel (RGB, alpha masked off) as a lossless-round-trip
+    * probe — PNG is lossless, so the pixel must survive encode→decode
+    * bit-exactly. Falls back to [[fakeDecode]] if the codec rejects the
+    * bytes (truncated/corrupt payload). */
+  private def pngDecode(payload: Array[Byte]): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) fakeDecode(payload)
+    else MediaMeta(img.getWidth, img.getHeight, frames = 1, format = "png",
+      px0 = img.getRGB(0, 0) & 0xFFFFFF)
+  }
+
+  /** Encode a solid-`rgb` width x height PNG — the deterministic image
+    * fixture generator (tests and the `q_mm_*_png` oracles predict the
+    * decoded dimensions and pixel from the same arithmetic). */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < width) {
+      var y = 0
+      while (y < height) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Wrap any table with a binary payload column into the typed media
@@ -45,7 +87,11 @@ object Multimodal {
     import spark.implicits._
     items.mapPartitions { it =>
       // per-partition init would go here (codec/model handle)
-      it.map(m => DecodedItem(m.doc_id, m.payload.length.toLong, fakeDecode(m.payload)))
+      it.map { m =>
+        val meta = if (isPng(m.payload)) pngDecode(m.payload)
+                   else fakeDecode(m.payload)
+        DecodedItem(m.doc_id, m.payload.length.toLong, meta)
+      }
     }
   }
 
@@ -69,16 +115,38 @@ object Multimodal {
     }
   }
 
-  /** Batched resize pass. STUB: "resampling" truncates the payload to
-    * the target pixel budget — the real contract (typed in/out, per-
-    * partition batching, payload bytes rewritten) is what's exercised. */
+  /** Batched resize pass. PNG payloads resample for REAL: decode,
+    * `Graphics2D.drawImage` onto a width x height raster (bilinear),
+    * re-encode PNG. Non-image payloads keep the honest stub (truncate
+    * to the pixel budget) so the SQL oracle can replicate them. */
   def resize(items: Dataset[MediaItem], width: Int, height: Int)
       (implicit spark: SparkSession): Dataset[MediaItem] = {
     import spark.implicits._
     val budget = width * height
     items.mapPartitions { it =>
-      it.map(m => MediaItem(m.doc_id,
-        java.util.Arrays.copyOf(m.payload, math.min(m.payload.length, budget))))
+      it.map { m =>
+        if (isPng(m.payload)) {
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          if (src == null)
+            MediaItem(m.doc_id, java.util.Arrays.copyOf(
+              m.payload, math.min(m.payload.length, budget)))
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, width, height, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            MediaItem(m.doc_id, bos.toByteArray)
+          }
+        } else MediaItem(m.doc_id, java.util.Arrays.copyOf(
+          m.payload, math.min(m.payload.length, budget)))
+      }
     }
   }
 

@@ -58,13 +58,37 @@ object Similarity {
     * ANN: store codes + one scale, rescore survivors on the originals.
     * Pure column expressions, deterministic (no calibration sampling).
     * Returns (scaleCol, codesCol); all-zero vectors get scale 0 and
-    * all-zero codes. */
+    * all-zero codes.
+    *
+    * PERF CAVEAT: the codes lambda closes over the O(dim) scale fold,
+    * so a single-projection plan evaluates it per ELEMENT — O(dim²)
+    * per row, real at dim 1024+. Use [[withInt8]] on DataFrames: it
+    * materializes scale as its own projection (referenced twice in the
+    * codes lambda, so CollapseProject keeps the alias) and costs
+    * O(dim) per row. This Column pair remains the semantic
+    * definition for composition in tests and single-use expressions. */
   def quantizeInt8(vec: Column): (Column, Column) = {
     val scale = array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
-    val codes = transform(vec, x =>
+    (scale, int8Codes(vec, scale))
+  }
+
+  /** code_i = round(x_i / scale), 0 where scale is 0. Pass a
+    * MATERIALIZED scale column (see [[withInt8]]) to keep the per-row
+    * cost O(dim). */
+  private def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec, x =>
       when(scale === 0.0, 0)
         .otherwise(round(x.cast("double") / scale).cast("int")))
-    (scale, codes)
+
+  /** [[quantizeInt8]] at O(dim) per row: scale lands in its own
+    * projection, codes reference it as a bound attribute. The scale
+    * alias is non-cheap and referenced twice, so CollapseProject will
+    * not inline it back into the codes lambda. */
+  def withInt8(df: DataFrame, vec: Column, scaleName: String,
+      codesName: String): DataFrame = {
+    df.withColumn(scaleName,
+        array_max(transform(vec, x => abs(x.cast("double")))) / 127.0)
+      .withColumn(codesName, int8Codes(vec, col(scaleName)))
   }
 
   /** Inverse of [[quantizeInt8]]: x_i ~= code_i * scale. */
@@ -84,16 +108,23 @@ object Similarity {
     * oracle, not just a recall gate. */
   def int8TopKPerQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int): DataFrame = {
-    def codesOf(v: Column) = quantizeInt8(v)._2
     def norm2(c: Column) = aggregate(
       transform(c, x => (x * x).cast("long")), lit(0L), (acc, x) => acc + x)
     // norms are per-ROW, computed before the pair join: inside the join
     // each corpus norm would be re-folded once per query (and vice
-    // versa) — O((n+q)·dim) beats O(n·q·dim) for the same numbers
-    val cq = corpus.select(col(idCol), codesOf(col(vecCol)).as("__c"))
+    // versa) — O((n+q)·dim) beats O(n·q·dim) for the same numbers.
+    // Zero-norm rows (all-zero vector -> all-zero codes) are dropped
+    // BEFORE ranking: cosine is undefined for them, and the NaN from
+    // x/0 would sort above 1.0 in a descending window, parking a zero
+    // corpus vector at rank 1 for every query.
+    val cq = withInt8(corpus, col(vecCol), "__cs", "__c")
+      .select(col(idCol), col("__c"))
       .withColumn("__cn", sqrt(norm2(col("__c")).cast("double")))
-    val qq = queries.select(col(qidCol), codesOf(col(vecCol)).as("__qc"))
+      .filter(col("__cn") > 0.0)
+    val qq = withInt8(queries, col(vecCol), "__qs", "__qc")
+      .select(col(qidCol), col("__qc"))
       .withColumn("__qn", sqrt(norm2(col("__qc")).cast("double")))
+      .filter(col("__qn") > 0.0)
     val dotL = aggregate(
       zip_with(col("__c"), col("__qc"), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, x) => acc + x)

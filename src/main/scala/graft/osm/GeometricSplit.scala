@@ -143,13 +143,22 @@ object GeometricSplit {
       .withColumn("pt", struct(
         (col("a1.lon") + col("t") * rx).as("lon"),
         (col("a1.lat") + col("t") * ry).as("lat")))
-      // report-at-home-cell dedup (the PBSM trick): a bbox-spanning
-      // segment pair meets in EVERY shared cell, but the intersection
-      // point's own cell is covered by both bboxes, so keeping only that
-      // cell's copy is exact — and costs a codegen'd filter instead of
-      // the shuffle a dropDuplicates(id_a, seg_a, id_b, seg_b) would pay
-      .filter(floor(col("pt.lon") / cellDeg).cast("long") === col("sx") &&
-        floor(col("pt.lat") / cellDeg).cast("long") === col("sy"))
+      // report-at-min-shared-cell dedup (the PBSM trick): a bbox-spanning
+      // segment pair meets in EVERY shared cell, so keep exactly the copy
+      // whose (sx, sy) is the min corner of the shared-cell rectangle —
+      // the intersection of the two segments' bbox cell ranges. That
+      // corner is the SAME integer floor arithmetic that generated the
+      // sequence ranges above, so membership is exact by construction.
+      // (Flooring the computed float `pt` instead could land one cell
+      // outside the shared set when the true intersection sits within an
+      // ulp of a cell boundary, silently dropping the crossing.) Still a
+      // codegen'd filter, not the shuffle a dropDuplicates would pay.
+      .filter(col("sx") === greatest(
+          floor(least(col("a1.lon"), col("a2.lon")) / cellDeg).cast("long"),
+          floor(least(col("b1.lon"), col("b2.lon")) / cellDeg).cast("long")) &&
+        col("sy") === greatest(
+          floor(least(col("a1.lat"), col("a2.lat")) / cellDeg).cast("long"),
+          floor(least(col("b1.lat"), col("b2.lat")) / cellDeg).cast("long")))
     val aSide = pairs.filter(col("t") > 0.0 && col("t") < 1.0)
       .select(col("id_a").as("edge_id"),
         (col("seg_a") + col("t")).as("key"), col("pt"))

@@ -128,8 +128,37 @@ object LlmScaleSmoke {
         s""""${op}_rows_lo":$rLo,"${op}_rows_hi":$rHi,""" +
         f""""${op}_exponent":$exp%.3f"""
     }
+
+    // int8 quantization headroom is an exponent over DIM, not corpus
+    // size: a scale fold re-evaluated inside the codes lambda is
+    // O(dim²) per row — invisible in an n-sweep (still linear in n),
+    // measured directly by timing dim 64 vs dim 1024 on a fixed corpus.
+    // withInt8's materialized-scale plan must hold exponent ~1.
+    val quantParts = if (wanted("quantize")) {
+      def quantizeTime(n: Long, dim: Int): Double = {
+        val vecs = spark.range(n).select(
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => pmod(hash(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
+            .as("embedding"))
+        val (t, _) = time {
+          graft.llm.Similarity.withInt8(vecs, col("embedding"), "__s", "__c")
+            .select(aggregate(col("__c"), lit(0L), (a, x) => a + x).as("cs"))
+            .agg(sum(col("cs"))).collect()
+          n
+        }
+        t
+      }
+      val nQ = math.max(nLo / 4, 50000L)
+      quantizeTime(nQ / 10, 64) // warm codegen at small scale
+      val tLoQ = quantizeTime(nQ, 64)
+      val tHiQ = quantizeTime(nQ, 1024)
+      val dimExp = math.log(tHiQ / tLoQ) / math.log(1024.0 / 64.0)
+      Seq(f""""quantize_rows":$nQ,"quantize_sec_dim64":$tLoQ%.2f,""" +
+        f""""quantize_sec_dim1024":$tHiQ%.2f,"quantize_dim_exponent":$dimExp%.3f""")
+    } else Nil
+
     println(s"""{"metric":"llm_scale_smoke","docs_lo":$nLo,"docs_hi":$nHi,""" +
-      parts.mkString(",") + "}")
+      (parts ++ quantParts).mkString(",") + "}")
     spark.stop()
   }
 }

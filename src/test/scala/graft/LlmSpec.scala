@@ -310,6 +310,33 @@ class LlmSpec extends SparkTestBase {
     assert(resized(1L) === 6 && resized(2L) === 2)
   }
 
+  test("multimodal: REAL PNG round-trip through the JDK codec") {
+    implicit val s = spark
+    // encode a 13x7 solid-magenta PNG, push it through the typed decode
+    // pass: the real ImageIO raster must report the true dimensions and
+    // the lossless pixel, not the fake-probe arithmetic
+    val bytes = Multimodal.encodePng(13, 7, 0xCC00CC)
+    assert(Multimodal.isPng(bytes))
+    val media = Seq((5L, bytes)).toDF("doc_id", "payload")
+    val d = Multimodal.decode(Multimodal.asMedia(media, "doc_id", "payload"))
+      .collect().head
+    assert(d.meta.width === 13 && d.meta.height === 7)
+    assert(d.meta.format === "png" && d.meta.frames === 1)
+    assert(d.meta.px0 === 0xCC00CC)
+    // resize resamples the actual raster: target dims, color preserved
+    // (bilinear over a solid color), and the output is itself a PNG
+    val r = Multimodal.decode(Multimodal.resize(
+        Multimodal.asMedia(media, "doc_id", "payload"), 4, 3))
+      .collect().head
+    assert(r.meta.width === 4 && r.meta.height === 3)
+    assert(r.meta.format === "png" && r.meta.px0 === 0xCC00CC)
+    // non-PNG bytes still take the deterministic fake path
+    val fake = Multimodal.decode(Multimodal.asMedia(
+        Seq((6L, "notanimage".getBytes)).toDF("doc_id", "payload"),
+        "doc_id", "payload")).collect().head
+    assert(fake.meta.format === "even" && fake.meta.width === 10)
+  }
+
   test("repetition features: native == builtin HOF, known values, sub-2-token docs don't throw") {
     // "a b a b a b" -> 6 tokens, 2 distinct -> dup = 4/6 = 0.6667;
     // bigrams: [a b, b a, a b, b a, a b] -> top "a b" x3 of 5 -> 0.6
