@@ -1444,6 +1444,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- F22 extension: ST_Transform to the reference's planar CRS
+    //      (EPSG:3347 Lambert Conformal Conic, osm-road-graphs.sql:11)
+    //      as pure column trig; synthetic in-zone points derived from
+    //      customer keys. The oracle evaluates the SAME public Snyder
+    //      equations in DuckDB — an independent engine computing the
+    //      projection from its published definition.
+    "q_geo_lcc_project" -> ((s, dir) => {
+      customer(s, dir).select(col("c_custkey"),
+          struct(
+            (lit(-97.0) + (col("c_custkey") % 100).cast("double") / 10.0).as("lon"),
+            (lit(49.0) + (col("c_custkey") % 280).cast("double") / 10.0).as("lat"))
+            .as("p"))
+        .select(col("c_custkey"),
+          functions.Geo.lccProject(col("p")).as("pr"))
+        .select(col("c_custkey"),
+          round(col("pr.x"), 2).as("x"), round(col("pr.y"), 2).as("y"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- .osc OsmChange replication-diff ingest (the reference's
+    //      actions-table feed, pgsnapshot_schema_0.6_action.sql:1-5):
+    //      parse a three-action diff (node move / way delete / way
+    //      create) from a real file through the StAX source, apply it
+    //      to the base tables, and emit the post-change ways — the
+    //      created way's denormalized linestring must read the MOVED
+    //      node's coordinate, proving apply ordering is right
+    "q_osc_apply" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val tmp = java.nio.file.Files.createTempDirectory("osc_q")
+      java.nio.file.Files.writeString(tmp.resolve("000042.osc"), OscFixtureXml)
+      val parsed = graft.sources.OscChangeset.read(s, tmp.toString)
+      val updated = graft.sources.OscChangeset.applyTo(s, t, parsed.toDF())
+      updated.ways.select(col("id").as("way_id"),
+          col("tags").getItem("highway").as("highway"),
+          size(col("nodes")).cast("long").as("n_nodes"),
+          round(element_at(col("linestring"), 1).getField("lon"), 6).as("x1"),
+          round(element_at(col("linestring"), 1).getField("lat"), 6).as("y1"),
+          round(element_at(col("linestring"), -1).getField("lon"), 6).as("x2"),
+          round(element_at(col("linestring"), -1).getField("lat"), 6).as("y2"))
+        .orderBy("way_id")
+    }),
+
     // ---- REAL image resize (decode → bilinear Graphics2D resample →
     //      re-encode → decode again): output dims must be the target,
     //      and bilinear over a solid color is that color, so px0 is
@@ -1459,6 +1501,30 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** OsmChange fixture diff for `q_osc_apply` (same three-action shape
+    * as StructureSpec's e2e): node 3 moves to lat 0.001, way 102 is
+    * deleted, way 120 (4→3, residential) is created through the moved
+    * node. */
+  private val OscFixtureXml: String =
+    """<?xml version='1.0' encoding='UTF-8'?>
+      |<osmChange version="0.6" generator="graft-fixture">
+      |  <modify>
+      |    <node id="3" version="2" timestamp="2020-06-01T00:00:00Z" uid="7" changeset="99" lat="0.001" lon="0.02">
+      |      <tag k="highway" v="crossing"/>
+      |    </node>
+      |  </modify>
+      |  <delete>
+      |    <way id="102" version="2" timestamp="2020-06-01T00:00:00Z" uid="7" changeset="99"/>
+      |  </delete>
+      |  <create>
+      |    <way id="120" version="1" timestamp="2020-06-01T00:00:00Z" uid="7" changeset="99">
+      |      <nd ref="4"/><nd ref="3"/>
+      |      <tag k="highway" v="residential"/>
+      |      <tag k="maxspeed" v="40"/>
+      |    </way>
+      |  </create>
+      |</osmChange>""".stripMargin
 
   /** Deterministic PNG fixture stream for the `q_mm_*_png` queries: one
     * solid-color image per document, dimensions and color pure
@@ -2144,6 +2210,63 @@ object SparkEntry {
                 CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0
                      THEN 'even' ELSE 'odd' END AS format
          FROM documents ORDER BY doc_id""",
+    // Snyder LCC 2SP forward equations (USGS PP 1395, 15-1..15-10)
+    // evaluated natively by DuckDB with the published EPSG:3347
+    // parameters — projection constants in scalar CTEs, per-point trig
+    // in the projection select
+    "q_geo_lcc_project" ->
+      """WITH c AS (
+           SELECT 6378137.0 AS a,
+                  sqrt(2*(1/298.257222101) - (1/298.257222101)^2) AS e,
+                  radians(49.0) AS phi1, radians(77.0) AS phi2,
+                  radians(63.390675) AS phi0,
+                  -91.86666666666667 AS lon0,
+                  6200000.0 AS fe, 3000000.0 AS fn),
+         d AS (
+           SELECT *,
+             cos(phi1)/sqrt(1 - e*e*sin(phi1)*sin(phi1)) AS m1,
+             cos(phi2)/sqrt(1 - e*e*sin(phi2)*sin(phi2)) AS m2,
+             tan(pi()/4 - phi1/2) * ((1 + e*sin(phi1))/(1 - e*sin(phi1)))^(e/2) AS t1,
+             tan(pi()/4 - phi2/2) * ((1 + e*sin(phi2))/(1 - e*sin(phi2)))^(e/2) AS t2,
+             tan(pi()/4 - phi0/2) * ((1 + e*sin(phi0))/(1 - e*sin(phi0)))^(e/2) AS t0
+           FROM c),
+         k AS (SELECT *, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n FROM d),
+         k2 AS (SELECT *, m1/(n * t1^n) AS bigF FROM k),
+         k3 AS (SELECT *, a * bigF * t0^n AS rho0 FROM k2),
+         pts AS (
+           SELECT c_custkey,
+                  -97.0 + CAST(c_custkey % 100 AS DOUBLE)/10.0 AS lon,
+                  49.0 + CAST(c_custkey % 280 AS DOUBLE)/10.0 AS lat
+           FROM customer),
+         pr AS (
+           SELECT c_custkey, lon, lat,
+             tan(pi()/4 - radians(lat)/2) *
+               ((1 + e*sin(radians(lat)))/(1 - e*sin(radians(lat))))^(e/2) AS t,
+             n, a, bigF, rho0, fe, fn, lon0
+           FROM pts, k3)
+         SELECT c_custkey,
+           round(fe + a*bigF*t^n * sin(n*radians(lon - lon0)), 2) AS x,
+           round(fn + rho0 - a*bigF*t^n * cos(n*radians(lon - lon0)), 2) AS y
+         FROM pr ORDER BY c_custkey""",
+    // post-change ways after the fixture .osc applies to the micro
+    // fixture: 102 deleted; 120 created through the moved node 3
+    // (so its x2/y2 are the NEW coordinate); 101 refreshed but
+    // endpoint-stable; everything else untouched. Hand-derived from
+    // FIXTURES.md §2 + the diff.
+    "q_osc_apply" ->
+      """SELECT * FROM (VALUES
+           (CAST(101 AS BIGINT), 'residential', CAST(4 AS BIGINT),
+            CAST(0.0  AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.03 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+           (103, 'primary',     2, 0.10, 0.0, 0.12, 0.0),
+           (104, 'motorway',    2, 0.20, 0.0, 0.22, 0.0),
+           (105, 'footway',     2, 0.30, 0.0, 0.31, 0.0),
+           (106, 'motorway',    2, 0.22, 0.0, 0.20, 0.0),
+           (107, 'residential', 2, 0.30, 0.0, 0.31, 0.0),
+           (108, CAST(NULL AS VARCHAR), 3, 0.00, 0.0, 0.02, 0.01),
+           (109, 'tertiary',    2, 0.12, 0.0, 0.31, 0.0),
+           (120, 'residential', 2, 0.03, 0.0, 0.02, 0.001)
+         ) AS t(way_id, highway, n_nodes, x1, y1, x2, y2)
+         ORDER BY way_id""",
     // the real-codec round-trips: every output is a pure function of
     // doc_id (fixture arithmetic), so DuckDB predicts what ImageIO must
     // produce — including the lossless pixel probe

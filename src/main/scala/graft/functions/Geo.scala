@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * Length semantics: the reference mixes planar meters
   * (ST_Length(ST_Transform(g,3347)), osm-road-graphs.sql:11) and
   * geodesic km (ST_Length(g::geography)/1000, osm-road-graphs.sql:156).
-  * We standardize on geodesic (haversine, WGS84 mean radius) meters and
-  * expose a km helper — SURVEY §7.4-3 documents the deviation.
+  * Geodesic (haversine, WGS84 mean radius) meters is the default; for
+  * users who need reference-exact planar numbers, [[lccProject]] /
+  * [[planarLengthMeters]] implement the actual ST_Transform target —
+  * Lambert Conformal Conic 2SP with the EPSG:3347 parameters (Snyder,
+  * USGS Professional Paper 1395, eqs. 15-1..15-10) — as pure column
+  * arithmetic. SURVEY §7.4-3 documents the remaining deviation
+  * (arbitrary-CRS ST_Transform is out of scope; the two CRSs the
+  * reference scripts actually use are covered).
   */
 object Geo {
   /** WGS84 mean Earth radius in meters (IUGG R1). */
@@ -75,6 +81,69 @@ object Geo {
   def sharedPoints(a: Column, b: Column): Column =
     array_intersect(array_distinct(a), array_distinct(b))
 
+
+  /** Lambert Conformal Conic 2SP parameters (ellipsoid semi-major `a`,
+    * eccentricity `e`, standard parallels, false origin, false
+    * easting/northing — all from the public EPSG registry entry). */
+  final case class LccParams(a: Double, e: Double,
+      sp1Deg: Double, sp2Deg: Double, lat0Deg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double)
+
+  /** EPSG:3347 — NAD83 / Statistics Canada Lambert, the planar CRS the
+    * reference transforms to for meter lengths (osm-road-graphs.sql:11).
+    * GRS80: a=6378137, 1/f=298.257222101 -> e=sqrt(2f-f^2). */
+  val Epsg3347: LccParams = {
+    val f = 1.0 / 298.257222101
+    LccParams(a = 6378137.0, e = math.sqrt(2 * f - f * f),
+      sp1Deg = 49.0, sp2Deg = 77.0, lat0Deg = 63.390675,
+      lon0Deg = -91.86666666666667,
+      falseEasting = 6200000.0, falseNorthing = 3000000.0)
+  }
+
+  /** ST_Transform(p, <LCC CRS>): project a lon/lat point to planar
+    * x/y meters. The projection CONSTANTS (n, F, rho0 — functions of
+    * the CRS only) fold on the driver; the per-point math is four
+    * codegen'd trig expressions, so this scans like any other column
+    * op. Snyder eqs. 15-1..15-10 (public domain USGS manual). */
+  def lccProject(p: Column, prm: LccParams = Epsg3347): Column = {
+    import math.{cos => mcos, log => mlog, pow => mpow, sin => msin, sqrt => msqrt, tan => mtan}
+    val e = prm.e
+    def mScalar(phi: Double) = mcos(phi) / msqrt(1 - e * e * msin(phi) * msin(phi))
+    def tScalar(phi: Double) =
+      mtan(Math.PI / 4 - phi / 2) *
+        mpow((1 + e * msin(phi)) / (1 - e * msin(phi)), e / 2)
+    val phi1 = math.toRadians(prm.sp1Deg); val phi2 = math.toRadians(prm.sp2Deg)
+    val phi0 = math.toRadians(prm.lat0Deg)
+    val n = (mlog(mScalar(phi1)) - mlog(mScalar(phi2))) /
+      (mlog(tScalar(phi1)) - mlog(tScalar(phi2)))
+    val bigF = mScalar(phi1) / (n * mpow(tScalar(phi1), n))
+    val rho0 = prm.a * bigF * mpow(tScalar(phi0), n)
+
+    val phi = radians(p.getField("lat"))
+    val tCol = tan(lit(Math.PI / 4) - phi / 2) *
+      pow((lit(1.0) + lit(e) * sin(phi)) / (lit(1.0) - lit(e) * sin(phi)), e / 2)
+    val rho = lit(prm.a * bigF) * pow(tCol, n)
+    val theta = lit(n) * radians(p.getField("lon") - lit(prm.lon0Deg))
+    struct(
+      (lit(prm.falseEasting) + rho * sin(theta)).as("x"),
+      (lit(prm.falseNorthing) + lit(rho0) - rho * cos(theta)).as("y"))
+  }
+
+  /** Planar (ST_Transform + ST_Length) linestring length in meters:
+    * project every vertex, sum Euclidean segment lengths. The
+    * reference-exact twin of [[geodesicLengthMeters]] for pipelines
+    * ported verbatim from osm-road-graphs.sql:11. */
+  def planarLengthMeters(line: Column, prm: LccParams = Epsg3347): Column = {
+    val proj = transform(line, p => lccProject(p, prm))
+    val n1 = greatest(size(proj) - 1, lit(0))
+    val segs = zip_with(
+      slice(proj, lit(1), n1),
+      slice(proj, lit(2), n1),
+      (a, b) => sqrt(
+        pow(b.getField("x") - a.getField("x"), 2) +
+          pow(b.getField("y") - a.getField("y"), 2)))
+    aggregate(segs, lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Grid cell id for a point at the given cell size (degrees) — the
     * scale path for the spatial theta self-join J7: equi-join on cell,

@@ -34,6 +34,17 @@ object Multimodal {
   def isPng(payload: Array[Byte]): Boolean =
     payload.length >= 8 && PngMagic.indices.forall(i => payload(i) == PngMagic(i))
 
+  /** JPEG SOI marker sniff (FF D8 FF) — ImageIO decodes JPEG out of the
+    * box too, so both mainstream image formats take the real-codec
+    * path. */
+  def isJpeg(payload: Array[Byte]): Boolean =
+    payload.length >= 3 && (payload(0) & 0xFF) == 0xFF &&
+      (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
+
+  /** Image dispatch: formats the JDK codec handles natively. */
+  def isImage(payload: Array[Byte]): Boolean =
+    isPng(payload) || isJpeg(payload)
+
   /** Deterministic stand-in for a codec probe (non-image payloads). */
   private def fakeDecode(payload: Array[Byte]): MediaMeta = {
     val n = payload.length
@@ -42,15 +53,16 @@ object Multimodal {
   }
 
   /** REAL decode via the JDK's ImageIO: true raster dimensions plus the
-    * top-left pixel (RGB, alpha masked off) as a lossless-round-trip
-    * probe — PNG is lossless, so the pixel must survive encode→decode
-    * bit-exactly. Falls back to [[fakeDecode]] if the codec rejects the
-    * bytes (truncated/corrupt payload). */
-  private def pngDecode(payload: Array[Byte]): MediaMeta = {
+    * top-left pixel (RGB, alpha masked off) as a round-trip probe — for
+    * PNG (lossless) the pixel must survive encode→decode bit-exactly.
+    * Falls back to [[fakeDecode]] if the codec rejects the bytes
+    * (truncated/corrupt payload). */
+  private def imageDecode(payload: Array[Byte]): MediaMeta = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     if (img == null) fakeDecode(payload)
-    else MediaMeta(img.getWidth, img.getHeight, frames = 1, format = "png",
+    else MediaMeta(img.getWidth, img.getHeight, frames = 1,
+      format = if (isJpeg(payload)) "jpeg" else "png",
       px0 = img.getRGB(0, 0) & 0xFFFFFF)
   }
 
@@ -88,7 +100,7 @@ object Multimodal {
     items.mapPartitions { it =>
       // per-partition init would go here (codec/model handle)
       it.map { m =>
-        val meta = if (isPng(m.payload)) pngDecode(m.payload)
+        val meta = if (isImage(m.payload)) imageDecode(m.payload)
                    else fakeDecode(m.payload)
         DecodedItem(m.doc_id, m.payload.length.toLong, meta)
       }
@@ -115,17 +127,19 @@ object Multimodal {
     }
   }
 
-  /** Batched resize pass. PNG payloads resample for REAL: decode,
-    * `Graphics2D.drawImage` onto a width x height raster (bilinear),
-    * re-encode PNG. Non-image payloads keep the honest stub (truncate
-    * to the pixel budget) so the SQL oracle can replicate them. */
+  /** Batched resize pass. Image payloads (PNG/JPEG) resample for REAL:
+    * decode, `Graphics2D.drawImage` onto a width x height raster
+    * (bilinear), re-encode — output is normalized to PNG (the usual
+    * training-pipeline choice: one lossless format after the resize).
+    * Non-image payloads keep the honest stub (truncate to the pixel
+    * budget) so the SQL oracle can replicate them. */
   def resize(items: Dataset[MediaItem], width: Int, height: Int)
       (implicit spark: SparkSession): Dataset[MediaItem] = {
     import spark.implicits._
     val budget = width * height
     items.mapPartitions { it =>
       it.map { m =>
-        if (isPng(m.payload)) {
+        if (isImage(m.payload)) {
           val src = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.payload))
           if (src == null)

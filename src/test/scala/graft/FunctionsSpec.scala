@@ -90,6 +90,38 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(r(3) - 2223.9) < 1.0)
   }
 
+  test("EPSG:3347 LCC projection: false origin, and planar vs geodesic length") {
+    // the CRS's false origin must project to exactly (FE, FN) — the
+    // published EPSG anchor for the whole parameter set
+    val origin = spark.range(1).select(Geo.lccProject(
+        struct(lit(-91.86666666666667).as("lon"), lit(63.390675).as("lat"))))
+      .head.getStruct(0)
+    assert(math.abs(origin.getDouble(0) - 6200000.0) < 1e-6)
+    assert(math.abs(origin.getDouble(1) - 3000000.0) < 1e-6)
+    // on the first standard parallel (scale factor 1 by construction),
+    // planar meters must agree with geodesic meters to well under 1%:
+    // one degree of longitude along lat 49 near the central meridian
+    val line = Seq(Seq((-92.0, 49.0), (-91.0, 49.0))).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+    val (planar, geodesic) = line.select(
+        Geo.planarLengthMeters($"line"), Geo.geodesicLengthMeters($"line"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1))).head
+    assert(planar > 60000 && planar < 80000)          // ~73 km sanity
+    assert(math.abs(planar - geodesic) / geodesic < 0.005)
+    // mid-cone (lat 63, between the 49/77 standard parallels) the LCC
+    // scale factor dips below 1: planar reads ~2.7% SHORT of geodesic —
+    // that's the projection's real distortion profile, not an error
+    // (conformal conics are exact only on their standard parallels)
+    val line2 = Seq(Seq((-92.0, 63.0), (-91.0, 63.0))).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+    val (p2, g2) = line2.select(
+        Geo.planarLengthMeters($"line"), Geo.geodesicLengthMeters($"line"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1))).head
+    assert(p2 < g2 && math.abs(p2 - g2) / g2 < 0.04)
+  }
+
   test("orderedListAgg is deterministic under repartition") {
     val df = spark.sparkContext.parallelize(
       (1 to 500).map(i => (i % 7, i, s"v$i")), 13).toDF("g", "s", "v")

@@ -335,6 +335,24 @@ class LlmSpec extends SparkTestBase {
         Seq((6L, "notanimage".getBytes)).toDF("doc_id", "payload"),
         "doc_id", "payload")).collect().head
     assert(fake.meta.format === "even" && fake.meta.width === 10)
+    // JPEG goes through the real codec too: dims are exact (lossy
+    // compression touches pixels, not the raster size)
+    val jimg = new java.awt.image.BufferedImage(
+      9, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jbytes = jbos.toByteArray
+    assert(Multimodal.isJpeg(jbytes) && !Multimodal.isPng(jbytes))
+    val jd = Multimodal.decode(Multimodal.asMedia(
+        Seq((7L, jbytes)).toDF("doc_id", "payload"),
+        "doc_id", "payload")).collect().head
+    assert(jd.meta.width === 9 && jd.meta.height === 5)
+    assert(jd.meta.format === "jpeg" && jd.meta.frames === 1)
+    // resize normalizes a JPEG input to a PNG output at target dims
+    val jr = Multimodal.decode(Multimodal.resize(
+        Multimodal.asMedia(Seq((7L, jbytes)).toDF("doc_id", "payload"),
+          "doc_id", "payload"), 3, 2)).collect().head
+    assert(jr.meta.width === 3 && jr.meta.height === 2 && jr.meta.format === "png")
   }
 
   test("repetition features: native == builtin HOF, known values, sub-2-token docs don't throw") {

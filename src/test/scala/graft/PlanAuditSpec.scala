@@ -215,6 +215,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(formatted.contains("codegen id"), "repetition path should be codegen'd")
   }
 
+  test("int8 quantization: scale fold evaluates once per ROW, not per element") {
+    // withInt8 materializes the O(dim) array_max fold as its own alias;
+    // if CollapseProject ever inlined it back into the codes lambda the
+    // fold would run per element — O(dim²) per row (VERDICT r7 #2). The
+    // alias is referenced 2x in the lambda plus 1x as the scale output,
+    // which is what keeps the projection split; this pins that.
+    val df = SparkEntry.queries("q_s_quantize")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the scale fold is array_max OVER THE ABS-TRANSFORM (the query's
+    // own code_max output is a plain array_max over the codes — not it)
+    val hits = "array_max\\(transform".r.findAllIn(p).length
+    assert(hits === 1, s"scale fold appears $hits times in plan:\n$p")
+  }
+
   test("passage dedup: hashed-key heavy-hitter join-back, per-doc window only") {
     val df = SparkEntry.queries("q_d_dup_passages")(spark, sf)
     df.collect() // finalize AQE so join strategies are the real ones

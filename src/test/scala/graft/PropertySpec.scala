@@ -117,9 +117,13 @@ class PropertySpec extends SparkTestBase {
       val www = pick(Seq("", "www.", "WWW."))
       val host = pick(Seq("Example.COM", "a.b.example.net", "X.org"))
       val port = pick(Seq("", ":443", ":80", ":8080"))
-      val path = pick(Seq("", "/", "/Docs/5", "/Docs/5/", "/a/b//"))
+      // "/utm_source=x" path segment and "?xutm_a=1" param contain the
+      // substring but are NOT tracking params — the anchored strip must
+      // leave them alone (ADVICE r7: the unanchored regex mangled them)
+      val path = pick(Seq("", "/", "/Docs/5", "/Docs/5/", "/a/b//",
+        "/utm_source=x"))
       val query = pick(Seq("", "?id=3", "?utm_source=x", "?utm_a=1&id=3",
-        "?id=3&utm_b=2", "?utm_a=1&utm_b=2"))
+        "?id=3&utm_b=2", "?utm_a=1&utm_b=2", "?xutm_a=1"))
       val frag = pick(Seq("", "#f", "#sec-2"))
       s"$scheme://$www$host$port$path$query$frag"
     }
@@ -129,8 +133,59 @@ class PropertySpec extends SparkTestBase {
       .collect().toList.map(_.toSeq.map(_.toString)).transpose
     once.zip(twice).zip(urls).foreach { case ((a, b), raw) =>
       assert(a === b, s"not idempotent for $raw")
-      assert(!a.contains("#") && !a.toLowerCase.contains("utm_"),
-        s"fragment/utm survived in $a")
+      assert(!a.contains("#") && !a.toLowerCase.contains("?utm_") &&
+        !a.toLowerCase.contains("&utm_"),
+        s"fragment/utm param survived in $a")
+      if (raw.contains("?xutm_a=1"))
+        assert(a.contains("xutm_a=1"), s"non-tracking param mangled: $raw -> $a")
+      if (raw.contains("/utm_source=x"))
+        assert(a.contains("/utm_source=x"), s"path segment mangled: $raw -> $a")
+    }
+  }
+
+  test(".osc parse inverts XML serialization for random changesets") {
+    import graft.sources.OscChangeset
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    (1 to 25).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(12) + 1) {
+        val action = pick(Seq("C", "M", "D"))
+        val dt = pick(Seq("N", "W", "R"))
+        val id = rnd.nextInt(1000000).toLong + 1
+        val nTags = rnd.nextInt(4)
+        val tags = (1 to nTags).map(i =>
+          s"k$i" -> pick(Seq("plain", "a&b", "<q>", "x\"y", s"v${rnd.nextInt(99)}"))).toMap
+        val refs = if (dt == "W") Seq.fill(rnd.nextInt(5) + 2)(
+          rnd.nextInt(100000).toLong + 1) else Seq.empty[Long]
+        val (lon, lat) = if (dt == "N")
+          (Some(rnd.nextDouble() * 360 - 180), Some(rnd.nextDouble() * 170 - 85))
+        else (None, None)
+        OscChangeset.OscRow(action, dt, id, rnd.nextInt(50) + 1,
+          rnd.nextInt(9999), java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(1590000000L + rnd.nextInt(1000000))),
+          rnd.nextInt(100000).toLong, tags, lon, lat, refs)
+      }
+      val container = Map("C" -> "create", "M" -> "modify", "D" -> "delete")
+      val elem = Map("N" -> "node", "W" -> "way", "R" -> "relation")
+      val xml = new StringBuilder("<?xml version='1.0' encoding='UTF-8'?>\n")
+      xml ++= "<osmChange version=\"0.6\" generator=\"prop-test\">\n"
+      rows.foreach { r =>
+        val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+          .format(r.tstamp.toInstant)
+        val geo = (r.lon, r.lat) match {
+          case (Some(lo), Some(la)) => s""" lon="$lo" lat="$la""""
+          case _ => ""
+        }
+        xml ++= s"""<${container(r.action)}><${elem(r.data_type)} id="${r.id}" version="${r.version}" uid="${r.user_id}" changeset="${r.changeset_id}" timestamp="$iso"$geo>"""
+        r.node_refs.foreach(n => xml ++= s"""<nd ref="$n"/>""")
+        r.tags.foreach { case (k, v) => xml ++= s"""<tag k="${esc(k)}" v="${esc(v)}"/>""" }
+        xml ++= s"</${elem(r.data_type)}></${container(r.action)}>\n"
+      }
+      xml ++= "</osmChange>\n"
+      val parsed = OscChangeset.parseBytes(
+        xml.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(parsed === rows, s"round-trip mismatch:\n$xml")
     }
   }
 

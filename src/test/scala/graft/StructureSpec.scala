@@ -263,4 +263,81 @@ class StructureSpec extends SparkTestBase {
     // delete case needs)
     assert(seen.map(_._2) === Seq(Set(101L, 102L), Set(104L, 106L)))
   }
+
+  test(".osc changeset file: parse, apply, and incremental == full rebuild") {
+    import graft.sources.OscChangeset
+    // one diff exercising all three actions: node 3 MOVES (lat 0 ->
+    // 0.001), way 102 is DELETED, way 120 (4-3, residential) is CREATED
+    // through the moved node — so the fresh linestring must pick up the
+    // new coordinate, and n3's shared status survives (101 stays split)
+    val osc =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osmChange version="0.6" generator="graft-test">
+        |  <modify>
+        |    <node id="3" version="2" timestamp="2020-06-01T00:00:00Z" uid="7" changeset="99" lat="0.001" lon="0.02">
+        |      <tag k="highway" v="crossing"/>
+        |    </node>
+        |  </modify>
+        |  <delete>
+        |    <way id="102" version="2" timestamp="2020-06-01T00:00:00Z" uid="7" changeset="99"/>
+        |  </delete>
+        |  <create>
+        |    <way id="120" version="1" timestamp="2020-06-01T00:00:00Z" uid="7" changeset="99">
+        |      <nd ref="4"/><nd ref="3"/>
+        |      <tag k="highway" v="residential"/>
+        |      <tag k="maxspeed" v="40"/>
+        |    </way>
+        |  </create>
+        |</osmChange>""".stripMargin
+    val dir = Files.createTempDirectory("osc_test")
+    Files.writeString(dir.resolve("000042.osc"), osc)
+
+    val parsed = OscChangeset.read(spark, dir.toString)
+    val rows = parsed.collect().map(r => (r.action, r.data_type, r.id)).toSet
+    assert(rows === Set(("M", "N", 3L), ("D", "W", 102L), ("C", "W", 120L)))
+    val w120 = parsed.filter(_.id == 120L).head()
+    assert(w120.node_refs === Seq(4L, 3L))
+    assert(w120.tags === Map("highway" -> "residential", "maxspeed" -> "40"))
+    val n3 = parsed.filter(_.data_type == "N").head()
+    assert(n3.lat.contains(0.001) && n3.lon.contains(0.02))
+    assert(n3.changeset_id === 99L && n3.version === 2)
+
+    // apply: base tables -> post-change tables
+    val updated = OscChangeset.applyTo(spark, t, parsed.toDF())
+    assert(updated.ways.filter($"id" === 102L).isEmpty)
+    val movedGeom = updated.nodes.filter($"id" === 3L)
+      .select($"geom.lat").head().getDouble(0)
+    assert(movedGeom === 0.001)
+    // the created way's denormalized linestring reads the MOVED node
+    val ls120 = updated.ways.filter($"id" === 120L)
+      .select($"linestring").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ls120.map(p => (p.getDouble(0), p.getDouble(1))) ===
+      Seq((0.03, 0.0), (0.02, 0.001)))
+    // untouched way keeps its original linestring (no global rewrite)
+    val ls103 = updated.ways.filter($"id" === 103L)
+      .select($"linestring").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ls103.map(p => (p.getDouble(0), p.getDouble(1))) ===
+      Seq((0.10, 0.0), (0.12, 0.0)))
+    // a MOVED node's containing ways get refreshed linestrings too
+    val ls101 = updated.ways.filter($"id" === 101L)
+      .select($"linestring").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ls101.map(p => (p.getDouble(0), p.getDouble(1))).lift(2) ===
+      Some((0.02, 0.001)))
+
+    // incremental maintenance driven by the parsed diff == full rebuild
+    val before = RoadGraph.buildMergedNetwork(t)
+    val affected = ActionFeed.affectedWays(
+      OscChangeset.actions(parsed.toDF()),
+      t.wayNodes.unionByName(updated.wayNodes)) // pre+post snapshot union
+    val rebuilt = ActionFeed.rebuildAffected(spark, updated, affected)
+    val merged = ActionFeed.applyMerge(before, affected, rebuilt)
+    val fullNew = RoadGraph.buildMergedNetwork(updated)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"edge_id", $"nodes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(shape(merged) === shape(fullNew))
+    // the new way entered the car network, and 101 is still split at n3
+    assert(shape(fullNew).count(_._1 == 120L) === 1)
+    assert(shape(fullNew).count(_._1 == 101L) === 2)
+  }
 }
