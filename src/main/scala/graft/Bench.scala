@@ -62,6 +62,7 @@ object Bench {
     // 160 s Osmosis Montenegro load): synthesize the same entity counts,
     // land all five pgsnapshot tables as parquet through OsmPbfSource.
     // SPARK_GRAFT_SKIP_PBF=1 opts out.
+    var pbfDir: String = null
     val pbfIngest =
       if (sys.env.contains("SPARK_GRAFT_SKIP_PBF")) -1.0
       else try {
@@ -75,6 +76,7 @@ object Bench {
               .option("entity", e).load(pbf)
               .write.mode("overwrite").parquet(s"$dir/$e.parquet")
           }
+        pbfDir = dir
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pbf_ingest FAILED: ${e.getMessage}")
@@ -82,21 +84,51 @@ object Bench {
         -1.0
       }
 
+    // End-to-end EP3 graph build at the same Montenegro scale — the unit
+    // a real user of osm-road-graphs.sql:8-254 times: PBF entities ->
+    // car network -> impute -> split -> merge -> directed minimal edge
+    // list -> parquet export, one job. Reads the .pbf directly through
+    // the DSv2 source (not the parquet landed above) so the number is
+    // the full file-to-edge-list wall clock.
+    val graphE2e =
+      if (pbfDir == null) -1.0
+      else try {
+        val pbf = s"$pbfDir/synthetic.osm.pbf"
+        def entity(e: String) = spark.read
+          .format("graft.sources.OsmPbfSource").option("entity", e).load(pbf)
+        val t0 = System.nanoTime()
+        val tables = graft.osm.OsmTables(
+          entity("nodes"), entity("ways"), entity("way_nodes"))
+        val merged = graft.osm.RoadGraph.buildMergedNetwork(tables)
+        graft.osm.RoadGraph.minimalDirectedGraph(merged)
+          .write.mode("overwrite").parquet(s"$pbfDir/edges.parquet")
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] graph_e2e FAILED: ${e.getMessage}")
+        errors ::= "graph_e2e"
+        -1.0
+      }
+
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"pbf_ingest_sec":$pbfIngest,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"pbf_ingest_sec":$pbfIngest,"graph_e2e_sec":$graphE2e,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout tail truncates long runs — also land
     // the complete per-query JSON as a repo artifact for round-over-round
-    // comparison (VERDICT r5 item 7). Only a FULL sweep at the driver's
-    // sf0.1 may claim the default artifact path — a SPARK_GRAFT_ONLY
-    // subset or a dev run at another SF would silently clobber the
-    // round-over-round record with an incomparable file (ADVICE r6).
-    // SPARK_GRAFT_BENCH_OUT still lands any run at an explicit path.
+    // comparison (VERDICT r5 item 7). Artifacts are SPLIT BY PROTOCOL
+    // (VERDICT r7 item 3 — mixing warm and cold numbers in one path cost
+    // a round of attention): reps=1 full sweeps land BENCH_COLD.json
+    // (driver-comparable), reps>=2 land BENCH_STEADY.json (min-of-n).
+    // Only a FULL sweep at the driver's sf0.1 may claim either default
+    // path — a SPARK_GRAFT_ONLY subset or a dev run at another SF would
+    // silently clobber the round-over-round record with an incomparable
+    // file (ADVICE r6). SPARK_GRAFT_BENCH_OUT still lands any run at an
+    // explicit path.
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {
-      if (only.isEmpty && sfDir.endsWith("sf0.1")) Some("BENCH_FULL.json")
+      if (only.isEmpty && sfDir.endsWith("sf0.1"))
+        Some(if (reps == 1) "BENCH_COLD.json" else "BENCH_STEADY.json")
       else { System.err.println(
         s"[bench] partial/off-sf run (only=${only.nonEmpty}, sf=$sfDir): " +
-          "skipping BENCH_FULL.json; set SPARK_GRAFT_BENCH_OUT to land it")
+          "skipping bench artifact; set SPARK_GRAFT_BENCH_OUT to land it")
         None }
     }
     benchOut.foreach { path =>
