@@ -1463,6 +1463,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- F22 extension: ST_DWithin as a grid-bucketed distance JOIN
+    //      (one equi-join shuffle, 3x3 probe neighborhood, exact
+    //      haversine post-filter — never all-pairs). Half-cell-offset
+    //      synthetic lattices keep every true distance far from the
+    //      1200 m threshold, so the row set is boundary-stable across
+    //      engines; the oracle brute-forces the same haversine.
+    "q_geo_dwithin" -> ((s, dir) => {
+      val cust = customer(s, dir).select(col("c_custkey").as("left_id"),
+        struct(((col("c_custkey") % 37) * 0.01).as("lon"),
+          ((col("c_custkey") % 23) * 0.01).as("lat")).as("p"))
+      val supp = supplier(s, dir).select(col("s_suppkey").as("right_id"),
+        struct(((col("s_suppkey") % 37) * 0.01 + 0.005).as("lon"),
+          ((col("s_suppkey") % 23) * 0.01 + 0.005).as("lat")).as("p"))
+      functions.Geo.distanceJoin(cust, "left_id", col("p"),
+          supp, "right_id", col("p"), maxMeters = 1200, cellDeg = 0.02)
+        .groupBy("left_id")
+        .agg(count(lit(1)).as("n_within"),
+          round(min(col("dist_m"))).cast("long").as("min_dist_m"))
+        .orderBy("left_id")
+    }),
+
     // ---- .osc OsmChange replication-diff ingest (the reference's
     //      actions-table feed, pgsnapshot_schema_0.6_action.sql:1-5):
     //      parse a three-action diff (node move / way delete / way
@@ -2210,6 +2231,30 @@ object SparkEntry {
                 CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0
                      THEN 'even' ELSE 'odd' END AS format
          FROM documents ORDER BY doc_id""",
+    // brute-force ST_DWithin over the same synthetic lattices: the
+    // oracle pays the all-pairs cost the engine's grid join avoids
+    // (1500 x 100 at sf0.01 — fine for an oracle, not for 100 TB)
+    "q_geo_dwithin" ->
+      """WITH l AS (
+           SELECT c_custkey AS left_id,
+                  (c_custkey % 37) * CAST(0.01 AS DOUBLE) AS lon,
+                  (c_custkey % 23) * CAST(0.01 AS DOUBLE) AS lat
+           FROM customer),
+         r AS (
+           SELECT s_suppkey AS right_id,
+                  (s_suppkey % 37) * CAST(0.01 AS DOUBLE) + CAST(0.005 AS DOUBLE) AS lon,
+                  (s_suppkey % 23) * CAST(0.01 AS DOUBLE) + CAST(0.005 AS DOUBLE) AS lat
+           FROM supplier),
+         p AS (
+           SELECT left_id, right_id,
+                  2 * 6371008.8 * asin(sqrt(
+                    sin(radians(r.lat - l.lat)/2)^2 +
+                    cos(radians(l.lat)) * cos(radians(r.lat)) *
+                      sin(radians(r.lon - l.lon)/2)^2)) AS d
+           FROM l, r)
+         SELECT left_id, count(*) AS n_within,
+                CAST(round(min(d)) AS BIGINT) AS min_dist_m
+         FROM p WHERE d <= 1200 GROUP BY left_id ORDER BY left_id""",
     // Snyder LCC 2SP forward equations (USGS PP 1395, 15-1..15-10)
     // evaluated natively by DuckDB with the published EPSG:3347
     // parameters — projection constants in scalar CTEs, per-point trig

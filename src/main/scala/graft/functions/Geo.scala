@@ -159,4 +159,54 @@ object Geo {
   /** Distinct grid cells covered by a linestring's vertices. */
   def gridCells(line: Column, cellDeg: Double): Column =
     array_distinct(transform(line, p => gridCell(p, cellDeg)))
+
+  /** ST_Extent analog: bounding box of a point column as an aggregate —
+    * use inside `agg()`. */
+  def extentAgg(p: Column): Column = struct(
+    min(p.getField("lon")).as("min_lon"), min(p.getField("lat")).as("min_lat"),
+    max(p.getField("lon")).as("max_lon"), max(p.getField("lat")).as("max_lat"))
+
+  /** The 3x3 cell neighborhood of a point — the probe side of
+    * [[distanceJoin]]. */
+  private[graft] def neighborCells(p: Column, cellDeg: Double): Column = {
+    val cx = floor(p.getField("lon") / cellDeg).cast("long")
+    val cy = floor(p.getField("lat") / cellDeg).cast("long")
+    flatten(transform(sequence(lit(-1), lit(1)), dx =>
+      transform(sequence(lit(-1), lit(1)), dy =>
+        struct((cx + dx).as("cx"), (cy + dy).as("cy")))))
+  }
+
+  /** ST_DWithin as a JOIN, grid-bucketed (never all-pairs): every pair
+    * of points within `maxMeters`, with the exact haversine distance.
+    * Left points report at their home cell; right points probe their
+    * 3x3 neighborhood; the equi-join on cell is the only shuffle, and
+    * each qualifying pair meets in EXACTLY one cell (the left home
+    * cell), so no dedup pass is needed.
+    *
+    * `cellDeg` must cover `maxMeters` in BOTH axes at the data's
+    * latitudes: cellDeg >= maxMeters / (111320 * cos(maxAbsLat)) — the
+    * lat axis is checked by the require; the caller owns the cos
+    * shrink on lon (pass a bigger cell for high-latitude data; cells
+    * merely trade candidate count, never correctness, as long as they
+    * are big enough).
+    *
+    * 100 TB shape: candidates per task are bounded by points-per-cell²
+    * x 9, so skew follows spatial density — AQE skew-join or a finer
+    * grid both apply; the 9x probe-side explode is the standard PBSM
+    * price for single-shuffle spatial joins. */
+  def distanceJoin(left: org.apache.spark.sql.DataFrame, leftId: String,
+      leftPt: Column, right: org.apache.spark.sql.DataFrame, rightId: String,
+      rightPt: Column, maxMeters: Double, cellDeg: Double): org.apache.spark.sql.DataFrame = {
+    require(cellDeg * 111320.0 >= maxMeters,
+      s"cellDeg $cellDeg too small for maxMeters $maxMeters (lat axis)")
+    val l = left.select(col(leftId), leftPt.as("__lp"))
+      .withColumn("__cell", gridCell(col("__lp"), cellDeg))
+    val r = right.select(col(rightId), rightPt.as("__rp"))
+      .withColumn("__cell", explode(neighborCells(col("__rp"), cellDeg)))
+    l.join(r, "__cell")
+      .withColumn("dist_m", haversineMeters(
+        col("__lp.lon"), col("__lp.lat"), col("__rp.lon"), col("__rp.lat")))
+      .filter(col("dist_m") <= maxMeters)
+      .select(col(leftId), col(rightId), col("dist_m"))
+  }
 }

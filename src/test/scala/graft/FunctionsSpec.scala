@@ -122,6 +122,32 @@ class FunctionsSpec extends SparkTestBase {
     assert(p2 < g2 && math.abs(p2 - g2) / g2 < 0.04)
   }
 
+  test("distanceJoin == brute force on random point sets; extentAgg bbox") {
+    val rnd = new scala.util.Random(7L)
+    def pts(n: Int, off: Long) = (1 to n).map(i =>
+      (off + i, rnd.nextDouble() * 0.5, rnd.nextDouble() * 0.5))
+    val a = pts(120, 1000).toDF("aid", "lon", "lat")
+      .select($"aid", struct($"lon", $"lat").as("p"))
+    val b = pts(80, 2000).toDF("bid", "lon", "lat")
+      .select($"bid", struct($"lon", $"lat").as("p"))
+    val maxM = 3000.0
+    val grid = Geo.distanceJoin(a, "aid", $"p", b, "bid", $"p",
+        maxM, cellDeg = 0.03)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.crossJoin(b.select($"bid", $"p".as("q")))
+      .withColumn("d", Geo.haversineMeters(
+        $"p.lon", $"p.lat", $"q.lon", $"q.lat"))
+      .filter($"d" <= maxM).select("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid === brute && grid.nonEmpty,
+      s"grid ${grid.size} pairs vs brute ${brute.size}")
+    // extent aggregate covers every point
+    val ext = a.agg(Geo.extentAgg($"p").as("e")).select("e.*").head()
+    assert(ext.getDouble(0) <= ext.getDouble(2) &&
+      ext.getDouble(1) <= ext.getDouble(3))
+    assert(ext.getDouble(0) >= 0.0 && ext.getDouble(2) <= 0.5)
+  }
+
   test("orderedListAgg is deterministic under repartition") {
     val df = spark.sparkContext.parallelize(
       (1 to 500).map(i => (i % 7, i, s"v$i")), 13).toDF("g", "s", "v")

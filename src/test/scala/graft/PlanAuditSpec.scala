@@ -230,6 +230,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(hits === 1, s"scale fold appears $hits times in plan:\n$p")
   }
 
+  test("distance join: grid equi-join, never a cartesian or nested-loop pair join") {
+    val df = SparkEntry.queries("q_geo_dwithin")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ST_DWithin must bucket, not pair all points:\n$p")
+    assert(p.contains("HashJoin"), s"cell join should be a hash equi-join:\n$p")
+  }
+
   test("passage dedup: hashed-key heavy-hitter join-back, per-doc window only") {
     val df = SparkEntry.queries("q_d_dup_passages")(spark, sf)
     df.collect() // finalize AQE so join strategies are the real ones
