@@ -94,13 +94,42 @@ object ScaleSmoke {
         max(col("target")).as("max_id")).head()
     val topoSec = (System.nanoTime() - t2) / 1e9
 
+    // ST_DWithin distance join at constant spatial DENSITY: points on a
+    // ~111 m lattice whose side grows with sqrt(n), radius 300 m, so
+    // per-point neighbor count is constant and output pairs are O(n) —
+    // the fixture under which a correctly bucketed join is linear and
+    // an all-pairs (or under-bucketed) one is quadratic. Measured at n
+    // and 4n; exponent = log(t_hi/t_lo)/log(4).
+    def dwithin(n: Long): (Double, Long) = {
+      val side = math.max(math.sqrt(n.toDouble).toLong, 1L)
+      def pts(shift: Double) = spark.range(n).select(col("id"),
+        struct(((col("id") % side).cast("double") * 0.001 + shift).as("lon"),
+          ((col("id") / side).cast("double") * 0.001 + shift).as("lat")).as("p"))
+      val l = pts(0.0).withColumnRenamed("id", "lid")
+      val r = pts(0.0004).withColumnRenamed("id", "rid")
+      val t = System.nanoTime()
+      val pairs = graft.functions.Geo.distanceJoin(
+        l, "lid", col("p"), r, "rid", col("p"),
+        maxMeters = 300.0, cellDeg = 0.003).count()
+      ((System.nanoTime() - t) / 1e9, pairs)
+    }
+    val nGeo = math.max(nWays, 1000000L)
+    dwithin(nGeo / 10) // warm codegen
+    val (dwLoSec, dwLoPairs) = dwithin(nGeo)
+    val (dwHiSec, dwHiPairs) = dwithin(nGeo * 4)
+    val dwExp = math.log(dwHiSec / dwLoSec) / math.log(4.0)
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
       s""""cc_components":${comp.getLong(1)},"cc_rounds":$rounds,""" +
       s""""cc_sec":$ccSec,"topo_edges":${topo.getLong(0)},""" +
       s""""topo_src_ids":${topo.getLong(1)},"topo_max_id":${topo.getLong(2)},""" +
-      s""""topo_sec":$topoSec}""")
+      s""""topo_sec":$topoSec,""" +
+      s""""dwithin_points_lo":$nGeo,"dwithin_pairs_lo":$dwLoPairs,""" +
+      f""""dwithin_sec_lo":$dwLoSec%.2f,"dwithin_points_hi":${nGeo * 4},""" +
+      s""""dwithin_pairs_hi":$dwHiPairs,""" +
+      f""""dwithin_sec_hi":$dwHiSec%.2f,"dwithin_exponent":$dwExp%.3f}""")
     spark.stop()
   }
 }
