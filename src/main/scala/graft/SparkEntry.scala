@@ -1484,6 +1484,94 @@ object SparkEntry {
         .orderBy("left_id")
     }),
 
+    // ---- Polygon kernel: ST_Area + ST_Centroid (area-weighted) over
+    //      per-nation star polygons built from customer points. All
+    //      coordinates are INTEGER-valued doubles and the vertex order
+    //      comes from the pseudo-angle (pure +,-,abs,÷ — IEEE-exact, no
+    //      libm), so every intermediate is bit-portable across engines:
+    //      shoelace sums are exact integers, centroid is one exact
+    //      division — no rounding anywhere. The oracle rebuilds the
+    //      same ring with window functions (lead + first_value closing
+    //      edge) instead of an array fold — independent formulation,
+    //      same math.
+    "q_geo_polygon" -> ((s, dir) => {
+      val pts = customer(s, dir).select(
+        col("c_nationkey").cast("long").as("nk"),
+        col("c_custkey").as("k"),
+        floor(col("c_acctbal")).cast("double").as("x"),
+        (col("c_custkey") * 37 % 200).cast("double").as("y"))
+      // center at quarter-fraction offsets from the bbox midpoint: never
+      // coincides with an integer point (pseudoAngle 0/0 impossible) and
+      // (min+max)/2 + 0.25 is exact in binary
+      val ctr = pts.groupBy("nk").agg(
+        ((min("x") + max("x")) / 2 + 0.25).as("cx"),
+        ((min("y") + max("y")) / 2 + 0.25).as("cy"))
+      val rings = pts.join(broadcast(ctr), "nk")
+        .withColumn("pa", functions.Geo.pseudoAngle(
+          col("x") - col("cx"), col("y") - col("cy")))
+        .groupBy("nk")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pa"), col("k"),
+            struct(col("x").as("lon"), col("y").as("lat")).as("p")))),
+          t => t.getField("p")).as("ring"))
+      rings.select(col("nk").as("n_nationkey"),
+          size(col("ring")).cast("long").as("nv"),
+          functions.Geo.shoelaceSigned(col("ring")).as("s2"),
+          functions.Geo.polygonCentroid(col("ring")).as("c"))
+        .filter(col("nv") >= 3 && col("s2") =!= 0)
+        .select(col("n_nationkey"), col("nv"),
+          (abs(col("s2")) / 2).as("area"),
+          col("c.lon").as("cx"), col("c.lat").as("cy"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- Polygon kernel: ST_Contains by generic ray casting, graded
+    //      against a STRUCTURALLY DIFFERENT oracle — half-plane tests
+    //      (all edge crosses > 0) valid for this convex CCW pentagon.
+    //      Quarter-fraction vertices vs integer test points make
+    //      on-edge hits impossible (min |cross| = 2.5, verified), so
+    //      the two algorithms must agree exactly.
+    "q_geo_pip" -> ((s, dir) => {
+      val ring = array(
+        Seq((10.25, 10.25), (90.25, 5.25), (95.25, 60.25),
+          (50.25, 95.25), (5.25, 55.25)).map { case (a, b) =>
+          struct(lit(a).as("lon"), lit(b).as("lat")) }: _*)
+      customer(s, dir).select(col("c_mktsegment"),
+          struct((col("c_custkey") * 7 % 100).cast("double").as("lon"),
+            (col("c_custkey") * 13 % 100).cast("double").as("lat")).as("p"))
+        .withColumn("inside", functions.Geo.containsPoint(ring, col("p")))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_pts"),
+          sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- Polygon kernel: WKT text I/O round-trip through the driver
+    //      gate — per-nation bbox ring → ST_AsText POLYGON string
+    //      (closing vertex emitted), parsed back with parseWktPolygon,
+    //      re-measured. The oracle builds the identical string by
+    //      concatenation (Java and DuckDB print integer-valued doubles
+    //      identically: "80.0") and computes the bbox area directly —
+    //      if parse/asText dropped or reordered a vertex the area
+    //      would not survive the round trip.
+    "q_geo_wkt" -> ((s, dir) => {
+      val ext = customer(s, dir).select(
+          col("c_nationkey").cast("long").as("nk"),
+          struct(floor(col("c_acctbal")).cast("double").as("lon"),
+            (col("c_custkey") * 37 % 200).cast("double").as("lat")).as("p"))
+        .groupBy("nk").agg(functions.Geo.extentAgg(col("p")).as("e"))
+      val mk = (lonF: String, latF: String) => struct(
+        col("e").getField(lonF).as("lon"), col("e").getField(latF).as("lat"))
+      val ring = array(
+        mk("min_lon", "min_lat"), mk("max_lon", "min_lat"),
+        mk("max_lon", "max_lat"), mk("min_lon", "max_lat"))
+      ext.select(col("nk").as("n_nationkey"),
+          functions.Geo.asTextPolygon(ring).as("wkt"))
+        .withColumn("area_rt",
+          functions.Geo.polygonArea(functions.Geo.parseWktPolygon(col("wkt"))))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- .osc OsmChange replication-diff ingest (the reference's
     //      actions-table feed, pgsnapshot_schema_0.6_action.sql:1-5):
     //      parse a three-action diff (node move / way delete / way
@@ -2293,6 +2381,91 @@ object SparkEntry {
            round(fe + a*bigF*t^n * sin(n*radians(lon - lon0)), 2) AS x,
            round(fn + rho0 - a*bigF*t^n * cos(n*radians(lon - lon0)), 2) AS y
          FROM pr ORDER BY c_custkey""",
+    // Window-function ring rebuild (lead + first_value closing edge) —
+    // independent formulation of the same exact-integer shoelace math
+    // the engine computes with an array fold. The pseudo-angle sort key
+    // uses only +,-,abs,÷ (each IEEE-exactly-rounded), so both engines
+    // order ring vertices identically; every shoelace term is an exact
+    // integer, so sums match bit-for-bit regardless of addition order.
+    "q_geo_polygon" ->
+      """WITH pts AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey AS k,
+                  CAST(floor(c_acctbal) AS DOUBLE) AS x,
+                  CAST(c_custkey*37 % 200 AS DOUBLE) AS y
+           FROM customer),
+         ctr AS (
+           SELECT nk, (min(x)+max(x))/2 + 0.25 AS cx,
+                  (min(y)+max(y))/2 + 0.25 AS cy
+           FROM pts GROUP BY nk),
+         ang AS (
+           SELECT p.nk, p.k, p.x, p.y,
+             CASE WHEN p.x - c.cx >= 0
+               THEN (p.y-c.cy)/(abs(p.x-c.cx)+abs(p.y-c.cy))
+               ELSE 2.0 - (p.y-c.cy)/(abs(p.x-c.cx)+abs(p.y-c.cy)) END AS pa
+           FROM pts p JOIN ctr c USING (nk)),
+         edges AS (
+           SELECT nk, x, y,
+             coalesce(lead(x) OVER w, first_value(x) OVER w) AS xn,
+             coalesce(lead(y) OVER w, first_value(y) OVER w) AS yn
+           FROM ang
+           WINDOW w AS (PARTITION BY nk ORDER BY pa, k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         sums AS (
+           SELECT nk, count(*) AS nv,
+             sum(x*yn - xn*y) AS s2,
+             sum((x+xn)*(x*yn - xn*y)) AS sx,
+             sum((y+yn)*(x*yn - xn*y)) AS sy
+           FROM edges GROUP BY nk)
+         SELECT nk AS n_nationkey, CAST(nv AS BIGINT) AS nv,
+                abs(s2)/2 AS area, sx/(3*s2) AS cx, sy/(3*s2) AS cy
+         FROM sums WHERE nv >= 3 AND s2 <> 0
+         ORDER BY n_nationkey""",
+    // Half-plane membership (all five edge crosses strictly positive,
+    // valid for this convex CCW pentagon) vs the engine's generic ray
+    // cast — structurally different point-in-polygon algorithms that
+    // must agree exactly because on-edge hits are impossible (integer
+    // test points vs quarter-fraction vertices; min |cross| = 2.5, far
+    // above any rounding error).
+    "q_geo_pip" ->
+      """WITH p AS (
+           SELECT c_mktsegment,
+                  CAST(c_custkey*7 % 100 AS DOUBLE) AS x,
+                  CAST(c_custkey*13 % 100 AS DOUBLE) AS y
+           FROM customer),
+         t AS (
+           SELECT c_mktsegment,
+             ((90.25-10.25)*(y-10.25) - (5.25-10.25)*(x-10.25) > 0 AND
+              (95.25-90.25)*(y-5.25)  - (60.25-5.25)*(x-90.25) > 0 AND
+              (50.25-95.25)*(y-60.25) - (95.25-60.25)*(x-95.25) > 0 AND
+              (5.25-50.25)*(y-95.25)  - (55.25-95.25)*(x-50.25) > 0 AND
+              (10.25-5.25)*(y-55.25)  - (10.25-55.25)*(x-5.25)  > 0) AS inside
+           FROM p)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_pts,
+                CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+         FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // Builds the identical POLYGON string by direct concatenation
+    // (DuckDB and the JVM print integer-valued doubles the same way:
+    // "80.0") and measures the bbox area directly — a dropped or
+    // reordered vertex in asText/parse would break either column.
+    "q_geo_wkt" ->
+      """WITH pts AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                  CAST(floor(c_acctbal) AS DOUBLE) AS x,
+                  CAST(c_custkey*37 % 200 AS DOUBLE) AS y
+           FROM customer),
+         e AS (
+           SELECT nk, min(x) AS x0, max(x) AS x1,
+                  min(y) AS y0, max(y) AS y1
+           FROM pts GROUP BY nk)
+         SELECT nk AS n_nationkey,
+           'POLYGON((' ||
+             CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ', ' ||
+             CAST(x1 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ', ' ||
+             CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', ' ||
+             CAST(x0 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', ' ||
+             CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || '))' AS wkt,
+           (x1-x0)*(y1-y0) AS area_rt
+         FROM e ORDER BY n_nationkey""",
     // post-change ways after the fixture .osc applies to the micro
     // fixture: 102 deleted; 120 created through the moved node 3
     // (so its x2/y2 are the NEW coordinate); 101 refreshed but

@@ -244,6 +244,104 @@ class FunctionsSpec extends SparkTestBase {
       s"approx percentile off: ${r.getDouble(2)} vs ${r.getDouble(3)}")
   }
 
+  private def ringLit(ps: Seq[(Double, Double)]) = array(ps.map { case (x, y) =>
+    struct(lit(x).as("lon"), lit(y).as("lat")) }: _*)
+
+  test("polygon kernel: shoelace area, orientation sign, area-weighted centroid") {
+    val ccw = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    val r = spark.range(1).select(
+      Geo.shoelaceSigned(ringLit(ccw)).as("s"),
+      Geo.polygonArea(ringLit(ccw)).as("a"),
+      Geo.polygonCentroid(ringLit(ccw)).as("c"),
+      Geo.shoelaceSigned(ringLit(ccw.reverse)).as("srev"),
+      Geo.polygonArea(ringLit(ccw.reverse)).as("arev"),
+      Geo.polygonArea(ringLit(Seq((0.0, 0.0), (4.0, 0.0)))).as("deg")).head()
+    assert(r.getDouble(0) === 32.0 && r.getDouble(1) === 16.0)
+    val c = r.getStruct(2)
+    assert(c.getDouble(0) === 2.0 && c.getDouble(1) === 2.0)
+    assert(r.getDouble(3) === -32.0 && r.getDouble(4) === 16.0) // CW flips sign only
+    assert(r.getDouble(5) === 0.0)
+    // trapezoid (0,0)(4,0)(4,1)(1,1): centroid (47/21, 10/21) — the
+    // area-weighted answer, NOT the vertex mean (9/4, 1/2)
+    val tz = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0))
+    val ct = spark.range(1).select(Geo.polygonCentroid(ringLit(tz)).as("c"))
+      .select("c.*").head()
+    assert(ct.getDouble(0) === 47.0 / 21.0 && ct.getDouble(1) === 10.0 / 21.0)
+  }
+
+  test("polygon kernel: ray-cast containment handles non-convex rings") {
+    // L-shape: the naive convex test would claim (3,3) inside
+    val l = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+    val probes = Seq(
+      (1.0, 1.0, true), (3.0, 1.0, true), (1.0, 3.0, true), (2.5, 1.9, true),
+      (3.0, 3.0, false), (2.5, 2.1, false), (5.0, 1.0, false), (-1.0, 2.5, false))
+    probes.toDF("x", "y", "want")
+      .withColumn("got", Geo.containsPoint(ringLit(l),
+        struct($"x".as("lon"), $"y".as("lat"))))
+      .collect().foreach { r =>
+        assert(r.getBoolean(3) === r.getBoolean(2),
+          s"(${r.getDouble(0)},${r.getDouble(1)}) want ${r.getBoolean(2)}")
+      }
+  }
+
+  test("polygon kernel: WKT asText/parse round-trip, point/line parsers") {
+    val ring = Seq((10.5, 20.0), (30.0, 20.0), (30.0, 40.5), (10.5, 40.5))
+    val out = spark.range(1).select(Geo.asTextPolygon(ringLit(ring)).as("w"))
+      .withColumn("back", Geo.parseWktPolygon($"w"))
+      .withColumn("a", Geo.polygonArea($"back")).head()
+    assert(out.getString(0) ===
+      "POLYGON((10.5 20.0, 30.0 20.0, 30.0 40.5, 10.5 40.5, 10.5 20.0))")
+    assert(out.getSeq[Any](1).size === 4) // closing vertex dropped on parse
+    assert(out.getDouble(2) === 19.5 * 20.5)
+    // unclosed polygon text is accepted too (PostGIS is strict; we parse both)
+    val a2 = spark.range(1).select(Geo.polygonArea(
+      Geo.parseWktPolygon(lit("POLYGON((0 0, 2 0, 2 2, 0 2))"))).as("a")).head()
+    assert(a2.getDouble(0) === 4.0)
+    val p = spark.range(1)
+      .select(Geo.parseWktPoint(lit("point(3.5 -7.25)")).as("p"))
+      .select("p.*").head()
+    assert(p.getDouble(0) === 3.5 && p.getDouble(1) === -7.25)
+    val ln = spark.range(1)
+      .select(Geo.parseWktLine(lit("LINESTRING(0 0, 1 2, 3 4)")).as("l")).head()
+    assert(ln.getSeq[org.apache.spark.sql.Row](0).map(r =>
+      (r.getDouble(0), r.getDouble(1))) === Seq((0.0, 0.0), (1.0, 2.0), (3.0, 4.0)))
+    // multilinestring text
+    val ml = spark.range(1).select(Geo.asTextMultiLine(array(
+      ringLit(Seq((0.0, 0.0), (1.0, 1.0))),
+      ringLit(Seq((2.0, 2.0), (3.0, 3.0))))).as("t")).head()
+    assert(ml.getString(0) ===
+      "MULTILINESTRING((0.0 0.0, 1.0 1.0), (2.0 2.0, 3.0 3.0))")
+  }
+
+  test("pseudoAngle orders points exactly as atan2 over (-90°, 270°)") {
+    val pts = (0 until 72).map { i =>
+      val a = i * math.Pi / 36
+      (math.cos(a) * (1 + i % 3), math.sin(a) * (1 + i % 3), i.toLong)
+    }
+    val byPa = pts.toDF("dx", "dy", "i")
+      .select($"i", Geo.pseudoAngle($"dx", $"dy").as("pa"))
+      .collect().sortBy(_.getDouble(1)).map(_.getLong(0)).toList
+    val byAtan = pts.sortBy { case (dx, dy, _) =>
+      val a = math.toDegrees(math.atan2(dy, dx))
+      if (a < -90) a + 360 else a // same branch cut as pseudoAngle
+    }.map(_._3).toList
+    assert(byPa === byAtan)
+  }
+
+  test("polygonAreaM2: projected area consistent with planar edge lengths") {
+    val (lon, lat, d) = (-91.87, 63.39, 0.1)
+    val sq = Seq((lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d))
+    val r = spark.range(1).select(
+      Geo.polygonAreaM2(ringLit(sq)).as("a2"),
+      Geo.planarLengthMeters(ringLit(Seq((lon, lat), (lon + d, lat)))).as("w"),
+      Geo.planarLengthMeters(ringLit(Seq((lon, lat), (lon, lat + d)))).as("h")).head()
+    val approx = r.getDouble(1) * r.getDouble(2)
+    // the projected square is a near-parallelogram (meridian convergence
+    // skews it slightly); shoelace vs edge product agree to ~1%
+    assert(math.abs(r.getDouble(0) / approx - 1) < 0.01,
+      s"area ${r.getDouble(0)} vs edge product $approx")
+  }
+
   test("property: reverse(reverse(a)) == a (seeded)") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { _ =>
