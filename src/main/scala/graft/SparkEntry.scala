@@ -1572,6 +1572,38 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- Points-in-polygons JOIN, grid-bucketed (the scale path of
+    //      ST_Contains: one equi-join shuffle, never all-pairs): every
+    //      customer point vs every nation's INSET bbox polygon
+    //      (cross-nation containment, so the join genuinely fans out).
+    //      Quarter-fraction polygon bounds vs integer points make
+    //      on-edge hits impossible; the vertical-edge ray intersection
+    //      is exact (x2-x1 = 0), so the generic ray cast must agree
+    //      with the oracle's strict range check to the bit. Degenerate
+    //      insets (bbox thinner than 2x10.25) are filtered on both
+    //      sides — an inverted rectangle has no interior.
+    "q_geo_pip_join" -> ((s, dir) => {
+      val pt = struct(floor(col("c_acctbal")).cast("double").as("lon"),
+        (col("c_custkey") * 37 % 200).cast("double").as("lat"))
+      val pts = customer(s, dir).select(col("c_custkey"), pt.as("p"))
+      val ext = customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nk"), pt.as("p"))
+        .groupBy("nk").agg(functions.Geo.extentAgg(col("p")).as("e"))
+        .filter(col("e.max_lon") - col("e.min_lon") > 20.5 &&
+          col("e.max_lat") - col("e.min_lat") > 20.5)
+      val ring = array(
+        struct((col("e.min_lon") + 10.25).as("lon"), (col("e.min_lat") + 10.25).as("lat")),
+        struct((col("e.max_lon") - 10.25).as("lon"), (col("e.min_lat") + 10.25).as("lat")),
+        struct((col("e.max_lon") - 10.25).as("lon"), (col("e.max_lat") - 10.25).as("lat")),
+        struct((col("e.min_lon") + 10.25).as("lon"), (col("e.max_lat") - 10.25).as("lat")))
+      functions.Geo.containsJoin(pts, "c_custkey", col("p"),
+          ext.select(col("nk"), ring.as("ring")), "nk", col("ring"),
+          cellDeg = 50.0)
+        .groupBy("nk").agg(count(lit(1)).as("n_inside"))
+        .select(col("nk").as("n_nationkey"), col("n_inside"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- .osc OsmChange replication-diff ingest (the reference's
     //      actions-table feed, pgsnapshot_schema_0.6_action.sql:1-5):
     //      parse a three-action diff (node move / way delete / way
@@ -2466,6 +2498,28 @@ object SparkEntry {
              CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || '))' AS wkt,
            (x1-x0)*(y1-y0) AS area_rt
          FROM e ORDER BY n_nationkey""",
+    // Strict range check against inset rectangles — structurally
+    // different from the engine's grid-bucketed ray-cast join, but
+    // exact-equal here: .25-fraction bounds vs integer points, and the
+    // ray cast's vertical-edge intersection is exact (x2-x1 = 0).
+    "q_geo_pip_join" ->
+      """WITH pts AS (
+           SELECT c_custkey, CAST(floor(c_acctbal) AS DOUBLE) AS x,
+                  CAST(c_custkey*37 % 200 AS DOUBLE) AS y,
+                  CAST(c_nationkey AS BIGINT) AS nk
+           FROM customer),
+         e AS (
+           SELECT nk, min(x) AS x0, max(x) AS x1,
+                  min(y) AS y0, max(y) AS y1
+           FROM pts GROUP BY nk),
+         r AS (
+           SELECT nk, x0+10.25 AS a, x1-10.25 AS b,
+                  y0+10.25 AS c, y1-10.25 AS d
+           FROM e WHERE x1-x0 > 20.5 AND y1-y0 > 20.5)
+         SELECT r.nk AS n_nationkey, CAST(count(*) AS BIGINT) AS n_inside
+         FROM r JOIN pts p
+           ON p.x > r.a AND p.x < r.b AND p.y > r.c AND p.y < r.d
+         GROUP BY r.nk ORDER BY r.nk""",
     // post-change ways after the fixture .osc applies to the micro
     // fixture: 102 deleted; 120 created through the moved node 3
     // (so its x2/y2 are the NEW coordinate); 101 refreshed but

@@ -356,4 +356,48 @@ object Geo {
       .filter(col("dist_m") <= maxMeters)
       .select(col(leftId), col(rightId), col("dist_m"))
   }
+
+  /** Every grid cell a ring's bounding box covers — the publish side of
+    * [[containsJoin]]. The interior of a ring is inside its vertex
+    * bbox, so covering the bbox is exact (conservative on cells, never
+    * on answers). */
+  private[graft] def bboxCells(ring: Column, cellDeg: Double): Column = {
+    val xs = transform(ring, p => p.getField("lon"))
+    val ys = transform(ring, p => p.getField("lat"))
+    val x0 = floor(array_min(xs) / cellDeg).cast("long")
+    val x1 = floor(array_max(xs) / cellDeg).cast("long")
+    val y0 = floor(array_min(ys) / cellDeg).cast("long")
+    val y1 = floor(array_max(ys) / cellDeg).cast("long")
+    flatten(transform(sequence(x0, x1), cx =>
+      transform(sequence(y0, y1), cy =>
+        struct(cx.as("cx"), cy.as("cy")))))
+  }
+
+  /** ST_Contains as a JOIN, grid-bucketed (never all-pairs):
+    * `(pointId, polyId)` for every point strictly inside a polygon
+    * ring. Polygons publish every cell their bbox covers; points sit at
+    * their single home cell; the equi-join on cell is the only shuffle,
+    * and each (point, polygon) candidate pair meets in EXACTLY one cell
+    * (the point's home cell — a polygon lists each covered cell once),
+    * so no dedup pass is needed. Refinement is the generic ray cast
+    * ([[containsPoint]]), so non-convex rings are fine.
+    *
+    * 100 TB shape: per-task candidates are bounded by points-per-cell ×
+    * polygons-covering-cell; `cellDeg` trades the polygon explode
+    * factor against candidate count, never correctness. Continent-sized
+    * polygons over a fine grid explode to many cells — coarsen the grid
+    * or split such rings first; spatial skew (a dense city cell)
+    * follows data density and AQE skew-join applies to the one
+    * exchange. */
+  def containsJoin(points: org.apache.spark.sql.DataFrame, pointId: String,
+      pt: Column, polys: org.apache.spark.sql.DataFrame, polyId: String,
+      ring: Column, cellDeg: Double): org.apache.spark.sql.DataFrame = {
+    val p = points.select(col(pointId), pt.as("__pt"))
+      .withColumn("__cell", gridCell(col("__pt"), cellDeg))
+    val g = polys.select(col(polyId), ring.as("__ring"))
+      .withColumn("__cell", explode(bboxCells(col("__ring"), cellDeg)))
+    p.join(g, "__cell")
+      .filter(containsPoint(col("__ring"), col("__pt")))
+      .select(col(pointId), col(polyId))
+  }
 }

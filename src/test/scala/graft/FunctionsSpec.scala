@@ -313,6 +313,35 @@ class FunctionsSpec extends SparkTestBase {
       "MULTILINESTRING((0.0 0.0, 1.0 1.0), (2.0 2.0, 3.0 3.0))")
   }
 
+  test("containsJoin == brute force (random rects + a non-convex ring)") {
+    val rnd = new scala.util.Random(11L)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble))
+      .toDF("pid", "x", "y")
+      .select($"pid", struct($"x".as("lon"), $"y".as("lat")).as("p"))
+    def rect(id: Long) = {
+      val (x0, y0) = (rnd.nextInt(60) + 0.25, rnd.nextInt(60) + 0.25)
+      val (w, h) = (rnd.nextInt(35) + 1, rnd.nextInt(35) + 1)
+      (id, Seq((x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)))
+    }
+    // last ring is a concave L spanning many grid cells
+    val rings = (1L to 8L).map(rect) :+
+      (9L, Seq((0.25, 0.25), (80.25, 0.25), (80.25, 40.25), (40.25, 40.25),
+        (40.25, 90.25), (0.25, 90.25)))
+    val polys = rings.toDF("gid", "ring").select($"gid",
+      transform($"ring", t => struct(t.getField("_1").as("lon"),
+        t.getField("_2").as("lat"))).as("ring"))
+    val got = Geo.containsJoin(pts, "pid", $"p", polys, "gid", $"ring",
+        cellDeg = 13.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(polys)
+      .filter(Geo.containsPoint($"ring", $"p"))
+      .select("pid", "gid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute && got.nonEmpty,
+      s"grid ${got.size} pairs vs brute ${brute.size}")
+  }
+
   test("pseudoAngle orders points exactly as atan2 over (-90°, 270°)") {
     val pts = (0 until 72).map { i =>
       val a = i * math.Pi / 36
