@@ -1604,6 +1604,38 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- ST_ConvexHull native aggregate (TypedImperativeAggregate
+    //      with O(hull) compacted state — a billion-point group ships
+    //      hundreds of vertices between stages, not the group). Points
+    //      ride a strictly convex parabola y = x² (so EVERY distinct
+    //      point is a hull vertex and no three are collinear) plus
+    //      decoy points at y = x²+5 proven strictly interior by the
+    //      exact guard (x-x0)(x1-x) > 5 — if the hull ever kept a
+    //      decoy, nv and area both break. The unsigned-free area
+    //      (shoelace/2, no abs) also pins the CCW orientation contract.
+    //      All coordinates integer-valued → every cross product and
+    //      shoelace term is exact, bit-portable across engines.
+    "q_geo_hull" -> ((s, dir) => {
+      val base = customer(s, dir).select(
+        col("c_nationkey").cast("long").as("nk"),
+        col("c_custkey").as("k"),
+        (col("c_custkey") % 50).cast("double").as("x"))
+      val mm = base.groupBy("nk").agg(min("x").as("x0"), max("x").as("x1"))
+      val onCurve = base.select(col("nk"), col("x"),
+        (col("x") * col("x")).as("y"))
+      val decoys = base.join(broadcast(mm), "nk")
+        .filter(col("k") % 3 === 0 &&
+          (col("x") - col("x0")) * (col("x1") - col("x")) > 5)
+        .select(col("nk"), col("x"), (col("x") * col("x") + 5).as("y"))
+      onCurve.unionByName(decoys)
+        .groupBy("nk")
+        .agg(GF.convexHull(struct(col("x").as("lon"), col("y").as("lat"))).as("ring"))
+        .select(col("nk").as("n_nationkey"),
+          size(col("ring")).cast("long").as("nv"),
+          (Geo.shoelaceSigned(col("ring")) / 2).as("area"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- .osc OsmChange replication-diff ingest (the reference's
     //      actions-table feed, pgsnapshot_schema_0.6_action.sql:1-5):
     //      parse a three-action diff (node move / way delete / way
@@ -2520,6 +2552,27 @@ object SparkEntry {
          FROM r JOIN pts p
            ON p.x > r.a AND p.x < r.b AND p.y > r.c AND p.y < r.d
          GROUP BY r.nk ORDER BY r.nk""",
+    // The hull of parabola-plus-strictly-interior-decoys is exactly the
+    // distinct parabola points; the oracle never runs a hull at all —
+    // it sorts the parabola points by x (the lower chain) and closes
+    // with the chord, the CCW hull cycle by construction. Signed
+    // shoelace (no abs) checks the engine's orientation contract too.
+    "q_geo_hull" ->
+      """WITH pts AS (
+           SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk,
+                  CAST(c_custkey % 50 AS DOUBLE) AS x
+           FROM customer),
+         hp AS (SELECT nk, x, x*x AS y FROM pts),
+         edges AS (
+           SELECT nk, x, y,
+             coalesce(lead(x) OVER w, first_value(x) OVER w) AS xn,
+             coalesce(lead(y) OVER w, first_value(y) OVER w) AS yn
+           FROM hp
+           WINDOW w AS (PARTITION BY nk ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT nk AS n_nationkey, CAST(count(*) AS BIGINT) AS nv,
+                sum(x*yn - xn*y)/2 AS area
+         FROM edges GROUP BY nk ORDER BY n_nationkey""",
     // post-change ways after the fixture .osc applies to the micro
     // fixture: 102 deleted; 120 created through the moved node 3
     // (so its x2/y2 are the NEW coordinate); 101 refreshed but

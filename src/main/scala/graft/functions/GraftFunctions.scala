@@ -35,6 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             ArrayType(org.apache.spark.sql.types.DoubleType)))
             .toAggregateExpression()))
     ext.injectFunction(
+      (new FunctionIdentifier("convex_hull"),
+        new ExpressionInfo(classOf[ConvexHullAgg].getName, "convex_hull"),
+        (children: Seq[Expression]) =>
+          ConvexHullAgg(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children(0), org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children(1), org.apache.spark.sql.types.DoubleType))
+            .toAggregateExpression()))
+    ext.injectFunction(
       (new FunctionIdentifier("matvec"),
         new ExpressionInfo(classOf[MatVec].getName, "matvec"),
         (children: Seq[Expression]) => MatVec(children(0), children(1))))
@@ -87,6 +97,11 @@ object GraftFunctions {
 
   /** The TypedImperativeAggregate median (injected function). */
   def medianExactNative(c: Column): Column = call_function("median_exact_native", c)
+
+  /** ST_ConvexHull aggregate over a point-struct column: the CCW hull
+    * ring (our polygon model), O(hull) partial state. Use in `agg()`. */
+  def convexHull(p: Column): Column =
+    call_function("convex_hull", p.getField("lon"), p.getField("lat"))
 
   /** Element-wise array-sum aggregate (injected [[VectorSum]]). */
   def vectorSum(c: Column): Column = call_function("vector_sum", c)

@@ -342,6 +342,93 @@ class FunctionsSpec extends SparkTestBase {
       s"grid ${got.size} pairs vs brute ${brute.size}")
   }
 
+  test("convexHull == gift-wrapping reference; CCW; stable under repartition") {
+    // independent reference: Jarvis march (different algorithm family
+    // from the aggregate's monotone chain)
+    def jarvis(pts: Set[(Double, Double)]): List[(Double, Double)] = {
+      if (pts.size <= 2) return pts.toList.sorted
+      def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+        (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+      val start = pts.min
+      val out = scala.collection.mutable.ListBuffer(start)
+      var cur = start
+      while ({
+        var next = pts.find(_ != cur).get
+        pts.foreach { p =>
+          if (p != cur) {
+            val c = cross(cur, next, p)
+            // CCW walk: swing the candidate edge while some point is
+            // still clockwise of it; on collinear ties take the farther
+            // point, so collinear mids drop out
+            val d = (p._1 - cur._1) * (p._1 - cur._1) + (p._2 - cur._2) * (p._2 - cur._2)
+            val dn = (next._1 - cur._1) * (next._1 - cur._1) + (next._2 - cur._2) * (next._2 - cur._2)
+            if (c < 0 || (c == 0 && d > dn)) next = p
+          }
+        }
+        cur = next
+        cur != start && { out += cur; true }
+      }) ()
+      out.toList
+    }
+    val rnd = new scala.util.Random(23L)
+    // 3 groups: cloud, cloud-with-collinear-edges, tiny degenerate
+    val rows = (1 to 900).map { i =>
+      val g = i % 3
+      val (x, y) = g match {
+        case 0 => (rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble)
+        case 1 => (rnd.nextInt(10).toDouble, rnd.nextInt(10).toDouble) // dense: many collinear boundary points
+        case _ => if (i % 2 == 0) (1.0, 1.0) else (5.0, 9.0) // 2-point degenerate group
+      }
+      (g.toLong, x, y)
+    }
+    val df = rows.toDF("g", "x", "y")
+      .select($"g", struct($"x".as("lon"), $"y".as("lat")).as("p"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(GF.convexHull($"p").as("h")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(q => (q.getDouble(0), q.getDouble(1))).toList).toMap
+    val got = run(df)
+    val again = run(df.repartition(13))
+    assert(got === again, "hull not deterministic under repartition")
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val want = jarvis(rs.map(r => (r._2, r._3)).toSet)
+      assert(got(g) === want, s"group $g: ${got(g)} vs jarvis $want")
+      // CCW and starts at the lexicographic min vertex
+      assert(got(g).head === rs.map(r => (r._2, r._3)).toSet.min)
+    }
+    // composes with the polygon kernel: hull area positive (CCW), every
+    // input point inside-or-on -> jitter inward a hair and test one
+    val hull0 = got(0L)
+    assert(hull0.size >= 3)
+    val area = spark.range(1).select(
+      Geo.shoelaceSigned(ringLit(hull0)).as("s")).head().getDouble(0)
+    assert(area > 0, s"hull not CCW: signed 2A = $area")
+  }
+
+  test("convexHull compacts oversized buffers without changing the result") {
+    // one group far beyond CompactAt=512 points; ring of radius r plus
+    // interior noise -> hull == the extreme ring points regardless of
+    // how many compactions ran
+    val rnd = new scala.util.Random(31L)
+    val ring = (0 until 36).map { i =>
+      val a = i * math.Pi / 18
+      (math.round(1000 * math.cos(a)).toDouble, math.round(1000 * math.sin(a)).toDouble)
+    }
+    val noise = (1 to 3000).map(_ =>
+      (rnd.nextInt(900) - 450.0, rnd.nextInt(900) - 450.0))
+    val df = (ring ++ noise).toDF("x", "y")
+      .select(struct($"x".as("lon"), $"y".as("lat")).as("p"))
+    def hullOf(d: org.apache.spark.sql.DataFrame) =
+      d.agg(GF.convexHull($"p").as("h")).collect().head
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(q => (q.getDouble(0), q.getDouble(1))).toList
+    val one = hullOf(df.coalesce(1))      // single partition: update-path compactions
+    val many = hullOf(df.repartition(17)) // partials + merge-path compactions
+    assert(one === many)
+    assert(one.size >= 30 && one.size <= 36, s"ring hull size ${one.size}")
+    assert(one.toSet.subsetOf(ring.toSet), "hull kept a non-extreme point")
+  }
+
   test("pseudoAngle orders points exactly as atan2 over (-90°, 270°)") {
     val pts = (0 until 72).map { i =>
       val a = i * math.Pi / 36

@@ -306,4 +306,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(out.getArray(1).getDouble(0) === 3.0)     // identity matvec
     assert(out.getArray(2).getInt(0) === 1)          // extract_ints
   }
+
+  test("convex hull aggregate runs with map-side partials (O(hull) state ships)") {
+    val p = plan("q_geo_hull")
+    // partial + final ObjectHashAggregate around the group exchange:
+    // the compacted hull buffer is what crosses the wire, not the group
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final object hash agg:\n$p")
+    assert(p.contains("Exchange hashpartitioning"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortAggregate"))
+  }
+
+  test("points-in-polygons join: cell equi-join, never all-pairs") {
+    val df = SparkEntry.queries("q_geo_pip_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ST_Contains join must bucket, not pair all rows:\n$p")
+    assert(p.contains("HashJoin"), s"cell join should be a hash equi-join:\n$p")
+  }
 }
