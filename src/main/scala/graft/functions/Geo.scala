@@ -178,9 +178,10 @@ object Geo {
 
   // --------------------------------------------------------------------
   // Polygon kernel — the general-geometry surface beyond the point/line
-  // ops the reference's own pipelines need (VERDICT r7 "missing #1"): a
-  // user porting other PostGIS scripts gets ST_Area / ST_Centroid /
-  // ST_Contains / polygon WKT / multilinestring here. A ring is an
+  // ops the reference's own pipelines need: a user porting other
+  // PostGIS scripts gets ST_Area / ST_Centroid / ST_Contains / polygon
+  // WKT / multilinestring here (ST_ConvexHull lives in
+  // [[graft.functions.ConvexHullAgg]]). A ring is an
   // array<struct<lon,lat>> WITHOUT the repeated closing vertex (the
   // closing edge is implied); ST_Dump of any of our multi-geometries is
   // a plain `explode`. All ops are per-row array folds — scan-local,
