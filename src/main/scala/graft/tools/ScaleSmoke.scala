@@ -119,6 +119,57 @@ object ScaleSmoke {
     val (dwHiSec, dwHiPairs) = dwithin(nGeo * 4)
     val dwExp = math.log(dwHiSec / dwLoSec) / math.log(4.0)
 
+    // Points-in-polygons join at constant density: the same lattice,
+    // tiled by 0.05-deg rects (each covers ~36 cells at cellDeg 0.01
+    // and contains ~2.4k points), so output pairs are O(n) and
+    // per-task candidates bounded — linear iff the bucketing works.
+    def pip(n: Long): (Double, Long) = {
+      val side = math.max(math.sqrt(n.toDouble).toLong, 1L)
+      val pts = spark.range(n).select(col("id").as("pid"),
+        struct(((col("id") % side).cast("double") * 0.001).as("lon"),
+          ((col("id") / side).cast("double") * 0.001).as("lat")).as("p"))
+      val m = (side * 0.001 / 0.05).toLong + 1
+      val polys = spark.range(m * m).select(col("id").as("gid"),
+        ((col("id") % m).cast("double") * 0.05).as("x0"),
+        ((col("id") / m).cast("double") * 0.05).as("y0"))
+        .select(col("gid"), array(
+          struct((col("x0") + 0.0001).as("lon"), (col("y0") + 0.0001).as("lat")),
+          struct((col("x0") + 0.0499).as("lon"), (col("y0") + 0.0001).as("lat")),
+          struct((col("x0") + 0.0499).as("lon"), (col("y0") + 0.0499).as("lat")),
+          struct((col("x0") + 0.0001).as("lon"), (col("y0") + 0.0499).as("lat")))
+          .as("ring"))
+      val t = System.nanoTime()
+      val pairs = graft.functions.Geo.containsJoin(pts, "pid", col("p"),
+        polys, "gid", col("ring"), cellDeg = 0.01).count()
+      ((System.nanoTime() - t) / 1e9, pairs)
+    }
+    pip(nGeo / 10) // warm
+    val (pipLoSec, pipLoPairs) = pip(nGeo)
+    val (pipHiSec, pipHiPairs) = pip(nGeo * 4)
+    val pipExp = math.log(pipHiSec / pipLoSec) / math.log(4.0)
+
+    // Convex hull over 32 pseudo-random point groups: the compacted
+    // partial state means cost is one scan plus O(hull) merges —
+    // linear in n with a tiny constant, the property that lets a
+    // billion-point group aggregate without collecting it.
+    def hullSmoke(n: Long): (Double, Long) = {
+      val pts = spark.range(n).select(pmod(col("id"), lit(32)).as("g"),
+        struct(pmod(hash(col("id")), lit(100000)).cast("double").as("lon"),
+          pmod(hash(col("id") * 7 + 1), lit(100000)).cast("double").as("lat"))
+          .as("p"))
+      val t = System.nanoTime()
+      val vs = pts.groupBy("g")
+        .agg(graft.functions.GraftFunctions.convexHull(col("p")).as("h"))
+        .agg(sum(size(col("h")))).head().getLong(0)
+      ((System.nanoTime() - t) / 1e9, vs)
+    }
+    // 4x the other smokes' sizes: per-point hull cost is so small that
+    // anything less is job-launch overhead, not operator time
+    hullSmoke(nGeo) // warm
+    val (huLoSec, huLoVerts) = hullSmoke(nGeo * 4)
+    val (huHiSec, huHiVerts) = hullSmoke(nGeo * 16)
+    val huExp = math.log(huHiSec / huLoSec) / math.log(4.0)
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -129,7 +180,14 @@ object ScaleSmoke {
       s""""dwithin_points_lo":$nGeo,"dwithin_pairs_lo":$dwLoPairs,""" +
       f""""dwithin_sec_lo":$dwLoSec%.2f,"dwithin_points_hi":${nGeo * 4},""" +
       s""""dwithin_pairs_hi":$dwHiPairs,""" +
-      f""""dwithin_sec_hi":$dwHiSec%.2f,"dwithin_exponent":$dwExp%.3f}""")
+      f""""dwithin_sec_hi":$dwHiSec%.2f,"dwithin_exponent":$dwExp%.3f,""" +
+      s""""pip_pairs_lo":$pipLoPairs,"pip_pairs_hi":$pipHiPairs,""" +
+      f""""pip_sec_lo":$pipLoSec%.2f,"pip_sec_hi":$pipHiSec%.2f,""" +
+      f""""pip_exponent":$pipExp%.3f,""" +
+      s""""hull_points_lo":${nGeo * 4},"hull_points_hi":${nGeo * 16},""" +
+      s""""hull_verts_lo":$huLoVerts,"hull_verts_hi":$huHiVerts,""" +
+      f""""hull_sec_lo":$huLoSec%.2f,"hull_sec_hi":$huHiSec%.2f,""" +
+      f""""hull_exponent":$huExp%.3f}""")
     spark.stop()
   }
 }
