@@ -1484,6 +1484,28 @@ object SparkEntry {
         .orderBy("left_id")
     }),
 
+    // ---- F22 extension: nearest-neighbor snap JOIN (pgRouting's
+    //      nearest-vertex lookup / snap-to-network, bounded-radius
+    //      semantics = snap tolerance). Targets sit at asymmetric
+    //      (+0.003, +0.002) lattice offsets so every query's nearest
+    //      and second-nearest are separated by hundreds of meters —
+    //      the argmin can never flip on a last-ulp disagreement
+    //      between engines; ties (impossible here) would break on
+    //      target id in both.
+    "q_geo_nearest" -> ((s, dir) => {
+      val cust = customer(s, dir).select(col("c_custkey").as("query_id"),
+        struct(((col("c_custkey") % 37) * 0.01).as("lon"),
+          ((col("c_custkey") % 23) * 0.01).as("lat")).as("p"))
+      val supp = supplier(s, dir).select(col("s_suppkey").as("nearest_id"),
+        struct(((col("s_suppkey") % 37) * 0.01 + 0.003).as("lon"),
+          ((col("s_suppkey") % 23) * 0.01 + 0.002).as("lat")).as("p"))
+      functions.Geo.nearestJoin(cust, "query_id", col("p"),
+          supp, "nearest_id", col("p"), maxMeters = 2000, cellDeg = 0.02)
+        .select(col("query_id"), col("nearest_id"),
+          round(col("dist_m")).cast("long").as("nearest_m"))
+        .orderBy("query_id")
+    }),
+
     // ---- Polygon kernel: ST_Area + ST_Centroid (area-weighted) over
     //      per-nation star polygons built from customer points. All
     //      coordinates are INTEGER-valued doubles and the vertex order
@@ -2407,6 +2429,37 @@ object SparkEntry {
          SELECT left_id, count(*) AS n_within,
                 CAST(round(min(d)) AS BIGINT) AS min_dist_m
          FROM p WHERE d <= 1200 GROUP BY left_id ORDER BY left_id""",
+    // brute-force nearest neighbor over the same lattices: all-pairs
+    // haversine + row_number, the plan the engine's grid join replaces
+    "q_geo_nearest" ->
+      """WITH q AS (
+           SELECT c_custkey AS query_id,
+                  (c_custkey % 37) * CAST(0.01 AS DOUBLE) AS lon,
+                  (c_custkey % 23) * CAST(0.01 AS DOUBLE) AS lat
+           FROM customer),
+         t AS (
+           SELECT s_suppkey AS nearest_id,
+                  (s_suppkey % 37) * CAST(0.01 AS DOUBLE) + CAST(0.003 AS DOUBLE) AS lon,
+                  (s_suppkey % 23) * CAST(0.01 AS DOUBLE) + CAST(0.002 AS DOUBLE) AS lat
+           FROM supplier),
+         p AS (
+           SELECT query_id, nearest_id,
+                  2 * 6371008.8 * asin(sqrt(
+                    sin(radians(t.lat - q.lat)/2)^2 +
+                    cos(radians(q.lat)) * cos(radians(t.lat)) *
+                      sin(radians(t.lon - q.lon)/2)^2)) AS d,
+                  row_number() OVER (PARTITION BY query_id ORDER BY
+                    2 * 6371008.8 * asin(sqrt(
+                      sin(radians(t.lat - q.lat)/2)^2 +
+                      cos(radians(q.lat)) * cos(radians(t.lat)) *
+                        sin(radians(t.lon - q.lon)/2)^2)), nearest_id) AS rn
+           FROM q, t
+           WHERE 2 * 6371008.8 * asin(sqrt(
+                   sin(radians(t.lat - q.lat)/2)^2 +
+                   cos(radians(q.lat)) * cos(radians(t.lat)) *
+                     sin(radians(t.lon - q.lon)/2)^2)) <= 2000)
+         SELECT query_id, nearest_id, CAST(round(d) AS BIGINT) AS nearest_m
+         FROM p WHERE rn = 1 ORDER BY query_id""",
     // Snyder LCC 2SP forward equations (USGS PP 1395, 15-1..15-10)
     // evaluated natively by DuckDB with the published EPSG:3347
     // parameters — projection constants in scalar CTEs, per-point trig

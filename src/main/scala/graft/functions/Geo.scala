@@ -358,6 +358,47 @@ object Geo {
       .select(col(leftId), col(rightId), col("dist_m"))
   }
 
+  /** Nearest-neighbor snap as a JOIN, grid-bucketed (never all-pairs):
+    * for each query point, the single nearest target within
+    * `maxMeters` — `(queryId, targetId, dist_m)`; queries with no
+    * target in range drop out (inner semantics). This is the
+    * snap-to-network step of the reference's routing workflow
+    * (pgRouting's nearest-vertex lookup feeding pgr_createTopology,
+    * `osm-road-graphs.sql:247-254` territory): bounded-radius nearest
+    * IS the snap-tolerance semantics, so no unbounded ring expansion
+    * is needed.
+    *
+    * Shape: targets report at their home cell, queries probe their
+    * 3x3 neighborhood (cellDeg must cover maxMeters, see the
+    * require), and the per-query argmin is `min(struct(dist, tid))` —
+    * a hash aggregate with map-side partials (each task reduces its
+    * candidates to one row per query BEFORE the agg shuffle), not a
+    * window sort. Ties on distance break deterministically on the
+    * smaller target id.
+    *
+    * 100 TB shape: two exchanges total (cell equi-join + qid agg, the
+    * latter moving at most 9 rows per query), per-task candidate work
+    * bounded by targets-per-cell x 9; density skew follows the grid
+    * and AQE skew-join applies to the join exchange. */
+  def nearestJoin(queries: org.apache.spark.sql.DataFrame, queryId: String,
+      qPt: Column, targets: org.apache.spark.sql.DataFrame, targetId: String,
+      tPt: Column, maxMeters: Double, cellDeg: Double): org.apache.spark.sql.DataFrame = {
+    require(cellDeg * 111320.0 >= maxMeters,
+      s"cellDeg $cellDeg too small for maxMeters $maxMeters (lat axis)")
+    val t = targets.select(col(targetId), tPt.as("__tp"))
+      .withColumn("__cell", gridCell(col("__tp"), cellDeg))
+    val q = queries.select(col(queryId), qPt.as("__qp"))
+      .withColumn("__cell", explode(neighborCells(col("__qp"), cellDeg)))
+    q.join(t, "__cell")
+      .withColumn("__d", haversineMeters(
+        col("__qp.lon"), col("__qp.lat"), col("__tp.lon"), col("__tp.lat")))
+      .filter(col("__d") <= maxMeters)
+      .groupBy(queryId)
+      .agg(min(struct(col("__d").as("dist_m"), col(targetId))).as("__best"))
+      .select(col(queryId), col(s"__best.$targetId").as(targetId),
+        col("__best.dist_m").as("dist_m"))
+  }
+
   /** Every grid cell a ring's bounding box covers — the publish side of
     * [[containsJoin]]. The interior of a ring is inside its vertex
     * bbox, so covering the bbox is exact (conservative on cells, never

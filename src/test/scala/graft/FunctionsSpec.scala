@@ -148,6 +148,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(ext.getDouble(0) >= 0.0 && ext.getDouble(2) <= 0.5)
   }
 
+  test("nearestJoin == brute-force argmin on random point sets") {
+    val rnd = new scala.util.Random(11L)
+    def pts(n: Int, off: Long) = (1 to n).map(i =>
+      (off + i, rnd.nextDouble() * 0.5, rnd.nextDouble() * 0.5))
+    val q = pts(150, 1000).toDF("qid", "lon", "lat")
+      .select($"qid", struct($"lon", $"lat").as("p"))
+    val t = pts(60, 2000).toDF("tid", "lon", "lat")
+      .select($"tid", struct($"lon", $"lat").as("p"))
+    val maxM = 5000.0
+    val grid = Geo.nearestJoin(q, "qid", $"p", t, "tid", $"p",
+        maxM, cellDeg = 0.05)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val brute = q.crossJoin(t.select($"tid", $"p".as("u")))
+      .withColumn("d", Geo.haversineMeters(
+        $"p.lon", $"p.lat", $"u.lon", $"u.lat"))
+      .filter($"d" <= maxM).select("qid", "tid", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (qid, cs) =>
+        val best = cs.minBy(c => (c._3, c._2)); qid -> (best._2, best._3) }
+    assert(grid === brute && grid.nonEmpty, s"${grid.size} vs ${brute.size}")
+    // a query with no target in range is absent, not null
+    val far = Seq((9001L, 30.0, 30.0)).toDF("qid", "lon", "lat")
+      .select($"qid", struct($"lon", $"lat").as("p"))
+    assert(Geo.nearestJoin(far, "qid", $"p", t, "tid", $"p",
+      maxM, cellDeg = 0.05).isEmpty)
+  }
+
   test("orderedListAgg is deterministic under repartition") {
     val df = spark.sparkContext.parallelize(
       (1 to 500).map(i => (i % 7, i, s"v$i")), 13).toDF("g", "s", "v")

@@ -240,6 +240,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashJoin"), s"cell join should be a hash equi-join:\n$p")
   }
 
+  test("nearest join: grid equi-join + hash-agg argmin, no window sort") {
+    val df = SparkEntry.queries("q_geo_nearest")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest must bucket, not pair all points:\n$p")
+    assert(p.contains("HashJoin"), s"cell join should be a hash equi-join:\n$p")
+    // the per-query argmin is min(struct(dist, tid)): a hash aggregate
+    // with map-side partials, NOT a row_number window (which would sort
+    // every candidate list); partial_min proves the combine happens
+    // before the qid exchange
+    assert(p.contains("partial_min"), s"argmin should map-side combine:\n$p")
+    assert(!p.contains("row_number"), s"no window-sort argmin:\n$p")
+  }
+
   test("passage dedup: hashed-key heavy-hitter join-back, per-doc window only") {
     val df = SparkEntry.queries("q_d_dup_passages")(spark, sf)
     df.collect() // finalize AQE so join strategies are the real ones
