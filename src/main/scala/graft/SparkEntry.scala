@@ -709,6 +709,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- distributed ridge-regression quality fit (normal equations):
+    //      ONE moment aggregation over the corpus (map-side partials,
+    //      O(d²) state — scales like count(*)), Cramer solve on the
+    //      driver, coefficients broadcast back as literals for
+    //      scan-local scoring. Integer-count features make every
+    //      moment an exact integer (partition-order independent), and
+    //      the solve/scoring expression trees are mirrored
+    //      token-for-token in the oracle, so β and every ŷ match
+    //      bit-for-bit across engines.
+    "q_t_quality_fit" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val chars = length(col("text")).cast("long")
+      val toks = size(split(col("text"), " ")).cast("long")
+      val vowels = (length(col("text")) -
+        length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long")
+      val f = llm.Regression.fit2(d, chars, toks, vowels, lambda = 1.0)
+      d.select(col("doc_id"), chars.as("chars"), toks.as("toks"),
+          vowels.as("vowels"),
+          round(llm.Regression.predict2(f, chars, toks), 4).as("yhat"),
+          round(vowels.cast("double") -
+            llm.Regression.predict2(f, chars, toks), 4).as("resid"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Gopher-style named-rule filter: per-rule booleans so drop
     //      rates are auditable per rule; thresholds tuned so the corpus
     //      actually splits on len/stopwords/repetition (not all-true).
@@ -2117,6 +2141,56 @@ object SparkEntry {
                        + n_uniq / CAST(greatest(n_tokens, 1) AS DOUBLE)
                        + greatest(0.0, 1.0 - punct_ratio * 5)) / 3.0, 4) AS score
          FROM f ORDER BY doc_id""",
+    // the same normal-equation fit, computed end-to-end in SQL: integer
+    // moments (exact under any order), then Cramer's rule with the
+    // IDENTICAL parenthesization Regression.fit2 uses — binary64 ops
+    // are deterministic given the same expression tree, so beta and
+    // every prediction match the engine bit-for-bit
+    "q_t_quality_fit" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                  CAST(length(text) -
+                       length(regexp_replace(text, '[aeiou]', '', 'g'))
+                       AS BIGINT) AS vowels
+           FROM documents),
+         m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS a11,
+                  CAST(sum(chars) AS DOUBLE) AS a12,
+                  CAST(sum(toks) AS DOUBLE) AS a13,
+                  CAST(sum(vowels) AS DOUBLE) AS b1,
+                  CAST(sum(chars * chars) AS DOUBLE) + 1.0 AS a22,
+                  CAST(sum(chars * toks) AS DOUBLE) AS a23,
+                  CAST(sum(toks * toks) AS DOUBLE) + 1.0 AS a33,
+                  CAST(sum(chars * vowels) AS DOUBLE) AS b2,
+                  CAST(sum(toks * vowels) AS DOUBLE) AS b3
+           FROM f),
+         d AS (
+           SELECT a11 * (a22 * a33 - a23 * a23) -
+                    a12 * (a12 * a33 - a23 * a13) +
+                    a13 * (a12 * a23 - a22 * a13) AS det,
+                  b1 * (a22 * a33 - a23 * a23) -
+                    a12 * (b2 * a33 - a23 * b3) +
+                    a13 * (b2 * a23 - a22 * b3) AS det0,
+                  a11 * (b2 * a33 - a23 * b3) -
+                    b1 * (a12 * a33 - a23 * a13) +
+                    a13 * (a12 * b3 - b2 * a13) AS det1,
+                  a11 * (a22 * b3 - b2 * a23) -
+                    a12 * (a12 * b3 - b2 * a13) +
+                    b1 * (a12 * a23 - a22 * a13) AS det2
+           FROM m),
+         b AS (
+           SELECT det0 / det AS beta0, det1 / det AS beta1,
+                  det2 / det AS beta2
+           FROM d)
+         SELECT doc_id, chars, toks, vowels,
+                round(beta0 + beta1 * CAST(chars AS DOUBLE)
+                            + beta2 * CAST(toks AS DOUBLE), 4) AS yhat,
+                round(CAST(vowels AS DOUBLE) -
+                      (beta0 + beta1 * CAST(chars AS DOUBLE)
+                             + beta2 * CAST(toks AS DOUBLE)), 4) AS resid
+         FROM f, b ORDER BY doc_id""",
     "q_t_gopher_filter" ->
       """WITH f AS (SELECT doc_id,
            len(string_split(text, ' ')) AS n_tok,

@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear-model fitting via the normal equations — the
+  * quality-regression step of a curation pipeline ("predict human
+  * quality ratings from cheap scan-local features, score every doc").
+  *
+  * 100 TB shape: the ONLY pass over the data is one hash aggregate
+  * computing the O(d²) moment matrix (XᵀX, Xᵀy) with map-side partials
+  * — the same shape as `count(*)`, so it scales like a count. The
+  * solve is O(d³) on the driver (d is feature count, single-digit
+  * here; sanctioned driver work like the IVF centroid loop), and the
+  * coefficients broadcast back as literals, so scoring is a
+  * scan-local projection that pipelines into whatever filter or sink
+  * follows. No gradient iterations, no per-row driver traffic.
+  *
+  * Cross-engine determinism (what makes the exact-hash oracle
+  * possible): features are INTEGER-valued (counts), so every moment
+  * is an exact integer — order-independent under any partitioning on
+  * both engines — and the Cramer solve in [[fit2]] is written with an
+  * explicit parenthesization that the DuckDB oracle replicates
+  * token-for-token. IEEE-754 binary64 ops are deterministic given the
+  * same expression tree, so β matches bit-for-bit, and the scoring
+  * projection (same tree again) matches bit-for-bit too.
+  */
+object Regression {
+
+  /** OLS/ridge fit of `y ~ 1 + x1 + x2` (intercept unpenalized).
+    * Inputs must be integer-valued columns (counts); `lambda` adds to
+    * the x1/x2 diagonal of the Gram matrix. */
+  case class Fit2(n: Long, beta0: Double, beta1: Double, beta2: Double)
+
+  def fit2(df: DataFrame, x1: Column, x2: Column, y: Column,
+      lambda: Double = 0.0): Fit2 = {
+    val xl = x1.cast("long"); val yl = y.cast("long"); val zl = x2.cast("long")
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum(xl).as("s1"), sum(zl).as("s2"), sum(yl).as("sy"),
+      sum(xl * xl).as("s11"), sum(xl * zl).as("s12"),
+      sum(zl * zl).as("s22"),
+      sum(xl * yl).as("s1y"), sum(zl * yl).as("s2y")).head()
+    val n = m.getLong(0)
+    // every moment is an exact integer; the double conversions below
+    // are exact for |v| < 2^53 (oracle casts the same way)
+    val a11 = n.toDouble
+    val a12 = m.getLong(1).toDouble; val a13 = m.getLong(2).toDouble
+    val b1 = m.getLong(3).toDouble
+    val a22 = m.getLong(4).toDouble + lambda
+    val a23 = m.getLong(5).toDouble
+    val a33 = m.getLong(6).toDouble + lambda
+    val b2 = m.getLong(7).toDouble; val b3 = m.getLong(8).toDouble
+    // Cramer's rule, parenthesization mirrored EXACTLY in the oracle
+    // SQL (q_t_quality_fit) — do not re-associate these expressions
+    val det = a11 * (a22 * a33 - a23 * a23) -
+      a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+    val det0 = b1 * (a22 * a33 - a23 * a23) -
+      a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)
+    val det1 = a11 * (b2 * a33 - a23 * b3) -
+      b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13)
+    val det2 = a11 * (a22 * b3 - b2 * a23) -
+      a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13)
+    require(det != 0.0, "singular normal equations (collinear features)")
+    Fit2(n, det0 / det, det1 / det, det2 / det)
+  }
+
+  /** Predicted value as a column — `β0 + β1·x1 + β2·x2` with the same
+    * left-to-right association the oracle writes. */
+  def predict2(f: Fit2, x1: Column, x2: Column): Column =
+    lit(f.beta0) + lit(f.beta1) * x1.cast("double") +
+      lit(f.beta2) * x2.cast("double")
+
+  /** General-d ridge fit `y ~ 1 + xs` via one moment aggregation and a
+    * driver-side Gaussian elimination with partial pivoting. Same two
+    * exchanges and O(d²) aggregate state as [[fit2]] for any d; the
+    * float path differs from Cramer by normal rounding, so this one is
+    * spec-checked against [[fit2]] at d=2 rather than oracle-hashed. */
+  def fitNormal(df: DataFrame, xs: Seq[Column], y: Column,
+      lambda: Double = 0.0): Array[Double] = {
+    val d = xs.size
+    val cols = lit(1.0).cast("double") +: xs.map(_.cast("double"))
+    val yd = y.cast("double")
+    // upper triangle of [X|y]ᵀ[X|y] in one agg row
+    val moments =
+      (for (i <- 0 to d; j <- i to d) yield sum(cols(i) * cols(j))) ++
+        (for (i <- 0 to d) yield sum(cols(i) * yd))
+    val row = df.agg(moments.head, moments.tail: _*).head()
+    val a = Array.ofDim[Double](d + 1, d + 2)
+    var k = 0
+    for (i <- 0 to d; j <- i to d) {
+      a(i)(j) = row.getDouble(k); a(j)(i) = a(i)(j); k += 1
+    }
+    for (i <- 0 to d) a(i)(d + 1) = row.getDouble(k + i)
+    for (i <- 1 to d) a(i)(i) += lambda // intercept unpenalized
+    // Gaussian elimination, partial pivoting
+    for (p <- 0 to d) {
+      val piv = (p to d).maxBy(r => math.abs(a(r)(p)))
+      require(math.abs(a(piv)(p)) > 1e-12, "singular normal equations")
+      val t = a(p); a(p) = a(piv); a(piv) = t
+      for (r <- p + 1 to d) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p to d + 1) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    val beta = new Array[Double](d + 1)
+    for (p <- d to 0 by -1) {
+      var s = a(p)(d + 1)
+      for (c <- p + 1 to d) s -= a(p)(c) * beta(c)
+      beta(p) = s / a(p)(p)
+    }
+    beta
+  }
+}

@@ -533,4 +533,39 @@ class LlmSpec extends SparkTestBase {
       (1L, 3L, r4((2 * lnP1 + lnP2) / 3)), // "a b","b a","a b"
       (2L, 1L, r4(lnP1))))                 // doc 3: no bigrams, no row
   }
+
+  test("regression: planted linear relation recovered; fitNormal == fit2") {
+    import graft.llm.Regression
+    // y = 7 + 2*x1 - 3*x2 exactly, integer features, no noise: OLS
+    // (lambda 0) must recover beta to fp precision regardless of
+    // partitioning
+    val rnd = new scala.util.Random(3L)
+    val rows = (1 to 400).map { i =>
+      val x1 = rnd.nextInt(500).toLong; val x2 = rnd.nextInt(90).toLong
+      (i.toLong, x1, x2, 7L + 2L * x1 - 3L * x2)
+    }
+    val df = spark.sparkContext.parallelize(rows, 13).toDF("id", "x1", "x2", "y")
+    val f = Regression.fit2(df, $"x1", $"x2", $"y", lambda = 0.0)
+    assert(math.abs(f.beta0 - 7.0) < 1e-6 && math.abs(f.beta1 - 2.0) < 1e-9 &&
+      math.abs(f.beta2 + 3.0) < 1e-9, s"got $f")
+    assert(f.n === 400L)
+    // determinism under repartitioning: integer moments are exact, so
+    // the fit is bit-identical, not merely close
+    val f2 = Regression.fit2(df.repartition(3), $"x1", $"x2", $"y", lambda = 0.0)
+    assert(f === f2)
+    // the general-d Gaussian path agrees with the Cramer path at d=2
+    val b = Regression.fitNormal(df, Seq($"x1", $"x2"), $"y", lambda = 0.0)
+    assert(math.abs(b(0) - f.beta0) < 1e-6 &&
+      math.abs(b(1) - f.beta1) < 1e-8 && math.abs(b(2) - f.beta2) < 1e-8)
+    // d=3 with a third planted feature
+    val df3 = df.withColumn("x3", ($"id" % 11).cast("long"))
+      .withColumn("y3", $"y" + lit(5L) * ($"id" % 11))
+    val b3 = Regression.fitNormal(df3, Seq($"x1", $"x2", $"x3"), $"y3")
+    assert(math.abs(b3(0) - 7.0) < 1e-5 && math.abs(b3(1) - 2.0) < 1e-8 &&
+      math.abs(b3(2) + 3.0) < 1e-7 && math.abs(b3(3) - 5.0) < 1e-7,
+      s"got ${b3.toSeq}")
+    // ridge shrinks coefficients toward zero
+    val fr = Regression.fit2(df, $"x1", $"x2", $"y", lambda = 1e7)
+    assert(math.abs(fr.beta1) < math.abs(f.beta1))
+  }
 }
