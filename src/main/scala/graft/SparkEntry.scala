@@ -1530,6 +1530,29 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- F22 extension: ST_Simplify (Douglas–Peucker, native codegen'd
+    //      expression). Per-nation triangle-wave polylines with exactly
+    //      collinear filler vertices (integer/half-integer coords, all
+    //      binary-exact): DP must keep precisely the corners — fillers
+    //      sit at distance EXACTLY 0 from the corner-to-corner chords —
+    //      and amplitude-0 ways collapse to their endpoints. The oracle
+    //      states that closed-form expected vertex set directly; every
+    //      coordinate is exact, so the compare is hash-exact.
+    "q_geo_simplify" -> ((s, dir) => {
+      val ways = nation(s, dir).select(
+        col("n_nationkey").cast("long").as("way_id"),
+        (col("n_nationkey") % 3).cast("long").as("amp"))
+      val line = transform(sequence(lit(0), lit(24)), x =>
+        struct(x.cast("double").as("lon"),
+          (((lit(4) - abs(x % 8 - 4)) * col("amp")).cast("double") / 2.0).as("lat")))
+      ways.withColumn("s",
+          functions.GraftFunctions.simplifyLine(line, eps = 0.5))
+        .select(col("way_id"), posexplode(col("s")).as(Seq("pos", "v")))
+        .select(col("way_id"), col("pos").cast("long").as("pos"),
+          col("v.lon").as("lon"), col("v.lat").as("lat"))
+        .orderBy("way_id", "pos")
+    }),
+
     // ---- Polygon kernel: ST_Area + ST_Centroid (area-weighted) over
     //      per-nation star polygons built from customer points. All
     //      coordinates are INTEGER-valued doubles and the vertex order
@@ -2503,6 +2526,22 @@ object SparkEntry {
          SELECT left_id, count(*) AS n_within,
                 CAST(round(min(d)) AS BIGINT) AS min_dist_m
          FROM p WHERE d <= 1200 GROUP BY left_id ORDER BY left_id""",
+    // the DP expected answer in closed form: triangle-wave fillers are
+    // EXACTLY collinear (distance 0 <= eps) so only corners survive,
+    // and flat (amp=0) ways keep only their endpoints — the oracle
+    // enumerates that vertex set directly, every coordinate exact
+    "q_geo_simplify" ->
+      """WITH w AS (SELECT CAST(n_nationkey AS BIGINT) AS way_id,
+                           CAST(n_nationkey % 3 AS BIGINT) AS amp FROM nation),
+            k AS (SELECT way_id, amp, unnest(range(0, 25)) AS x FROM w)
+         SELECT way_id,
+                CAST(CASE WHEN amp = 0 THEN CASE WHEN x = 0 THEN 0 ELSE 1 END
+                          ELSE x // 4 END AS BIGINT) AS pos,
+                CAST(x AS DOUBLE) AS lon,
+                CAST((4 - abs(x % 8 - 4)) * amp AS DOUBLE) / 2.0 AS lat
+         FROM k
+         WHERE (amp = 0 AND x IN (0, 24)) OR (amp > 0 AND x % 4 = 0)
+         ORDER BY way_id, pos""",
     // brute-force nearest neighbor over the same lattices: all-pairs
     // haversine + row_number, the plan the engine's grid join replaces
     "q_geo_nearest" ->

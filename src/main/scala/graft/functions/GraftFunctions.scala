@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("nfc_normalize"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
         (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction(
+      (new FunctionIdentifier("simplify_line"),
+        new ExpressionInfo(classOf[SimplifyLine].getName, "simplify_line"),
+        (children: Seq[Expression]) => SimplifyLine(children(0),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.DoubleType))))
     ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }
@@ -115,4 +121,9 @@ object GraftFunctions {
     * [[RepetitionStats]]): struct(dup_token_frac, top_bigram_frac). */
   def repetitionStats(tokens: Column): Column =
     call_function("repetition_stats", tokens)
+
+  /** ST_Simplify (Douglas–Peucker, injected [[SimplifyLine]]) over a
+    * linestring column; tolerance in coordinate units (planar). */
+  def simplifyLine(line: Column, eps: Double): Column =
+    call_function("simplify_line", line, lit(eps))
 }

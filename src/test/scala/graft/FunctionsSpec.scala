@@ -175,6 +175,64 @@ class FunctionsSpec extends SparkTestBase {
       maxM, cellDeg = 0.05).isEmpty)
   }
 
+  test("simplifyLine: DP invariants on random lines; exact staircase; edges") {
+    import graft.functions.GraftFunctions.simplifyLine
+    // exact: collinear fillers on a triangle wave drop, corners stay
+    val wave = (0 to 24).map(x => (x.toDouble, (4 - math.abs(x % 8 - 4)).toDouble))
+    val df = Seq(Tuple1(wave)).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+    val got = df.select(simplifyLine($"line", 0.5).as("s")).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got === (0 to 24).filter(_ % 4 == 0)
+      .map(x => (x.toDouble, (4 - math.abs(x % 8 - 4)).toDouble)))
+    // flat line collapses to endpoints; n<=2 passes through
+    val flat = (0 to 9).map(x => (x.toDouble, 0.0))
+    val gotFlat = Seq(Tuple1(flat)).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+      .select(simplifyLine($"line", 0.5).as("s")).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(gotFlat.map(_.getDouble(0)) === Seq(0.0, 9.0))
+    // deviation exactly eps is dropped (strictly-greater keeps)
+    val atEps = Seq(Tuple1(Seq((0.0, 0.0), (1.0, 0.5), (2.0, 0.0)))).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+      .select(simplifyLine($"line", 0.5).as("s")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(atEps.size === 2)
+    // random lines: output is a subsequence incl. endpoints, and every
+    // input vertex is within eps of the simplified polyline
+    val rnd = new scala.util.Random(5L)
+    val eps = 0.3
+    (1 to 20).foreach { _ =>
+      val n = 3 + rnd.nextInt(40)
+      val pts = (1 to n).map(i => (i * 1.0 + rnd.nextDouble(),
+        rnd.nextDouble() * 4.0))
+      val s = Seq(Tuple1(pts)).toDF("raw")
+        .select(transform($"raw",
+          p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+        .select(simplifyLine($"line", eps).as("s")).head()
+        .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(s.head === pts.head && s.last === pts.last)
+      // subsequence check
+      var pi = 0
+      s.foreach { v => pi = pts.indexOf(v, pi); assert(pi >= 0); pi += 1 }
+      // DP guarantee: dropped vertices lie within eps of the output line
+      def seg(p: (Double, Double), a: (Double, Double), b: (Double, Double)) = {
+        val dx = b._1 - a._1; val dy = b._2 - a._2
+        val l2 = dx * dx + dy * dy
+        val t = if (l2 == 0) 0.0
+          else math.max(0.0, math.min(1.0,
+            ((p._1 - a._1) * dx + (p._2 - a._2) * dy) / l2))
+        math.hypot(p._1 - (a._1 + t * dx), p._2 - (a._2 + t * dy))
+      }
+      pts.foreach { p =>
+        val d = s.sliding(2).map(w => seg(p, w(0), w(1))).min
+        assert(d <= eps + 1e-12, s"vertex $p is $d from simplified line")
+      }
+    }
+  }
+
   test("orderedListAgg is deterministic under repartition") {
     val df = spark.sparkContext.parallelize(
       (1 to 500).map(i => (i % 7, i, s"v$i")), 13).toDF("g", "s", "v")

@@ -305,22 +305,31 @@ class PlanAuditSpec extends SparkTestBase {
     val txt = BoundReference(2, StringType, nullable = true)
     val mat = Literal.create(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
       ArrayType(ArrayType(DoubleType)))
+    val ptType = StructType(Seq(StructField("lon", DoubleType),
+      StructField("lat", DoubleType)))
+    val line = BoundReference(3, ArrayType(ptType), nullable = true)
     val exprs = Seq(
       functions.RepetitionStats(toks),
       functions.MatVec(mat, vec),
       functions.ExtractInts(txt),
-      functions.NfcNormalize(txt))
+      functions.NfcNormalize(txt),
+      functions.SimplifyLine(line, Literal(0.5)))
     val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino error
     val row = org.apache.spark.sql.catalyst.InternalRow(
       ArrayData.toArrayData(Array(
         org.apache.spark.unsafe.types.UTF8String.fromString("a"),
         org.apache.spark.unsafe.types.UTF8String.fromString("a"))),
       ArrayData.toArrayData(Array(3.0, 4.0)),
-      org.apache.spark.unsafe.types.UTF8String.fromString("x1 café 22"))
+      org.apache.spark.unsafe.types.UTF8String.fromString("x1 café 22"),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+        org.apache.spark.sql.catalyst.InternalRow(0.0, 0.0),
+        org.apache.spark.sql.catalyst.InternalRow(1.0, 0.1),
+        org.apache.spark.sql.catalyst.InternalRow(2.0, 0.0))))
     val out = proj(row)
     assert(out.getStruct(0, 2).getDouble(0) === 0.5) // dup_token_frac
     assert(out.getArray(1).getDouble(0) === 3.0)     // identity matvec
     assert(out.getArray(2).getInt(0) === 1)          // extract_ints
+    assert(out.getArray(4).numElements() === 2)      // mid vertex within eps
   }
 
   test("convex hull aggregate runs with map-side partials (O(hull) state ships)") {
