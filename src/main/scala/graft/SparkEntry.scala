@@ -1530,6 +1530,34 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- F22 extension: nearest-EDGE snap join + ST_ClosestPoint (the
+    //      full pgRouting stop-snapping semantics: nearest polyline
+    //      within tolerance plus the snapped projection onto it).
+    //      Planar degree-space distance; L-shaped 3-vertex edges on the
+    //      supplier lattice, queries on the customer lattice at
+    //      asymmetric (+0.002, +0.001) offsets so nearest and runner-up
+    //      stay well separated. The per-segment projection formula is
+    //      mirrored token-for-token in the oracle, so dist²/snap agree
+    //      to the last bits (rounded defensively at 12/9 places).
+    "q_geo_snap" -> ((s, dir) => {
+      val cust = customer(s, dir).select(col("c_custkey").as("query_id"),
+        struct(((col("c_custkey") % 37) * 0.01 + 0.002).as("lon"),
+          ((col("c_custkey") % 23) * 0.01 + 0.001).as("lat")).as("p"))
+      val ax = (col("s_suppkey") % 37) * 0.01
+      val ay = (col("s_suppkey") % 23) * 0.01
+      val edges = supplier(s, dir).select(col("s_suppkey").as("edge_id"),
+        array(struct(ax.as("lon"), ay.as("lat")),
+          struct((ax + 0.004).as("lon"), ay.as("lat")),
+          struct((ax + 0.004).as("lon"), (ay + 0.004).as("lat"))).as("geom"))
+      functions.Geo.nearestEdgeJoin(cust, "query_id", col("p"),
+          edges, "edge_id", col("geom"), maxDist = 0.015, cellDeg = 0.02)
+        .select(col("query_id"), col("edge_id"),
+          round(col("dist2"), 12).as("d2"),
+          round(col("snap_x"), 9).as("snap_x"),
+          round(col("snap_y"), 9).as("snap_y"))
+        .orderBy("query_id")
+    }),
+
     // ---- F22 extension: ST_Simplify (Douglas–Peucker, native codegen'd
     //      expression). Per-nation triangle-wave polylines with exactly
     //      collinear filler vertices (integer/half-integer coords, all
@@ -2526,6 +2554,53 @@ object SparkEntry {
          SELECT left_id, count(*) AS n_within,
                 CAST(round(min(d)) AS BIGINT) AS min_dist_m
          FROM p WHERE d <= 1200 GROUP BY left_id ORDER BY left_id""",
+    // brute-force nearest edge: every (query, edge, segment) triple,
+    // the clamped-projection distance mirroring evalClosest
+    // token-for-token (raw, t via least/greatest, cx/cy, d2), then
+    // argmin by (d2, segment) within an edge and (d2, edge_id) across
+    // edges — the exact tie-break order the engine's first-min loop
+    // and min(struct(...)) aggregate produce
+    "q_geo_snap" ->
+      """WITH q AS (
+           SELECT c_custkey AS query_id,
+                  (c_custkey % 37) * CAST(0.01 AS DOUBLE) + CAST(0.002 AS DOUBLE) AS px,
+                  (c_custkey % 23) * CAST(0.01 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS py
+           FROM customer),
+         e AS (
+           SELECT s_suppkey AS edge_id,
+                  (s_suppkey % 37) * CAST(0.01 AS DOUBLE) AS ax,
+                  (s_suppkey % 23) * CAST(0.01 AS DOUBLE) AS ay
+           FROM supplier),
+         seg AS (
+           SELECT edge_id, 0 AS si, ax AS x1, ay AS y1,
+                  ax + CAST(0.004 AS DOUBLE) AS x2, ay AS y2 FROM e
+           UNION ALL
+           SELECT edge_id, 1, ax + CAST(0.004 AS DOUBLE), ay,
+                  ax + CAST(0.004 AS DOUBLE), ay + CAST(0.004 AS DOUBLE) FROM e),
+         d AS (
+           SELECT query_id, edge_id, si,
+                  x2 - x1 AS dx, y2 - y1 AS dy,
+                  (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS len2,
+                  least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+                    ((px - x1) * (x2 - x1) + (py - y1) * (y2 - y1)) /
+                      ((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))) AS t,
+                  px, py, x1, y1
+           FROM q, seg),
+         c AS (
+           SELECT query_id, edge_id, si,
+                  x1 + t * dx AS cx, y1 + t * dy AS cy,
+                  (px - (x1 + t * dx)) * (px - (x1 + t * dx)) +
+                  (py - (y1 + t * dy)) * (py - (y1 + t * dy)) AS d2
+           FROM d),
+         r AS (
+           SELECT query_id, edge_id, d2, cx, cy,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2, edge_id, si) AS rn
+           FROM c
+           WHERE d2 <= CAST(0.015 AS DOUBLE) * CAST(0.015 AS DOUBLE))
+         SELECT query_id, edge_id, round(d2, 12) AS d2,
+                round(cx, 9) AS snap_x, round(cy, 9) AS snap_y
+         FROM r WHERE rn = 1 ORDER BY query_id""",
     // the DP expected answer in closed form: triangle-wave fillers are
     // EXACTLY collinear (distance 0 <= eps) so only corners survive,
     // and flat (amp=0) ways keep only their endpoints — the oracle

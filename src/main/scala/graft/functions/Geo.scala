@@ -402,17 +402,62 @@ object Geo {
   /** Every grid cell a ring's bounding box covers — the publish side of
     * [[containsJoin]]. The interior of a ring is inside its vertex
     * bbox, so covering the bbox is exact (conservative on cells, never
-    * on answers). */
-  private[graft] def bboxCells(ring: Column, cellDeg: Double): Column = {
+    * on answers). `pad` expands the bbox on every side before covering
+    * (the publish side of [[nearestEdgeJoin]]: anything within `pad` of
+    * the geometry is inside the padded bbox). */
+  private[graft] def bboxCells(ring: Column, cellDeg: Double,
+      pad: Double = 0.0): Column = {
     val xs = transform(ring, p => p.getField("lon"))
     val ys = transform(ring, p => p.getField("lat"))
-    val x0 = floor(array_min(xs) / cellDeg).cast("long")
-    val x1 = floor(array_max(xs) / cellDeg).cast("long")
-    val y0 = floor(array_min(ys) / cellDeg).cast("long")
-    val y1 = floor(array_max(ys) / cellDeg).cast("long")
+    val x0 = floor((array_min(xs) - pad) / cellDeg).cast("long")
+    val x1 = floor((array_max(xs) + pad) / cellDeg).cast("long")
+    val y0 = floor((array_min(ys) - pad) / cellDeg).cast("long")
+    val y1 = floor((array_max(ys) + pad) / cellDeg).cast("long")
     flatten(transform(sequence(x0, x1), cx =>
       transform(sequence(y0, y1), cy =>
         struct(cx.as("cx"), cy.as("cy")))))
+  }
+
+  /** Nearest-EDGE snap as a JOIN, grid-bucketed (never all-pairs): for
+    * each query point, the nearest polyline within planar distance
+    * `maxDist` (coordinate units — degree space, or [[lccProject]]
+    * output for meters), plus the snapped point on it —
+    * `(queryId, edgeId, dist, snap_x, snap_y)`. This is the full
+    * pgRouting stop-snapping semantics (nearest edge + ST_ClosestPoint
+    * projection), one level beyond [[nearestJoin]]'s nearest-vertex.
+    *
+    * Shape: edges publish every cell of their bbox padded by
+    * `maxDist`; query points sit at their single home cell (a point
+    * within `maxDist` of an edge lies inside the padded bbox, so the
+    * pair meets — and meets exactly once, since a padded bbox lists
+    * each cell once). Per-candidate refinement is the native
+    * codegen'd [[ClosestPointOnLine]] (one primitive loop per pair),
+    * and the per-query argmin is `min(struct(dist2, edgeId, x, y))` —
+    * a hash aggregate with map-side partials, no window sort. Ties on
+    * exact distance break on the smaller edge id.
+    *
+    * 100 TB shape: two exchanges (cell equi-join + qid agg); per-task
+    * work bounded by edges-overlapping-cell × points-per-cell; the
+    * publish explode factor is (bbox+2·pad)/cell per axis — size
+    * `cellDeg` ≈ the median edge bbox so it stays O(1); split
+    * continent-spanning ways first (the road model always does). */
+  def nearestEdgeJoin(queries: org.apache.spark.sql.DataFrame, queryId: String,
+      qPt: Column, edges: org.apache.spark.sql.DataFrame, edgeId: String,
+      geom: Column, maxDist: Double, cellDeg: Double): org.apache.spark.sql.DataFrame = {
+    val q = queries.select(col(queryId), qPt.as("__qp"))
+      .withColumn("__cell", gridCell(col("__qp"), cellDeg))
+    val e = edges.select(col(edgeId), geom.as("__geom"))
+      .withColumn("__cell", explode(bboxCells(col("__geom"), cellDeg, maxDist)))
+    q.join(e, "__cell")
+      .withColumn("__c", GraftFunctions.closestPointOnLine(
+        col("__geom"), col("__qp.lon"), col("__qp.lat")))
+      .filter(col("__c.dist2") <= maxDist * maxDist)
+      .groupBy(queryId)
+      .agg(min(struct(col("__c.dist2").as("dist2"), col(edgeId),
+        col("__c.x").as("x"), col("__c.y").as("y"))).as("__best"))
+      .select(col(queryId), col(s"__best.$edgeId").as(edgeId),
+        col("__best.dist2").as("dist2"),
+        col("__best.x").as("snap_x"), col("__best.y").as("snap_y"))
   }
 
   /** ST_Contains as a JOIN, grid-bucketed (never all-pairs):

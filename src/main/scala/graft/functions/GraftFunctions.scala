@@ -57,6 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
         (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction(
+      (new FunctionIdentifier("closest_point_on_line"),
+        new ExpressionInfo(classOf[ClosestPointOnLine].getName,
+          "closest_point_on_line"),
+        (children: Seq[Expression]) => ClosestPointOnLine(children(0),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(2), org.apache.spark.sql.types.DoubleType))))
+    ext.injectFunction(
       (new FunctionIdentifier("simplify_line"),
         new ExpressionInfo(classOf[SimplifyLine].getName, "simplify_line"),
         (children: Seq[Expression]) => SimplifyLine(children(0),
@@ -126,4 +135,9 @@ object GraftFunctions {
     * linestring column; tolerance in coordinate units (planar). */
   def simplifyLine(line: Column, eps: Double): Column =
     call_function("simplify_line", line, lit(eps))
+
+  /** ST_ClosestPoint + squared ST_Distance to a linestring, planar
+    * (injected [[ClosestPointOnLine]]): STRUCT<dist2, x, y>. */
+  def closestPointOnLine(line: Column, px: Column, py: Column): Column =
+    call_function("closest_point_on_line", line, px, py)
 }

@@ -233,6 +233,67 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("closestPointOnLine + nearestEdgeJoin == brute force") {
+    import graft.functions.GraftFunctions.closestPointOnLine
+    // hand-checked: point above the middle of a horizontal segment
+    val one = Seq(Tuple1(Seq((0.0, 0.0), (10.0, 0.0)))).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+      .select(closestPointOnLine($"line", lit(3.0), lit(4.0)).as("c"))
+      .select("c.*").head()
+    assert(one.getDouble(0) === 16.0 && one.getDouble(1) === 3.0 &&
+      one.getDouble(2) === 0.0)
+    // beyond the endpoint clamps to the vertex
+    val cl = Seq(Tuple1(Seq((0.0, 0.0), (1.0, 0.0)))).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+      .select(closestPointOnLine($"line", lit(4.0), lit(4.0)).as("c"))
+      .select("c.*").head()
+    assert(cl.getDouble(0) === 25.0 && cl.getDouble(1) === 1.0)
+    // random polylines vs a driver-side reference implementation
+    val rnd = new scala.util.Random(17L)
+    def segD(px: Double, py: Double, a: (Double, Double), b: (Double, Double)) = {
+      val dx = b._1 - a._1; val dy = b._2 - a._2
+      val l2 = dx * dx + dy * dy
+      val t = if (l2 == 0) 0.0 else math.max(0.0, math.min(1.0,
+        ((px - a._1) * dx + (py - a._2) * dy) / l2))
+      val cx = a._1 + t * dx; val cy = a._2 + t * dy
+      ((px - cx) * (px - cx) + (py - cy) * (py - cy), cx, cy)
+    }
+    val lines = (1 to 30).map { i =>
+      (i.toLong, (0 to 2 + rnd.nextInt(4)).map(_ =>
+        (rnd.nextDouble() * 0.4, rnd.nextDouble() * 0.4)))
+    }
+    val pts = (1 to 80).map(i =>
+      (100L + i, rnd.nextDouble() * 0.4, rnd.nextDouble() * 0.4))
+    val edf = lines.toDF("eid", "raw").select($"eid", transform($"raw",
+      p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("g"))
+    val qdf = pts.toDF("qid", "lon", "lat")
+      .select($"qid", struct($"lon", $"lat").as("p"))
+    val maxD = 0.08
+    val got = Geo.nearestEdgeJoin(qdf, "qid", $"p", edf, "eid", $"g",
+        maxD, cellDeg = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val want = pts.flatMap { case (qid, px, py) =>
+      val cands = lines.flatMap { case (eid, vs) =>
+        val best = vs.sliding(2).map(w => segD(px, py, w(0), w(1)))
+          .minBy(c => (c._1, c._2, c._3))
+        if (best._1 <= maxD * maxD) Some((best._1, eid, best._2, best._3)) else None
+      }
+      if (cands.isEmpty) None
+      else { val b = cands.minBy(c => (c._1, c._2))
+        Some(qid -> (b._2, b._1, b._3, b._4)) }
+    }.toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    got.foreach { case (qid, (eid, d2, sx, sy)) =>
+      val (weid, wd2, wsx, wsy) = want(qid)
+      assert(eid === weid && math.abs(d2 - wd2) < 1e-15 &&
+        math.abs(sx - wsx) < 1e-12 && math.abs(sy - wsy) < 1e-12,
+        s"qid $qid: got ($eid,$d2) want ($weid,$wd2)")
+    }
+  }
+
   test("orderedListAgg is deterministic under repartition") {
     val df = spark.sparkContext.parallelize(
       (1 to 500).map(i => (i % 7, i, s"v$i")), 13).toDF("g", "s", "v")

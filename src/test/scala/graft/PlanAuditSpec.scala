@@ -256,6 +256,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("row_number"), s"no window-sort argmin:\n$p")
   }
 
+  test("nearest-edge snap: cell equi-join + hash-agg argmin, no window") {
+    val df = SparkEntry.queries("q_geo_snap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"snap must bucket, not pair all points with all edges:\n$p")
+    assert(p.contains("HashJoin"), s"cell join should be a hash equi-join:\n$p")
+    assert(p.contains("partial_min"), s"argmin should map-side combine:\n$p")
+    assert(!p.contains("row_number"), s"no window-sort argmin:\n$p")
+  }
+
   test("passage dedup: hashed-key heavy-hitter join-back, per-doc window only") {
     val df = SparkEntry.queries("q_d_dup_passages")(spark, sf)
     df.collect() // finalize AQE so join strategies are the real ones
@@ -313,7 +325,8 @@ class PlanAuditSpec extends SparkTestBase {
       functions.MatVec(mat, vec),
       functions.ExtractInts(txt),
       functions.NfcNormalize(txt),
-      functions.SimplifyLine(line, Literal(0.5)))
+      functions.SimplifyLine(line, Literal(0.5)),
+      functions.ClosestPointOnLine(line, Literal(1.0), Literal(1.0)))
     val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino error
     val row = org.apache.spark.sql.catalyst.InternalRow(
       ArrayData.toArrayData(Array(
@@ -330,6 +343,9 @@ class PlanAuditSpec extends SparkTestBase {
     assert(out.getArray(1).getDouble(0) === 3.0)     // identity matvec
     assert(out.getArray(2).getInt(0) === 1)          // extract_ints
     assert(out.getArray(4).numElements() === 2)      // mid vertex within eps
+    // closest point on the (0,0)->(2,0) chord... the line dips to
+    // (1,0.1); nearest to (1,1) is the middle vertex
+    assert(math.abs(out.getStruct(5, 3).getDouble(0) - 0.81) < 1e-15)
   }
 
   test("convex hull aggregate runs with map-side partials (O(hull) state ships)") {
