@@ -148,6 +148,35 @@ object ScaleSmoke {
     val (pipHiSec, pipHiPairs) = pip(nGeo * 4)
     val pipExp = math.log(pipHiSec / pipLoSec) / math.log(4.0)
 
+    // Nearest-edge snap at constant density: the same point lattice
+    // against short 2-segment edges tiled every 0.01 deg — each query
+    // meets O(1) padded-bbox candidates, so the join is linear iff the
+    // padded publish + home-cell probe works; every point finds a snap
+    // (output rows == points).
+    def snap(n: Long): (Double, Long) = {
+      val side = math.max(math.sqrt(n.toDouble).toLong, 1L)
+      val pts = spark.range(n).select(col("id").as("qid"),
+        struct(((col("id") % side).cast("double") * 0.001).as("lon"),
+          ((col("id") / side).cast("double") * 0.001).as("lat")).as("p"))
+      val m = (side * 0.001 / 0.01).toLong + 1
+      val edges = spark.range(m * m).select(col("id").as("eid"),
+        ((col("id") % m).cast("double") * 0.01).as("x0"),
+        ((col("id") / m).cast("double") * 0.01).as("y0"))
+        .select(col("eid"), array(
+          struct(col("x0").as("lon"), col("y0").as("lat")),
+          struct((col("x0") + 0.004).as("lon"), col("y0").as("lat")),
+          struct((col("x0") + 0.004).as("lon"), (col("y0") + 0.004).as("lat")))
+          .as("g"))
+      val t = System.nanoTime()
+      val rows = graft.functions.Geo.nearestEdgeJoin(pts, "qid", col("p"),
+        edges, "eid", col("g"), maxDist = 0.01, cellDeg = 0.01).count()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+    snap(nGeo / 10) // warm
+    val (snLoSec, snLoRows) = snap(nGeo)
+    val (snHiSec, snHiRows) = snap(nGeo * 4)
+    val snExp = math.log(snHiSec / snLoSec) / math.log(4.0)
+
     // Convex hull over 32 pseudo-random point groups: the compacted
     // partial state means cost is one scan plus O(hull) merges —
     // linear in n with a tiny constant, the property that lets a
@@ -184,6 +213,9 @@ object ScaleSmoke {
       s""""pip_pairs_lo":$pipLoPairs,"pip_pairs_hi":$pipHiPairs,""" +
       f""""pip_sec_lo":$pipLoSec%.2f,"pip_sec_hi":$pipHiSec%.2f,""" +
       f""""pip_exponent":$pipExp%.3f,""" +
+      s""""snap_rows_lo":$snLoRows,"snap_rows_hi":$snHiRows,""" +
+      f""""snap_sec_lo":$snLoSec%.2f,"snap_sec_hi":$snHiSec%.2f,""" +
+      f""""snap_exponent":$snExp%.3f,""" +
       s""""hull_points_lo":${nGeo * 4},"hull_points_hi":${nGeo * 16},""" +
       s""""hull_verts_lo":$huLoVerts,"hull_verts_hi":$huHiVerts,""" +
       f""""hull_sec_lo":$huLoSec%.2f,"hull_sec_hi":$huHiSec%.2f,""" +
