@@ -295,6 +295,26 @@ object RoadGraph {
     directed(merged, strictOsmSemantics)
       .select("start_node", "end_node", "length", "speed_limit")
 
+  /** Snap POIs onto the built network: nearest edge within `maxDeg`
+    * (planar degree tolerance — pgRouting's snap tolerance semantics)
+    * plus the ST_ClosestPoint projection, via the grid-bucketed
+    * [[functions.Geo.nearestEdgeJoin]] (padded-bbox publish, home-cell
+    * probe, hash-agg argmin — never all-pairs). This is the step
+    * between POI extraction and routing: the reference loads its graph
+    * into pgRouting (`osm-road-graphs.sql:247-254` territory), whose
+    * stop-matching does exactly this lookup per request.
+    *
+    * Returns `(node_id, edge_id, dist2, snap_x, snap_y)`; POIs with no
+    * edge within tolerance drop out (inner semantics — unsnappable
+    * stops are a data-quality signal, surface them by anti-joining
+    * this result back against the input). */
+  def snapPois(pois: DataFrame, merged: DataFrame,
+      maxDeg: Double = 0.001, cellDeg: Double = 0.005): DataFrame =
+    Geo.nearestEdgeJoin(
+      pois.select(col("node_id"), col("geom")), "node_id", col("geom"),
+      merged.select(col("edge_id"), col("geom")), "edge_id", col("geom"),
+      maxDist = maxDeg, cellDeg = cellDeg)
+
   /** Full pipeline: filtered+imputed network -> split -> merged. The
     * intermediate stages consumed more than once are cached by the
     * caller when materialization matters (S4 policy, SURVEY §4).

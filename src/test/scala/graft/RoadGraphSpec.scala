@@ -231,4 +231,24 @@ class RoadGraphSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
     assert(pw === Set((108L, "leisure", "park", "Central Park")))
   }
+
+  test("snapPois: edge-interior projection, not nearest vertex") {
+    val pois = PoisExtract.poisNodes(t.nodes)
+    val got = RoadGraph.snapPois(pois, merged).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // cafe n5 and bakery n6 are W2 segment endpoints: exact snaps
+    assert(got(5L)._1 === 102L && got(5L)._2 === 0.0 &&
+      got(5L)._3 === 0.02 && got(5L)._4 === -0.01)
+    assert(got(6L)._1 === 102L && got(6L)._2 === 0.0)
+    // bench n11 (0.30, 0) lies on the INTERIOR of W9's (0.12,0)-(0.31,0)
+    // chord: the edge snap is exact where a nearest-VERTEX lookup would
+    // report 0.01 deg to node 12 — the reason stop matching projects
+    // onto edges
+    // d2 carries a ~1e-33 projection-arithmetic residue (t=0.18/0.19 is
+    // inexact); that's still 15 orders under any real snap distance
+    assert(got(11L)._1 === 109L && got(11L)._2 < 1e-30 &&
+      math.abs(got(11L)._3 - 0.30) < 1e-15 && math.abs(got(11L)._4) < 1e-16)
+    assert(got.keySet === Set(5L, 6L, 11L))
+  }
 }
