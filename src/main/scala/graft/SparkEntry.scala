@@ -1366,6 +1366,24 @@ object SparkEntry {
         .orderBy("node_id", "key")
     }),
 
+    // ---- OSM POI-to-network snap (the pgRouting stop-matching step):
+    //      POIs from the micro fixture snapped onto the merged network
+    //      via the grid-bucketed nearest-edge join. The bench (n11)
+    //      lies on the INTERIOR of W9's chord — the edge snap is exact
+    //      where nearest-vertex would be 0.01 deg off. Rounded outputs
+    //      (12/9 places) absorb the ~1e-33 projection residue; the
+    //      oracle states the known snap set literally.
+    "q_osm_snap_pois" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      osm.RoadGraph.snapPois(osm.PoisExtract.poisNodes(t.nodes), merged)
+        .select(col("node_id"), col("edge_id"),
+          round(col("dist2"), 12).as("d2"),
+          round(col("snap_x"), 9).as("snap_x"),
+          round(col("snap_y"), 9).as("snap_y"))
+        .orderBy("node_id")
+    }),
+
     // ---- OSM POI pivot from ways (osm-pois-extract.sql:51-71): same
     //      branch-union shape as the nodes half plus the `highway IS
     //      NULL` exclusion guard — fixture way 110 carries BOTH leisure
@@ -3087,6 +3105,21 @@ object SparkEntry {
                 n."value" AS name
          FROM poi p LEFT JOIN tags n ON n.node_id = p.node_id AND n."key" = 'name'
          ORDER BY node_id, p."key"""",
+    // the known snap set on the micro fixture, stated literally: cafe
+    // n5 and bakery n6 are W2 segment endpoints (exact snaps onto edge
+    // 102); bench n11 (0.30, 0) lies on the interior of W9's
+    // (0.12,0)-(0.31,0) chord — exact at 12/9-place rounding
+    "q_osm_snap_pois" ->
+      """SELECT CAST(node_id AS BIGINT) AS node_id,
+                CAST(edge_id AS BIGINT) AS edge_id,
+                CAST(d2 AS DOUBLE) AS d2,
+                CAST(snap_x AS DOUBLE) AS snap_x,
+                CAST(snap_y AS DOUBLE) AS snap_y
+         FROM (VALUES
+           (5, 102, 0.0, 0.02, -0.01),
+           (6, 102, 0.0, 0.02, 0.01),
+           (11, 109, 0.0, 0.3, 0.0)) AS v(node_id, edge_id, d2, snap_x, snap_y)
+         ORDER BY node_id""",
     // independent re-derivation of the way-POI extract incl. the
     // exclusion guard: a way surfaces only if it has NO highway tag
     "q_osm_pois_ways" ->

@@ -207,4 +207,37 @@ class PropertySpec extends SparkTestBase {
       assert(shares, s"pair at distance ${flips.size} shares no chunk (maxDist=$maxDist)")
     }
   }
+
+  test("simplifyLine is idempotent; closestPoint distance respects it") {
+    import graft.functions.GraftFunctions.{closestPointOnLine, simplifyLine}
+    (1 to 15).foreach { _ =>
+      val n = 3 + rnd.nextInt(30)
+      val pts = (1 to n).map(i =>
+        (i * 1.0 + rnd.nextDouble() * 0.5, rnd.nextDouble() * 3.0))
+      val eps = 0.1 + rnd.nextDouble() * 0.5
+      val df = Seq(Tuple1(pts)).toDF("raw")
+        .select(transform($"raw", p =>
+          struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+        .select($"line", simplifyLine($"line", eps).as("s1"))
+        .withColumn("s2", simplifyLine($"s1", eps))
+      val r = df.head()
+      val s1 = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getDouble(1)))
+      val s2 = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => (x.getDouble(0), x.getDouble(1)))
+      // idempotence: every vertex a DP pass keeps deviates > eps from
+      // the chord that tested it, so a second pass keeps them all
+      assert(s1 === s2, s"second DP pass changed the line (eps=$eps)")
+      // any probe point's distance to the simplified line exceeds its
+      // distance to the original by at most eps (triangle inequality
+      // through the DP guarantee)
+      val (qx, qy) = (1.0 + rnd.nextDouble() * n, rnd.nextDouble() * 3.0)
+      val probe = df.select(
+        sqrt(closestPointOnLine($"line", lit(qx), lit(qy)).getField("dist2")),
+        sqrt(closestPointOnLine($"s1", lit(qx), lit(qy)).getField("dist2")))
+        .head()
+      assert(probe.getDouble(1) <= probe.getDouble(0) + eps + 1e-9,
+        s"simplified line drifted: ${probe.getDouble(1)} vs ${probe.getDouble(0)} + $eps")
+    }
+  }
 }
