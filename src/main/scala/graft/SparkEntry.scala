@@ -931,6 +931,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- distributed PCA over the embedding corpus: ONE moment pass
+    //      (count + vector_sum(outer_upper(x)) — native codegen'd
+    //      per-row moments, O(d²) agg state, map-side partials), cyclic
+    //      Jacobi on the driver, MatVec projection. Distributed float
+    //      sums are partition-order dependent in the last bits, so the
+    //      gate checks INVARIANTS the true decomposition must satisfy
+    //      (unit columns, orthogonality, descending nonnegative
+    //      eigenvalues, and the residual identity mse == totalVar −
+    //      Σλ, which fails if either the eigensolve or the projection
+    //      is wrong) — same policy as the Lloyd IVF recall gate.
+    "q_s_pca" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val model = llm.Pca.fit(emb, col("embedding"), k = 4)
+      val mse = llm.Pca.reconstructionMse(emb, col("embedding"), model)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map(p => p._1 * p._2).sum
+      val cs = model.components
+      val rows = cs.indices.map { i =>
+        val unit = math.abs(dot(cs(i), cs(i)) - 1.0) < 1e-9
+        val orth = cs.indices.filter(_ != i)
+          .map(j => math.abs(dot(cs(i), cs(j)))).forall(_ < 1e-9)
+        val desc = i == 0 ||
+          model.eigenvalues(i) <= model.eigenvalues(i - 1) + 1e-12
+        val nonneg = model.eigenvalues(i) >= -1e-12
+        val recon =
+          math.abs(mse - (model.totalVar - model.eigenvalues.sum)) < 1e-6
+        (i.toLong, unit, orth, desc, nonneg, recon)
+      }
+      rows.toDF("comp_id", "ok_unit", "ok_orth", "ok_desc",
+        "ok_nonneg", "ok_recon").orderBy("comp_id")
+    }),
+
     // ---- int8 embedding quantization: scale = max|x|/127, codes
     //      round(x/scale) — 4x storage cut ahead of ANN; integer code
     //      stats keep the oracle comparison exact; withInt8 keeps the
@@ -2479,6 +2512,18 @@ object SparkEntry {
                 start_tok // 512 AS seq_first,
                 (start_tok + greatest(n, 1) - 1) // 512 AS seq_last
          FROM o ORDER BY doc_id""",
+    // literal-truth gate (Lloyd-IVF policy): every invariant of a
+    // correct eigendecomposition + projection must hold
+    "q_s_pca" ->
+      """SELECT CAST(comp_id AS BIGINT) AS comp_id,
+                ok_unit, ok_orth, ok_desc, ok_nonneg, ok_recon
+         FROM (VALUES
+           (0, true, true, true, true, true),
+           (1, true, true, true, true, true),
+           (2, true, true, true, true, true),
+           (3, true, true, true, true, true))
+           AS v(comp_id, ok_unit, ok_orth, ok_desc, ok_nonneg, ok_recon)
+         ORDER BY comp_id""",
     "q_s_quantize" ->
       """WITH q AS (
            SELECT vec_id, embedding,

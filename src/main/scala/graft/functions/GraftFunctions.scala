@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
         (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction(
+      (new FunctionIdentifier("outer_upper"),
+        new ExpressionInfo(classOf[OuterUpper].getName, "outer_upper"),
+        (children: Seq[Expression]) => OuterUpper(children.head)))
+    ext.injectFunction(
       (new FunctionIdentifier("closest_point_on_line"),
         new ExpressionInfo(classOf[ClosestPointOnLine].getName,
           "closest_point_on_line"),
@@ -140,4 +144,8 @@ object GraftFunctions {
     * (injected [[ClosestPointOnLine]]): STRUCT<dist2, x, y>. */
   def closestPointOnLine(line: Column, px: Column, py: Column): Column =
     call_function("closest_point_on_line", line, px, py)
+
+  /** Per-row second-moment vector (injected [[OuterUpper]]): the
+    * vector followed by the flattened upper triangle of x·xᵀ. */
+  def outerUpper(vec: Column): Column = call_function("outer_upper", vec)
 }

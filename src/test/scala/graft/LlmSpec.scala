@@ -534,6 +534,53 @@ class LlmSpec extends SparkTestBase {
       (2L, 1L, r4(lnP1))))                 // doc 3: no bigrams, no row
   }
 
+  test("pca: planted 2D subspace recovered; invariants; jacobi on a known matrix") {
+    import graft.llm.Pca
+    // jacobi: eigenvalues of [[2,1],[1,2]] are 3 and 1
+    val (ev, evec) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(ev.sorted.zip(Seq(1.0, 3.0)).forall(p => math.abs(p._1 - p._2) < 1e-12))
+    // columns orthonormal
+    val c0 = Array(evec(0)(0), evec(1)(0)); val c1 = Array(evec(0)(1), evec(1)(1))
+    assert(math.abs(c0.map(x => x * x).sum - 1) < 1e-12 &&
+      math.abs(c0.zip(c1).map(p => p._1 * p._2).sum) < 1e-12)
+    // planted: x = mean + a*u + b*w + 0.01*noise in R^8, u ⟂ w
+    val rnd = new scala.util.Random(23L)
+    val d = 8
+    val u = Array.tabulate(d)(i => if (i < 4) 0.5 else 0.0)          // unit
+    val w = Array.tabulate(d)(i => if (i >= 4) 0.5 else 0.0)         // unit, ⟂ u
+    val mu = Array.tabulate(d)(_ * 0.1)
+    val rows = (1 to 600).map { i =>
+      val a = rnd.nextGaussian() * 3; val b = rnd.nextGaussian()
+      (i.toLong, Array.tabulate(d)(j =>
+        (mu(j) + a * u(j) + b * w(j) + rnd.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val df = spark.sparkContext.parallelize(rows, 7).toDF("id", "v")
+    val model = Pca.fit(df, col("v"), k = 2)
+    assert(model.n === 600L && model.components.length === 2)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum
+    // the top-2 subspace is span{u, w}: each planted direction has
+    // (almost) unit projection onto the fitted components
+    Seq(u, w).foreach { dir =>
+      val p = model.components.map(c => dot(c, dir))
+      assert(math.abs(math.sqrt(p.map(x => x * x).sum) - 1.0) < 0.01,
+        s"planted direction not captured: ${p.toSeq}")
+    }
+    // captured variance ~ (9 + 1) / (9 + 1 + noise) — essentially all
+    assert(model.captured > 0.99 && model.captured <= 1.0 + 1e-12)
+    // eigenvalues descending, first ~9 (a ~ N(0,3)), second ~1
+    assert(model.eigenvalues(0) > model.eigenvalues(1))
+    assert(math.abs(model.eigenvalues(0) - 9.0) < 1.5 &&
+      math.abs(model.eigenvalues(1) - 1.0) < 0.3)
+    // residual identity: mean reconstruction MSE == totalVar - captured
+    val mse = Pca.reconstructionMse(df, col("v"), model)
+    assert(math.abs(mse - (model.totalVar - model.eigenvalues.sum)) < 1e-6)
+    // projection distributes: mean of projected coords ~ 0
+    val pm = df.select(Pca.project(col("v"), model).as("p"))
+      .agg(avg(element_at(col("p"), 1)), avg(element_at(col("p"), 2))).head()
+    assert(math.abs(pm.getDouble(0)) < 0.2 && math.abs(pm.getDouble(1)) < 0.2)
+  }
+
   test("regression: planted linear relation recovered; fitNormal == fit2") {
     import graft.llm.Regression
     // y = 7 + 2*x1 - 3*x2 exactly, integer features, no noise: OLS

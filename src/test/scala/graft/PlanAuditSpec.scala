@@ -326,7 +326,8 @@ class PlanAuditSpec extends SparkTestBase {
       functions.ExtractInts(txt),
       functions.NfcNormalize(txt),
       functions.SimplifyLine(line, Literal(0.5)),
-      functions.ClosestPointOnLine(line, Literal(1.0), Literal(1.0)))
+      functions.ClosestPointOnLine(line, Literal(1.0), Literal(1.0)),
+      functions.OuterUpper(vec))
     val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino error
     val row = org.apache.spark.sql.catalyst.InternalRow(
       ArrayData.toArrayData(Array(
@@ -346,6 +347,8 @@ class PlanAuditSpec extends SparkTestBase {
     // closest point on the (0,0)->(2,0) chord... the line dips to
     // (1,0.1); nearest to (1,1) is the middle vertex
     assert(math.abs(out.getStruct(5, 3).getDouble(0) - 0.81) < 1e-15)
+    // outer_upper of [3,4]: [3, 4, 9, 12, 16]
+    assert(out.getArray(6).toDoubleArray().toSeq === Seq(3.0, 4.0, 9.0, 12.0, 16.0))
   }
 
   test("convex hull aggregate runs with map-side partials (O(hull) state ships)") {
