@@ -1068,6 +1068,36 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- two-stage retrieval: PCA candidate generation + exact
+    //      rescore (the production compressed-index shape — scan the
+    //      16-dim projection, fetch full vectors only for candidates).
+    //      Gated by recall like the Lloyd IVF row: PCA components are
+    //      partition-order float sums, so the quality contract is the
+    //      oracle. Measured on this corpus: 16 dims + candK 50 leaves
+    //      recall 0.6 on two queries — near-isotropic random vectors
+    //      are the worst case for projection pruning (no variance to
+    //      concentrate); 32/64 dims + candK 100 measures recall 1.0
+    //      with a full notch of margin (1.0 already at candK 75).
+    //      Real embedding corpora concentrate variance and prune far
+    //      harder at far smaller dims.
+    "q_s_pca_ann" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val model = llm.Pca.fit(e, col("embedding"), k = 32)
+      val red = e.select(col("vec_id"),
+        llm.Pca.project(col("embedding"), model).as("pv"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val redQ = red.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("pv"))
+      val ann = llm.Similarity.rescoreTopKPerQuery(e, red, queries, redQ,
+        "vec_id", "embedding", "pv", "query_id", k = 5, candK = 100)
+      val exact = llm.Similarity.topKPerQuery(e, queries, "vec_id",
+        "embedding", "query_id", k = 5)
+      llm.Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+        .select(col("query_id"), (col("recall") >= 0.95).as("recall_ok"))
+        .orderBy("query_id")
+    }),
+
     // ---- IVF with the FIXED deterministic quantizer (first-nlist
     //      centroids, no Lloyd refinement): same search machinery as
     //      q_s_ivf_ann but reproducible by an independent SQL oracle —
@@ -3354,6 +3384,12 @@ object SparkEntry {
     // exact brute force clears 0.95. The oracle is the literal expected
     // verdict table.
     "q_s_ivf_ann" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
+         FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+           AS t(query_id, recall_ok)
+         ORDER BY query_id""",
+    // two-stage PCA + rescore: same recall-gate policy as q_s_ivf_ann
+    "q_s_pca_ann" ->
       """SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
          FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
            AS t(query_id, recall_ok)

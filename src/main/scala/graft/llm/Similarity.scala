@@ -52,6 +52,34 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Two-stage retrieval: candidate generation in a compact space +
+    * exact full-vector rescore of the survivors — THE production ANN
+    * shape (what an IVF-PQ or PCA-compressed index does). `reduced`
+    * carries `(idCol, redCol)` compact vectors for the SAME ids as
+    * `corpus`; candidates are the reduced-space top-`candK` per query,
+    * rescored against the original vectors, ranked, cut to `k`.
+    *
+    * 100 TB shape: the corpus-sized scan reads ONLY the compact column
+    * (e.g. 16 of 1024 dims — a 64x bandwidth cut with column pruning);
+    * the full-width vectors are fetched for `candK × |queries|` rows
+    * via an equi-join, broadcast territory at any realistic batch. */
+  def rescoreTopKPerQuery(corpus: DataFrame, reduced: DataFrame,
+      queries: DataFrame, redQueries: DataFrame, idCol: String,
+      vecCol: String, redCol: String, qidCol: String, k: Int,
+      candK: Int): DataFrame = {
+    val cands = topKPerQuery(reduced, redQueries, idCol, redCol, qidCol, candK)
+      .select(col(qidCol), col(idCol))
+    val full = cands
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(vecCol).as("__qv"))),
+        qidCol)
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col("__qv")).as("cos"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    full.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
     * code_i = round(x_i / scale) in [-127, 127] — the standard embedding
     * compression (4x smaller than float32, 8x than float64) ahead of

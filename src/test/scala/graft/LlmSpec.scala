@@ -221,6 +221,27 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("PCA two-stage retrieval: 32-dim candidates + rescore, recall@5 is 1.0 per query") {
+    // pins the per-query recall the q_s_pca_ann gate asserts — same
+    // corpus family, same 32/64 dims + candK config; a projection or
+    // rescore regression shows up here first
+    import graft.llm.Pca
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Pca.fit(e, $"embedding", k = 32)
+    val red = e.select($"vec_id", Pca.project($"embedding", model).as("pv"))
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding")
+    val redQ = red.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"pv")
+    val ann = Similarity.rescoreTopKPerQuery(e, red, queries, redQ,
+      "vec_id", "embedding", "pv", "query_id", k = 5, candK = 100)
+    val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding",
+      "query_id", k = 5)
+    val r = Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    (0L until 5L).foreach { q =>
+      assert(r(q) === 1.0, s"query $q recall ${r(q)} != 1.0")
+    }
+  }
+
   test("int8 quantization: codes bounded, round-trip cosine >= 0.995 on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (scale, codes) = Similarity.quantizeInt8($"embedding")
