@@ -21,6 +21,13 @@ import graft.functions.GraftFunctions
   * follows. No gradient iterations, no per-row driver traffic, no
   * second pass.
   *
+  * Width guidance: the per-row moment vector is d(d+3)/2 doubles —
+  * 2 KB at d=64, 33 KB at d=256, 4 MB at d=1024. Full-covariance PCA
+  * is the right tool to a few hundred dims; past that, subsample rows
+  * for the fit (the model needs O(d²) samples, not the corpus) or use
+  * a randomized range sketch — the projection side is dimension-cheap
+  * either way.
+  *
   * Determinism: Jacobi on a fixed matrix is deterministic; component
   * SIGN is normalized (largest-|entry| coordinate made positive, first
   * index on ties) so refits and the spec's planted-subspace recovery

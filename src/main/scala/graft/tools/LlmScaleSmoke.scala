@@ -157,8 +157,33 @@ object LlmScaleSmoke {
         f""""quantize_sec_dim1024":$tHiQ%.2f,"quantize_dim_exponent":$dimExp%.3f""")
     } else Nil
 
+    // PCA fit cost = the single moment aggregation (count + vector_sum
+    // of outer_upper) — must be linear in corpus size at fixed dim,
+    // like count(*). Dim 64 keeps the O(d²)=2080-double per-row moment
+    // honest; the op's documented cap is full-covariance PCA to a few
+    // hundred dims (d=1024 would be a 525k-double row — use a sketch
+    // or sample beyond that).
+    val pcaParts = if (wanted("pca")) {
+      def pcaTime(n: Long): Double = {
+        val vecs = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(hash(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
+              .cast("float"))
+            .as("embedding"))
+        val (t, _) = time { graft.llm.Pca.fit(vecs, col("embedding"), 8).n }
+        t
+      }
+      val nP = math.max(nLo, 100000L)
+      pcaTime(nP / 10) // warm
+      val tLoP = pcaTime(nP)
+      val tHiP = pcaTime((nP * factor).toLong)
+      val pcaExp = math.log(tHiP / tLoP) / math.log(factor.toDouble)
+      Seq(f""""pca_vecs_lo":$nP,"pca_sec_lo":$tLoP%.2f,""" +
+        f""""pca_sec_hi":$tHiP%.2f,"pca_exponent":$pcaExp%.3f""")
+    } else Nil
+
     println(s"""{"metric":"llm_scale_smoke","docs_lo":$nLo,"docs_hi":$nHi,""" +
-      (parts ++ quantParts).mkString(",") + "}")
+      (parts ++ quantParts ++ pcaParts).mkString(",") + "}")
     spark.stop()
   }
 }
