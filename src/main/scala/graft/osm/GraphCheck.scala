@@ -94,4 +94,59 @@ object GraphCheck {
     val r = sizes.agg(count(lit(1)), max(col("n"))).head()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** Single-source shortest paths over a weighted DIRECTED edge list —
+    * the `pgr_dijkstra` analog the reference's graphs are built to
+    * feed (`osm-road-graphs.sql` exports exactly this edge shape into
+    * pgRouting). Bellman–Ford/Pregel relaxation: each round one
+    * equi-join relaxes every edge whose source is settled, a min-agg
+    * merges, and the frontier is checkpointed — the GraphX Pregel
+    * shape, with rounds bounded by the shortest-path-tree HOP depth
+    * (road networks: a few hundred at continent scale; delta-stepping
+    * buckets are the refinement when that dominates). Unreachable
+    * nodes are absent from the result.
+    *
+    * `edges` carries `(start_node, end_node, w)`; weights must be
+    * non-negative (longs stay exact under path summation — the bench
+    * queries ride integer centimeters for cross-engine bit equality).
+    *
+    * Convergence detector: distances only decrease and the settled set
+    * only grows, so the (count, sum) pair is a fixpoint witness — one
+    * scalar aggregate per round, no join-and-count. */
+  def shortestPathsWithRounds(edges: DataFrame, source: Long,
+      maxIter: Int = 100): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("start_node").as("src"),
+      col("end_node").as("dst"), col("w")).localCheckpoint(true)
+    var dist = Seq((source, 0L)).toDF("node_id", "dist")
+      .select(col("node_id"), col("dist").cast(e.schema("w").dataType))
+      .localCheckpoint(true)
+    var prev = (0L, java.math.BigDecimal.ZERO)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = e.join(dist, e("src") === dist("node_id"))
+        .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node_id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      // decimal(38,6) keeps fractional (double-weight) improvements
+      // visible to the detector while holding ~1e31 of integer headroom
+      val s = next.agg(count(lit(1)),
+        sum(col("dist").cast("decimal(38,6)"))).head()
+      val cur = (s.getLong(0),
+        Option(s.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      dist = next
+      i += 1
+    }
+    (dist, i)
+  }
+
+  /** [[shortestPathsWithRounds]] without the round count. */
+  def shortestPaths(edges: DataFrame, source: Long,
+      maxIter: Int = 100): DataFrame =
+    shortestPathsWithRounds(edges, source, maxIter)._1
 }

@@ -177,6 +177,28 @@ object ScaleSmoke {
     val (snHiSec, snHiRows) = snap(nGeo * 4)
     val snExp = math.log(snHiSec / snLoSec) / math.log(4.0)
 
+    // SSSP over a 10-ary tree: depth stays 7 across both sizes (2M and
+    // 8M nodes), so ROUND COUNT is the scale witness — a relaxation
+    // loop that didn't converge by hop depth would show rounds growing
+    // with n. Wall time at these sizes is per-round job-launch
+    // overhead (~9 rounds of join+agg+checkpoint), so 4x the data
+    // moves the clock very little — the reached count (exactly n) and
+    // the constant rounds are the evidence, not a time exponent.
+    def sssp(n: Long): (Double, Long, Int) = {
+      val edges = spark.range(1, n).select(
+        ((col("id") - 1) / 10).cast("long").as("start_node"),
+        col("id").as("end_node"),
+        lit(1L).as("w"))
+      val t = System.nanoTime()
+      val (dist, rounds) =
+        graft.osm.GraphCheck.shortestPathsWithRounds(edges, 0L, maxIter = 20)
+      val reached = dist.count()
+      ((System.nanoTime() - t) / 1e9, reached, rounds)
+    }
+    sssp(nGeo / 10) // warm
+    val (ssLoSec, ssLoReach, ssLoRounds) = sssp(nGeo)
+    val (ssHiSec, ssHiReach, ssHiRounds) = sssp(nGeo * 4)
+
     // Convex hull over 32 pseudo-random point groups: the compacted
     // partial state means cost is one scan plus O(hull) merges —
     // linear in n with a tiny constant, the property that lets a
@@ -216,6 +238,9 @@ object ScaleSmoke {
       s""""snap_rows_lo":$snLoRows,"snap_rows_hi":$snHiRows,""" +
       f""""snap_sec_lo":$snLoSec%.2f,"snap_sec_hi":$snHiSec%.2f,""" +
       f""""snap_exponent":$snExp%.3f,""" +
+      s""""sssp_reached_lo":$ssLoReach,"sssp_reached_hi":$ssHiReach,""" +
+      f""""sssp_sec_lo":$ssLoSec%.2f,"sssp_sec_hi":$ssHiSec%.2f,""" +
+      s""""sssp_rounds_lo":$ssLoRounds,"sssp_rounds_hi":$ssHiRounds,""" +
       s""""hull_points_lo":${nGeo * 4},"hull_points_hi":${nGeo * 16},""" +
       s""""hull_verts_lo":$huLoVerts,"hull_verts_hi":$huHiVerts,""" +
       f""""hull_sec_lo":$huLoSec%.2f,"hull_sec_hi":$huHiSec%.2f,""" +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.osm.{ExploreIVM, OsmModel, PoisExtract, RoadGraph, TagExplore}
+import graft.osm.{ExploreIVM, GraphCheck, OsmModel, PoisExtract, RoadGraph, TagExplore}
 
 /** End-to-end pipeline assertions on the micro-OSM fixture with
   * hand-computed expectations (FIXTURES.md §2): way splitting at shared
@@ -230,6 +230,36 @@ class RoadGraphSpec extends SparkTestBase {
       .select("way_id", "key", "values", "name").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
     assert(pw === Set((108L, "leisure", "park", "Central Park")))
+  }
+
+  test("shortestPaths: SSSP distances on the strict directed micro graph") {
+    val e = RoadGraph.directed(merged)
+      .select(col("start_node"), col("end_node"),
+        round(col("length") * 100).cast("long").as("w"))
+    val (dist, rounds) = GraphCheck.shortestPathsWithRounds(e, source = 1L)
+    val d = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reachable set: node 1's side of the network only — the oneways
+    // and the NULL-oneway motorway trap keep 7..12 unreachable
+    assert(d.keySet === Set(1L, 3L, 4L, 5L, 6L))
+    assert(d(1L) === 0L)
+    // distances are sums of the merged edges' cm lengths
+    val len = merged.collect().map(r => (r.getAs[Long]("edge_id"),
+      r.getAs[Seq[Long]]("nodes").head, r.getAs[Seq[Long]]("nodes").last) ->
+      math.round(r.getAs[Double]("length") * 100)).toMap
+    assert(d(3L) === len((101L, 1L, 3L)))
+    assert(d(4L) === d(3L) + len((101L, 3L, 4L)))
+    assert(d(5L) === d(3L) + len((102L, 5L, 3L)))
+    assert(d(6L) === d(3L) + len((102L, 3L, 6L)))
+    // rounds = hop depth (2) + the two fixpoint-confirm rounds
+    assert(rounds <= 5, s"took $rounds rounds")
+    // double weights converge too (fractional improvements visible to
+    // the decimal(38,6) detector)
+    import spark.implicits._
+    val frac = Seq((1L, 2L, 0.25), (2L, 3L, 0.25), (1L, 3L, 0.75))
+      .toDF("start_node", "end_node", "w")
+    val fd = GraphCheck.shortestPaths(frac, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fd === Map(1L -> 0.0, 2L -> 0.25, 3L -> 0.5))
   }
 
   test("snapPois: edge-interior projection, not nearest vertex") {
