@@ -1447,6 +1447,24 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- routing with PATH reconstruction (what pgr_dijkstra actually
+    //      returns): predecessor-tracking relaxation + O(path-length)
+    //      driver walk-back — never a full collect of the distance
+    //      relation. Ties (none on this fixture) break on the smaller
+    //      predecessor, so the sequence is deterministic.
+    "q_osm_route_path" -> ((s, dir) => {
+      import s.implicits._
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      val (path, total) = osm.GraphCheck.shortestPathTo(e, 1L, 4L).get
+      path.zipWithIndex
+        .map { case (n, i) => (i.toLong + 1, n, math.round(total)) }
+        .toDF("seq", "node_id", "total_cm").orderBy("seq")
+    }),
+
     // ---- OSM POI-to-network snap (the pgRouting stop-matching step):
     //      POIs from the micro fixture snapped onto the merged network
     //      via the grid-bucketed nearest-edge join. The bench (n11)
@@ -3257,6 +3275,66 @@ object SparkEntry {
          SELECT CAST(node AS BIGINT) AS node_id,
                 CAST(min(dist) AS BIGINT) AS dist_cm
          FROM r GROUP BY node ORDER BY node_id"""),
+    // path enumeration with the same rebuilt graph: recursion carries
+    // the node list, the best (dist, path) row for the target is
+    // exploded positionally — independent of the engine's
+    // predecessor-walk reconstruction
+    "q_osm_route_path" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") +
+      """,
+         coords(node_id, lon, lat) AS (VALUES
+           (1,0.00,0.0),(2,0.01,0.0),(3,0.02,0.0),(4,0.03,0.0),
+           (5,0.02,-0.01),(6,0.02,0.01),(7,0.10,0.0),(8,0.12,0.0),
+           (9,0.20,0.0),(10,0.22,0.0),(12,0.31,0.0)),
+         segsrc AS (
+           SELECT way_id AS edge_id, group_id, sequence_id, node_id FROM ntm
+           UNION ALL
+           SELECT way_id, -1, sequence_id, node_id FROM way_nodes
+           WHERE way_id NOT IN (SELECT DISTINCT way_id FROM ntm)),
+         segpts AS (
+           SELECT s.edge_id, s.group_id, s.sequence_id,
+                  CAST(c.lon AS DOUBLE) AS lon, CAST(c.lat AS DOUBLE) AS lat,
+                  lead(CAST(c.lon AS DOUBLE)) OVER w AS lon2,
+                  lead(CAST(c.lat AS DOUBLE)) OVER w AS lat2
+           FROM segsrc s JOIN coords c ON c.node_id = s.node_id
+           WINDOW w AS (PARTITION BY s.edge_id, s.group_id ORDER BY s.sequence_id)),
+         elen AS (
+           SELECT edge_id, group_id,
+                  CAST(round(sum(2 * 6371008.8 * asin(sqrt(
+                    sin(radians(lat2 - lat)/2)^2 +
+                    cos(radians(lat)) * cos(radians(lat2)) *
+                      sin(radians(lon2 - lon)/2)^2))) * 100) AS BIGINT) AS w
+           FROM segpts WHERE lon2 IS NOT NULL GROUP BY edge_id, group_id),
+         attrs(way_id, highway, oneway) AS (VALUES
+           (101,'residential',CAST(NULL AS VARCHAR)),(102,'tertiary',CAST(NULL AS VARCHAR)),
+           (103,'primary','yes'),(104,'motorway','-1'),
+           (106,'motorway',CAST(NULL AS VARCHAR)),(109,'tertiary',CAST(NULL AS VARCHAR))),
+         m4 AS (SELECT m.start_node, m.end_node, l.w, a.highway, a.oneway
+                FROM merged m
+                JOIN elen l ON m.edge_id = l.edge_id AND m.group_id = l.group_id
+                JOIN attrs a ON m.edge_id = a.way_id),
+         dedges AS (
+           SELECT start_node AS src, end_node AS dst, w FROM m4
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT end_node, start_node, w FROM m4
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT start_node, end_node, w FROM m4
+            WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+           UNION ALL
+           SELECT end_node, start_node, w FROM m4 WHERE oneway = '-1'),
+         r2(node, dist, path) AS (
+           SELECT 1, CAST(0 AS BIGINT), [CAST(1 AS BIGINT)]
+           UNION ALL
+           SELECT e.dst, r2.dist + e.w, list_append(r2.path, CAST(e.dst AS BIGINT))
+           FROM r2 JOIN dedges e ON e.src = r2.node WHERE len(r2.path) <= 8),
+         sel AS (SELECT dist, path FROM r2 WHERE node = 4
+                 ORDER BY dist, path LIMIT 1)
+         SELECT CAST(generate_subscripts(path, 1) AS BIGINT) AS seq,
+                CAST(unnest(path) AS BIGINT) AS node_id,
+                CAST(dist AS BIGINT) AS total_cm
+         FROM sel ORDER BY seq"""),
     // the known snap set on the micro fixture, stated literally: cafe
     // n5 and bakery n6 are W2 segment endpoints (exact snaps onto edge
     // 102); bench n11 (0.30, 0) lies on the interior of W9's

@@ -149,4 +149,67 @@ object GraphCheck {
   def shortestPaths(edges: DataFrame, source: Long,
       maxIter: Int = 100): DataFrame =
     shortestPathsWithRounds(edges, source, maxIter)._1
+
+  /** Shortest PATH (node sequence + distance) from `source` to
+    * `target` — what `pgr_dijkstra` actually returns. Same relaxation
+    * loop but the per-node state is `min(struct(dist, pred))`, so on
+    * equal-distance ties the smaller predecessor wins deterministically
+    * (an independent oracle can reproduce the exact node sequence).
+    * The walk back from `target` is one filtered lookup per hop —
+    * O(path length) driver round-trips against the settled relation,
+    * never a full collect (the distance table may be a whole
+    * continent; the path is a few hundred rows).
+    *
+    * Returns (path nodes source..target, total distance), or None if
+    * unreachable. */
+  def shortestPathTo(edges: DataFrame, source: Long, target: Long,
+      maxIter: Int = 100): Option[(Seq[Long], Double)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("start_node").as("src"),
+      col("end_node").as("dst"), col("w").cast("double").as("w"))
+      .localCheckpoint(true)
+    var dist = Seq((source, 0.0, source)).toDF("node_id", "dist", "pred")
+      .localCheckpoint(true)
+    var prev = (0L, java.math.BigDecimal.ZERO)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = e.join(dist, e("src") === dist("node_id"))
+        .select(col("dst").as("node_id"),
+          (col("dist") + col("w")).as("dist"), col("src").as("pred"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node_id")
+        .agg(min(struct(col("dist"), col("pred"))).as("__b"))
+        .select(col("node_id"), col("__b.dist").as("dist"),
+          col("__b.pred").as("pred"))
+        .localCheckpoint(true)
+      val s = next.agg(count(lit(1)),
+        sum(col("dist").cast("decimal(38,6)"))).head()
+      val cur = (s.getLong(0),
+        Option(s.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      dist = next
+      i += 1
+    }
+    val settled = dist.cache()
+    try {
+      val tgt = settled.filter(col("node_id") === target).collect()
+      if (tgt.isEmpty) None
+      else {
+        val total = tgt.head.getDouble(1)
+        var path = List(target)
+        var cur = target
+        var hops = 0
+        while (cur != source && hops <= maxIter) {
+          cur = settled.filter(col("node_id") === cur)
+            .head().getLong(2)
+          path = cur :: path
+          hops += 1
+        }
+        if (cur == source) Some((path, total)) else None
+      }
+    } finally settled.unpersist()
+  }
 }

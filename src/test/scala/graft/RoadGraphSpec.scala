@@ -262,6 +262,25 @@ class RoadGraphSpec extends SparkTestBase {
     assert(fd === Map(1L -> 0.0, 2L -> 0.25, 3L -> 0.5))
   }
 
+  test("shortestPathTo: node sequence, unreachable None, tie to smaller pred") {
+    val e = RoadGraph.directed(merged)
+      .select(col("start_node"), col("end_node"),
+        round(col("length") * 100).cast("long").as("w"))
+    val Some((path, total)) = GraphCheck.shortestPathTo(e, 1L, 4L)
+    assert(path === Seq(1L, 3L, 4L))
+    // 3 x 0.01-deg equator segments: 0.01 deg x R(6371008.8 m) in
+    // radians = 1111.95 m each -> 333585 cm
+    assert(math.abs(total - 333585.0) < 10.0, s"total $total")
+    assert(GraphCheck.shortestPathTo(e, 1L, 7L).isEmpty) // oneway island
+    // equal-cost diamond: 1->2->4 and 1->3->4 both cost 2; pred min
+    // keeps 2, so the path is deterministic
+    import spark.implicits._
+    val dia = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L))
+      .toDF("start_node", "end_node", "w")
+    val Some((p2, t2)) = GraphCheck.shortestPathTo(dia, 1L, 4L)
+    assert(p2 === Seq(1L, 2L, 4L) && t2 === 2.0)
+  }
+
   test("snapPois: edge-interior projection, not nearest vertex") {
     val pois = PoisExtract.poisNodes(t.nodes)
     val got = RoadGraph.snapPois(pois, merged).collect()
