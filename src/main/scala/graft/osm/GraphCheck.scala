@@ -114,12 +114,22 @@ object GraphCheck {
     * only grows, so the (count, sum) pair is a fixpoint witness — one
     * scalar aggregate per round, no join-and-count. */
   def shortestPathsWithRounds(edges: DataFrame, source: Long,
+      maxIter: Int = 100): (DataFrame, Int) =
+    multiSourceShortestPaths(edges, Seq(source), maxIter)
+
+  /** Multi-source variant: every seed starts at distance 0, so the
+    * result is each node's distance to its NEAREST source — the
+    * accessibility query (distance to nearest amenity/stop/service)
+    * that street-network analysis runs over these graphs. Identical
+    * cost to single-source: seeding is free, the rounds are bounded by
+    * the deepest shortest-path tree. */
+  def multiSourceShortestPaths(edges: DataFrame, sources: Seq[Long],
       maxIter: Int = 100): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("start_node").as("src"),
       col("end_node").as("dst"), col("w")).localCheckpoint(true)
-    var dist = Seq((source, 0L)).toDF("node_id", "dist")
+    var dist = sources.map((_, 0L)).toDF("node_id", "dist")
       .select(col("node_id"), col("dist").cast(e.schema("w").dataType))
       .localCheckpoint(true)
     var prev = (0L, java.math.BigDecimal.ZERO)
