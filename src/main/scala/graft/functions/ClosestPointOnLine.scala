@@ -59,11 +59,16 @@ case class ClosestPointOnLine(first: Expression, second: Expression,
 object ClosestPointOnLine {
   /** Named `evalClosest`, not `eval`: a companion method shadowing an
     * inherited class member gets no static forwarder and codegen would
-    * silently fall back to interpreted mode. Returns null for an empty
-    * line (no closest point exists). */
+    * silently fall back to interpreted mode. An empty line has no
+    * closest point: returns `(+Infinity, NaN, NaN)` — NOT null, because
+    * `defineCodeGen` assigns the helper's result without a null check
+    * (ev.isNull is already decided by the children), so a null here
+    * would NPE the generated projection; the infinite distance makes
+    * every `dist2 <= r²` refinement drop the row naturally. */
   def evalClosest(line: ArrayData, px: Double, py: Double): GenericInternalRow = {
     val n = line.numElements()
-    if (n == 0) return null
+    if (n == 0) return new GenericInternalRow(
+      Array[Any](Double.PositiveInfinity, Double.NaN, Double.NaN))
     var p = line.getStruct(0, 2)
     var ax = p.getDouble(0); var ay = p.getDouble(1)
     var bestD = { val ex = px - ax; val ey = py - ay; ex * ex + ey * ey }

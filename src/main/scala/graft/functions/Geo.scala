@@ -385,6 +385,8 @@ object Geo {
       tPt: Column, maxMeters: Double, cellDeg: Double): org.apache.spark.sql.DataFrame = {
     require(cellDeg * 111320.0 >= maxMeters,
       s"cellDeg $cellDeg too small for maxMeters $maxMeters (lat axis)")
+    require(queryId != targetId,
+      s"queryId and targetId must differ (both '$queryId') — alias one side")
     val t = targets.select(col(targetId), tPt.as("__tp"))
       .withColumn("__cell", gridCell(col("__tp"), cellDeg))
     val q = queries.select(col(queryId), qPt.as("__qp"))
@@ -444,6 +446,8 @@ object Geo {
   def nearestEdgeJoin(queries: org.apache.spark.sql.DataFrame, queryId: String,
       qPt: Column, edges: org.apache.spark.sql.DataFrame, edgeId: String,
       geom: Column, maxDist: Double, cellDeg: Double): org.apache.spark.sql.DataFrame = {
+    require(queryId != edgeId,
+      s"queryId and edgeId must differ (both '$queryId') — alias one side")
     val q = queries.select(col(queryId), qPt.as("__qp"))
       .withColumn("__cell", gridCell(col("__qp"), cellDeg))
     val e = edges.select(col(edgeId), geom.as("__geom"))

@@ -243,6 +243,13 @@ class FunctionsSpec extends SparkTestBase {
       .select("c.*").head()
     assert(one.getDouble(0) === 16.0 && one.getDouble(1) === 3.0 &&
       one.getDouble(2) === 0.0)
+    // empty line: infinite distance (codegen-safe sentinel, never null)
+    val emptyLine = Seq(Tuple1(Seq.empty[(Double, Double)])).toDF("raw")
+      .select(transform($"raw",
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("line"))
+      .select(closestPointOnLine($"line", lit(0.0), lit(0.0)).as("c"))
+      .select("c.*").head()
+    assert(emptyLine.getDouble(0).isPosInfinity)
     // beyond the endpoint clamps to the vertex
     val cl = Seq(Tuple1(Seq((0.0, 0.0), (1.0, 0.0)))).toDF("raw")
       .select(transform($"raw",
