@@ -122,34 +122,50 @@ object GraphCheck {
     * accessibility query (distance to nearest amenity/stop/service)
     * that street-network analysis runs over these graphs. Identical
     * cost to single-source: seeding is free, the rounds are bounded by
-    * the deepest shortest-path tree. */
+    * the deepest shortest-path tree.
+    *
+    * FRONTIER relaxation (the Bellman–Ford worklist form): each round
+    * joins the edge relation against only the nodes whose distance
+    * IMPROVED last round, not the whole settled set. On a road
+    * network the frontier is a wavefront — a thin ring of the graph —
+    * so per-round work tracks the wavefront size instead of E; once a
+    * region settles it is never re-joined. The frontier going empty IS
+    * convergence (no separate fixpoint detector needed: a node enters
+    * the frontier only by strictly improving, and non-negative weights
+    * make improvements finite). */
   def multiSourceShortestPaths(edges: DataFrame, sources: Seq[Long],
       maxIter: Int = 100): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("start_node").as("src"),
       col("end_node").as("dst"), col("w")).localCheckpoint(true)
+    val wType = e.schema("w").dataType
     var dist = sources.map((_, 0L)).toDF("node_id", "dist")
-      .select(col("node_id"), col("dist").cast(e.schema("w").dataType))
+      .select(col("node_id"), col("dist").cast(wType))
       .localCheckpoint(true)
-    var prev = (0L, java.math.BigDecimal.ZERO)
-    var converged = false
+    var frontier = dist
+    var frontierSize = sources.size.toLong
     var i = 0
-    while (!converged && i < maxIter) {
-      val relaxed = e.join(dist, e("src") === dist("node_id"))
+    while (frontierSize > 0 && i < maxIter) {
+      // candidate improvements reachable from last round's winners;
+      // min-agg dedups multiple in-round paths to the same node
+      val cand = e.join(frontier, e("src") === frontier("node_id"))
         .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
         .groupBy("node_id").agg(min(col("dist")).as("dist"))
+      // keep only strict improvements (or first sightings): these are
+      // the next frontier AND the rows that change the settled relation
+      val improved = cand.join(dist.withColumnRenamed("dist", "__old"),
+          Seq("node_id"), "left_outer")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("node_id"), col("dist"))
         .localCheckpoint(true)
-      // decimal(38,6) keeps fractional (double-weight) improvements
-      // visible to the detector while holding ~1e31 of integer headroom
-      val s = next.agg(count(lit(1)),
-        sum(col("dist").cast("decimal(38,6)"))).head()
-      val cur = (s.getLong(0),
-        Option(s.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
-      prev = cur
-      dist = next
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        dist = dist.unionByName(improved)
+          .groupBy("node_id").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
       i += 1
     }
     (dist, i)
