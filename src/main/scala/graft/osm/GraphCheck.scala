@@ -134,11 +134,53 @@ object GraphCheck {
     * the frontier only by strictly improving, and non-negative weights
     * make improvements finite). */
   def multiSourceShortestPaths(edges: DataFrame, sources: Seq[Long],
-      maxIter: Int = 100): (DataFrame, Int) = {
+      maxIter: Int = 100, localThreshold: Long = 100000L): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("start_node").as("src"),
-      col("end_node").as("dst"), col("w")).localCheckpoint(true)
+    // one upstream execution total: checkpoint the edge relation FIRST,
+    // then the threshold probe and either path read the materialized
+    // copy instead of re-running the (possibly expensive) upstream DAG
+    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
+      .localCheckpoint(true)
+    // Broadcast-local fast path — the same adaptive decision a
+    // broadcast join makes: a graph that fits on the driver pays tens
+    // of per-round job launches in the distributed loop for nothing.
+    // Collect it, run Dijkstra, parallelize the result. Distances are
+    // identical (path sums accumulate in the same order); rounds
+    // reports 0 to mark the local path. Set localThreshold = 0 to
+    // force the distributed loop.
+    if (localThreshold > 0 &&
+        eChk.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+      val isLong = eChk.schema("w").dataType ==
+        org.apache.spark.sql.types.LongType
+      val es = eChk.select(col("start_node"), col("end_node"),
+          col("w").cast("double")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val dist = scala.collection.mutable.Map[Long, Double]()
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
+      sources.foreach { s => dist(s) = 0.0; pq.enqueue((0.0, s)) }
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d <= dist(u)) {
+          es.getOrElse(u, Array.empty[(Long, Double)]).foreach { case (v, w) =>
+            val nd = d + w
+            if (!dist.contains(v) || nd < dist(v)) {
+              dist(v) = nd; pq.enqueue((nd, v))
+            }
+          }
+        }
+      }
+      val rows = dist.toSeq.sortBy(_._1)
+      val out =
+        if (isLong) rows.map { case (n, d) => (n, d.toLong) }
+          .toDF("node_id", "dist")
+        else rows.toDF("node_id", "dist")
+      return (out, 0)
+    }
+    val e = eChk.select(col("start_node").as("src"),
+      col("end_node").as("dst"), col("w"))
     val wType = e.schema("w").dataType
     var dist = sources.map((_, 0L)).toDF("node_id", "dist")
       .select(col("node_id"), col("dist").cast(wType))
@@ -189,12 +231,44 @@ object GraphCheck {
     * Returns (path nodes source..target, total distance), or None if
     * unreachable. */
   def shortestPathTo(edges: DataFrame, source: Long, target: Long,
-      maxIter: Int = 100): Option[(Seq[Long], Double)] = {
+      maxIter: Int = 100, localThreshold: Long = 100000L): Option[(Seq[Long], Double)] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("start_node").as("src"),
-      col("end_node").as("dst"), col("w").cast("double").as("w"))
+    // broadcast-local fast path (see multiSourceShortestPaths); the
+    // equal-distance tie keeps the SMALLER predecessor, matching the
+    // distributed min(struct(dist, pred)) exactly
+    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
       .localCheckpoint(true)
+    if (localThreshold > 0 &&
+        eChk.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+      val adj = eChk.select(col("start_node"), col("end_node"),
+          col("w").cast("double")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val dist = scala.collection.mutable.Map(source -> 0.0)
+      val pred = scala.collection.mutable.Map(source -> source)
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
+      pq.enqueue((0.0, source))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d <= dist(u)) {
+          adj.getOrElse(u, Array.empty[(Long, Double)]).foreach { case (v, w) =>
+            val nd = d + w
+            if (!dist.contains(v) || nd < dist(v)) {
+              dist(v) = nd; pred(v) = u; pq.enqueue((nd, v))
+            } else if (nd == dist(v) && u < pred(v)) pred(v) = u
+          }
+        }
+      }
+      return dist.get(target).map { total =>
+        var path = List(target); var cur = target
+        while (cur != source) { cur = pred(cur); path = cur :: path }
+        (path, total)
+      }
+    }
+    val e = eChk.select(col("start_node").as("src"),
+      col("end_node").as("dst"), col("w").cast("double").as("w"))
     var dist = Seq((source, 0.0, source)).toDF("node_id", "dist", "pred")
       .localCheckpoint(true)
     var prev = (0L, java.math.BigDecimal.ZERO)

@@ -236,7 +236,10 @@ class RoadGraphSpec extends SparkTestBase {
     val e = RoadGraph.directed(merged)
       .select(col("start_node"), col("end_node"),
         round(col("length") * 100).cast("long").as("w"))
-    val (dist, rounds) = GraphCheck.shortestPathsWithRounds(e, source = 1L)
+    // force the DISTRIBUTED loop (localThreshold 0); the broadcast-
+    // local fast path is checked for parity below
+    val (dist, rounds) =
+      GraphCheck.multiSourceShortestPaths(e, Seq(1L), localThreshold = 0L)
     val d = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reachable set: node 1's side of the network only — the oneways
     // and the NULL-oneway motorway trap keep 7..12 unreachable
@@ -250,8 +253,13 @@ class RoadGraphSpec extends SparkTestBase {
     assert(d(4L) === d(3L) + len((101L, 3L, 4L)))
     assert(d(5L) === d(3L) + len((102L, 5L, 3L)))
     assert(d(6L) === d(3L) + len((102L, 3L, 6L)))
-    // rounds = hop depth (2) + the two fixpoint-confirm rounds
+    // rounds = hop depth (2) + the empty-frontier confirm round
     assert(rounds <= 5, s"took $rounds rounds")
+    // broadcast-local Dijkstra (default threshold) returns the same
+    // relation, rounds 0 marking the fast path
+    val (dLocal, r0) = GraphCheck.shortestPathsWithRounds(e, source = 1L)
+    assert(r0 === 0)
+    assert(dLocal.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === d)
     // double weights converge too (fractional improvements visible to
     // the decimal(38,6) detector)
     import spark.implicits._
@@ -268,6 +276,9 @@ class RoadGraphSpec extends SparkTestBase {
         round(col("length") * 100).cast("long").as("w"))
     val Some((path, total)) = GraphCheck.shortestPathTo(e, 1L, 4L)
     assert(path === Seq(1L, 3L, 4L))
+    // distributed loop produces the identical path and total
+    assert(GraphCheck.shortestPathTo(e, 1L, 4L, localThreshold = 0L)
+      === Some((path, total)))
     // 3 x 0.01-deg equator segments: 0.01 deg x R(6371008.8 m) in
     // radians = 1111.95 m each -> 333585 cm
     assert(math.abs(total - 333585.0) < 10.0, s"total $total")
@@ -279,6 +290,8 @@ class RoadGraphSpec extends SparkTestBase {
       .toDF("start_node", "end_node", "w")
     val Some((p2, t2)) = GraphCheck.shortestPathTo(dia, 1L, 4L)
     assert(p2 === Seq(1L, 2L, 4L) && t2 === 2.0)
+    assert(GraphCheck.shortestPathTo(dia, 1L, 4L, localThreshold = 0L)
+      === Some((Seq(1L, 2L, 4L), 2.0)))
   }
 
   test("snapPois: edge-interior projection, not nearest vertex") {
