@@ -640,6 +640,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- edit-distance near-dup: the SAME banded candidates, verified
+    //      by exact Levenshtein instead of Jaccard — the character-level
+    //      complement (catches in-place edits that barely move shingle
+    //      sets). Threshold-form levenshtein abandons far pairs early;
+    //      the O(len²) cost only ever touches O(candidates) pairs.
+    "q_d_editdist_pairs" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val sigs = llm.Dedup.minhashSignatures(d, "doc_id", col("text"),
+        numPerm = 32, shingleK = 5)
+      val cands = llm.Dedup.lshCandidatePairs(sigs, "doc_id",
+        bands = 4, rowsPerBand = 8)
+      llm.Dedup.verifyEditDistance(cands, d, "doc_id", col("text"),
+          maxDist = 50)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- the ACTIONABLE dedup: near-dup pairs -> connected-component
     //      clusters -> keep the min-id canonical per cluster. The full
     //      chain (shingles -> signatures -> bands -> verify -> cluster
@@ -3580,6 +3596,7 @@ object SparkEntry {
                 round(sum(s_acctbal), 2) AS acctbal
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_d_minhash_pairs" -> minhashOracleSql,
+    "q_d_editdist_pairs" -> editDistOracleSql,
     "q_d_neardup_keep" -> neardupKeepOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
     "q_d_dup_passages" ->
@@ -3817,6 +3834,20 @@ object SparkEntry {
   )
   SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified
   WHERE j >= 0.4 ORDER BY id_a, id_b"""
+  }
+
+  /** Same candidate CTEs, verified by DuckDB's own levenshtein instead
+    * of Jaccard — an independent edit-distance implementation agreeing
+    * with Spark's on every surviving pair. */
+  private def editDistOracleSql: String = {
+    val base = minhashOracleSql
+    val prefix = base.substring(0, base.lastIndexOf("  sets AS ("))
+    prefix + """  ed AS (
+    SELECT id_a, id_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM cand JOIN documents da ON cand.id_a = da.doc_id
+              JOIN documents db ON cand.id_b = db.doc_id)
+  SELECT id_a, id_b, edit_dist FROM ed
+  WHERE edit_dist <= 50 ORDER BY id_a, id_b"""
   }
 
   /** Same pipeline CTEs, continued into cluster dedup: pairs ->

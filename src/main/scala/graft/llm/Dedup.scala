@@ -168,6 +168,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Edit-distance verification over candidate pairs: keep pairs whose
+    * Levenshtein distance is <= `maxDist`, with the exact distance.
+    * The character-level complement to [[verifyJaccard]]'s set view —
+    * catches small in-place edits (typo dedup, template fills) that
+    * barely move shingle sets, and rejects shingle-coincidences whose
+    * texts differ everywhere.
+    *
+    * 100 TB shape: Levenshtein is O(len²) per pair — NEVER run it
+    * all-pairs; feed banded candidates ([[lshCandidatePairs]]) so the
+    * quadratic cost applies to O(near-dup) pairs only. The threshold
+    * form of Spark's `levenshtein` abandons a row once the running
+    * distance exceeds `maxDist` (banded O(len·maxDist)), so mismatched
+    * candidates cost little. */
+  def verifyEditDistance(pairs: DataFrame, docs: DataFrame, idCol: String,
+      text: Column, maxDist: Int): DataFrame = {
+    val a = docs.select(col(idCol).as("id_a"), text.as("__ta"))
+    val b = docs.select(col(idCol).as("id_b"), text.as("__tb"))
+    pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      // the threshold form returns -1 for "farther than maxDist"
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** MinHash-LSH near-dup end to end: signatures -> banded candidates ->
     * exact-Jaccard verification.
     *

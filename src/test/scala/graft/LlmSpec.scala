@@ -221,6 +221,26 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("verifyEditDistance: exact distances on fixture pairs, threshold drops far pairs") {
+    val pairs = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyEditDistance(pairs, docs, "doc_id", $"text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact dup -> 0; today/tonight differ by the classic DP distance
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got((1L, 4L)) === 0L)
+    assert(got((1L, 2L)) === lev(texts(1L), texts(2L)))
+    // doc 3 is entirely different content: beyond maxDist, dropped
+    assert(!got.contains((1L, 3L)))
+  }
+
   test("PCA two-stage retrieval: 32-dim candidates + rescore, recall@5 is 1.0 per query") {
     // pins the per-query recall the q_s_pca_ann gate asserts — same
     // corpus family, same 32/64 dims + candK config; a projection or
