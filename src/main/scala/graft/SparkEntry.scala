@@ -1480,6 +1480,22 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- isochrone (pgr_drivingDistance): the service area within a
+    //      network-distance cutoff — SSSP composed with a filter, no
+    //      new operator needed. Cutoff 3300 m keeps {1, 3} and proves
+    //      real pruning (node 4 sits at 3335.85 m).
+    "q_osm_isochrone" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      osm.GraphCheck.multiSourceShortestPaths(e, Seq(1L))._1
+        .filter(col("dist") <= 330000L)
+        .select(col("node_id"), col("dist").as("dist_cm"))
+        .orderBy("node_id")
+    }),
+
     // ---- routing with PATH reconstruction (what pgr_dijkstra actually
     //      returns): predecessor-tracking relaxation + O(path-length)
     //      driver walk-back — never a full collect of the distance
@@ -3257,54 +3273,8 @@ object SparkEntry {
     // different algorithm arriving at the same distances
     "q_osm_route" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
       "WITH RECURSIVE") +
-      """,
-         coords(node_id, lon, lat) AS (VALUES
-           (1,0.00,0.0),(2,0.01,0.0),(3,0.02,0.0),(4,0.03,0.0),
-           (5,0.02,-0.01),(6,0.02,0.01),(7,0.10,0.0),(8,0.12,0.0),
-           (9,0.20,0.0),(10,0.22,0.0),(12,0.31,0.0)),
-         segsrc AS (
-           SELECT way_id AS edge_id, group_id, sequence_id, node_id FROM ntm
-           UNION ALL
-           SELECT way_id, -1, sequence_id, node_id FROM way_nodes
-           WHERE way_id NOT IN (SELECT DISTINCT way_id FROM ntm)),
-         segpts AS (
-           SELECT s.edge_id, s.group_id, s.sequence_id,
-                  CAST(c.lon AS DOUBLE) AS lon, CAST(c.lat AS DOUBLE) AS lat,
-                  lead(CAST(c.lon AS DOUBLE)) OVER w AS lon2,
-                  lead(CAST(c.lat AS DOUBLE)) OVER w AS lat2
-           FROM segsrc s JOIN coords c ON c.node_id = s.node_id
-           WINDOW w AS (PARTITION BY s.edge_id, s.group_id ORDER BY s.sequence_id)),
-         elen AS (
-           SELECT edge_id, group_id,
-                  CAST(round(sum(2 * 6371008.8 * asin(sqrt(
-                    sin(radians(lat2 - lat)/2)^2 +
-                    cos(radians(lat)) * cos(radians(lat2)) *
-                      sin(radians(lon2 - lon)/2)^2))) * 100) AS BIGINT) AS w
-           FROM segpts WHERE lon2 IS NOT NULL GROUP BY edge_id, group_id),
-         attrs(way_id, highway, oneway) AS (VALUES
-           (101,'residential',CAST(NULL AS VARCHAR)),(102,'tertiary',CAST(NULL AS VARCHAR)),
-           (103,'primary','yes'),(104,'motorway','-1'),
-           (106,'motorway',CAST(NULL AS VARCHAR)),(109,'tertiary',CAST(NULL AS VARCHAR))),
-         m4 AS (SELECT m.start_node, m.end_node, l.w, a.highway, a.oneway
-                FROM merged m
-                JOIN elen l ON m.edge_id = l.edge_id AND m.group_id = l.group_id
-                JOIN attrs a ON m.edge_id = a.way_id),
-         dedges AS (
-           SELECT start_node AS src, end_node AS dst, w FROM m4
-            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
-           UNION ALL
-           SELECT end_node, start_node, w FROM m4
-            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
-           UNION ALL
-           SELECT start_node, end_node, w FROM m4
-            WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
-           UNION ALL
-           SELECT end_node, start_node, w FROM m4 WHERE oneway = '-1'),
-         r(node, dist, hops) AS (
-           SELECT 1, CAST(0 AS BIGINT), 0
-           UNION ALL
-           SELECT e.dst, r.dist + e.w, r.hops + 1
-           FROM r JOIN dedges e ON e.src = r.node WHERE r.hops < 8)
+      oracleRouteCore +
+      """
          SELECT CAST(node AS BIGINT) AS node_id,
                 CAST(min(dist) AS BIGINT) AS dist_cm
          FROM r GROUP BY node ORDER BY node_id"""),
@@ -3365,6 +3335,16 @@ object SparkEntry {
          SELECT CAST(node AS BIGINT) AS node_id,
                 CAST(min(dist) AS BIGINT) AS dist_cm
          FROM r GROUP BY node ORDER BY node_id"""),
+    // the service area: same recursion, cutoff applied to the per-node
+    // minimum (not the raw path rows — a long path to a near node must
+    // not drop it)
+    "q_osm_isochrone" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """
+         SELECT CAST(node AS BIGINT) AS node_id,
+                CAST(min(dist) AS BIGINT) AS dist_cm
+         FROM r GROUP BY node HAVING min(dist) <= 330000
+         ORDER BY node_id"""),
     // path enumeration with the same rebuilt graph: recursion carries
     // the node list, the best (dist, path) row for the target is
     // exploded positionally — independent of the engine's
@@ -3835,6 +3815,58 @@ object SparkEntry {
   SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified
   WHERE j >= 0.4 ORDER BY id_a, id_b"""
   }
+
+  /** Shared CTE chain for the routing oracles: rebuilt merged graph
+    * (graphPrefix) + node coords + per-edge haversine cm lengths +
+    * strict directed expansion + hop-bounded SSSP recursion `r`. */
+  private val oracleRouteCore: String = """,
+         coords(node_id, lon, lat) AS (VALUES
+           (1,0.00,0.0),(2,0.01,0.0),(3,0.02,0.0),(4,0.03,0.0),
+           (5,0.02,-0.01),(6,0.02,0.01),(7,0.10,0.0),(8,0.12,0.0),
+           (9,0.20,0.0),(10,0.22,0.0),(12,0.31,0.0)),
+         segsrc AS (
+           SELECT way_id AS edge_id, group_id, sequence_id, node_id FROM ntm
+           UNION ALL
+           SELECT way_id, -1, sequence_id, node_id FROM way_nodes
+           WHERE way_id NOT IN (SELECT DISTINCT way_id FROM ntm)),
+         segpts AS (
+           SELECT s.edge_id, s.group_id, s.sequence_id,
+                  CAST(c.lon AS DOUBLE) AS lon, CAST(c.lat AS DOUBLE) AS lat,
+                  lead(CAST(c.lon AS DOUBLE)) OVER w AS lon2,
+                  lead(CAST(c.lat AS DOUBLE)) OVER w AS lat2
+           FROM segsrc s JOIN coords c ON c.node_id = s.node_id
+           WINDOW w AS (PARTITION BY s.edge_id, s.group_id ORDER BY s.sequence_id)),
+         elen AS (
+           SELECT edge_id, group_id,
+                  CAST(round(sum(2 * 6371008.8 * asin(sqrt(
+                    sin(radians(lat2 - lat)/2)^2 +
+                    cos(radians(lat)) * cos(radians(lat2)) *
+                      sin(radians(lon2 - lon)/2)^2))) * 100) AS BIGINT) AS w
+           FROM segpts WHERE lon2 IS NOT NULL GROUP BY edge_id, group_id),
+         attrs(way_id, highway, oneway) AS (VALUES
+           (101,'residential',CAST(NULL AS VARCHAR)),(102,'tertiary',CAST(NULL AS VARCHAR)),
+           (103,'primary','yes'),(104,'motorway','-1'),
+           (106,'motorway',CAST(NULL AS VARCHAR)),(109,'tertiary',CAST(NULL AS VARCHAR))),
+         m4 AS (SELECT m.start_node, m.end_node, l.w, a.highway, a.oneway
+                FROM merged m
+                JOIN elen l ON m.edge_id = l.edge_id AND m.group_id = l.group_id
+                JOIN attrs a ON m.edge_id = a.way_id),
+         dedges AS (
+           SELECT start_node AS src, end_node AS dst, w FROM m4
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT end_node, start_node, w FROM m4
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT start_node, end_node, w FROM m4
+            WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+           UNION ALL
+           SELECT end_node, start_node, w FROM m4 WHERE oneway = '-1'),
+         r(node, dist, hops) AS (
+           SELECT 1, CAST(0 AS BIGINT), 0
+           UNION ALL
+           SELECT e.dst, r.dist + e.w, r.hops + 1
+           FROM r JOIN dedges e ON e.src = r.node WHERE r.hops < 8)"""
 
   /** Same candidate CTEs, verified by DuckDB's own levenshtein instead
     * of Jaccard — an independent edit-distance implementation agreeing
