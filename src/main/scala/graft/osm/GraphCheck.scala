@@ -150,7 +150,8 @@ object GraphCheck {
     // reports 0 to mark the local path. Set localThreshold = 0 to
     // force the distributed loop.
     if (localThreshold > 0 &&
-        eChk.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+        eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
       val isLong = eChk.schema("w").dataType ==
         org.apache.spark.sql.types.LongType
       val es = eChk.select(col("start_node"), col("end_node"),
@@ -240,7 +241,8 @@ object GraphCheck {
     val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
       .localCheckpoint(true)
     if (localThreshold > 0 &&
-        eChk.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+        eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
       val adj = eChk.select(col("start_node"), col("end_node"),
           col("w").cast("double")).collect()
         .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
