@@ -1496,6 +1496,22 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- sampled closeness centrality (the space-syntax accessibility
+    //      measure the reference's igraph hand-off computes): per node,
+    //      the exact integer SUM of distances from every sampled source
+    //      that reaches it + the reaching count — division happens at
+    //      presentation time, so the relation stays hash-exact.
+    "q_osm_closeness" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      osm.GraphCheck.closenessFromSources(e, Seq(1L, 3L, 4L, 5L, 6L))
+        .select(col("node_id"), col("sum_dist").as("sum_cm"), col("n_from"))
+        .orderBy("node_id")
+    }),
+
     // ---- routing with PATH reconstruction (what pgr_dijkstra actually
     //      returns): predecessor-tracking relaxation + O(path-length)
     //      driver walk-back — never a full collect of the distance
@@ -3335,6 +3351,24 @@ object SparkEntry {
          SELECT CAST(node AS BIGINT) AS node_id,
                 CAST(min(dist) AS BIGINT) AS dist_cm
          FROM r GROUP BY node ORDER BY node_id"""),
+    // closeness pieces: the same chain, recursion re-seeded at every
+    // sampled source (seed column), per-(seed,node) min, then integer
+    // sum + count per node — the unused single-seed `r` CTE from the
+    // shared core is simply not referenced
+    "q_osm_closeness" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         rc(seed, node, dist, hops) AS (
+           SELECT seed, seed, CAST(0 AS BIGINT), 0
+           FROM (VALUES (1), (3), (4), (5), (6)) s(seed)
+           UNION ALL
+           SELECT rc.seed, e.dst, rc.dist + e.w, rc.hops + 1
+           FROM rc JOIN dedges e ON e.src = rc.node WHERE rc.hops < 8),
+         mc AS (SELECT seed, node, min(dist) AS d FROM rc GROUP BY seed, node)
+         SELECT CAST(node AS BIGINT) AS node_id,
+                CAST(sum(d) AS BIGINT) AS sum_cm,
+                count(*) AS n_from
+         FROM mc GROUP BY node ORDER BY node_id"""),
     // the service area: same recursion, cutoff applied to the per-node
     // minimum (not the raw path rows — a long path to a near node must
     // not drop it)

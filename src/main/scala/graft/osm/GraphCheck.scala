@@ -219,6 +219,28 @@ object GraphCheck {
       maxIter: Int = 100): DataFrame =
     shortestPathsWithRounds(edges, source, maxIter)._1
 
+  /** Sampled closeness centrality: per node, the SUM of network
+    * distances from each of `sources` that reaches it, plus the
+    * reaching-source count — the exact integer pieces of avg distance
+    * (emit the division at presentation time; sums and counts stay
+    * hash-exact). Exact closeness is all-pairs SSSP — O(V) relaxations,
+    * off the table at road-network scale — so the standard estimator
+    * runs k sampled sources; this is that, as k driver-orchestrated
+    * SSSP jobs over ONE materialized edge relation (each run takes the
+    * broadcast-local or distributed path per its own size check). This
+    * is the space-syntax accessibility surface the reference's exports
+    * feed (osm-pg-etl.md's igraph hand-off). */
+  def closenessFromSources(edges: DataFrame, sources: Seq[Long],
+      maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
+      .localCheckpoint(true)
+    sources.map { s0 =>
+      multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
+    }.reduce(_.unionByName(_))
+      .groupBy("node_id")
+      .agg(sum(col("dist")).as("sum_dist"), count(lit(1)).as("n_from"))
+  }
+
   /** Shortest PATH (node sequence + distance) from `source` to
     * `target` — what `pgr_dijkstra` actually returns. Same relaxation
     * loop but the per-node state is `min(struct(dist, pred))`, so on
