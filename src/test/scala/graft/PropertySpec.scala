@@ -208,6 +208,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("SSSP (both paths) == Floyd-Warshall on random weighted digraphs") {
+    import graft.osm.GraphCheck
+    (1 to 5).foreach { _ =>
+      val n = 6 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextInt(100) < 25
+      } yield (a.toLong, b.toLong, (1 + rnd.nextInt(9)).toLong))
+      if (edges.nonEmpty) {
+        // driver Floyd-Warshall reference
+        val INF = Long.MaxValue / 4
+        val d = Array.fill(n, n)(INF)
+        (0 until n).foreach(i => d(i)(i) = 0L)
+        edges.foreach { case (a, b, w) =>
+          d(a.toInt)(b.toInt) = math.min(d(a.toInt)(b.toInt), w) }
+        for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+          if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+        val src = rnd.nextInt(n).toLong
+        val want = (0 until n).filter(d(src.toInt)(_) < INF)
+          .map(v => v.toLong -> d(src.toInt)(v)).toMap
+        val df = edges.toDF("start_node", "end_node", "w")
+        Seq(0L, 100000L).foreach { thr => // distributed and local paths
+          val got = GraphCheck.multiSourceShortestPaths(df, Seq(src),
+              localThreshold = thr)._1
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got === want, s"n=$n src=$src thr=$thr")
+        }
+      }
+    }
+  }
+
   test("simplifyLine is idempotent; closestPoint distance respects it") {
     import graft.functions.GraftFunctions.{closestPointOnLine, simplifyLine}
     (1 to 15).foreach { _ =>
