@@ -1512,6 +1512,20 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- PageRank over the strict directed graph: 20 fixed
+    //      iterations, dangling mass leaks (both sides implement the
+    //      same semantics); 8-place rounding absorbs the ~1e-14
+    //      partition-order float drift in the per-node inbound sums.
+    "q_osm_pagerank" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"))
+      osm.GraphCheck.pageRank(e, iters = 20)
+        .select(col("node_id"), round(col("rank"), 8).as("rank"))
+        .orderBy("node_id")
+    }),
+
     // ---- routing with PATH reconstruction (what pgr_dijkstra actually
     //      returns): predecessor-tracking relaxation + O(path-length)
     //      driver walk-back — never a full collect of the distance
@@ -3611,6 +3625,7 @@ object SparkEntry {
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_d_minhash_pairs" -> minhashOracleSql,
     "q_d_editdist_pairs" -> editDistOracleSql,
+    "q_osm_pagerank" -> pagerankOracleSql,
     "q_d_neardup_keep" -> neardupKeepOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
     "q_d_dup_passages" ->
@@ -3901,6 +3916,38 @@ object SparkEntry {
            UNION ALL
            SELECT e.dst, r.dist + e.w, r.hops + 1
            FROM r JOIN dedges e ON e.src = r.node WHERE r.hops < 8)"""
+
+  /** PageRank oracle: the same strict directed edge set (shared routing
+    * core), iterations UNROLLED as generated CTEs p0..p20 — recursive
+    * CTEs can't aggregate over their own recursive reference, so the
+    * fixed iteration count becomes a fixed CTE chain. Semantics mirror
+    * GraphCheck.pageRank exactly (dangling mass leaks; teleport
+    * 0.15/n), and 8-place rounding on both sides absorbs float-sum
+    * order drift. */
+  private def pagerankOracleSql: String = {
+    val iters = 20
+    val chain = (1 to iters).map { k =>
+      s"""         p$k AS (
+           SELECT nd.node, 0.15 / nn.n + 0.85 * COALESCE(s.c, 0) AS rank
+           FROM pgnodes nd CROSS JOIN nn
+           LEFT JOIN (
+             SELECT e.dst AS node, sum(p${k - 1}.rank / od.deg) AS c
+             FROM dedges e JOIN p${k - 1} ON e.src = p${k - 1}.node
+                           JOIN od ON od.node = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)"""
+    }.mkString(",\n")
+    OsmOracle.graphPrefix.replaceFirst("WITH", "WITH RECURSIVE") +
+      oracleRouteCore + s""",
+         pgnodes AS (SELECT DISTINCT src AS node FROM dedges
+                     UNION SELECT DISTINCT dst FROM dedges),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pgnodes),
+         od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+                FROM dedges GROUP BY src),
+         p0 AS (SELECT node, 1.0 / nn.n AS rank FROM pgnodes CROSS JOIN nn),
+$chain
+         SELECT CAST(node AS BIGINT) AS node_id, round(rank, 8) AS rank
+         FROM p$iters ORDER BY node_id"""
+  }
 
   /** Same candidate CTEs, verified by DuckDB's own levenshtein instead
     * of Jaccard — an independent edit-distance implementation agreeing

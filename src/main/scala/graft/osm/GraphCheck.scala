@@ -219,6 +219,48 @@ object GraphCheck {
       maxIter: Int = 100): DataFrame =
     shortestPathsWithRounds(edges, source, maxIter)._1
 
+  /** PageRank over the directed edge list — fixed iteration count,
+    * classic join-aggregate Pregel shape: one pass computes out-degrees
+    * (joined onto the edge relation ONCE, outside the loop), then each
+    * iteration is one equi-join (rank flows along edges as
+    * rank/outdeg) + one sum-agg + the teleport term. Dangling nodes
+    * keep the teleport share only (mass leaks — the simplest
+    * consistent semantics, mirrored exactly by the oracle's unrolled
+    * iterations). Checkpoint every iteration keeps plans flat.
+    *
+    * 100 TB shape: per-iteration cost is exactly one shuffle join +
+    * one shuffle agg over E — the same loop economics as
+    * [[connectedComponentsWithRounds]]; iteration count is a fixed
+    * budget (20 ≈ 1e-7 residual at damping 0.85), not data-dependent. */
+  def pageRank(edges: DataFrame, iters: Int = 20,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("start_node").as("src"),
+      col("end_node").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val teleport = (1.0 - damping) / n
+    // out-degree rides the edge relation from the start: the per-round
+    // join is rank-only
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
+      .localCheckpoint(true)
+    var rank = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val inbound = ew.join(rank, ew("src") === rank("node_id"))
+        .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__s"))
+      rank = nodes.join(inbound, nodes("node_id") === inbound("dst"), "left_outer")
+        .select(col("node_id"),
+          (lit(teleport) + lit(damping) * coalesce(col("__s"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    rank
+  }
+
   /** Sampled closeness centrality: per node, the SUM of network
     * distances from each of `sources` that reaches it, plus the
     * reaching-source count — the exact integer pieces of avg distance
