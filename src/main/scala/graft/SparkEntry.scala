@@ -1512,6 +1512,43 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- K shortest paths (pgr_ksp, Yen): route alternatives over the
+    //      rebuilt graph augmented with two fixed shortcut edges (the
+    //      micro network is a tree — without them there is exactly one
+    //      simple 1→4 path and KSP is vacuous). Integer-centimeter
+    //      weights; rank ties (none here) break on the path string.
+    "q_osm_ksp" -> ((s, dir) => {
+      import s.implicits._
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val base = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      val shortcuts = Seq((1L, 5L, 150000L), (6L, 4L, 140000L))
+        .toDF("start_node", "end_node", "w")
+      val e = base.unionByName(shortcuts)
+      osm.GraphCheck.kShortestPaths(e, source = 1L, target = 4L, k = 3)
+        .zipWithIndex
+        .map { case ((p, d), i) =>
+          (i.toLong + 1, p.mkString(","), math.round(d)) }
+        .toDF("rank", "path", "dist_cm").orderBy("rank")
+    }),
+
+    // ---- strongly connected components (pgr_strongComponents): the
+    //      DIRECTED routable-core health check — oneway tags create
+    //      one-way-in pockets that undirected components can't see.
+    //      Label = max node id of the SCC (deterministic, so the
+    //      mutual-reachability oracle reproduces it exactly).
+    "q_osm_scc" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"))
+      osm.GraphCheck.stronglyConnectedComponents(e)
+        .select(col("node_id"), col("scc"))
+        .orderBy("node_id")
+    }),
+
     // ---- PageRank over the strict directed graph: 20 fixed
     //      iterations, dangling mass leaks (both sides implement the
     //      same semantics); 8-place rounding absorbs the ~1e-14
@@ -3383,6 +3420,45 @@ object SparkEntry {
                 CAST(sum(d) AS BIGINT) AS sum_cm,
                 count(*) AS n_from
          FROM mc GROUP BY node ORDER BY node_id"""),
+    // K shortest paths: enumerate ALL simple 1→4 paths over the same
+    // rebuilt graph + the two literal shortcut edges (the recursion
+    // forbids node revisits, so it terminates), rank by (dist, path)
+    // — Yen's loopless semantics is exactly top-k of this enumeration
+    "q_osm_ksp" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         dedges2 AS (
+           SELECT src, dst, w FROM dedges
+           UNION ALL
+           SELECT src, dst, CAST(w AS BIGINT)
+           FROM (VALUES (1, 5, 150000), (6, 4, 140000)) v(src, dst, w)),
+         kp(node, dist, path) AS (
+           SELECT 1, CAST(0 AS BIGINT), '1'
+           UNION ALL
+           SELECT e.dst, kp.dist + e.w,
+                  kp.path || ',' || CAST(e.dst AS VARCHAR)
+           FROM kp JOIN dedges2 e ON e.src = kp.node
+           WHERE (',' || kp.path || ',')
+                 NOT LIKE ('%,' || CAST(e.dst AS VARCHAR) || ',%'))
+         SELECT CAST(row_number() OVER (ORDER BY dist, path) AS BIGINT) AS rank,
+                path, dist AS dist_cm
+         FROM kp WHERE node = 4 ORDER BY rank LIMIT 3"""),
+    // strongly connected components: full reachability closure rr via
+    // a DISTINCT recursive CTE (terminates on cycles without a hop
+    // bound), SCC label = max mutually-reachable node — the engine's
+    // coloring-algorithm label is provably the same max
+    "q_osm_scc" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         gnodes AS (SELECT DISTINCT src AS node FROM dedges
+                    UNION SELECT DISTINCT dst FROM dedges),
+         rr(a, b) AS (
+           SELECT node, node FROM gnodes
+           UNION
+           SELECT rr.a, e.dst FROM rr JOIN dedges e ON e.src = rr.b)
+         SELECT CAST(f.a AS BIGINT) AS node_id, CAST(max(f.b) AS BIGINT) AS scc
+         FROM rr f JOIN rr r ON f.a = r.b AND f.b = r.a
+         GROUP BY f.a ORDER BY node_id"""),
     // the service area: same recursion, cutoff applied to the per-node
     // minimum (not the raw path rows — a long path to a near node must
     // not drop it)

@@ -283,6 +283,272 @@ object GraphCheck {
       .agg(sum(col("dist")).as("sum_dist"), count(lit(1)).as("n_from"))
   }
 
+  /** A* shortest path (`pgr_aStar` analog) with the great-circle
+    * heuristic. Result contract is IDENTICAL to [[shortestPathTo]]:
+    * edge weights are haversine-summed centimeter lengths, so the
+    * straight-line great-circle distance to the target never
+    * overestimates (admissible) and obeys the spherical triangle
+    * inequality (consistent) — A* returns THE shortest path while
+    * settling fewer nodes. The heuristic is a visit-order acceleration
+    * for the collected regime; above `localThreshold` the search
+    * delegates to [[shortestPathTo]]'s distributed frontier relaxation
+    * (whose improved-only frontier plays the same pruning role), so
+    * results are identical at any scale.
+    *
+    * `coords` is `(node_id, lon, lat)` in degrees — semi-join-pruned to
+    * the graph's node universe before collection, so passing the full
+    * planet node table costs one broadcast join, not a planet collect.
+    * Weights must be centimeters for unit agreement with the heuristic.
+    * Equal-cost ties keep the smaller predecessor (same contract as
+    * [[shortestPathTo]]).
+    *
+    * Returns (path, total distance, settled-node count); the count is
+    * -1 on the distributed delegation (no meaningful single count). */
+  def aStarPathTo(edges: DataFrame, coords: DataFrame, source: Long,
+      target: Long, maxIter: Int = 100,
+      localThreshold: Long = 100000L): Option[(Seq[Long], Double, Long)] = {
+    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
+      .localCheckpoint(true)
+    val isLocal = localThreshold > 0 &&
+      eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+        .count() <= localThreshold
+    if (!isLocal)
+      return shortestPathTo(eChk, source, target, maxIter, localThreshold)
+        .map { case (p, d) => (p, d, -1L) }
+    val nodes = eChk.select(col("start_node").as("node_id"))
+      .unionByName(eChk.select(col("end_node").as("node_id"))).distinct()
+    val xy = coords.select(col("node_id"), col("lon"), col("lat"))
+      .join(nodes, Seq("node_id"), "left_semi")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val adj = eChk.select(col("start_node"), col("end_node"),
+        col("w").cast("double")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    if (!xy.contains(target)) return None
+    val (tLon, tLat) = xy(target)
+    def hCm(v: Long): Double = xy.get(v).map { case (lon, lat) =>
+      val dLat = math.toRadians(tLat - lat)
+      val dLon = math.toRadians(tLon - lon)
+      val a = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(lat)) * math.cos(math.toRadians(tLat)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2.0 * 6371008.8 * math.asin(math.sqrt(a)) * 100.0
+    }.getOrElse(0.0) // unknown coords: h=0 stays admissible
+    val dist = scala.collection.mutable.Map(source -> 0.0)
+    val pred = scala.collection.mutable.Map(source -> source)
+    val closed = scala.collection.mutable.Set[Long]()
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
+    pq.enqueue((hCm(source), source))
+    var settled = 0L
+    var done = false
+    while (pq.nonEmpty && !done) {
+      val (_, u) = pq.dequeue()
+      if (!closed(u)) {
+        closed += u
+        settled += 1
+        if (u == target) done = true
+        else adj.getOrElse(u, Array.empty[(Long, Double)]).foreach {
+          case (v, w) =>
+            val nd = dist(u) + w
+            if (!dist.contains(v) || nd < dist(v)) {
+              dist(v) = nd; pred(v) = u; pq.enqueue((nd + hCm(v), v))
+            } else if (nd == dist(v) && u < pred(v)) pred(v) = u
+        }
+      }
+    }
+    if (!closed(target)) None
+    else {
+      var path = List(target); var cur = target
+      while (cur != source) { cur = pred(cur); path = cur :: path }
+      Some((path, dist(target), settled))
+    }
+  }
+
+  /** Yen's K shortest LOOPLESS paths (`pgr_ksp` analog) from `source`
+    * to `target` over the weighted directed edge list. The reference's
+    * exports feed pgRouting, whose KSP answers "give me alternatives" —
+    * the navigation query one path can't.
+    *
+    * Driver-orchestrated Yen: each spur computation is a full
+    * [[shortestPathTo]] over the edge relation with the root-path nodes
+    * and the already-used continuation edges removed (one broadcast
+    * anti-join + an isin filter — the removal set is O(k · path)
+    * rows), so every sub-search independently takes the broadcast-local
+    * or distributed loop per its own size check. The driver holds only
+    * the k result paths and the per-prefix costs — path-sized state,
+    * never the graph.
+    *
+    * Determinism: candidates order by (total, comma-joined path) and
+    * parallel edges collapse to their min weight (the only weight
+    * Dijkstra can use), so an independent enumerate-all-simple-paths
+    * oracle ranks identically. (As in any Yen implementation, spur
+    * searches returning one of several EQUAL-cost spur paths can hide
+    * the others; weights from real geometry make exact ties
+    * measure-zero, and the fixture has none.)
+    *
+    * Returns up to k `(path nodes, total distance)` in rank order. */
+  def kShortestPaths(edges: DataFrame, source: Long, target: Long,
+      k: Int, maxIter: Int = 100,
+      localThreshold: Long = 100000L): Seq[(Seq[Long], Double)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
+      .localCheckpoint(true)
+    val first = shortestPathTo(eChk, source, target, maxIter, localThreshold)
+    if (first.isEmpty || k <= 0) return Seq.empty
+    // per-pair min weights along one accepted path: a path-sized
+    // broadcast join, collected once per outer iteration
+    def pairWeights(p: Seq[Long]): Map[(Long, Long), Double] = {
+      val pdf = p.zip(p.tail).distinct.toDF("start_node", "end_node")
+      eChk.join(broadcast(pdf), Seq("start_node", "end_node"))
+        .groupBy("start_node", "end_node")
+        .agg(min(col("w").cast("double")).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    }
+    val accepted = scala.collection.mutable.ArrayBuffer(first.get)
+    implicit val candOrd: Ordering[(Double, Seq[Long])] =
+      Ordering.by { case (c, p) => (c, p.mkString(",")) }
+    val candidates = scala.collection.mutable.SortedSet.empty[(Double, Seq[Long])]
+    while (accepted.size < k) {
+      val prev = accepted.last._1
+      val w = pairWeights(prev)
+      val prefixCost = prev.zip(prev.tail)
+        .scanLeft(0.0) { case (acc, pair) => acc + w(pair) }
+      for (i <- 0 until prev.size - 1) {
+        val spurNode = prev(i)
+        val rootPath = prev.take(i + 1)
+        // continuation edges of every accepted path sharing this root
+        val removedEdges = accepted.map(_._1)
+          .filter(p => p.size > i + 1 && p.take(i + 1) == rootPath)
+          .map(p => (p(i), p(i + 1))).distinct
+        val removedNodes = rootPath.dropRight(1)
+        var filtered = eChk.join(
+          broadcast(removedEdges.toDF("start_node", "end_node")),
+          Seq("start_node", "end_node"), "left_anti")
+        if (removedNodes.nonEmpty)
+          filtered = filtered.filter(
+            !col("start_node").isin(removedNodes: _*) &&
+            !col("end_node").isin(removedNodes: _*))
+        shortestPathTo(filtered, spurNode, target, maxIter, localThreshold)
+          .foreach { case (spur, spurDist) =>
+            val full = rootPath.dropRight(1) ++ spur
+            if (!accepted.exists(_._1 == full))
+              candidates += ((prefixCost(i) + spurDist, full))
+          }
+      }
+      if (candidates.isEmpty) return accepted.toSeq
+      val best = candidates.head
+      candidates -= best
+      accepted += ((best._2, best._1))
+    }
+    accepted.toSeq
+  }
+
+  /** Strongly connected components of the DIRECTED edge list — the
+    * `pgr_strongComponents` analog. A directed road graph's routable
+    * core is its giant SCC: oneway tags (and tag errors) create
+    * one-way-in pockets that routing must not treat as reachable both
+    * ways, so the SCC pass is the directed-graph health check that
+    * belongs next to [[connectedComponents]] before an edge-list export
+    * (`osm-road-graphs.sql:223-254` hands exactly this edge shape to
+    * pgRouting, whose `pgr_strongComponents` answers the same
+    * question).
+    *
+    * Coloring algorithm (Orzan's forward-max / backward-confirm, the
+    * standard Pregel SCC shape), peeling rounds on the remaining
+    * subgraph:
+    *   1. forward MAX-label propagation: `color(v)` converges to the
+    *      largest remaining id with a directed path to `v` (rounds
+    *      bounded by remaining diameter — same loop economics as one
+    *      SSSP);
+    *   2. roots are nodes whose color is their own id; a root `c`'s SCC
+    *      is every node of color `c` that reaches `c` BACKWARD through
+    *      nodes of color `c` (stepwise growth enforces the color class
+    *      at every hop);
+    *   3. emit those SCCs, anti-join them out, repeat. Every peel
+    *      settles at least the SCC of the max remaining id, and road
+    *      networks (one giant routable core + oneway tails) finish in
+    *      a handful of peels.
+    *
+    * The emitted label is the MAX node id of the SCC (the root `c` has
+    * color `c`, so no larger id reaches it; any member larger than `c`
+    * would propagate its id onto `c`) — deterministic, so an
+    * independent mutual-reachability oracle can reproduce it exactly.
+    * Isolated nodes (no edges) are not in the node universe, matching
+    * the edge-list domain. */
+  def stronglyConnectedComponents(edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val e0 = edges.select(col("start_node").as("src"), col("end_node").as("dst"))
+      .distinct().localCheckpoint(true)
+    var remE = e0
+    var remaining = e0.select(col("src").as("node_id"))
+      .unionByName(e0.select(col("dst").as("node_id")))
+      .distinct().localCheckpoint(true)
+    var out: DataFrame = remaining.limit(0)
+      .withColumn("scc", col("node_id"))
+    var outer = 0
+    while (remaining.limit(1).count() > 0 && outer < maxIter) {
+      // (1) forward max-color propagation to fixpoint. Colors only
+      // increase, so the color SUM is a one-scalar fixpoint witness
+      // (decimal accumulator: planet ids ~1e10 over ~1e9 nodes
+      // overflow a Long).
+      var color = remaining.withColumn("color", col("node_id"))
+        .localCheckpoint(true)
+      var prevSum: java.math.BigDecimal = null
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val prop = remE.join(color, remE("src") === color("node_id"))
+          .select(col("dst").as("node_id"), col("color"))
+        val next = color.unionByName(prop)
+          .groupBy("node_id").agg(max(col("color")).as("color"))
+          .localCheckpoint(true)
+        val s = next.agg(sum(col("color").cast("decimal(38,0)"))).head()
+          .getDecimal(0)
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+        color = next
+        i += 1
+      }
+      // (2) backward containment from the roots, restricted to the
+      // color class at every hop. Membership only grows; count is the
+      // fixpoint witness.
+      var scc = color.filter(col("color") === col("node_id"))
+        .select(col("node_id"), col("node_id").as("scc"))
+        .localCheckpoint(true)
+      var prevN = -1L
+      var n = scc.count()
+      var j = 0
+      while (n != prevN && j < maxIter) {
+        prevN = n
+        val grow = remE.join(scc, remE("dst") === scc("node_id"))
+          .select(remE("src").as("node_id"), col("scc"))
+          .join(color, Seq("node_id"))
+          .filter(col("color") === col("scc"))
+          .select(col("node_id"), col("scc"))
+        scc = scc.unionByName(grow)
+          .groupBy("node_id").agg(min(col("scc")).as("scc"))
+          .localCheckpoint(true)
+        n = scc.count()
+        j += 1
+      }
+      out = out.unionByName(scc).localCheckpoint(true)
+      // (3) peel: drop settled nodes and every edge touching them
+      remaining = remaining.join(scc, Seq("node_id"), "left_anti")
+        .localCheckpoint(true)
+      val settledIds = scc.select(col("node_id"))
+      remE = remE
+        .join(settledIds.withColumnRenamed("node_id", "src"), Seq("src"), "left_anti")
+        .join(settledIds.withColumnRenamed("node_id", "dst"), Seq("dst"), "left_anti")
+        .localCheckpoint(true)
+      outer += 1
+    }
+    out
+  }
+
   /** Shortest PATH (node sequence + distance) from `source` to
     * `target` — what `pgr_dijkstra` actually returns. Same relaxation
     * loop but the per-node state is `min(struct(dist, pred))`, so on

@@ -270,6 +270,56 @@ class RoadGraphSpec extends SparkTestBase {
     assert(fd === Map(1L -> 0.0, 2L -> 0.25, 3L -> 0.5))
   }
 
+  test("stronglyConnectedComponents: coloring == mutual reachability") {
+    // micro fixture, strict semantics: endpoint vertices {1,3,4,5,6}
+    // mutually reachable (two-way residential/tertiary; n2 is interior
+    // to the 1..3 segment, not a vertex), 7→8 oneway, 8↔12 two-way,
+    // 10→9 via the reversed motorway, 106 dropped by strict 3VL
+    val e = RoadGraph.directed(merged)
+      .select(col("start_node"), col("end_node"))
+    val scc = GraphCheck.stronglyConnectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc === Map(
+      1L -> 6L, 3L -> 6L, 4L -> 6L, 5L -> 6L, 6L -> 6L,
+      7L -> 7L, 8L -> 12L, 9L -> 9L, 10L -> 10L, 12L -> 12L))
+
+    // hand-built digraph: cycle {1,2,3}, tail 3→4, two-cycle {4,5},
+    // entry 6→1 — peeling must separate all four SCCs
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+        (5L, 4L), (6L, 1L))
+      .toDF("start_node", "end_node")
+    val s2 = GraphCheck.stronglyConnectedComponents(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 5L, 5L -> 5L, 6L -> 6L))
+
+    // brute-force property check on random digraphs: SCC label must be
+    // the max mutually-reachable node under transitive closure
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val edges = (for (a <- 1 to n; b <- 1 to n
+        if a != b && rnd.nextDouble() < 0.12) yield (a.toLong, b.toLong))
+      if (edges.nonEmpty) {
+        val reach = Array.fill(n + 1, n + 1)(false)
+        edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+        for (k <- 1 to n; i <- 1 to n; j <- 1 to n)
+          if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+        val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+        val expect = nodes.map { v =>
+          val mutual = nodes.filter(u => u == v ||
+            (reach(v.toInt)(u.toInt) && reach(u.toInt)(v.toInt)))
+          v -> mutual.max
+        }.toMap
+        val got = GraphCheck.stronglyConnectedComponents(
+            edges.toDF("start_node", "end_node"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expect)
+      }
+    }
+  }
+
   test("shortestPathTo: node sequence, unreachable None, tie to smaller pred") {
     val e = RoadGraph.directed(merged)
       .select(col("start_node"), col("end_node"),
