@@ -1581,6 +1581,51 @@ object SparkEntry {
         .toDF("seq", "node_id", "total_cm").orderBy("seq")
     }),
 
+    // ---- pgRouting result-relation shape (pgr_dijkstra): per-edge
+    //      rows (seq, path_seq, node, edge, cost, agg_cost) for the
+    //      1→4 route — the exact relation osm-pg-etl.md:55-78
+    //      consumers script against. `edge` is the way-derived edge id
+    //      from the merged network; terminal row edge=-1, cost=0.
+    "q_osm_route_edges" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"), col("edge_id"),
+          round(col("length") * 100).cast("long").as("w"))
+      val (path, _) = osm.GraphCheck.shortestPathTo(
+        e.select("start_node", "end_node", "w"), 1L, 4L).get
+      osm.GraphCheck.routeEdgeRows(e, Seq((1L, path)))
+        .select(col("seq"), col("path_seq"), col("node"), col("edge"),
+          col("cost").cast("long").as("cost_cm"),
+          col("agg_cost").cast("long").as("agg_cm"))
+        .orderBy("seq")
+    }),
+
+    // ---- pgRouting result-relation shape (pgr_ksp): the same per-edge
+    //      rows with path_id rank over the 3 KSP alternatives on the
+    //      shortcut-augmented graph (shortcuts get synthetic edge ids
+    //      9001/9002, exactly how pgRouting users tag virtual edges).
+    "q_osm_ksp_edges" -> ((s, dir) => {
+      import s.implicits._
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val base = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"), col("edge_id"),
+          round(col("length") * 100).cast("long").as("w"))
+      val shortcuts = Seq((1L, 5L, 9001L, 150000L), (6L, 4L, 9002L, 140000L))
+        .toDF("start_node", "end_node", "edge_id", "w")
+      val e = base.unionByName(shortcuts)
+      val ks = osm.GraphCheck.kShortestPaths(
+        e.select("start_node", "end_node", "w"), 1L, 4L, k = 3)
+      osm.GraphCheck.routeEdgeRows(e,
+          ks.zipWithIndex.map { case ((p, _), i) => (i.toLong + 1, p) })
+        .select(col("seq"), col("path_id"), col("path_seq"), col("node"),
+          col("edge"),
+          col("cost").cast("long").as("cost_cm"),
+          col("agg_cost").cast("long").as("agg_cm"))
+        .orderBy("seq")
+    }),
+
     // ---- OSM POI-to-network snap (the pgRouting stop-matching step):
     //      POIs from the micro fixture snapped onto the merged network
     //      via the grid-bucketed nearest-edge join. The bench (n11)
@@ -3529,6 +3574,87 @@ object SparkEntry {
                 CAST(unnest(path) AS BIGINT) AS node_id,
                 CAST(dist AS BIGINT) AS total_cm
          FROM sel ORDER BY seq"""),
+    // pgr_dijkstra-shaped per-edge rows: the route_path enumeration
+    // plus a per-hop best-edge lookup (min (w, edge_id) — the only
+    // edge Dijkstra can have used, id tiebreak for determinism);
+    // running agg_cost via a 1-PRECEDING window; terminal row -1/0
+    "q_osm_route_edges" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteIdCore +
+      """,
+         r2(node, dist, path) AS (
+           SELECT 1, CAST(0 AS BIGINT), [CAST(1 AS BIGINT)]
+           UNION ALL
+           SELECT e.dst, r2.dist + e.w, list_append(r2.path, CAST(e.dst AS BIGINT))
+           FROM r2 JOIN dedges e ON e.src = r2.node WHERE len(r2.path) <= 8),
+         sel AS (SELECT dist, path FROM r2 WHERE node = 4
+                 ORDER BY dist, path LIMIT 1),
+         expd AS (SELECT CAST(generate_subscripts(path, 1) AS BIGINT) AS seq,
+                         CAST(unnest(path) AS BIGINT) AS node
+                  FROM sel),
+         be AS (SELECT src, dst, w, eid,
+                       row_number() OVER (PARTITION BY src, dst
+                                          ORDER BY w, eid) AS rn
+                FROM dedges),
+         hops AS (SELECT seq, node,
+                         lead(node) OVER (ORDER BY seq) AS nxt
+                  FROM expd)
+         SELECT h.seq, h.seq AS path_seq, h.node,
+                CAST(coalesce(b.eid, -1) AS BIGINT) AS edge,
+                CAST(coalesce(b.w, 0) AS BIGINT) AS cost_cm,
+                CAST(coalesce(sum(b.w) OVER (ORDER BY h.seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS agg_cm
+         FROM hops h LEFT JOIN be b
+           ON b.src = h.node AND b.dst = h.nxt AND b.rn = 1
+         ORDER BY seq"""),
+    // pgr_ksp-shaped per-edge rows: the KSP string enumeration ranked
+    // to top-3, split back to node lists, same best-edge lookup over
+    // the shortcut-augmented relation (virtual ids 9001/9002)
+    "q_osm_ksp_edges" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteIdCore +
+      """,
+         dedges2 AS (
+           SELECT src, dst, w, eid FROM dedges
+           UNION ALL
+           SELECT src, dst, CAST(w AS BIGINT), eid
+           FROM (VALUES (1, 5, 150000, 9001), (6, 4, 140000, 9002))
+                v(src, dst, w, eid)),
+         kp(node, dist, path) AS (
+           SELECT 1, CAST(0 AS BIGINT), '1'
+           UNION ALL
+           SELECT e.dst, kp.dist + e.w,
+                  kp.path || ',' || CAST(e.dst AS VARCHAR)
+           FROM kp JOIN dedges2 e ON e.src = kp.node
+           WHERE (',' || kp.path || ',')
+                 NOT LIKE ('%,' || CAST(e.dst AS VARCHAR) || ',%')),
+         top3 AS (SELECT CAST(row_number() OVER (ORDER BY dist, path)
+                    AS BIGINT) AS path_id, path
+                  FROM kp WHERE node = 4 ORDER BY dist, path LIMIT 3),
+         expd AS (SELECT path_id,
+                         CAST(generate_subscripts(l, 1) AS BIGINT) AS path_seq,
+                         CAST(unnest(l) AS BIGINT) AS node
+                  FROM (SELECT path_id, string_split(path, ',') AS l
+                        FROM top3)),
+         be AS (SELECT src, dst, w, eid,
+                       row_number() OVER (PARTITION BY src, dst
+                                          ORDER BY w, eid) AS rn
+                FROM dedges2),
+         hops AS (SELECT path_id, path_seq, node,
+                         lead(node) OVER (PARTITION BY path_id
+                                          ORDER BY path_seq) AS nxt
+                  FROM expd)
+         SELECT CAST(row_number() OVER (ORDER BY h.path_id, h.path_seq)
+                  AS BIGINT) AS seq,
+                h.path_id, h.path_seq, h.node,
+                CAST(coalesce(b.eid, -1) AS BIGINT) AS edge,
+                CAST(coalesce(b.w, 0) AS BIGINT) AS cost_cm,
+                CAST(coalesce(sum(b.w) OVER (PARTITION BY h.path_id
+                  ORDER BY h.path_seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS agg_cm
+         FROM hops h LEFT JOIN be b
+           ON b.src = h.node AND b.dst = h.nxt AND b.rn = 1
+         ORDER BY seq"""),
     // the known snap set on the micro fixture, stated literally: cafe
     // n5 and bakery n6 are W2 segment endpoints (exact snaps onto edge
     // 102); bench n11 (0.30, 0) lies on the interior of W9's
@@ -3992,6 +4118,55 @@ object SparkEntry {
            UNION ALL
            SELECT e.dst, r.dist + e.w, r.hops + 1
            FROM r JOIN dedges e ON e.src = r.node WHERE r.hops < 8)"""
+
+  /** [[oracleRouteCore]] with the way-derived edge id carried through
+    * `m4`/`dedges` (for the pgRouting-shaped per-edge row oracles) and
+    * without the trailing distance recursion — callers append their
+    * own path enumeration. */
+  private val oracleRouteIdCore: String = """,
+         coords(node_id, lon, lat) AS (VALUES
+           (1,0.00,0.0),(2,0.01,0.0),(3,0.02,0.0),(4,0.03,0.0),
+           (5,0.02,-0.01),(6,0.02,0.01),(7,0.10,0.0),(8,0.12,0.0),
+           (9,0.20,0.0),(10,0.22,0.0),(12,0.31,0.0)),
+         segsrc AS (
+           SELECT way_id AS edge_id, group_id, sequence_id, node_id FROM ntm
+           UNION ALL
+           SELECT way_id, -1, sequence_id, node_id FROM way_nodes
+           WHERE way_id NOT IN (SELECT DISTINCT way_id FROM ntm)),
+         segpts AS (
+           SELECT s.edge_id, s.group_id, s.sequence_id,
+                  CAST(c.lon AS DOUBLE) AS lon, CAST(c.lat AS DOUBLE) AS lat,
+                  lead(CAST(c.lon AS DOUBLE)) OVER w AS lon2,
+                  lead(CAST(c.lat AS DOUBLE)) OVER w AS lat2
+           FROM segsrc s JOIN coords c ON c.node_id = s.node_id
+           WINDOW w AS (PARTITION BY s.edge_id, s.group_id ORDER BY s.sequence_id)),
+         elen AS (
+           SELECT edge_id, group_id,
+                  CAST(round(sum(2 * 6371008.8 * asin(sqrt(
+                    sin(radians(lat2 - lat)/2)^2 +
+                    cos(radians(lat)) * cos(radians(lat2)) *
+                      sin(radians(lon2 - lon)/2)^2))) * 100) AS BIGINT) AS w
+           FROM segpts WHERE lon2 IS NOT NULL GROUP BY edge_id, group_id),
+         attrs(way_id, highway, oneway) AS (VALUES
+           (101,'residential',CAST(NULL AS VARCHAR)),(102,'tertiary',CAST(NULL AS VARCHAR)),
+           (103,'primary','yes'),(104,'motorway','-1'),
+           (106,'motorway',CAST(NULL AS VARCHAR)),(109,'tertiary',CAST(NULL AS VARCHAR))),
+         m4 AS (SELECT m.start_node, m.end_node, l.w,
+                       CAST(a.way_id AS BIGINT) AS eid, a.highway, a.oneway
+                FROM merged m
+                JOIN elen l ON m.edge_id = l.edge_id AND m.group_id = l.group_id
+                JOIN attrs a ON m.edge_id = a.way_id),
+         dedges AS (
+           SELECT start_node AS src, end_node AS dst, w, eid FROM m4
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT end_node, start_node, w, eid FROM m4
+            WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+           UNION ALL
+           SELECT start_node, end_node, w, eid FROM m4
+            WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+           UNION ALL
+           SELECT end_node, start_node, w, eid FROM m4 WHERE oneway = '-1')"""
 
   /** PageRank oracle: the same strict directed edge set (shared routing
     * core), iterations UNROLLED as generated CTEs p0..p20 — recursive

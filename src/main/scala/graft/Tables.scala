@@ -20,13 +20,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = read(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * raw long (sessions set spark.sql.legacy.parquet.nanosAsLong);
-    * normalize to a micros TimestampType column here — exact division,
-    * the synthetic data has no sub-microsecond precision that matters. */
-  def events(s: SparkSession, d: String): DataFrame =
-    read(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  /** events.ts has shipped as either TIMESTAMP(NANOS) parquet — which Spark
+    * reads as a raw long when spark.sql.legacy.parquet.nanosAsLong is set —
+    * or native TIMESTAMP(MICROS)/TIMESTAMP_NTZ. Normalize both shapes to a
+    * session-local TimestampType column so every downstream query sees one
+    * schema regardless of which generator produced the files. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

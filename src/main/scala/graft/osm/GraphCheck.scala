@@ -388,10 +388,69 @@ object GraphCheck {
     * the others; weights from real geometry make exact ties
     * measure-zero, and the fixture has none.)
     *
-    * Returns up to k `(path nodes, total distance)` in rank order. */
+    * Returns up to k `(path nodes, total distance)` in rank order.
+    *
+    * 100 TB shape — ellipse prune: Yen's spur searches are the scale
+    * hazard (k·|path| SSSPs over the near-full edge relation). Before
+    * the loop, TWO fixed SSSPs — forward from `source` and backward
+    * from `target` — bound every node's best possible through-cost;
+    * an edge (u,v,w) can sit on a path of cost ≤ B only if
+    * `dS(u) + w + dT(v) ≤ B`. With B = best·(1+slack) the pruned
+    * relation contains EVERY path of cost ≤ B (each such path lies
+    * entirely inside the ellipse), so Yen restricted to it returns the
+    * exact global top-k as long as the k-th cost is ≤ B — which the
+    * wrapper verifies, doubling the slack (re-prune, re-run) when it
+    * is not, and falling back to the unpruned relation after
+    * `maxEscalations`. On a road network the ellipse around one route
+    * is a vanishing fraction of the planet graph, so every spur search
+    * runs the broadcast-local Dijkstra path: spur-search job count is
+    * independent of full-graph size. */
   def kShortestPaths(edges: DataFrame, source: Long, target: Long,
       k: Int, maxIter: Int = 100,
-      localThreshold: Long = 100000L): Seq[(Seq[Long], Double)] = {
+      localThreshold: Long = 100000L, pruneSlack: Double = 0.5,
+      maxEscalations: Int = 3): Seq[(Seq[Long], Double)] = {
+    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
+      .localCheckpoint(true)
+    val first = shortestPathTo(eChk, source, target, maxIter, localThreshold)
+    if (first.isEmpty || k <= 0) return Seq.empty
+    if (k == 1) return Seq(first.get)
+    val best = first.get._2
+    // two SSSPs total, independent of k: forward tree from source and
+    // backward tree from target (reverse the edge relation)
+    val dS = multiSourceShortestPaths(eChk, Seq(source), maxIter,
+        localThreshold)._1
+      .select(col("node_id").as("__u"), col("dist").cast("double").as("__ds"))
+    val dT = multiSourceShortestPaths(
+        eChk.select(col("end_node").as("start_node"),
+          col("start_node").as("end_node"), col("w")),
+        Seq(target), maxIter, localThreshold)._1
+      .select(col("node_id").as("__v"), col("dist").cast("double").as("__dt"))
+    var slack = pruneSlack
+    var esc = 0
+    while (esc < maxEscalations) {
+      val bound = best * (1.0 + slack)
+      val pruned = eChk
+        .join(dS, eChk("start_node") === dS("__u"))
+        .join(dT, eChk("end_node") === dT("__v"))
+        .filter(col("__ds") + col("w").cast("double") + col("__dt")
+          <= lit(bound) + lit(1e-6))
+        .select(col("start_node"), col("end_node"), col("w"))
+      val res = yenCore(pruned, source, target, k, maxIter, localThreshold)
+      val within = res.takeWhile(_._2 <= bound + 1e-6)
+      // every path of cost <= bound lives in the pruned graph, so a
+      // within-bound prefix of size k is the exact global answer
+      if (within.size >= k) return within.take(k)
+      slack = (1.0 + slack) * 2.0 - 1.0 // double the bound over best
+      esc += 1
+    }
+    yenCore(eChk, source, target, k, maxIter, localThreshold)
+  }
+
+  /** Unpruned Yen loop over exactly the given edge relation (see
+    * [[kShortestPaths]] for the prune wrapper and semantics). */
+  private def yenCore(edges: DataFrame, source: Long, target: Long,
+      k: Int, maxIter: Int,
+      localThreshold: Long): Seq[(Seq[Long], Double)] = {
     val spark = edges.sparkSession
     import spark.implicits._
     val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
@@ -426,7 +485,7 @@ object GraphCheck {
           .map(p => (p(i), p(i + 1))).distinct
         val removedNodes = rootPath.dropRight(1)
         var filtered = eChk.join(
-          broadcast(removedEdges.toDF("start_node", "end_node")),
+          broadcast(removedEdges.toSeq.toDF("start_node", "end_node")),
           Seq("start_node", "end_node"), "left_anti")
         if (removedNodes.nonEmpty)
           filtered = filtered.filter(
@@ -643,5 +702,55 @@ object GraphCheck {
         if (cur == source) Some((path, total)) else None
       }
     } finally settled.unpersist()
+  }
+
+  /** pgRouting result-relation projection: expand node-sequence paths
+    * into the exact per-edge row shape `pgr_dijkstra`/`pgr_ksp`
+    * consumers script against (`osm-pg-etl.md:55-78`): one row per
+    * visited node carrying the edge LEAVING it — `(seq, path_id,
+    * path_seq, node, edge, cost, agg_cost)`, terminal row `edge = -1,
+    * cost = 0`. `edges` must carry `(start_node, end_node, edge_id,
+    * w)`; parallel edges collapse to min `(w, edge_id)` — the cheapest
+    * edge is the only one Dijkstra can have used, and the id tiebreak
+    * makes the relation deterministic. `edge` is the reference
+    * surface's way-derived edge id (split ways share their way's id,
+    * exactly as the reference's exported edge list does).
+    *
+    * Scale shape: ONE broadcast join of the O(k·|path|) pair set
+    * against the edge relation, then driver-side expansion of
+    * path-sized state — never a graph-sized collect. */
+  def routeEdgeRows(edges: DataFrame,
+      paths: Seq[(Long, Seq[Long])]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = paths.flatMap { case (_, p) => p.zip(p.tail) }.distinct
+    val pw: Map[(Long, Long), (Double, Long)] =
+      if (pairs.isEmpty) Map.empty
+      else edges
+        .join(broadcast(pairs.toDF("start_node", "end_node")),
+          Seq("start_node", "end_node"))
+        .groupBy("start_node", "end_node")
+        .agg(min(struct(col("w").cast("double").as("w"),
+          col("edge_id").cast("long").as("edge_id"))).as("__b"))
+        .select(col("start_node"), col("end_node"),
+          col("__b.w"), col("__b.edge_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+    var seq = 0L
+    val rows = paths.sortBy(_._1).flatMap { case (pid, p) =>
+      var agg = 0.0
+      p.zipWithIndex.map { case (n, i) =>
+        seq += 1
+        if (i < p.size - 1) {
+          val (c, eid) = pw((n, p(i + 1)))
+          val r = (seq, pid, i.toLong + 1, n, eid, c, agg)
+          agg += c
+          r
+        } else (seq, pid, i.toLong + 1, n, -1L, 0.0, agg)
+      }
+    }
+    rows.toDF("seq", "path_id", "path_seq", "node", "edge",
+      "cost", "agg_cost")
   }
 }
