@@ -76,6 +76,14 @@ object Geo {
   def collectMultiPoint(p: Column): Column =
     array_distinct(collect_list(p))
 
+  /** ST_AsText for a multipoint (our sorted-distinct point array). */
+  def asTextMultiPoint(pts: Column): Column =
+    concat(lit("MULTIPOINT("),
+      array_join(transform(pts, p =>
+        concat(p.getField("lon").cast("string"), lit(" "),
+          p.getField("lat").cast("string"))), ", "),
+      lit(")"))
+
   /** F22 ST_Intersection of two vertex sets (the blade computation,
     * osm-road-graphs-fix.sql:96): shared points of two lines. */
   def sharedPoints(a: Column, b: Column): Column =
@@ -258,6 +266,87 @@ object Geo {
       acc + when(straddles && x < xInt, 1).otherwise(0)
     })
     crossings % 2 === 1
+  }
+
+  /** Consecutive segments of an OPEN polyline (no implied closing
+    * edge — the linestring counterpart of [[ringEdges]]). */
+  private[graft] def lineSegs(line: Column): Column =
+    zip_with(
+      slice(line, lit(1), greatest(size(line) - 1, lit(0))),
+      slice(line, lit(2), greatest(size(line) - 1, lit(0))),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
+  /** ST_Intersection(linestring, linestring) dumped to its point set
+    * (`osm-road-graphs-fix.sql:96`'s `(ST_Dump(ST_Intersection(a, b)))
+    * .geom` over highway pairs): every proper crossing AND endpoint
+    * touch between the two polylines, as a sorted-distinct point array
+    * (= our multipoint). Segment pairs meet the standard parametric
+    * test (t, u ∈ [0, 1] against the cross-product denominator);
+    * collinear OVERLAPS contribute no points — PostGIS dumps those as
+    * line parts, which callers needing them get from the topological
+    * split path instead. A per-row fold over the two vertex arrays:
+    * scan-local and codegen'd, so the pair join it rides stays a grid
+    * equi-join (the reference's own form is flagged "Does not work
+    * with large maps").  */
+  def lineIntersections(lineA: Column, lineB: Column): Column = {
+    val hits = flatten(transform(lineSegs(lineA), ea =>
+      flatten(transform(lineSegs(lineB), eb => {
+        val a1 = ea.getField("a"); val a2 = ea.getField("b")
+        val b1 = eb.getField("a"); val b2 = eb.getField("b")
+        val rx = a2.getField("lon") - a1.getField("lon")
+        val ry = a2.getField("lat") - a1.getField("lat")
+        val sx = b2.getField("lon") - b1.getField("lon")
+        val sy = b2.getField("lat") - b1.getField("lat")
+        val qpx = b1.getField("lon") - a1.getField("lon")
+        val qpy = b1.getField("lat") - a1.getField("lat")
+        val den = rx * sy - ry * sx
+        val t = (qpx * sy - qpy * sx) / den
+        val u = (qpx * ry - qpy * rx) / den
+        val hit = array(struct((a1.getField("lon") + t * rx).as("lon"),
+          (a1.getField("lat") + t * ry).as("lat")))
+        when(den =!= 0.0 && t.between(0.0, 1.0) && u.between(0.0, 1.0), hit)
+          .otherwise(slice(hit, lit(1), lit(0)))
+      }))))
+    array_sort(array_distinct(hits))
+  }
+
+  /** ST_Intersection(polygon, polygon) for a CONVEX clip ring —
+    * Sutherland–Hodgman as an `aggregate` fold: clip the subject ring
+    * by each clip edge's half-plane in turn. The clip ring is
+    * auto-oriented CCW (shoelace sign), the subject may be any simple
+    * ring; result is the clipped ring (vertex order algorithm-defined,
+    * starting from the surviving subject vertex sequence), empty when
+    * disjoint. This is the tile-clip shape (clip regions are almost
+    * always rectangles/convex cells); general concave∩concave remains
+    * out of scope as the reference never needs it. Per-row fold —
+    * codegen'd, shuffle-free. */
+  def convexClip(subject: Column, clip: Column): Column = {
+    val ccw = when(shoelaceSigned(clip) < 0, reverse(clip)).otherwise(clip)
+    aggregate(ringEdges(ccw), subject, (ring, e) => {
+      val a = e.getField("a"); val b = e.getField("b")
+      val ex = b.getField("lon") - a.getField("lon")
+      val ey = b.getField("lat") - a.getField("lat")
+      def inside(p: Column): Column =
+        ex * (p.getField("lat") - a.getField("lat")) -
+          ey * (p.getField("lon") - a.getField("lon")) >= 0.0
+      def inter(s: Column, t: Column): Column = {
+        val dx = t.getField("lon") - s.getField("lon")
+        val dy = t.getField("lat") - s.getField("lat")
+        // param along s->t where it meets the a->b line
+        val tt = (ex * (s.getField("lat") - a.getField("lat")) -
+          ey * (s.getField("lon") - a.getField("lon"))) /
+          (ey * dx - ex * dy)
+        struct((s.getField("lon") + tt * dx).as("lon"),
+          (s.getField("lat") + tt * dy).as("lat"))
+      }
+      flatten(transform(ringEdges(ring), se => {
+        val s = se.getField("a"); val t = se.getField("b")
+        when(inside(s) && inside(t), array(t))
+          .when(inside(s) && !inside(t), array(inter(s, t)))
+          .when(!inside(s) && inside(t), array(inter(s, t), t))
+          .otherwise(slice(array(t), lit(1), lit(0)))
+      }))
+    })
   }
 
   /** Pseudo-angle ("diamond angle") of a point around a center —

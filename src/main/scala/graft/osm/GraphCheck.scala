@@ -539,7 +539,17 @@ object GraphCheck {
     * Isolated nodes (no edges) are not in the node universe, matching
     * the edge-list domain. */
   def stronglyConnectedComponents(edges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    stronglyConnectedComponentsWithStats(edges, maxIter)._1
+
+  /** [[stronglyConnectedComponents]] plus its loop-economics witnesses:
+    * `(labels, outer peel count, max forward-propagation rounds)` —
+    * what the scale smoke asserts (peels stay single-digit on a
+    * core-plus-pockets road topology; forward rounds track diameter,
+    * not node count). */
+  def stronglyConnectedComponentsWithStats(edges: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int, Int) = {
+    var maxFwd = 0
     val e0 = edges.select(col("start_node").as("src"), col("end_node").as("dst"))
       .distinct().localCheckpoint(true)
     var remE = e0
@@ -572,6 +582,7 @@ object GraphCheck {
         color = next
         i += 1
       }
+      maxFwd = math.max(maxFwd, i)
       // (2) backward containment from the roots, restricted to the
       // color class at every hop. Membership only grows; count is the
       // fixpoint witness.
@@ -605,7 +616,7 @@ object GraphCheck {
         .localCheckpoint(true)
       outer += 1
     }
-    out
+    (out, outer, maxFwd)
   }
 
   /** Shortest PATH (node sequence + distance) from `source` to

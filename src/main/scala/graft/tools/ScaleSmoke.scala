@@ -221,6 +221,55 @@ object ScaleSmoke {
     val (huHiSec, huHiVerts) = hullSmoke(nGeo * 16)
     val huExp = math.log(huHiSec / huLoSec) / math.log(4.0)
 
+    // SCC peel on a synthetic directed ROAD topology: a two-way 10-ary
+    // tree core (one giant SCC, diameter 2*depth ~ 14 at 2M nodes) plus
+    // oneway pockets hanging off every 100th core node — half dead-end
+    // 3-chains (singleton SCCs: the oneway-tag-error shape routing must
+    // not enter), half re-entrant 2-loops (members of the giant SCC).
+    // The witnesses are the LOOP COUNTS, not wall time: the giant core
+    // settles in peel 1, the dead chains (flooded by the giant's larger
+    // color, so unable to root in the same pass) in peel 2 — peel count
+    // tracks pocket DEPTH, and forward rounds track the tree diameter.
+    // A peel count growing with pocket COUNT, or rounds growing with n,
+    // is the scale bug this smoke exists to catch (RoadGraphSpec "SCC
+    // stats" proves the same 2-peel contract on a 13-node miniature).
+    val nScc = math.max(nGeo, 1000000L)
+    val treeE = spark.range(1, nScc).select(
+      ((col("id") - 1) / 10).cast("long").as("start_node"),
+      col("id").as("end_node"))
+    val core = treeE.unionByName(treeE.select(
+      col("end_node").as("start_node"), col("start_node").as("end_node")))
+    val deadBase = nScc
+    val dead = spark.range(nScc / 100).select(col("id").as("k"),
+        (col("id") * 100).as("c"))
+      .select(explode(array(
+        struct(col("c").as("start_node"), (lit(deadBase) + col("k") * 3).as("end_node")),
+        struct((lit(deadBase) + col("k") * 3).as("start_node"),
+          (lit(deadBase) + col("k") * 3 + 1).as("end_node")),
+        struct((lit(deadBase) + col("k") * 3 + 1).as("start_node"),
+          (lit(deadBase) + col("k") * 3 + 2).as("end_node")))).as("e"))
+      .select(col("e.start_node"), col("e.end_node"))
+    val reBase = nScc + 3L * (nScc / 100)
+    val reent = spark.range(nScc / 100).select(col("id").as("k"),
+        (col("id") * 100 + 50).as("c"))
+      .filter(col("c") < nScc)
+      .select(explode(array(
+        struct(col("c").as("start_node"), (lit(reBase) + col("k") * 2).as("end_node")),
+        struct((lit(reBase) + col("k") * 2).as("start_node"),
+          (lit(reBase) + col("k") * 2 + 1).as("end_node")),
+        struct((lit(reBase) + col("k") * 2 + 1).as("start_node"),
+          col("c").as("end_node")))).as("e"))
+      .select(col("e.start_node"), col("e.end_node"))
+    val sccEdges = core.unionByName(dead).unionByName(reent)
+    val t3 = System.nanoTime()
+    val (sccLabels, sccPeels, sccFwdRounds) =
+      graft.osm.GraphCheck.stronglyConnectedComponentsWithStats(sccEdges)
+    val sccStats = sccLabels.groupBy("scc").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_scc"), max(col("sz")).as("giant"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singletons"))
+      .head()
+    val sccSec = (System.nanoTime() - t3) / 1e9
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -244,7 +293,11 @@ object ScaleSmoke {
       s""""hull_points_lo":${nGeo * 4},"hull_points_hi":${nGeo * 16},""" +
       s""""hull_verts_lo":$huLoVerts,"hull_verts_hi":$huHiVerts,""" +
       f""""hull_sec_lo":$huLoSec%.2f,"hull_sec_hi":$huHiSec%.2f,""" +
-      f""""hull_exponent":$huExp%.3f}""")
+      f""""hull_exponent":$huExp%.3f,""" +
+      s""""scc_nodes":${sccLabels.count()},"scc_count":${sccStats.getLong(0)},""" +
+      s""""scc_giant":${sccStats.getLong(1)},"scc_singletons":${sccStats.getLong(2)},""" +
+      s""""scc_peels":$sccPeels,"scc_fwd_rounds":$sccFwdRounds,""" +
+      f""""scc_sec":$sccSec%.2f}""")
     spark.stop()
   }
 }

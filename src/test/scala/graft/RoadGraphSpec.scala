@@ -320,6 +320,33 @@ class RoadGraphSpec extends SparkTestBase {
     }
   }
 
+  test("SCC stats: core-plus-pockets peel count is topology-, not size-bound") {
+    // miniature of the ScaleSmoke road topology: a two-way binary-ish
+    // core {1..7} (tree edges both ways -> one giant SCC), a dead-end
+    // oneway 3-chain 2→20→21→22 (three singletons), a re-entrant loop
+    // 3→30→31→3 (giant members). Peel 1 settles the giant (root = the
+    // max id 31, whose color floods everything it reaches — including
+    // the dead chain, which is why the chain can NOT settle in the same
+    // pass); peel 2 settles the now-isolated chain singletons. The peel
+    // count tracks pocket DEPTH (here: 2 classes), never pocket count
+    // or node count — the witness the 2M-node smoke asserts at scale.
+    import spark.implicits._
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 6L), (3L, 7L))
+    val core = tree ++ tree.map(_.swap)
+    val dead = Seq((2L, 20L), (20L, 21L), (21L, 22L))
+    val reent = Seq((3L, 30L), (30L, 31L), (31L, 3L))
+    val (labels, peels, fwdRounds) =
+      GraphCheck.stronglyConnectedComponentsWithStats(
+        (core ++ dead ++ reent).toDF("start_node", "end_node"))
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val giant = Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 30L, 31L)
+    giant.foreach(v => assert(m(v) === 31L))
+    assert(m(20L) === 20L && m(21L) === 21L && m(22L) === 22L)
+    assert(peels === 2, s"expected giant-then-chains = 2 peels, got $peels")
+    // diameter of core+pockets ~ 7 hops; fixpoint detection adds one
+    assert(fwdRounds <= 10, s"forward rounds $fwdRounds not diameter-bound")
+  }
+
   test("shortestPathTo: node sequence, unreachable None, tie to smaller pred") {
     val e = RoadGraph.directed(merged)
       .select(col("start_node"), col("end_node"),
