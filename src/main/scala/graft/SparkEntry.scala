@@ -2011,6 +2011,74 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- ST_Intersection(polygon, polygon) via Sutherland–Hodgman
+    //      convex clip: the [0,4]² subject square against (1) an
+    //      overlapping axis rectangle and (2) a CW-wound diamond whose
+    //      edges shave all four corners — auto-orientation must fix the
+    //      winding, and every intersection vertex lands on integer
+    //      coordinates, so WKT + shoelace area are bit-exact.
+    "q_geo_clip_poly" -> ((s, dir) => {
+      import s.implicits._
+      def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
+        struct(lit(x).as("lon"), lit(y).as("lat")) }: _*)
+      val subject = ring((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+      Seq(1L, 2L).toDF("case_id")
+        .withColumn("clip", when(col("case_id") === 1,
+            ring((1.0, 1.0), (6.0, 1.0), (6.0, 3.0), (1.0, 3.0)))
+          .otherwise( // CW diamond |x-2|+|y-2| <= 3
+            ring((2.0, -1.0), (-1.0, 2.0), (2.0, 5.0), (5.0, 2.0))))
+        .withColumn("out", Geo.convexClip(subject, col("clip")))
+        .select(col("case_id"),
+          size(col("out")).cast("long").as("nv"),
+          (Geo.shoelaceSigned(col("out")) / 2).as("area"),
+          Geo.asTextPolygon(col("out")).as("wkt"))
+        .orderBy("case_id")
+    }),
+
+    // ---- nodes_blades_alt (osm-road-graphs-fix.sql:93-103): per way,
+    //      the ST_Multi(ST_Union(...)) of its touch/cross intersection
+    //      points with OTHER highway ways — re-expressed as a grid-cell
+    //      equi-join over way bboxes + the per-pair lineIntersections
+    //      fold (the reference's theta self-join is flagged "Does not
+    //      work with large maps"; this shape scales like every other
+    //      bucketed spatial join here). X fixture: ways 1×2 cross at
+    //      (0.01,0.01); 4×5 touch at their shared endpoint; way 3 is
+    //      isolated and must not appear.
+    "q_osm_blades_alt" -> ((s, dir) => {
+      val net = osm.GeometricSplit.crossingFixture(s)
+        .select(col("edge_id"), col("geom"))
+      // bbox-RANGE cells (not just vertex cells): a crossing can sit in
+      // an interior cell no vertex touches; the exact lineIntersections
+      // predicate then discards bbox-only coincidences (same publish
+      // shape as GeometricSplit.crossingPoints, at way granularity)
+      val cells = net
+        .withColumn("lons", transform(col("geom"), p => p.getField("lon")))
+        .withColumn("lats", transform(col("geom"), p => p.getField("lat")))
+        .withColumn("sx", explode(sequence(
+          floor(array_min(col("lons")) / 0.01).cast("long"),
+          floor(array_max(col("lons")) / 0.01).cast("long"))))
+        .withColumn("sy", explode(sequence(
+          floor(array_min(col("lats")) / 0.01).cast("long"),
+          floor(array_max(col("lats")) / 0.01).cast("long"))))
+        .select(col("edge_id"), col("geom"),
+          struct(col("sx"), col("sy")).as("cell"))
+      val pairs = cells.select(col("cell"), col("edge_id").as("id_a"),
+          col("geom").as("ga"))
+        .join(cells.select(col("cell"), col("edge_id").as("id_b"),
+          col("geom").as("gb")), Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b", "ga", "gb").distinct()
+        .withColumn("pts", Geo.lineIntersections(col("ga"), col("gb")))
+        .filter(size(col("pts")) > 0)
+      pairs.select(col("id_a").as("way_id"), explode(col("pts")).as("pt"))
+        .groupBy("way_id")
+        .agg(array_sort(collect_set(col("pt"))).as("mp"))
+        .select(col("way_id"),
+          size(col("mp")).cast("long").as("n_pts"),
+          Geo.asTextMultiPoint(col("mp")).as("wkt"))
+        .orderBy("way_id")
+    }),
+
     // ---- .osc OsmChange replication-diff ingest (the reference's
     //      actions-table feed, pgsnapshot_schema_0.6_action.sql:1-5):
     //      parse a three-action diff (node move / way delete / way
@@ -3104,6 +3172,62 @@ object SparkEntry {
          SELECT nk AS n_nationkey, CAST(count(*) AS BIGINT) AS nv,
                 sum(x*yn - xn*y)/2 AS area
          FROM edges GROUP BY nk ORDER BY n_nationkey""",
+    // Sutherland–Hodgman clip vs the HAND-COMPUTED intersection
+    // geometry (stated literally, the q_osm_snap_pois precedent): the
+    // rect case is the axis overlap; the diamond |x-2|+|y-2|<=3 shaves
+    // a 0.5-area corner triangle off each square corner -> octagon,
+    // area 16 - 4*0.5 = 14, every vertex integer-exact
+    "q_geo_clip_poly" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(nv AS BIGINT) AS nv,
+                CAST(area AS DOUBLE) AS area, wkt
+         FROM (VALUES
+           (1, 4, 6.0,
+            'POLYGON((1.0 1.0, 4.0 1.0, 4.0 3.0, 1.0 3.0, 1.0 1.0))'),
+           (2, 8, 14.0,
+            'POLYGON((1.0 4.0, 0.0 3.0, 0.0 1.0, 1.0 0.0, 3.0 0.0, 4.0 1.0, 4.0 3.0, 3.0 4.0, 1.0 4.0))'))
+           AS v(case_id, nv, area, wkt)
+         ORDER BY case_id""",
+    // independent re-derivation of the blades-alt relation: the same
+    // parametric segment-intersection math in SQL over the fixture's
+    // single-segment ways (all-pairs is fine for an oracle over 5
+    // ways), identical double arithmetic -> identical WKT strings
+    "q_osm_blades_alt" ->
+      """WITH ways(id, ax, ay, bx, by) AS (VALUES
+           (1, 0.0, 0.0, 0.02, 0.02),
+           (2, 0.0, 0.02, 0.02, 0.0),
+           (3, 1.0, 1.0, 1.01, 1.0),
+           (4, 0.5, 0.5, 0.52, 0.5),
+           (5, 0.5, 0.5, 0.5, 0.52)),
+         hits AS (
+           SELECT a.id AS way_id,
+                  a.ax + ((b.ax - a.ax) * (b.by - b.ay)
+                        - (b.ay - a.ay) * (b.bx - b.ax))
+                       / ((a.bx - a.ax) * (b.by - b.ay)
+                        - (a.by - a.ay) * (b.bx - b.ax))
+                       * (a.bx - a.ax) AS px,
+                  a.ay + ((b.ax - a.ax) * (b.by - b.ay)
+                        - (b.ay - a.ay) * (b.bx - b.ax))
+                       / ((a.bx - a.ax) * (b.by - b.ay)
+                        - (a.by - a.ay) * (b.bx - b.ax))
+                       * (a.by - a.ay) AS py
+           FROM ways a JOIN ways b ON a.id != b.id
+           WHERE ((a.bx - a.ax) * (b.by - b.ay)
+                - (a.by - a.ay) * (b.bx - b.ax)) != 0
+             AND ((b.ax - a.ax) * (b.by - b.ay)
+                - (b.ay - a.ay) * (b.bx - b.ax))
+               / ((a.bx - a.ax) * (b.by - b.ay)
+                - (a.by - a.ay) * (b.bx - b.ax)) BETWEEN 0 AND 1
+             AND ((b.ax - a.ax) * (a.by - a.ay)
+                - (b.ay - a.ay) * (a.bx - a.ax))
+               / ((a.bx - a.ax) * (b.by - b.ay)
+                - (a.by - a.ay) * (b.bx - b.ax)) BETWEEN 0 AND 1),
+         dedup AS (SELECT DISTINCT way_id, px, py FROM hits)
+         SELECT CAST(way_id AS BIGINT) AS way_id,
+                CAST(count(*) AS BIGINT) AS n_pts,
+                'MULTIPOINT(' || string_agg(
+                  CAST(px AS VARCHAR) || ' ' || CAST(py AS VARCHAR),
+                  ', ' ORDER BY px, py) || ')' AS wkt
+         FROM dedup GROUP BY way_id ORDER BY way_id""",
     // post-change ways after the fixture .osc applies to the micro
     // fixture: 102 deleted; 120 created through the moved node 3
     // (so its x2/y2 are the NEW coordinate); 101 refreshed but

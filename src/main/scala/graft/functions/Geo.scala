@@ -299,12 +299,15 @@ object Geo {
         val sy = b2.getField("lat") - b1.getField("lat")
         val qpx = b1.getField("lon") - a1.getField("lon")
         val qpy = b1.getField("lat") - a1.getField("lat")
+        // try_divide: parallel/collinear pairs (den = 0) yield null t/u,
+        // which fails `between` into the empty branch — ANSI-safe
+        // without a second pass over the pair
         val den = rx * sy - ry * sx
-        val t = (qpx * sy - qpy * sx) / den
-        val u = (qpx * ry - qpy * rx) / den
+        val t = try_divide(qpx * sy - qpy * sx, den)
+        val u = try_divide(qpx * ry - qpy * rx, den)
         val hit = array(struct((a1.getField("lon") + t * rx).as("lon"),
           (a1.getField("lat") + t * ry).as("lat")))
-        when(den =!= 0.0 && t.between(0.0, 1.0) && u.between(0.0, 1.0), hit)
+        when(t.between(0.0, 1.0) && u.between(0.0, 1.0), hit)
           .otherwise(slice(hit, lit(1), lit(0)))
       }))))
     array_sort(array_distinct(hits))

@@ -437,6 +437,49 @@ class FunctionsSpec extends SparkTestBase {
       }
   }
 
+  test("geometry booleans: convexClip cases, lineIntersections cases") {
+    val square = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    def clip(subj: Seq[(Double, Double)], c: Seq[(Double, Double)]) =
+      spark.range(1)
+        .select(Geo.convexClip(ringLit(subj), ringLit(c)).as("r"))
+        .select(size($"r").as("nv"),
+          (Geo.shoelaceSigned($"r") / 2).as("area")).head()
+    // contained clip: result is the clip rect itself
+    val inner = clip(square, Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)))
+    assert(inner.getInt(0) === 4 && inner.getDouble(1) === 4.0)
+    // disjoint: empty ring
+    val far = clip(square, Seq((10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0)))
+    assert(far.getInt(0) === 0)
+    // subject fully inside clip: unchanged subject (area 16, CCW kept)
+    val envelope = clip(square, Seq((-1.0, -1.0), (5.0, -1.0), (5.0, 5.0), (-1.0, 5.0)))
+    assert(envelope.getInt(0) === 4 && envelope.getDouble(1) === 16.0)
+    // CONCAVE subject (L-shape) against a convex half-overlap: area of
+    // L = 12; clip x<=2 keeps the left column [0,2]x[0,4] = area 8
+    val lShape = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+    val half = clip(lShape, Seq((-1.0, -1.0), (2.0, -1.0), (2.0, 5.0), (-1.0, 5.0)))
+    assert(half.getDouble(1) === 8.0, s"L-clip area ${half.getDouble(1)}")
+
+    def inters(a: Seq[(Double, Double)], b: Seq[(Double, Double)]) =
+      spark.range(1)
+        .select(Geo.lineIntersections(ringLit(a), ringLit(b)).as("p"))
+        .select(explode($"p").as("pt")).select("pt.*")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // X crossing at the midpoint
+    assert(inters(Seq((0.0, 0.0), (2.0, 2.0)), Seq((0.0, 2.0), (2.0, 0.0)))
+      === Seq((1.0, 1.0)))
+    // endpoint touch counts (ST_Touches semantics)
+    assert(inters(Seq((0.0, 0.0), (1.0, 0.0)), Seq((1.0, 0.0), (1.0, 1.0)))
+      === Seq((1.0, 0.0)))
+    // parallel and collinear-overlap: no points (documented contract)
+    assert(inters(Seq((0.0, 0.0), (2.0, 0.0)), Seq((0.0, 1.0), (2.0, 1.0))).isEmpty)
+    assert(inters(Seq((0.0, 0.0), (2.0, 0.0)), Seq((1.0, 0.0), (3.0, 0.0))).isEmpty)
+    // multi-segment polylines: zigzag crosses a horizontal twice, and
+    // the result array is sorted-distinct
+    val zig = Seq((0.0, -1.0), (1.0, 1.0), (2.0, -1.0))
+    assert(inters(zig, Seq((0.0, 0.0), (2.0, 0.0)))
+      === Seq((0.5, 0.0), (1.5, 0.0)))
+  }
+
   test("polygon kernel: WKT asText/parse round-trip, point/line parsers") {
     val ring = Seq((10.5, 20.0), (30.0, 20.0), (30.0, 40.5), (10.5, 40.5))
     val out = spark.range(1).select(Geo.asTextPolygon(ringLit(ring)).as("w"))
