@@ -4301,24 +4301,39 @@ object SparkEntry {
     * order drift. */
   private def pagerankOracleSql: String = {
     val iters = 20
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs, so without it
+    // each p_k re-inlines dedges AND its whole merged-network upstream —
+    // 20 nested copies of the recursive graph build took >30 min of
+    // optimizer+execution time and single-handedly stalled the full
+    // correctness sweep; materialized, the chain is 20 tiny joins (<1 s)
     val chain = (1 to iters).map { k =>
-      s"""         p$k AS (
+      s"""         p$k AS MATERIALIZED (
            SELECT nd.node, 0.15 / nn.n + 0.85 * COALESCE(s.c, 0) AS rank
            FROM pgnodes nd CROSS JOIN nn
            LEFT JOIN (
              SELECT e.dst AS node, sum(p${k - 1}.rank / od.deg) AS c
-             FROM dedges e JOIN p${k - 1} ON e.src = p${k - 1}.node
-                           JOIN od ON od.node = e.src
+             FROM dm e JOIN p${k - 1} ON e.src = p${k - 1}.node
+                       JOIN od ON od.node = e.src
              GROUP BY e.dst) s ON s.node = nd.node)"""
     }.mkString(",\n")
     OsmOracle.graphPrefix.replaceFirst("WITH", "WITH RECURSIVE") +
       oracleRouteCore + s""",
-         pgnodes AS (SELECT DISTINCT src AS node FROM dedges
-                     UNION SELECT DISTINCT dst FROM dedges),
-         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pgnodes),
-         od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
-                FROM dedges GROUP BY src),
-         p0 AS (SELECT node, 1.0 / nn.n AS rank FROM pgnodes CROSS JOIN nn),
+         dm AS MATERIALIZED (SELECT src, dst FROM dedges),
+         pgnodes AS MATERIALIZED (
+           -- GROUP BY, not UNION: under WITH RECURSIVE DuckDB 1.0 does
+           -- NOT dedup UNION branches of non-recursive CTEs, and a
+           -- duplicated node universe compounds the rank sums each
+           -- iteration (ranks in the thousands by p20)
+           SELECT node FROM (SELECT src AS node FROM dm
+                             UNION ALL SELECT dst FROM dm)
+           GROUP BY node),
+         nn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM pgnodes),
+         od AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+           FROM dm GROUP BY src),
+         p0 AS MATERIALIZED (
+           SELECT node, 1.0 / nn.n AS rank FROM pgnodes CROSS JOIN nn),
 $chain
          SELECT CAST(node AS BIGINT) AS node_id, round(rank, 8) AS rank
          FROM p$iters ORDER BY node_id"""

@@ -415,20 +415,26 @@ object GraphCheck {
     if (first.isEmpty || k <= 0) return Seq.empty
     if (k == 1) return Seq(first.get)
     val best = first.get._2
-    // two SSSPs total, independent of k: forward tree from source and
-    // backward tree from target (reverse the edge relation)
-    val dS = multiSourceShortestPaths(eChk, Seq(source), maxIter,
-        localThreshold)._1
-      .select(col("node_id").as("__u"), col("dist").cast("double").as("__ds"))
-    val dT = multiSourceShortestPaths(
-        eChk.select(col("end_node").as("start_node"),
-          col("start_node").as("end_node"), col("w")),
-        Seq(target), maxIter, localThreshold)._1
-      .select(col("node_id").as("__v"), col("dist").cast("double").as("__dt"))
+    val rev = eChk.select(col("end_node").as("start_node"),
+      col("start_node").as("end_node"), col("w")).localCheckpoint(true)
     var slack = pruneSlack
     var esc = 0
     while (esc < maxEscalations) {
       val bound = best * (1.0 + slack)
+      // two DISTANCE-BOUNDED SSSPs per escalation: forward tree from
+      // source, backward tree from target. Bounding is exact for the
+      // ellipse membership test (w > 0 makes prefix costs monotone, so
+      // every node with dS <= bound is reached through within-bound
+      // prefixes only) and makes the round count ellipse-local — the
+      // searches never settle the far side of a planet graph.
+      val dS = boundedSssp(eChk, source, bound + 1e-6, maxIter,
+          localThreshold)
+        .select(col("node_id").as("__u"),
+          col("dist").cast("double").as("__ds"))
+      val dT = boundedSssp(rev, target, bound + 1e-6, maxIter,
+          localThreshold)
+        .select(col("node_id").as("__v"),
+          col("dist").cast("double").as("__dt"))
       val pruned = eChk
         .join(dS, eChk("start_node") === dS("__u"))
         .join(dT, eChk("end_node") === dT("__v"))
@@ -444,6 +450,72 @@ object GraphCheck {
       esc += 1
     }
     yenCore(eChk, source, target, k, maxIter, localThreshold)
+  }
+
+  /** Single-source shortest distances RESTRICTED to `dist <= bound` —
+    * the ellipse-prune primitive. Exact over positive weights: any
+    * node at true distance <= bound is reached through prefixes that
+    * are all <= bound themselves, so pruning the frontier (and the
+    * settled relation) at the bound loses nothing inside it. Rounds
+    * are bounded by the hop length of within-bound paths — local to
+    * the bound's neighborhood, independent of graph size. */
+  private def boundedSssp(edges: DataFrame, source: Long, bound: Double,
+      maxIter: Int, localThreshold: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
+      .localCheckpoint(true)
+    if (localThreshold > 0 &&
+        eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val adj = eChk.select(col("start_node"), col("end_node"),
+          col("w").cast("double")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2) }
+      val dist = scala.collection.mutable.Map(source -> 0.0)
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
+      pq.enqueue((0.0, source))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d <= dist(u) && d <= bound) {
+          adj.getOrElse(u, Array.empty[(Long, Double)]).foreach { case (v, w) =>
+            val nd = d + w
+            if (nd <= bound && (!dist.contains(v) || nd < dist(v))) {
+              dist(v) = nd; pq.enqueue((nd, v))
+            }
+          }
+        }
+      }
+      return dist.toSeq.sortBy(_._1).toDF("node_id", "dist")
+    }
+    val e = eChk.select(col("start_node").as("src"),
+      col("end_node").as("dst"), col("w").cast("double").as("w"))
+    var dist = Seq((source, 0.0)).toDF("node_id", "dist")
+      .localCheckpoint(true)
+    var frontier = dist
+    var frontierSize = 1L
+    var i = 0
+    while (frontierSize > 0 && i < maxIter) {
+      val cand = e.join(frontier, e("src") === frontier("node_id"))
+        .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
+        .filter(col("dist") <= bound)
+        .groupBy("node_id").agg(min(col("dist")).as("dist"))
+      val improved = cand.join(dist.withColumnRenamed("dist", "__old"),
+          Seq("node_id"), "left_outer")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("node_id"), col("dist"))
+        .localCheckpoint(true)
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        dist = dist.unionByName(improved)
+          .groupBy("node_id").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      i += 1
+    }
+    dist
   }
 
   /** Unpruned Yen loop over exactly the given edge relation (see

@@ -270,6 +270,44 @@ object ScaleSmoke {
       .head()
     val sccSec = (System.nanoTime() - t3) / 1e9
 
+    // KSP ellipse prune: bidirectional 10-ary tree (low diameter — the
+    // road-network regime) ABOVE the broadcast-local threshold, so the
+    // first best-path search runs the distributed loop; after it, the
+    // bounded dS/dT searches and every Yen spur search live inside the
+    // ellipse around the (adjacent-leaf) route. Witness = Spark JOB
+    // COUNT at n and 4n: without the prune, spur searches sweep the
+    // full relation and job count scales with graph size; with it, 4n
+    // adds only the handful of SSSP rounds of one deeper tree level.
+    def kspSmoke(n: Long): (Double, Long, Int) = {
+      val tree = spark.range(1, n).select(
+        ((col("id") - 1) / 10).cast("long").as("start_node"),
+        col("id").as("end_node"), lit(1.0).as("w"))
+      val e = tree.unionByName(tree.select(
+        col("end_node").as("start_node"), col("start_node").as("end_node"),
+        col("w")))
+      val src = n - 1
+      val parent = (src - 1) / 10
+      val c1 = parent * 10 + 1
+      val tgt = if (c1 != src && c1 < n) c1 else parent * 10 + 2
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t = System.nanoTime()
+      val res = graft.osm.GraphCheck.kShortestPaths(e, src, tgt, k = 3)
+      val sec = (System.nanoTime() - t) / 1e9
+      Thread.sleep(500) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      require(res.nonEmpty && res.head._2 == 2.0,
+        s"ksp smoke: unexpected best ${res.headOption}")
+      (sec, jobs.get(), res.size)
+    }
+    val (kspLoSec, kspLoJobs, _) = kspSmoke(1000000L)
+    val (kspHiSec, kspHiJobs, _) = kspSmoke(4000000L)
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -297,7 +335,9 @@ object ScaleSmoke {
       s""""scc_nodes":${sccLabels.count()},"scc_count":${sccStats.getLong(0)},""" +
       s""""scc_giant":${sccStats.getLong(1)},"scc_singletons":${sccStats.getLong(2)},""" +
       s""""scc_peels":$sccPeels,"scc_fwd_rounds":$sccFwdRounds,""" +
-      f""""scc_sec":$sccSec%.2f}""")
+      f""""scc_sec":$sccSec%.2f,""" +
+      s""""ksp_jobs_lo":$kspLoJobs,"ksp_jobs_hi":$kspHiJobs,""" +
+      f""""ksp_sec_lo":$kspLoSec%.2f,"ksp_sec_hi":$kspHiSec%.2f}""")
     spark.stop()
   }
 }

@@ -320,6 +320,36 @@ class RoadGraphSpec extends SparkTestBase {
     }
   }
 
+  test("KSP ellipse prune returns exactly the unpruned Yen ranking") {
+    // random weighted digraphs: maxEscalations = 0 short-circuits the
+    // prune wrapper into the full-relation Yen loop, so equality here
+    // proves the ellipse (bounded dS/dT + edge filter + within-bound
+    // prefix rule + slack escalation) loses no path. Distinct powers
+    // of 2 + a tiny id perturbation make all path costs unique, so the
+    // ranking has no ties to hide behind. Also force a TIGHT first
+    // bound (pruneSlack = 0): alternatives usually cost > best, so the
+    // escalation path itself is exercised, not just the happy prune.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 10
+      val edges = (for (a <- 1 to n; b <- 1 to n
+        if a != b && rnd.nextDouble() < 0.25)
+        yield (a.toLong, b.toLong,
+          math.pow(2.0, rnd.nextInt(8)) + a * 0.001 + b * 0.0001))
+      if (edges.nonEmpty) {
+        val df = edges.toDF("start_node", "end_node", "w")
+        val full = GraphCheck.kShortestPaths(df, 1L, n.toLong, k = 3,
+          maxEscalations = 0)
+        for (slack <- Seq(0.0, 0.5)) {
+          val pruned = GraphCheck.kShortestPaths(df, 1L, n.toLong, k = 3,
+            pruneSlack = slack)
+          assert(pruned === full, s"trial $trial slack $slack")
+        }
+      }
+    }
+  }
+
   test("SCC stats: core-plus-pockets peel count is topology-, not size-bound") {
     // miniature of the ScaleSmoke road topology: a two-way binary-ish
     // core {1..7} (tree edges both ways -> one giant SCC), a dead-end
