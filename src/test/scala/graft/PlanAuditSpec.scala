@@ -170,6 +170,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"crossing candidates must never be an all-pairs join:\n$p")
   }
 
+  test("blades-alt pairs come from a cell equi-join, not all-pairs") {
+    val p = plan("q_osm_blades_alt")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blades-alt way pairs must ride the bbox-cell equi-join:\n$p")
+  }
+
+  test("pgRouting edge rows: result is path-sized driver state, not graph lineage") {
+    // routeEdgeRows runs its pair lookup as ONE eager broadcast join
+    // (pairs side broadcast, collected once) and expands path-sized
+    // state on the driver — the returned relation must therefore be a
+    // LocalTableScan with no distributed lineage (a plan that re-reads
+    // the graph per consumer would re-run the whole route)
+    Seq("q_osm_route_edges", "q_osm_ksp_edges").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LocalTableScan") && !p.contains("Join") &&
+        !p.contains("Scan parquet"),
+        s"$q should be a driver-local path-sized relation:\n$p")
+    }
+  }
+
   test("top-ngrams is partial-agg + top-k heap, never a global vocabulary sort") {
     val p = plan("q_t_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"),
