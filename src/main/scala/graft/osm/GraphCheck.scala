@@ -95,6 +95,26 @@ object GraphCheck {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Checkpoint the canonical `(start_node, end_node, w)` edge relation
+    * ONCE, idempotently: if the incoming plan is already a bare
+    * checkpoint scan of exactly that shape — as produced by this
+    * helper in an enclosing call — reuse it. Composite operators
+    * (KSP's prune + spur searches, closeness's k sources, A*'s
+    * delegation, the pgRouting edge-row projection) route the same
+    * relation through several public entry points; without this guard
+    * each hop re-materialized the full edge list, which at planet
+    * scale multiplies the single largest I/O cost of the whole
+    * operator by the call depth. */
+  private def materializeEdges(edges: DataFrame): DataFrame = {
+    val already =
+      edges.columns.toSeq == Seq("start_node", "end_node", "w") &&
+        edges.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    if (already) edges
+    else edges.select(col("start_node"), col("end_node"), col("w"))
+      .localCheckpoint(true)
+  }
+
   /** Single-source shortest paths over a weighted DIRECTED edge list —
     * the `pgr_dijkstra` analog the reference's graphs are built to
     * feed (`osm-road-graphs.sql` exports exactly this edge shape into
@@ -140,8 +160,7 @@ object GraphCheck {
     // one upstream execution total: checkpoint the edge relation FIRST,
     // then the threshold probe and either path read the materialized
     // copy instead of re-running the (possibly expensive) upstream DAG
-    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
-      .localCheckpoint(true)
+    val eChk = materializeEdges(edges)
     // Broadcast-local fast path — the same adaptive decision a
     // broadcast join makes: a graph that fits on the driver pays tens
     // of per-round job launches in the distributed loop for nothing.
@@ -274,8 +293,7 @@ object GraphCheck {
     * feed (osm-pg-etl.md's igraph hand-off). */
   def closenessFromSources(edges: DataFrame, sources: Seq[Long],
       maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
-    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
-      .localCheckpoint(true)
+    val eChk = materializeEdges(edges)
     sources.map { s0 =>
       multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
     }.reduce(_.unionByName(_))
@@ -307,8 +325,7 @@ object GraphCheck {
   def aStarPathTo(edges: DataFrame, coords: DataFrame, source: Long,
       target: Long, maxIter: Int = 100,
       localThreshold: Long = 100000L): Option[(Seq[Long], Double, Long)] = {
-    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
-      .localCheckpoint(true)
+    val eChk = materializeEdges(edges)
     val isLocal = localThreshold > 0 &&
       eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
         .count() <= localThreshold
@@ -409,8 +426,7 @@ object GraphCheck {
       k: Int, maxIter: Int = 100,
       localThreshold: Long = 100000L, pruneSlack: Double = 0.5,
       maxEscalations: Int = 3): Seq[(Seq[Long], Double)] = {
-    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
-      .localCheckpoint(true)
+    val eChk = materializeEdges(edges)
     val first = shortestPathTo(eChk, source, target, maxIter, localThreshold)
     if (first.isEmpty || k <= 0) return Seq.empty
     if (k == 1) return Seq(first.get)
@@ -463,8 +479,7 @@ object GraphCheck {
       maxIter: Int, localThreshold: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
-      .localCheckpoint(true)
+    val eChk = materializeEdges(edges)
     if (localThreshold > 0 &&
         eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
           .count() <= localThreshold) {
@@ -525,8 +540,7 @@ object GraphCheck {
       localThreshold: Long): Seq[(Seq[Long], Double)] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
-      .localCheckpoint(true)
+    val eChk = materializeEdges(edges)
     val first = shortestPathTo(eChk, source, target, maxIter, localThreshold)
     if (first.isEmpty || k <= 0) return Seq.empty
     // per-pair min weights along one accepted path: a path-sized
@@ -710,8 +724,7 @@ object GraphCheck {
     // broadcast-local fast path (see multiSourceShortestPaths); the
     // equal-distance tie keeps the SMALLER predecessor, matching the
     // distributed min(struct(dist, pred)) exactly
-    val eChk = edges.select(col("start_node"), col("end_node"), col("w"))
-      .localCheckpoint(true)
+    val eChk = materializeEdges(edges)
     if (localThreshold > 0 &&
         eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
           .count() <= localThreshold) {
