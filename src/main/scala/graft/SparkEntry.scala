@@ -1601,6 +1601,25 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // ---- pgRouting result-relation shape (pgr_drivingDistance): the
+    //      service area within 3400 m of node 1 with each node's
+    //      predecessor edge — reaches {1,3,4,5,6} on the micro fixture
+    //      (3,5,6 at 2223.9/3335.85/3335.85 m, 4 at 3335.85 m); seed
+    //      row carries edge=-1. Attribution is the relational
+    //      dist(u)+w=dist(v) join, no pred state in the SSSP loop.
+    "q_osm_driving_edges" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"), col("edge_id"),
+          round(col("length") * 100).cast("long").as("w"))
+      osm.GraphCheck.drivingDistanceRows(e, Seq(1L), cutoff = 340000.0)
+        .select(col("node_id"), col("edge"),
+          col("cost").cast("long").as("cost_cm"),
+          col("agg_cost").cast("long").as("agg_cm"))
+        .orderBy("node_id")
+    }),
+
     // ---- pgRouting result-relation shape (pgr_ksp): the same per-edge
     //      rows with path_id rank over the 3 KSP alternatives on the
     //      shortcut-augmented graph (shortcuts get synthetic edge ids
@@ -3731,6 +3750,35 @@ object SparkEntry {
          FROM hops h LEFT JOIN be b
            ON b.src = h.node AND b.dst = h.nxt AND b.rn = 1
          ORDER BY seq"""),
+    // pgr_drivingDistance-shaped rows: per-node min over the recursive
+    // enumeration, cutoff on the min, then the same dist(u)+w=dist(v)
+    // attribution with the (pred, edge-id) tie rule in SQL
+    "q_osm_driving_edges" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteIdCore +
+      """,
+         r(node, dist, hops) AS (
+           SELECT 1, CAST(0 AS BIGINT), 0
+           UNION ALL
+           SELECT e.dst, r.dist + e.w, r.hops + 1
+           FROM r JOIN dedges e ON e.src = r.node WHERE r.hops < 8),
+         md AS (SELECT node, min(dist) AS d FROM r GROUP BY node
+                HAVING min(dist) <= 340000),
+         cand AS (
+           SELECT e.dst AS node, e.eid, mu.d AS du, mv.d AS dv,
+                  row_number() OVER (PARTITION BY e.dst
+                                     ORDER BY e.src, e.eid) AS rn
+           FROM dedges e
+           JOIN md mu ON e.src = mu.node
+           JOIN md mv ON e.dst = mv.node AND mu.d + e.w = mv.d
+           WHERE e.dst != 1)
+         SELECT CAST(node AS BIGINT) AS node_id,
+                CAST(eid AS BIGINT) AS edge,
+                CAST(dv - du AS BIGINT) AS cost_cm,
+                CAST(dv AS BIGINT) AS agg_cm
+         FROM cand WHERE rn = 1
+         UNION ALL
+         SELECT 1, -1, 0, 0
+         ORDER BY node_id"""),
     // pgr_ksp-shaped per-edge rows: the KSP string enumeration ranked
     // to top-3, split back to node lists, same best-edge lookup over
     // the shortcut-augmented relation (virtual ids 9001/9002)

@@ -800,6 +800,65 @@ object GraphCheck {
     } finally settled.unpersist()
   }
 
+  /** `pgr_drivingDistance` result relation: per node reachable within
+    * `cutoff` of the (multi-)source seed set, the edge INTO it from
+    * its shortest-path predecessor — `(node_id, edge, cost, agg_cost)`
+    * with `edge = -1, cost = 0` on seed rows, exactly the service-area
+    * relation pgRouting consumers script against.
+    *
+    * Derivation is fully relational and loop-free beyond the SSSP
+    * itself: run [[multiSourceShortestPaths]] (cutoff-filtered), then
+    * ONE join attributes each settled node to the edges that realize
+    * its distance (`dist(u) + w = dist(v)`, exact on integer-centimeter
+    * weights) and a hash-agg picks `min(pred, edge_id)` — the same
+    * smaller-predecessor tie rule as [[shortestPathTo]], with the edge
+    * id as the final tiebreak over parallel edges. No predecessor
+    * state rides the relaxation loop, so the SSSP keeps its frontier
+    * shape; the attribution join is one shuffle over the
+    * service-area-sized settled relation, not the graph.
+    *
+    * `edges` must carry `(start_node, end_node, edge_id, w)`. */
+  def drivingDistanceRows(edges: DataFrame, sources: Seq[Long],
+      cutoff: Double, maxIter: Int = 100,
+      localThreshold: Long = 100000L): DataFrame = {
+    val eChk = edges
+      .select(col("start_node"), col("end_node"), col("edge_id"), col("w"))
+      .localCheckpoint(true)
+    val dist = multiSourceShortestPaths(
+        eChk.select("start_node", "end_node", "w"),
+        sources, maxIter, localThreshold)._1
+      .filter(col("dist").cast("double") <= cutoff)
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val du = dist.select(col("node_id").as("__u"),
+      col("dist").cast("double").as("__du"))
+    val dv = dist.select(col("node_id").as("__v"),
+      col("dist").cast("double").as("__dv"))
+    // per settled non-seed node: among edges realizing its distance,
+    // the smallest predecessor wins, then the smallest edge id (the
+    // realized weight is determined by the predecessor, so carrying
+    // __du third in the min-struct is a free ride, not a tiebreak)
+    val best = eChk
+      .join(du, eChk("start_node") === du("__u"))
+      .join(dv, eChk("end_node") === dv("__v"))
+      .filter(col("__du") + col("w").cast("double") === col("__dv"))
+      .groupBy(col("__v").as("node_id"))
+      .agg(min(struct(col("__u").as("p"),
+          col("edge_id").cast("long").as("e"),
+          col("__du").as("d"))).as("__b"),
+        first(col("__dv")).as("agg_cost"))
+      .select(col("node_id"), col("__b.e").as("edge"),
+        (col("agg_cost") - col("__b.d")).as("cost"), col("agg_cost"))
+    val seeds = sources.distinct.sorted
+      .toDF("node_id")
+      .select(col("node_id"), lit(-1L).as("edge"),
+        lit(0.0).as("cost"), lit(0.0).as("agg_cost"))
+    // zero-weight edges could otherwise re-attribute a seed (du+0 = 0)
+    seeds.unionByName(
+      best.join(seeds.select("node_id"), Seq("node_id"), "left_anti"))
+  }
+
   /** pgRouting result-relation projection: expand node-sequence paths
     * into the exact per-edge row shape `pgr_dijkstra`/`pgr_ksp`
     * consumers script against (`osm-pg-etl.md:55-78`): one row per

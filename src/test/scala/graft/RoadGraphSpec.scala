@@ -320,6 +320,27 @@ class RoadGraphSpec extends SparkTestBase {
     }
   }
 
+  test("routeEdgeRows: pgRouting shape, parallel-edge min-(w,id) tie, terminal -1") {
+    import spark.implicits._
+    // parallel edges 1->2: the cheaper one (w=5) must be reported, and
+    // among equal-weight parallels (2->3, w=7) the smaller edge id wins
+    val e = Seq(
+      (1L, 2L, 100L, 5.0), (1L, 2L, 101L, 9.0),
+      (2L, 3L, 103L, 7.0), (2L, 3L, 102L, 7.0))
+      .toDF("start_node", "end_node", "edge_id", "w")
+    val rows = osm.GraphCheck.routeEdgeRows(e,
+        Seq((2L, Seq(1L, 2L, 3L)), (1L, Seq(1L, 2L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // paths emit in path_id order; seq is global and 1-based
+    assert(rows.toSeq === Seq(
+      (1L, 1L, 1L, 1L, 100L, 5.0, 0.0),
+      (2L, 1L, 2L, 2L, -1L, 0.0, 5.0),
+      (3L, 2L, 1L, 1L, 100L, 5.0, 0.0),
+      (4L, 2L, 2L, 2L, 102L, 7.0, 5.0),
+      (5L, 2L, 3L, 3L, -1L, 0.0, 12.0)))
+  }
+
   test("KSP ellipse prune returns exactly the unpruned Yen ranking") {
     // random weighted digraphs: maxEscalations = 0 short-circuits the
     // prune wrapper into the full-relation Yen loop, so equality here
