@@ -1589,9 +1589,13 @@ object SparkEntry {
     "q_osm_route_edges" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       val merged = osm.RoadGraph.buildMergedNetwork(t)
+      // checkpoint ONCE: the route search and the edge-row attribution
+      // both consume this relation — without it each re-runs the whole
+      // merged-network build
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"), col("edge_id"),
           round(col("length") * 100).cast("long").as("w"))
+        .localCheckpoint(true)
       val (path, _) = osm.GraphCheck.shortestPathTo(
         e.select("start_node", "end_node", "w"), 1L, 4L).get
       osm.GraphCheck.routeEdgeRows(e, Seq((1L, path)))
@@ -1633,7 +1637,7 @@ object SparkEntry {
           round(col("length") * 100).cast("long").as("w"))
       val shortcuts = Seq((1L, 5L, 9001L, 150000L), (6L, 4L, 9002L, 140000L))
         .toDF("start_node", "end_node", "edge_id", "w")
-      val e = base.unionByName(shortcuts)
+      val e = base.unionByName(shortcuts).localCheckpoint(true)
       val ks = osm.GraphCheck.kShortestPaths(
         e.select("start_node", "end_node", "w"), 1L, 4L, k = 3)
       osm.GraphCheck.routeEdgeRows(e,
