@@ -341,6 +341,27 @@ class RoadGraphSpec extends SparkTestBase {
       (5L, 2L, 3L, 3L, -1L, 0.0, 12.0)))
   }
 
+  test("drivingDistanceRows: multi-source service area, cutoff, pred-edge tie") {
+    import spark.implicits._
+    // two seeds {1, 10}; node 3 is nearer seed 10 (cost 4) than via
+    // 1→2→3 (5+... no: 1→2=5, 2→3=2 → 7); cutoff 6 keeps {1,2,10,3}
+    // and drops 4 (agg 9 via 3); parallel edges 1→2 tie on w=5 → the
+    // smaller edge id 200 must be reported
+    val e = Seq(
+      (1L, 2L, 201L, 5.0), (1L, 2L, 200L, 5.0),
+      (2L, 3L, 210L, 2.0), (10L, 3L, 220L, 4.0),
+      (3L, 4L, 230L, 5.0), (7L, 8L, 240L, 1.0)) // 7→8 unreachable
+      .toDF("start_node", "end_node", "edge_id", "w")
+    val rows = osm.GraphCheck.drivingDistanceRows(e, Seq(1L, 10L), cutoff = 6.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows === Map(
+      1L -> (-1L, 0.0, 0.0),
+      10L -> (-1L, 0.0, 0.0),
+      2L -> (200L, 5.0, 5.0),
+      3L -> (220L, 4.0, 4.0)))
+  }
+
   test("KSP ellipse prune returns exactly the unpruned Yen ranking") {
     // random weighted digraphs: maxEscalations = 0 short-circuits the
     // prune wrapper into the full-relation Yen loop, so equality here
