@@ -159,6 +159,11 @@ object OsmModel {
       // W9: second tertiary WITH maxspeed -> makes W2's median imputation fire
       way(109, Map("highway" -> "tertiary", "maxspeed" -> "60"), 8, 12))
 
+    // NOTE (r11): coalescing these to 1 partition did NOT help the
+    // graph queries (if anything it measured slower — serialized
+    // single-task stages offset the scheduler overhead they save, and
+    // run-to-run noise at this 5-10 s scale swamps the difference).
+    // Keep the default spread.
     val nodesDf = nodes.toDF()
     val waysDf = ways.toDF()
     OsmTables(nodesDf, waysDf, wayNodesOf(spark, waysDf))
