@@ -1649,6 +1649,31 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // ---- A* routing (pgr_aStar): the same 1→4 route as
+    //      q_osm_route_path through the heuristic-guided search — the
+    //      great-circle heuristic is admissible+consistent over
+    //      haversine-cm weights, so the path and total are IDENTICAL
+    //      to Dijkstra's and the route_path oracle re-verifies them
+    //      independently. Coords come from the fixture's node table
+    //      (semi-join-pruned inside aStarPathTo).
+    "q_osm_astar" -> ((s, dir) => {
+      import s.implicits._
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      val coords = t.nodes.select(col("id").as("node_id"),
+        col("geom.lon").as("lon"), col("geom.lat").as("lat"))
+      val (path, total, settled) =
+        osm.GraphCheck.aStarPathTo(e, coords, 1L, 4L).get
+      require(settled > 0 && settled <= path.size + 2,
+        s"A* settled $settled nodes for a ${path.size}-node path")
+      path.zipWithIndex
+        .map { case (n, i) => (i.toLong + 1, n, math.round(total)) }
+        .toDF("seq", "node_id", "total_cm").orderBy("seq")
+    }),
+
     // ---- OSM POI-to-network snap (the pgRouting stop-matching step):
     //      POIs from the micro fixture snapped onto the merged network
     //      via the grid-bucketed nearest-edge join. The bench (n11)
@@ -3710,6 +3735,23 @@ object SparkEntry {
             WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
            UNION ALL
            SELECT end_node, start_node, w FROM m4 WHERE oneway = '-1'),
+         r2(node, dist, path) AS (
+           SELECT 1, CAST(0 AS BIGINT), [CAST(1 AS BIGINT)]
+           UNION ALL
+           SELECT e.dst, r2.dist + e.w, list_append(r2.path, CAST(e.dst AS BIGINT))
+           FROM r2 JOIN dedges e ON e.src = r2.node WHERE len(r2.path) <= 8),
+         sel AS (SELECT dist, path FROM r2 WHERE node = 4
+                 ORDER BY dist, path LIMIT 1)
+         SELECT CAST(generate_subscripts(path, 1) AS BIGINT) AS seq,
+                CAST(unnest(path) AS BIGINT) AS node_id,
+                CAST(dist AS BIGINT) AS total_cm
+         FROM sel ORDER BY seq"""),
+    // A* must return the IDENTICAL relation to route_path (admissible +
+    // consistent heuristic), so the same enumeration oracle re-verifies
+    // the A* code path independently
+    "q_osm_astar" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteIdCore +
+      """,
          r2(node, dist, path) AS (
            SELECT 1, CAST(0 AS BIGINT), [CAST(1 AS BIGINT)]
            UNION ALL

@@ -341,6 +341,27 @@ class RoadGraphSpec extends SparkTestBase {
       (5L, 2L, 3L, 3L, -1L, 0.0, 12.0)))
   }
 
+  test("aStarPathTo: identical path+total to Dijkstra, fewer settled nodes") {
+    import spark.implicits._
+    val e = RoadGraph.directed(merged)
+      .select(col("start_node"), col("end_node"),
+        round(col("length") * 100).cast("long").as("w"))
+    val coords = t.nodes.select(col("id").as("node_id"),
+      col("geom.lon").as("lon"), col("geom.lat").as("lat"))
+    val Some((dp, dt)) = GraphCheck.shortestPathTo(e, 1L, 4L)
+    val Some((ap, at, settled)) = GraphCheck.aStarPathTo(e, coords, 1L, 4L)
+    assert(ap === dp && at === dt)
+    // the heuristic must prune: Dijkstra settles all 5 reachable
+    // endpoint vertices {1,3,4,5,6}; A* stops at the target
+    assert(settled <= 4, s"A* settled $settled nodes")
+    // unreachable target -> None (7 is in the oneway island)
+    assert(GraphCheck.aStarPathTo(e, coords, 1L, 7L).isEmpty)
+    // distributed delegation returns the identical result, settled = -1
+    val Some((ap2, at2, s2)) =
+      GraphCheck.aStarPathTo(e, coords, 1L, 4L, localThreshold = 0L)
+    assert(ap2 === ap && at2 === at && s2 === -1L)
+  }
+
   test("drivingDistanceRows: multi-source service area, cutoff, pred-edge tie") {
     import spark.implicits._
     // two seeds {1, 10}; node 3 is nearer seed 10 (cost 4) than via
