@@ -433,6 +433,7 @@ object GraphCheck {
     val best = first.get._2
     val rev = eChk.select(col("end_node").as("start_node"),
       col("start_node").as("end_node"), col("w")).localCheckpoint(true)
+    val fullEdges = eChk.count()
     var slack = pruneSlack
     var esc = 0
     while (esc < maxEscalations) {
@@ -457,11 +458,22 @@ object GraphCheck {
         .filter(col("__ds") + col("w").cast("double") + col("__dt")
           <= lit(bound) + lit(1e-6))
         .select(col("start_node"), col("end_node"), col("w"))
+        .localCheckpoint(true)
       val res = yenCore(pruned, source, target, k, maxIter, localThreshold)
-      val within = res.takeWhile(_._2 <= bound + 1e-6)
+      // STRICT <= bound: the completeness guarantee only covers paths
+      // of cost <= bound — an epsilon band above it could admit a path
+      // whose equal-or-cheaper competitor was pruned (the 1e-6 stays
+      // on the SSSP bound and the edge filter, where it is
+      // conservative-only)
+      val within = res.takeWhile(_._2 <= bound)
       // every path of cost <= bound lives in the pruned graph, so a
       // within-bound prefix of size k is the exact global answer
       if (within.size >= k) return within.take(k)
+      // when the prune kept EVERY edge, yenCore just ran on the full
+      // graph: its answer is exact regardless of the bound — return it
+      // instead of escalating into strictly repeated work (the
+      // fewer-than-k regime on dead-end/service-road graphs)
+      if (pruned.count() == fullEdges) return res.take(k)
       slack = (1.0 + slack) * 2.0 - 1.0 // double the bound over best
       esc += 1
     }
@@ -780,24 +792,74 @@ object GraphCheck {
       dist = next
       i += 1
     }
-    val settled = dist.cache()
-    try {
-      val tgt = settled.filter(col("node_id") === target).collect()
-      if (tgt.isEmpty) None
-      else {
-        val total = tgt.head.getDouble(1)
-        var path = List(target)
-        var cur = target
-        var hops = 0
-        while (cur != source && hops <= maxIter) {
-          cur = settled.filter(col("node_id") === cur)
-            .head().getLong(2)
-          path = cur :: path
-          hops += 1
-        }
-        if (cur == source) Some((path, total)) else None
+    reconstructPath(dist, source, target, maxIter)
+  }
+
+  /** Rebuild the source→target node sequence from a settled SSSP
+    * relation `(node_id, dist, pred)` in **O(log |path|) Spark
+    * rounds** — binary lifting + ancestor marking — instead of one
+    * driver round-trip per hop (a continental 10³–10⁴-hop route must
+    * not cost 10³–10⁴ jobs).
+    *
+    * Shape per round k: (1) one broadcast join marks the 2^k-ancestor
+    * of every already-marked path node (the marked set is path-sized,
+    * always the broadcast side); (2) one self-join doubles the lifting
+    * relation `node → 2^k-ancestor` to 2^(k+1). The lifting relation is
+    * first restricted to `dist <= dist(target)` — closed under `pred`
+    * because positive weights make every predecessor strictly closer —
+    * so the heavy self-joins run over the target's distance ball, not
+    * the whole settled continent. The source's `pred` self-loop makes
+    * chains saturate; `min(offset)` keeps its true depth. After
+    * ceil(log₂ L) rounds every path offset 0..L is marked exactly once
+    * and one path-sized collect per round (doubling as the early-exit
+    * check) yields the sequence.
+    *
+    * Returns (path source..target, total distance), None if `target`
+    * is not settled or its chain doesn't reach `source` within
+    * `maxHops`. */
+  def reconstructPath(settled: DataFrame, source: Long, target: Long,
+      maxHops: Int): Option[(Seq[Long], Double)] = {
+    val spark = settled.sparkSession
+    import spark.implicits._
+    val tgt = settled.filter(col("node_id") === target)
+      .select(col("dist").cast("double")).collect()
+    if (tgt.isEmpty) return None
+    val total = tgt.head.getDouble(0)
+    if (target == source) return Some((Seq(source), total))
+    var lift = settled.filter(col("dist").cast("double") <= total)
+      .select(col("node_id"), col("pred").as("anc"))
+      .localCheckpoint(true)
+    // driver state is path-sized: node -> offset (hops before target)
+    val marked = scala.collection.mutable.Map(target -> 0L)
+    var reach = 1L
+    var rounds = 0
+    val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, maxHops.toLong)) + 2
+    while (!marked.contains(source) && rounds < maxRounds) {
+      val mDf = marked.toSeq.toDF("node_id", "off")
+      val jumped = lift.join(broadcast(mDf), Seq("node_id"))
+        .select(col("anc"), (col("off") + reach).as("off"))
+        .collect()
+      jumped.foreach { r =>
+        val (n, off) = (r.getLong(0), r.getLong(1))
+        if (marked.getOrElse(n, Long.MaxValue) > off) marked(n) = off
       }
-    } finally settled.unpersist()
+      if (!marked.contains(source)) {
+        lift = lift.as("a")
+          .join(lift.select(col("node_id").as("anc"),
+            col("anc").as("anc2")).as("b"), Seq("anc"))
+          .select(col("a.node_id"), col("anc2").as("anc"))
+          .localCheckpoint(true)
+        reach *= 2
+      }
+      rounds += 1
+    }
+    marked.get(source).filter(_ <= maxHops).map { srcOff =>
+      val byOff = marked.collect {
+        case (n, off) if off <= srcOff => off -> n
+      }.toMap
+      ((srcOff to 0L by -1L).map(byOff).toList, total)
+    }
   }
 
   /** `pgr_drivingDistance` result relation: per node reachable within

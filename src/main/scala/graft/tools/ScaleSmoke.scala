@@ -274,21 +274,34 @@ object ScaleSmoke {
     // road-network regime) ABOVE the broadcast-local threshold, so the
     // first best-path search runs the distributed loop; after it, the
     // bounded dS/dT searches and every Yen spur search live inside the
-    // ellipse around the (adjacent-leaf) route. Witness = Spark JOB
-    // COUNT at n and 4n: without the prune, spur searches sweep the
-    // full relation and job count scales with graph size; with it, 4n
-    // adds only the handful of SSSP rounds of one deeper tree level.
+    // ellipse around the (adjacent-leaf) route. Three leaf-to-leaf
+    // shortcut edges near the route give the neighborhood >= 3 simple
+    // src->tgt paths (2.0, 2.4, 3.0 — all within the first bound
+    // best*1.5 = 3.0), so the prune RETURNS EARLY instead of
+    // exhausting escalations into the unpruned fallback — the witness
+    // measures the prune, not the fallback. Witness = Spark JOB COUNT
+    // at n and 4n: without the prune, spur searches sweep the full
+    // relation and job count scales with graph size; with it, 4n adds
+    // only the handful of SSSP rounds of one deeper tree level.
     def kspSmoke(n: Long): (Double, Long, Int) = {
+      import spark.implicits._
       val tree = spark.range(1, n).select(
         ((col("id") - 1) / 10).cast("long").as("start_node"),
         col("id").as("end_node"), lit(1.0).as("w"))
-      val e = tree.unionByName(tree.select(
-        col("end_node").as("start_node"), col("start_node").as("end_node"),
-        col("w")))
       val src = n - 1
       val parent = (src - 1) / 10
       val c1 = parent * 10 + 1
       val tgt = if (c1 != src && c1 < n) c1 else parent * 10 + 2
+      val sib2 = if (parent * 10 + 3 != src) parent * 10 + 3
+                 else parent * 10 + 4
+      val extras = Seq(
+        (src, tgt, 3.0), (tgt, src, 3.0),
+        (src, sib2, 1.2), (sib2, src, 1.2),
+        (sib2, tgt, 1.2), (tgt, sib2, 1.2))
+        .toDF("start_node", "end_node", "w")
+      val e = tree.unionByName(tree.select(
+        col("end_node").as("start_node"), col("start_node").as("end_node"),
+        col("w"))).unionByName(extras)
       val jobs = new java.util.concurrent.atomic.AtomicLong(0)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -301,12 +314,50 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t) / 1e9
       Thread.sleep(500) // let the async listener bus drain
       spark.sparkContext.removeSparkListener(listener)
-      require(res.nonEmpty && res.head._2 == 2.0,
-        s"ksp smoke: unexpected best ${res.headOption}")
+      require(res.map(_._2) == Seq(2.0, 2.4, 3.0),
+        s"ksp smoke: unexpected ranking ${res.map(_._2)}")
       (sec, jobs.get(), res.size)
     }
     val (kspLoSec, kspLoJobs, _) = kspSmoke(1000000L)
     val (kspHiSec, kspHiJobs, _) = kspSmoke(4000000L)
+    // the prune holds job count nearly flat for 4x graph growth: the
+    // delta is one deeper tree level's worth of SSSP rounds, not a
+    // full-relation spur-search sweep
+    require(kspHiJobs - kspLoJobs < 250,
+      s"ksp ellipse prune lost: jobs $kspLoJobs -> $kspHiJobs")
+
+    // Path reconstruction from a settled SSSP relation: a synthetic
+    // 4k/16k-hop predecessor CHAIN fed straight to reconstructPath
+    // isolates the witness from the SSSP producing it. Binary lifting
+    // makes job count O(log hops) — 4x the hops adds ~2 doubling
+    // rounds' worth of jobs; the old per-hop driver walk-back would
+    // show 4x the jobs (4096 -> 16384).
+    def pathSmoke(hops: Long): (Double, Long) = {
+      val settled = spark.range(0L, hops + 1).select(
+        col("id").as("node_id"), col("id").cast("double").as("dist"),
+        greatest(col("id") - 1, lit(0L)).as("pred"))
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t = System.nanoTime()
+      val res = graft.osm.GraphCheck.reconstructPath(settled, 0L, hops,
+        maxHops = hops.toInt + 8)
+      val sec = (System.nanoTime() - t) / 1e9
+      Thread.sleep(500) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      require(res.exists(r => r._1.size == hops + 1 && r._1.head == 0L &&
+        r._1.last == hops && r._2 == hops.toDouble),
+        s"path smoke: bad reconstruction ${res.map(r => (r._1.size, r._2))}")
+      (sec, jobs.get())
+    }
+    val (pathLoSec, pathLoJobs) = pathSmoke(4096L)
+    val (pathHiSec, pathHiJobs) = pathSmoke(16384L)
+    require(pathHiJobs < pathLoJobs + 12,
+      s"path reconstruction not O(log hops): jobs $pathLoJobs -> $pathHiJobs")
 
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
@@ -337,7 +388,10 @@ object ScaleSmoke {
       s""""scc_peels":$sccPeels,"scc_fwd_rounds":$sccFwdRounds,""" +
       f""""scc_sec":$sccSec%.2f,""" +
       s""""ksp_jobs_lo":$kspLoJobs,"ksp_jobs_hi":$kspHiJobs,""" +
-      f""""ksp_sec_lo":$kspLoSec%.2f,"ksp_sec_hi":$kspHiSec%.2f}""")
+      f""""ksp_sec_lo":$kspLoSec%.2f,"ksp_sec_hi":$kspHiSec%.2f,""" +
+      s""""path_hops_lo":4096,"path_hops_hi":16384,""" +
+      s""""path_jobs_lo":$pathLoJobs,"path_jobs_hi":$pathHiJobs,""" +
+      f""""path_sec_lo":$pathLoSec%.2f,"path_sec_hi":$pathHiSec%.2f}""")
     spark.stop()
   }
 }

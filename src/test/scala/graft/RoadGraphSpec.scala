@@ -464,6 +464,35 @@ class RoadGraphSpec extends SparkTestBase {
       === Some((Seq(1L, 2L, 4L), 2.0)))
   }
 
+  test("reconstructPath: O(log path) jobs on a long chain, guards") {
+    // settled chain 0 -> 1 -> ... -> L (pred(i) = i-1, source
+    // self-loop) fed directly, so the assertion isolates the
+    // reconstruction from the SSSP that normally produces it
+    val L = 200L
+    val settled = spark.range(0L, L + 1).select(
+      col("id").as("node_id"), col("id").cast("double").as("dist"),
+      greatest(col("id") - 1, lit(0L)).as("pred"))
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res = GraphCheck.reconstructPath(settled, 0L, L, maxHops = 1000)
+    Thread.sleep(500) // async listener bus drain
+    spark.sparkContext.removeSparkListener(listener)
+    assert(res.map(_._1) === Some((0L to L).toList))
+    assert(res.map(_._2) === Some(L.toDouble))
+    // ceil(log2 200) = 8 doubling rounds of a few jobs each — a
+    // per-hop walk-back would need 200+
+    assert(jobs.get() < 60, s"reconstruction used ${jobs.get()} jobs")
+    assert(GraphCheck.reconstructPath(settled, 0L, 999L, 1000).isEmpty)
+    assert(GraphCheck.reconstructPath(settled, 0L, L, maxHops = 10).isEmpty)
+    assert(GraphCheck.reconstructPath(settled, 0L, 0L, 10)
+      === Some((Seq(0L), 0.0)))
+  }
+
   test("snapPois: edge-interior projection, not nearest vertex") {
     val pois = PoisExtract.poisNodes(t.nodes)
     val got = RoadGraph.snapPois(pois, merged).collect()
