@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[MatVec].getName, "matvec"),
         (children: Seq[Expression]) => MatVec(children(0), children(1))))
     ext.injectFunction(
+      (new FunctionIdentifier("int_dot"),
+        new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+        (children: Seq[Expression]) => IntDot(children(0), children(1))))
+    ext.injectFunction(
       (new FunctionIdentifier("repetition_stats"),
         new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
         (children: Seq[Expression]) => RepetitionStats(children.head)))
@@ -129,6 +133,10 @@ object GraftFunctions {
     * (injected [[MatVec]]): per-row dots of `vec` with each matrix row. */
   def matVec(matrix: Seq[Seq[Double]], vec: Column): Column =
     call_function("matvec", typedlit(matrix), vec)
+
+  /** Codegen'd exact long dot of two `ARRAY<INT>` columns (injected
+    * [[IntDot]]) — the int8-search hot-path primitive. */
+  def intDot(a: Column, b: Column): Column = call_function("int_dot", a, b)
 
   /** One-pass repetition features over a token array (injected
     * [[RepetitionStats]]): struct(dup_token_frac, top_bigram_frac). */

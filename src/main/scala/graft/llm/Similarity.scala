@@ -136,8 +136,10 @@ object Similarity {
     * oracle, not just a recall gate. */
   def int8TopKPerQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int): DataFrame = {
-    def norm2(c: Column) = aggregate(
-      transform(c, x => (x * x).cast("long")), lit(0L), (acc, x) => acc + x)
+    // codegen'd primitive loops (IntDot), NOT aggregate(zip_with(...)):
+    // the HOF fold is CodegenFallback — interpreted, boxed, and the
+    // per-pair dot below runs once per corpus×query pair
+    def norm2(c: Column) = graft.functions.GraftFunctions.intDot(c, c)
     // norms are per-ROW, computed before the pair join: inside the join
     // each corpus norm would be re-folded once per query (and vice
     // versa) — O((n+q)·dim) beats O(n·q·dim) for the same numbers.
@@ -153,9 +155,8 @@ object Similarity {
       .select(col(qidCol), col("__qc"))
       .withColumn("__qn", sqrt(norm2(col("__qc")).cast("double")))
       .filter(col("__qn") > 0.0)
-    val dotL = aggregate(
-      zip_with(col("__c"), col("__qc"), (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    val dotL =
+      graft.functions.GraftFunctions.intDot(col("__c"), col("__qc"))
     val scored = cq.crossJoin(broadcast(qq))
       .select(col(qidCol), col(idCol),
         (dotL.cast("double") / (col("__cn") * col("__qn"))).as("cos_i8"))

@@ -341,6 +341,7 @@ class PlanAuditSpec extends SparkTestBase {
     val ptType = StructType(Seq(StructField("lon", DoubleType),
       StructField("lat", DoubleType)))
     val line = BoundReference(3, ArrayType(ptType), nullable = true)
+    val codes = BoundReference(4, ArrayType(IntegerType), nullable = true)
     val exprs = Seq(
       functions.RepetitionStats(toks),
       functions.MatVec(mat, vec),
@@ -348,7 +349,8 @@ class PlanAuditSpec extends SparkTestBase {
       functions.NfcNormalize(txt),
       functions.SimplifyLine(line, Literal(0.5)),
       functions.ClosestPointOnLine(line, Literal(1.0), Literal(1.0)),
-      functions.OuterUpper(vec))
+      functions.OuterUpper(vec),
+      functions.IntDot(codes, codes))
     val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino error
     val row = org.apache.spark.sql.catalyst.InternalRow(
       ArrayData.toArrayData(Array(
@@ -359,7 +361,8 @@ class PlanAuditSpec extends SparkTestBase {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
         org.apache.spark.sql.catalyst.InternalRow(0.0, 0.0),
         org.apache.spark.sql.catalyst.InternalRow(1.0, 0.1),
-        org.apache.spark.sql.catalyst.InternalRow(2.0, 0.0))))
+        org.apache.spark.sql.catalyst.InternalRow(2.0, 0.0))),
+      ArrayData.toArrayData(Array(3, 4)))
     val out = proj(row)
     assert(out.getStruct(0, 2).getDouble(0) === 0.5) // dup_token_frac
     assert(out.getArray(1).getDouble(0) === 3.0)     // identity matvec
@@ -370,6 +373,7 @@ class PlanAuditSpec extends SparkTestBase {
     assert(math.abs(out.getStruct(5, 3).getDouble(0) - 0.81) < 1e-15)
     // outer_upper of [3,4]: [3, 4, 9, 12, 16]
     assert(out.getArray(6).toDoubleArray().toSeq === Seq(3.0, 4.0, 9.0, 12.0, 16.0))
+    assert(out.getLong(7) === 25L)                   // int_dot [3,4]·[3,4]
   }
 
   test("convex hull aggregate runs with map-side partials (O(hull) state ships)") {

@@ -30,6 +30,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("IntDot == aggregate∘zip_with long dot for random int8 codes") {
+    (1 to 5).foreach { _ =>
+      val dim = rnd.nextInt(16) + 1
+      val a = Seq.fill(dim)(rnd.nextInt(255) - 127)
+      val b = Seq.fill(dim)(rnd.nextInt(255) - 127)
+      val df = Seq((a, b)).toDF("a", "b")
+      val viaExpr = df.select(
+        functions.GraftFunctions.intDot($"a", $"b").as("d"))
+        .head().getLong(0)
+      val viaHof = df.select(aggregate(
+          zip_with($"a", $"b", (x, y) => (x * y).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d"))
+        .head().getLong(0)
+      assert(viaExpr === viaHof)
+      assert(viaExpr === a.zip(b).map { case (x, y) => x.toLong * y }.sum)
+    }
+  }
+
   test("decodeCopyEscapes inverts COPY encoding for arbitrary strings") {
     def copyEncode(s: String): String = s.flatMap {
       case '\\' => "\\\\"
