@@ -478,6 +478,23 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- S3+S4 catalog round-trip: CREATE SCHEMA -> CTAS -> read the
+    //      CATALOG table back (not the source relation), proving the
+    //      namespace + materialization layer end-to-end
+    "q_s3_s4_ctas" -> ((s, dir) => {
+      etl.CatalogOps.createNamespace(s, "graft_ctas")
+      s.sql("DROP TABLE IF EXISTS graft_ctas.region_stats")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/graft_ctas.db/region_stats")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      etl.CatalogOps.materialize(
+        region(s, dir).select(col("r_regionkey"), col("r_name"),
+          length(col("r_name")).cast("long").as("name_len")),
+        "graft_ctas.region_stats")
+      s.table("graft_ctas.region_stats").orderBy("r_regionkey")
+    }),
+
     // ---- P4/P7 3VL exclusion: NULL-predicate rows survive the delete
     //      (osm-road-graphs.sql:19-28 semantics on TPC-H data)
     "q_p4_3vl_exclude" -> ((s, dir) => {
@@ -2083,6 +2100,35 @@ object SparkEntry {
         .orderBy("case_id")
     }),
 
+    // ---- F23 pgr_createTopology (osm-road-graphs-fix.sql:128-131):
+    //      snap endpoints to the 1e-4 tolerance grid, dense 1-based
+    //      vertex ids in (sx, sy) cell order, attach source/target.
+    //      Crossing fixture endpoints -> 9 distinct cells; ids are
+    //      hand-derivable (FIXTURES.md): (0,0)=1 (0,200)=2 (200,0)=3
+    //      (200,200)=4 (5000,5000)=5 (5000,5200)=6 (5200,5000)=7
+    //      (10000,10000)=8 (10100,10000)=9.
+    "q_f23_topology" -> ((s, dir) => {
+      osm.GeometricSplit.createTopology(
+          osm.GeometricSplit.crossingFixture(s))
+        .select(col("edge_id"), col("source"), col("target"))
+        .orderBy("edge_id")
+    }),
+
+    // ---- A8 multipoint half (osm-road-graphs-fix.sql:83,94):
+    //      ST_Multi(ST_Union(point geometries)) per group — the POI
+    //      nodes of the micro fixture grouped by their tag key, WKT via
+    //      the same sorted-set multipoint the blades relation uses.
+    "q_a8_multipoint" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      t.nodes.select(explode(col("tags")).as(Seq("k", "v")), col("geom"))
+        .filter(col("k") =!= "name")
+        .groupBy("k")
+        .agg(array_sort(collect_set(col("geom"))).as("mp"))
+        .select(col("k"), size(col("mp")).cast("long").as("n_pts"),
+          functions.Geo.asTextMultiPoint(col("mp")).as("wkt"))
+        .orderBy("k")
+    }),
+
     // ---- nodes_blades_alt (osm-road-graphs-fix.sql:93-103): per way,
     //      the ST_Multi(ST_Union(...)) of its touch/cross intersection
     //      points with OTHER highway ways — re-expressed as a grid-cell
@@ -3235,6 +3281,32 @@ object SparkEntry {
             'POLYGON((1.0 4.0, 0.0 3.0, 0.0 1.0, 1.0 0.0, 3.0 0.0, 4.0 1.0, 4.0 3.0, 3.0 4.0, 1.0 4.0))'))
            AS v(case_id, nv, area, wkt)
          ORDER BY case_id""",
+    // createTopology vertex assignment on the crossing fixture:
+    // endpoints snap to 9 distinct 1e-4 cells, numbered 1..9 in
+    // (sx, sy) order — hand-derived VALUES (see the query comment)
+    "q_f23_topology" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+           (2, 2, 3),
+           (3, 8, 9),
+           (4, 5, 7),
+           (5, 5, 6))
+           AS v(edge_id, source, target)
+         ORDER BY edge_id""",
+    // micro-fixture POI nodes per tag key (FIXTURES.md §2): amenity on
+    // nodes 5 (0.02,-0.01) and 11 (0.3,0.0); highway on node 3; shop
+    // on node 6 — multipoint members in (lon, lat) order
+    "q_a8_multipoint" ->
+      """SELECT * FROM (VALUES
+           ('amenity', CAST(2 AS BIGINT), 'MULTIPOINT(0.02 -0.01, 0.3 0.0)'),
+           ('highway', 1, 'MULTIPOINT(0.02 0.0)'),
+           ('shop',    1, 'MULTIPOINT(0.02 0.01)'))
+           AS v(k, n_pts, wkt)
+         ORDER BY k""",
+    "q_s3_s4_ctas" ->
+      """SELECT r_regionkey, r_name,
+                CAST(length(r_name) AS BIGINT) AS name_len
+         FROM region ORDER BY r_regionkey""",
     // independent re-derivation of the blades-alt relation: the same
     // parametric segment-intersection math in SQL over the fixture's
     // single-segment ways (all-pairs is fine for an oracle over 5
