@@ -2100,6 +2100,40 @@ object SparkEntry {
         .orderBy("case_id")
     }),
 
+    // ---- F22 general (concave-capable) ST_Intersection area
+    //      (osm-road-graphs-fix.sql:96 is geometry-typed ST_Intersection
+    //      + ST_Dump): ear-triangulate the clip, convexClip per
+    //      triangle, sum piece areas. Hand-computed fixtures: an
+    //      L-shape clipped by a square (4.0), a U-shape by a band
+    //      (2.0, DISCONNECTED result), disjoint (0.0), and
+    //      concave-subject x concave-clip L∩U (1.0).
+    "q_geo_concave_clip" -> ((s, dir) => {
+      import s.implicits._
+      def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
+        struct(lit(x).as("lon"), lit(y).as("lat")) }: _*)
+      val square = ring((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+      val band = ring((0.0, 2.0), (3.0, 2.0), (3.0, 3.0), (0.0, 3.0))
+      val ell = ring((1.0, 1.0), (3.0, 1.0), (3.0, 2.0), (2.0, 2.0),
+        (2.0, 5.0), (1.0, 5.0))
+      val ellFar = ring((11.0, 1.0), (13.0, 1.0), (13.0, 2.0),
+        (12.0, 2.0), (12.0, 5.0), (11.0, 5.0))
+      val u = ring((0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (2.0, 3.0),
+        (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+      Seq(1L, 2L, 3L, 4L).toDF("case_id")
+        .withColumn("subject", when(col("case_id") === 2, band)
+          .when(col("case_id") === 4, ell).otherwise(square))
+        .withColumn("clip", when(col("case_id") === 1, ell)
+          .when(col("case_id") === 2, u)
+          .when(col("case_id") === 3, ellFar)
+          .otherwise(u))
+        .select(col("case_id"),
+          round(Geo.intersectionArea(col("subject"), col("clip")), 6)
+            .as("area"),
+          size(functions.GraftFunctions.earTriangulate(col("clip")))
+            .cast("long").as("n_tris"))
+        .orderBy("case_id")
+    }),
+
     // ---- F23 pgr_createTopology (osm-road-graphs-fix.sql:128-131):
     //      snap endpoints to the 1e-4 tolerance grid, dense 1-based
     //      vertex ids in (sx, sy) cell order, attach source/target.
@@ -3280,6 +3314,16 @@ object SparkEntry {
            (2, 8, 14.0,
             'POLYGON((1.0 4.0, 0.0 3.0, 0.0 1.0, 1.0 0.0, 3.0 0.0, 4.0 1.0, 4.0 3.0, 3.0 4.0, 1.0 4.0))'))
            AS v(case_id, nv, area, wkt)
+         ORDER BY case_id""",
+    // hand-computed intersection areas (see the query comment); n_tris
+    // is n-2 for a simple ring with no collinear vertices
+    "q_geo_concave_clip" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(4.0 AS DOUBLE), CAST(4 AS BIGINT)),
+           (2, 2.0, 6),
+           (3, 0.0, 4),
+           (4, 1.0, 6))
+           AS v(case_id, area, n_tris)
          ORDER BY case_id""",
     // createTopology vertex assignment on the crossing fixture:
     // endpoints snap to 9 distinct 1e-4 cells, numbered 1..9 in

@@ -352,6 +352,34 @@ object Geo {
     })
   }
 
+  /** General `ST_Intersection(polygon, polygon)` with a CONCAVE-capable
+    * clip ring, as `ST_Dump`-style pieces: triangulate the clip polygon
+    * ([[GraftFunctions.earTriangulate]] — triangles partition its
+    * interior), [[convexClip]] the subject against each triangle, keep
+    * the nonempty rings. Piece boundaries along triangulation diagonals
+    * are decomposition artifacts (PostGIS would merge them), but the
+    * pieces tile the true intersection exactly, so membership tests and
+    * the area sum ([[intersectionArea]]) match `ST_Intersection`. A
+    * concave SUBJECT is also fine for area purposes: Sutherland–Hodgman
+    * may emit zero-width bridge edges on a concave subject, which
+    * cancel in the shoelace sum. Per-row expression fold — shuffle-free,
+    * scan-local at any scale. */
+  def intersectionPieces(subject: Column, clip: Column): Column =
+    filter(
+      transform(graft.functions.GraftFunctions.earTriangulate(clip),
+        tri => convexClip(subject, tri)),
+      piece => size(piece) >= 3)
+
+  /** Area of the general polygon–polygon intersection (planar,
+    * coordinate units²): the summed signed areas of
+    * [[intersectionPieces]] with a CCW-normalized subject. */
+  def intersectionArea(subject: Column, clip: Column): Column = {
+    val ccwSubject =
+      when(shoelaceSigned(subject) < 0, reverse(subject)).otherwise(subject)
+    aggregate(intersectionPieces(ccwSubject, clip), lit(0.0),
+      (acc, piece) => acc + shoelaceSigned(piece) / 2)
+  }
+
   /** Pseudo-angle ("diamond angle") of a point around a center —
     * monotone in true angle over (-90°, 270°) but computed with ONLY
     * +,-,abs,÷, all IEEE-exactly-rounded, so two engines order points

@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[MatVec].getName, "matvec"),
         (children: Seq[Expression]) => MatVec(children(0), children(1))))
     ext.injectFunction(
+      (new FunctionIdentifier("ear_triangulate"),
+        new ExpressionInfo(classOf[EarTriangulate].getName, "ear_triangulate"),
+        (children: Seq[Expression]) => EarTriangulate(children.head)))
+    ext.injectFunction(
       (new FunctionIdentifier("int_dot"),
         new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
         (children: Seq[Expression]) => IntDot(children(0), children(1))))
@@ -137,6 +141,11 @@ object GraftFunctions {
   /** Codegen'd exact long dot of two `ARRAY<INT>` columns (injected
     * [[IntDot]]) — the int8-search hot-path primitive. */
   def intDot(a: Column, b: Column): Column = call_function("int_dot", a, b)
+
+  /** Ear-clipping triangulation of a simple polygon ring (injected
+    * [[EarTriangulate]]): array of CCW triangles partitioning it. */
+  def earTriangulate(ring: Column): Column =
+    call_function("ear_triangulate", ring)
 
   /** One-pass repetition features over a token array (injected
     * [[RepetitionStats]]): struct(dup_token_frac, top_bigram_frac). */

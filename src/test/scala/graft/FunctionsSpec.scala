@@ -437,6 +437,58 @@ class FunctionsSpec extends SparkTestBase {
       }
   }
 
+  test("earTriangulate partitions concave rings; general intersection") {
+    import graft.functions.GraftFunctions.earTriangulate
+    def tris(r: Seq[(Double, Double)]) = spark.range(1)
+      .select(earTriangulate(ringLit(r)).as("t"))
+      .select(size($"t").as("n"),
+        aggregate($"t", lit(0.0),
+          (acc, tri) => acc + Geo.shoelaceSigned(tri) / 2).as("area"),
+        aggregate($"t", lit(true),
+          (acc, tri) => acc && Geo.shoelaceSigned(tri) > 0).as("allCcw"))
+      .head()
+    // L-shape (concave, 6 vertices, CW input): 4 CCW triangles, area 12
+    val l = Seq((0.0, 0.0), (0.0, 4.0), (2.0, 4.0), (2.0, 2.0), (4.0, 2.0), (4.0, 0.0))
+    val lt = tris(l)
+    assert(lt.getInt(0) === 4 && lt.getDouble(1) === 12.0 && lt.getBoolean(2))
+    // collinear vertex drops as a zero-area ear, no area lost
+    val col3 = Seq((0.0, 0.0), (2.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    val ct = tris(col3)
+    assert(ct.getDouble(1) === 16.0 && ct.getBoolean(2))
+    // degenerate rings
+    assert(tris(Seq((0.0, 0.0), (1.0, 1.0))).getInt(0) === 0)
+    // property: random star-shaped rings (simple by construction) —
+    // triangle areas sum to the ring area
+    val rnd = new scala.util.Random(7L)
+    (1 to 10).foreach { _ =>
+      val n = rnd.nextInt(12) + 4
+      val ring = (0 until n).map { i =>
+        val a = 2 * math.Pi * i / n
+        val r = rnd.nextDouble() * 4 + 1
+        (r * math.cos(a), r * math.sin(a))
+      }
+      val want = ring.indices.map { i =>
+        val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % n)
+        x1 * y2 - x2 * y1
+      }.sum / 2
+      val got = tris(ring)
+      assert(math.abs(got.getDouble(1) - math.abs(want)) < 1e-9,
+        s"area ${got.getDouble(1)} want $want over $ring")
+      assert(got.getBoolean(2))
+    }
+    // disconnected intersection: U-shape ∩ horizontal band = the two
+    // arm tops — pieces from >=2 disjoint regions, total area 2
+    val u = Seq((0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (2.0, 3.0),
+      (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val band = Seq((0.0, 2.0), (3.0, 2.0), (3.0, 3.0), (0.0, 3.0))
+    val got = spark.range(1).select(
+        round(Geo.intersectionArea(ringLit(band), ringLit(u)), 9).as("a"),
+        size(Geo.intersectionPieces(ringLit(band), ringLit(u))).as("np"))
+      .head()
+    assert(got.getDouble(0) === 2.0)
+    assert(got.getInt(1) >= 2, s"expected >=2 pieces, got ${got.getInt(1)}")
+  }
+
   test("geometry booleans: convexClip cases, lineIntersections cases") {
     val square = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
     def clip(subj: Seq[(Double, Double)], c: Seq[(Double, Double)]) =

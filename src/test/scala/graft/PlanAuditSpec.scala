@@ -350,7 +350,8 @@ class PlanAuditSpec extends SparkTestBase {
       functions.SimplifyLine(line, Literal(0.5)),
       functions.ClosestPointOnLine(line, Literal(1.0), Literal(1.0)),
       functions.OuterUpper(vec),
-      functions.IntDot(codes, codes))
+      functions.IntDot(codes, codes),
+      functions.EarTriangulate(line))
     val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino error
     val row = org.apache.spark.sql.catalyst.InternalRow(
       ArrayData.toArrayData(Array(
@@ -374,6 +375,7 @@ class PlanAuditSpec extends SparkTestBase {
     // outer_upper of [3,4]: [3, 4, 9, 12, 16]
     assert(out.getArray(6).toDoubleArray().toSeq === Seq(3.0, 4.0, 9.0, 12.0, 16.0))
     assert(out.getLong(7) === 25L)                   // int_dot [3,4]·[3,4]
+    assert(out.getArray(8).numElements() === 1)      // one CCW triangle
   }
 
   test("convex hull aggregate runs with map-side partials (O(hull) state ships)") {
