@@ -330,8 +330,7 @@ object GraphCheck {
       eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
         .count() <= localThreshold
     if (!isLocal)
-      return shortestPathTo(eChk, source, target, maxIter, localThreshold)
-        .map { case (p, d) => (p, d, -1L) }
+      return aStarDistributed(eChk, coords, source, target, maxIter)
     val nodes = eChk.select(col("start_node").as("node_id"))
       .unionByName(eChk.select(col("end_node").as("node_id"))).distinct()
     val xy = coords.select(col("node_id"), col("lon"), col("lat"))
@@ -344,13 +343,22 @@ object GraphCheck {
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     if (!xy.contains(target)) return None
     val (tLon, tLat) = xy(target)
+    // rounding slack: stored integer-cm weights can round DOWN up to
+    // 0.5 cm per edge, so the exact great-circle heuristic could
+    // overestimate the rounded remaining cost by 0.5·hops — deflate by
+    // 0.5·(node count) (a simple path's hop bound) to restore strict
+    // admissibility; negligible vs meter-scale edges
+    val nNodes = (adj.keysIterator ++
+      adj.valuesIterator.flatMap(_.iterator.map(_._1))).toSet.size
+    val slackCm = 0.5 * nNodes
     def hCm(v: Long): Double = xy.get(v).map { case (lon, lat) =>
       val dLat = math.toRadians(tLat - lat)
       val dLon = math.toRadians(tLon - lon)
       val a = math.pow(math.sin(dLat / 2), 2) +
         math.cos(math.toRadians(lat)) * math.cos(math.toRadians(tLat)) *
           math.pow(math.sin(dLon / 2), 2)
-      2.0 * 6371008.8 * math.asin(math.sqrt(a)) * 100.0
+      math.max(0.0,
+        2.0 * 6371008.8 * math.asin(math.sqrt(a)) * 100.0 - slackCm)
     }.getOrElse(0.0) // unknown coords: h=0 stays admissible
     val dist = scala.collection.mutable.Map(source -> 0.0)
     val pred = scala.collection.mutable.Map(source -> source)
@@ -370,7 +378,11 @@ object GraphCheck {
           case (v, w) =>
             val nd = dist(u) + w
             if (!dist.contains(v) || nd < dist(v)) {
-              dist(v) = nd; pred(v) = u; pq.enqueue((nd + hCm(v), v))
+              // REOPEN on improvement: the slacked heuristic is
+              // admissible but not provably consistent, and admissible
+              // + reopening + stop-at-target-pop is exact
+              dist(v) = nd; pred(v) = u; closed -= v
+              pq.enqueue((nd + hCm(v), v))
             } else if (nd == dist(v) && u < pred(v)) pred(v) = u
         }
       }
@@ -381,6 +393,89 @@ object GraphCheck {
       while (cur != source) { cur = pred(cur); path = cur :: path }
       Some((path, dist(target), settled))
     }
+  }
+
+  /** Distributed goal-directed best-path search — the scale branch of
+    * [[aStarPathTo]]. The relaxation loop is [[shortestPathTo]]'s, plus
+    * one A*-style frontier prune per round once the target is reached:
+    * rows with `dist(v) + h(v) > bestKnown` are dropped, where `h` is
+    * the great-circle lower bound to the target (minus the 0.5·maxIter
+    * rounding slack, clamped at 0) and `bestKnown` is the target's
+    * current distance, read for free off the convergence aggregate.
+    * Pruning never removes a node of any optimal path (its
+    * `dist + h ≤ total ≤ bestKnown`), and equal-distance predecessor
+    * candidates share one prune decision, so path, total, AND the
+    * smaller-predecessor tie contract are identical to
+    * [[shortestPathTo]] — the search just settles the ellipse around
+    * the route instead of the full distance ball (witnessed in
+    * ScaleSmoke on a directional lattice).
+    *
+    * Returns the settled-relation size as the third component; nodes
+    * without coords get h=0 (admissible), and a target without coords
+    * degrades to plain distributed Dijkstra (marked `settled = -1`). */
+  private def aStarDistributed(eChk: DataFrame, coords: DataFrame,
+      source: Long, target: Long,
+      maxIter: Int): Option[(Seq[Long], Double, Long)] = {
+    val spark = eChk.sparkSession
+    import spark.implicits._
+    val tRow = coords.filter(col("node_id") === target)
+      .select(col("lon").cast("double"), col("lat").cast("double"))
+      .collect()
+    if (tRow.isEmpty)
+      return shortestPathTo(eChk, source, target, maxIter, 0L)
+        .map { case (p, d) => (p, d, -1L) }
+    val (tLon, tLat) = (tRow.head.getDouble(0), tRow.head.getDouble(1))
+    val e = eChk.select(col("start_node").as("src"),
+      col("end_node").as("dst"), col("w").cast("double").as("w"))
+    val nodesRel = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id"))).distinct()
+    val dLat = radians(lit(tLat) - col("lat"))
+    val dLon = radians(lit(tLon) - col("lon"))
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(col("lat"))) * cos(radians(lit(tLat))) * pow(sin(dLon / 2), 2)
+    val hCol = greatest(
+      lit(2.0 * 6371008.8 * 100.0) * asin(sqrt(a)) - lit(0.5 * maxIter),
+      lit(0.0))
+    val hRel = nodesRel
+      .join(coords.select(col("node_id"), col("lon").cast("double").as("lon"),
+        col("lat").cast("double").as("lat")), Seq("node_id"), "left_outer")
+      .select(col("node_id").as("__hn"),
+        coalesce(hCol, lit(0.0)).as("__h"))
+      .localCheckpoint(true)
+    var dist = Seq((source, 0.0, source)).toDF("node_id", "dist", "pred")
+      .localCheckpoint(true)
+    var bestKnown = Double.PositiveInfinity
+    var prev = (0L, java.math.BigDecimal.ZERO)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = e.join(dist, e("src") === dist("node_id"))
+        .select(col("dst").as("node_id"),
+          (col("dist") + col("w")).as("dist"), col("src").as("pred"))
+      var next = dist.unionByName(relaxed)
+        .groupBy("node_id")
+        .agg(min(struct(col("dist"), col("pred"))).as("__b"))
+        .select(col("node_id"), col("__b.dist").as("dist"),
+          col("__b.pred").as("pred"))
+      if (!bestKnown.isPosInfinity)
+        next = next.join(hRel, next("node_id") === hRel("__hn"), "left_outer")
+          .filter(col("dist") + coalesce(col("__h"), lit(0.0)) <= bestKnown)
+          .select(col("node_id"), col("dist"), col("pred"))
+      val nextChk = next.localCheckpoint(true)
+      val s = nextChk.agg(count(lit(1)),
+        sum(col("dist").cast("decimal(38,6)")),
+        min(when(col("node_id") === target, col("dist")))).head()
+      val cur = (s.getLong(0),
+        Option(s.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      if (!s.isNullAt(2)) bestKnown = s.getDouble(2)
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      dist = nextChk
+      i += 1
+    }
+    val settledCount = dist.count()
+    reconstructPath(dist, source, target, maxIter)
+      .map { case (p, d) => (p, d, settledCount) }
   }
 
   /** Yen's K shortest LOOPLESS paths (`pgr_ksp` analog) from `source`

@@ -362,6 +362,59 @@ object ScaleSmoke {
     require(pathHiJobs <= pathLoJobs + 16,
       s"path reconstruction not O(log hops): jobs $pathLoJobs -> $pathHiJobs")
 
+    // Distributed A*: g x g lattice (0.001-deg spacing, haversine-cm
+    // weights = the exact-heuristic regime), route west edge -> east
+    // edge through the middle, localThreshold=0 so the goal-directed
+    // DISTRIBUTED loop runs. Witness: A* settles the ellipse corridor
+    // around the route while plain SSSP settles the whole lattice —
+    // settled count must drop by >2x — and total distance matches the
+    // unpruned SSSP exactly (identical-result contract).
+    val astarG = 50L
+    val (astarSettled, astarTotalNodes) = {
+      val g = astarG
+      val base = spark.range(g * g).select(
+        (col("id") / g).cast("long").as("i"), (col("id") % g).as("j"))
+      val right = base.filter(col("i") < g - 1)
+        .select((col("i") * g + col("j")).as("a"),
+          ((col("i") + 1) * g + col("j")).as("b"))
+      val upE = base.filter(col("j") < g - 1)
+        .select((col("i") * g + col("j")).as("a"),
+          (col("i") * g + col("j") + 1).as("b"))
+      val und = right.unionByName(upE)
+      def lonOf(c: org.apache.spark.sql.Column) =
+        (c / g).cast("long").cast("double") * 0.001
+      def latOf(c: org.apache.spark.sql.Column) =
+        (c % g).cast("double") * 0.001
+      def hav(lon1: org.apache.spark.sql.Column, lat1: org.apache.spark.sql.Column,
+          lon2: org.apache.spark.sql.Column, lat2: org.apache.spark.sql.Column) = {
+        val aa = pow(sin(radians(lat2 - lat1) / 2), 2) +
+          cos(radians(lat1)) * cos(radians(lat2)) *
+            pow(sin(radians(lon2 - lon1) / 2), 2)
+        lit(2.0 * 6371008.8 * 100.0) * asin(sqrt(aa))
+      }
+      val dirE = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("start_node"), col("b").as("end_node"),
+          hav(lonOf(col("a")), latOf(col("a")),
+            lonOf(col("b")), latOf(col("b"))).as("w"))
+      val coords = spark.range(g * g).select(col("id").as("node_id"),
+        lonOf(col("id")).as("lon"), latOf(col("id")).as("lat"))
+      val src = g / 2
+      val tgt = (g - 1) * g + g / 2
+      val res = graft.osm.GraphCheck.aStarPathTo(dirE, coords, src, tgt,
+        maxIter = 2 * g.toInt, localThreshold = 0L)
+      require(res.nonEmpty, "astar smoke: no path")
+      val (dist, _) = graft.osm.GraphCheck.shortestPathsWithRounds(
+        dirE.select(col("start_node"), col("end_node"), col("w")),
+        src, maxIter = 2 * g.toInt)
+      val dTotal = dist.filter(col("node_id") === tgt)
+        .select(col("dist").cast("double")).head().getDouble(0)
+      require(math.abs(res.get._2 - dTotal) < 1e-6,
+        s"astar smoke: total ${res.get._2} != sssp $dTotal")
+      (res.get._3, dist.count())
+    }
+    require(astarSettled * 2 < astarTotalNodes,
+      s"astar prune weak: settled $astarSettled of $astarTotalNodes")
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -394,7 +447,10 @@ object ScaleSmoke {
       f""""ksp_sec_lo":$kspLoSec%.2f,"ksp_sec_hi":$kspHiSec%.2f,""" +
       s""""path_hops_lo":4096,"path_hops_hi":16384,""" +
       s""""path_jobs_lo":$pathLoJobs,"path_jobs_hi":$pathHiJobs,""" +
-      f""""path_sec_lo":$pathLoSec%.2f,"path_sec_hi":$pathHiSec%.2f}""")
+      f""""path_sec_lo":$pathLoSec%.2f,"path_sec_hi":$pathHiSec%.2f,""" +
+      s""""astar_lattice_nodes":${astarG * astarG},""" +
+      s""""astar_settled":$astarSettled,""" +
+      s""""astar_sssp_settled":$astarTotalNodes}""")
     spark.stop()
   }
 }

@@ -356,10 +356,14 @@ class RoadGraphSpec extends SparkTestBase {
     assert(settled <= 4, s"A* settled $settled nodes")
     // unreachable target -> None (7 is in the oneway island)
     assert(GraphCheck.aStarPathTo(e, coords, 1L, 7L).isEmpty)
-    // distributed delegation returns the identical result, settled = -1
+    // distributed goal-directed loop: identical result, and the
+    // settled relation is the pruned ellipse, not the full distance
+    // ball (Dijkstra reaches {1,3,4,5,6}; pruning at bestKnown drops
+    // the beyond-target nodes)
     val Some((ap2, at2, s2)) =
       GraphCheck.aStarPathTo(e, coords, 1L, 4L, localThreshold = 0L)
-    assert(ap2 === ap && at2 === at && s2 === -1L)
+    assert(ap2 === ap && at2 === at)
+    assert(s2 > 0 && s2 < 5, s"distributed A* settled $s2 nodes")
   }
 
   test("drivingDistanceRows: multi-source service area, cutoff, pred-edge tie") {
