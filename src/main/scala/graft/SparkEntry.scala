@@ -178,6 +178,26 @@ object SparkEntry {
         .orderBy("gid", "flag", "status")
     }),
 
+    // ---- A18 explicit GROUPING SETS (the free-built-ins row beside
+    //      rollup/cube): a set list NO rollup/cube can express —
+    //      ((flag,status),(status),()) skips the (flag) level — still
+    //      one Expand->hash-agg pass
+    "q_a18_grouping_sets" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("gid", "flag", "status")
+    }),
+
     // ---- A6/O2 ordered array_agg (osm-road-graphs.sql:144): deterministic
     //      via array_sort(collect_list(struct(...))), never bare collect_list
     "q_a6_ordered_agg" -> ((s, dir) => {
@@ -2418,6 +2438,15 @@ object SparkEntry {
                 COALESCE(l_linestatus, 'ALL') AS status,
                 count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, flag, status""",
+    "q_a18_grouping_sets" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                COALESCE(l_returnflag, 'ALL') AS flag,
+                COALESCE(l_linestatus, 'ALL') AS status,
+                count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_linestatus), ())
          ORDER BY gid, flag, status""",
     "q_a6_ordered_agg" ->
       """SELECT l_orderkey,
