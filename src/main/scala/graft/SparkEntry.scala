@@ -1350,7 +1350,7 @@ object SparkEntry {
       val t = osm.OsmModel.microFixture(s)
       val net = osm.RoadGraph.imputeSpeedLimits(
         osm.RoadGraph.excludeModes(osm.RoadGraph.carNetwork(t.ways)))
-      osm.RoadGraph.buildMergedNetwork(t)
+      osm.RoadGraph.buildMergedNetworkCached(t, "micro")
         .select(col("edge_id"),
           col("start_node"), col("end_node"),
           array_join(col("nodes").cast("array<string>"), ",").as("nodes_csv"))
@@ -1364,7 +1364,7 @@ object SparkEntry {
       // the merged network feeds all four direction branches: checkpoint
       // once instead of re-running the split chain per branch
       osm.RoadGraph.directed(
-          osm.RoadGraph.buildMergedNetwork(t).localCheckpoint(true),
+          osm.RoadGraph.buildMergedNetworkCached(t, "micro"),
           strictOsmSemantics = true)
         .select(col("edge_id"), col("start_node"), col("end_node"),
           array_join(col("nodes").cast("array<string>"), ",").as("nodes_csv"))
@@ -1377,7 +1377,7 @@ object SparkEntry {
     "q_osm_directed_intent" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       osm.RoadGraph.directed(
-          osm.RoadGraph.buildMergedNetwork(t).localCheckpoint(true),
+          osm.RoadGraph.buildMergedNetworkCached(t, "micro"),
           strictOsmSemantics = false)
         .select(col("edge_id"), col("start_node"), col("end_node"),
           array_join(col("nodes").cast("array<string>"), ",").as("nodes_csv"))
@@ -1389,7 +1389,7 @@ object SparkEntry {
     "q_osm_components" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       osm.GraphCheck.connectedComponents(
-          osm.RoadGraph.buildMergedNetwork(t).localCheckpoint(true))
+          osm.RoadGraph.buildMergedNetworkCached(t, "micro"))
         .orderBy("node_id")
     }),
 
@@ -1491,7 +1491,7 @@ object SparkEntry {
     //      lesson applied to routing. Unreachable nodes absent.
     "q_osm_route" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1507,7 +1507,7 @@ object SparkEntry {
     //      integer-centimeter weights keep it hash-exact.
     "q_osm_accessibility" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1523,7 +1523,7 @@ object SparkEntry {
     //      real pruning (node 4 sits at 3335.85 m).
     "q_osm_isochrone" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1540,7 +1540,7 @@ object SparkEntry {
     //      presentation time, so the relation stays hash-exact.
     "q_osm_closeness" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1557,7 +1557,7 @@ object SparkEntry {
     "q_osm_ksp" -> ((s, dir) => {
       import s.implicits._
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val base = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1578,7 +1578,7 @@ object SparkEntry {
     //      mutual-reachability oracle reproduces it exactly).
     "q_osm_scc" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"))
       osm.GraphCheck.stronglyConnectedComponents(e)
@@ -1592,7 +1592,7 @@ object SparkEntry {
     //      partition-order float drift in the per-node inbound sums.
     "q_osm_pagerank" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"))
       osm.GraphCheck.pageRank(e, iters = 20)
@@ -1608,7 +1608,7 @@ object SparkEntry {
     "q_osm_route_path" -> ((s, dir) => {
       import s.implicits._
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1625,7 +1625,7 @@ object SparkEntry {
     //      from the merged network; terminal row edge=-1, cost=0.
     "q_osm_route_edges" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       // checkpoint ONCE: the route search and the edge-row attribution
       // both consume this relation — without it each re-runs the whole
       // merged-network build
@@ -1650,7 +1650,7 @@ object SparkEntry {
     //      dist(u)+w=dist(v) join, no pred state in the SSSP loop.
     "q_osm_driving_edges" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"), col("edge_id"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1668,7 +1668,7 @@ object SparkEntry {
     "q_osm_ksp_edges" -> ((s, dir) => {
       import s.implicits._
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val base = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"), col("edge_id"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1696,7 +1696,7 @@ object SparkEntry {
     "q_osm_astar" -> ((s, dir) => {
       import s.implicits._
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       val e = osm.RoadGraph.directed(merged)
         .select(col("start_node"), col("end_node"),
           round(col("length") * 100).cast("long").as("w"))
@@ -1720,7 +1720,7 @@ object SparkEntry {
     //      oracle states the known snap set literally.
     "q_osm_snap_pois" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val merged = osm.RoadGraph.buildMergedNetwork(t)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
       osm.RoadGraph.snapPois(osm.PoisExtract.poisNodes(t.nodes), merged)
         .select(col("node_id"), col("edge_id"),
           round(col("dist2"), 12).as("d2"),

@@ -252,9 +252,41 @@ object GraphCheck {
     * [[connectedComponentsWithRounds]]; iteration count is a fixed
     * budget (20 ≈ 1e-7 residual at damping 0.85), not data-dependent. */
   def pageRank(edges: DataFrame, iters: Int = 20,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, localThreshold: Long = 100000L): DataFrame = {
     val e = edges.select(col("start_node").as("src"),
       col("end_node").as("dst")).localCheckpoint(true)
+    // Broadcast-local fast path (same adaptive decision as
+    // [[multiSourceShortestPaths]]): a graph that fits on the driver
+    // pays `iters` join+agg job launches for nothing. The local loop is
+    // the identical synchronous update (teleport + damping * sum of
+    // inbound rank/outdeg, dangling mass leaking), so ranks agree with
+    // the distributed path to float addition order — which the
+    // consumer-side round(…, 8) absorbs. localThreshold = 0 forces the
+    // distributed loop.
+    if (localThreshold > 0 &&
+        e.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      val deg = new Array[Long](n)
+      es.foreach { case (s, _) => deg(idx(s)) += 1 }
+      val teleport = (1.0 - damping) / n
+      var rank = Array.fill(n)(1.0 / n)
+      var it = 0
+      while (it < iters) {
+        val next = Array.fill(n)(teleport)
+        es.foreach { case (s, d) =>
+          next(idx(d)) += damping * rank(idx(s)) / deg(idx(s)) }
+        rank = next
+        it += 1
+      }
+      return ids.toIndexedSeq.map(id => (id, rank(idx(id))))
+        .toDF("node_id", "rank")
+    }
     val nodes = e.select(col("src").as("node_id"))
       .unionByName(e.select(col("dst").as("node_id")))
       .distinct().localCheckpoint(true)
@@ -294,6 +326,52 @@ object GraphCheck {
   def closenessFromSources(edges: DataFrame, sources: Seq[Long],
       maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
     val eChk = materializeEdges(edges)
+    // Broadcast-local fast path: ONE collect of the edge relation, k
+    // driver-side Dijkstras, one result relation — instead of k
+    // independent (probe + collect + createDataFrame) round-trips plus
+    // a k-way union-aggregate. Integer-centimeter weights stay exact in
+    // doubles (< 2^53), so sums match the distributed path bit-for-bit.
+    if (localThreshold > 0 &&
+        eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val isLong = eChk.schema("w").dataType ==
+        org.apache.spark.sql.types.LongType
+      val es = eChk.select(col("start_node"), col("end_node"),
+          col("w").cast("double")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val sumD = scala.collection.mutable.Map[Long, Double]()
+      val cnt = scala.collection.mutable.Map[Long, Long]()
+      sources.foreach { s0 =>
+        val dist = scala.collection.mutable.Map[Long, Double]()
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
+        dist(s0) = 0.0; pq.enqueue((0.0, s0))
+        while (pq.nonEmpty) {
+          val (d, u) = pq.dequeue()
+          if (d <= dist(u)) {
+            es.getOrElse(u, Array.empty[(Long, Double)]).foreach { case (v, w) =>
+              val nd = d + w
+              if (!dist.contains(v) || nd < dist(v)) {
+                dist(v) = nd; pq.enqueue((nd, v))
+              }
+            }
+          }
+        }
+        dist.foreach { case (nd, d) =>
+          sumD(nd) = sumD.getOrElse(nd, 0.0) + d
+          cnt(nd) = cnt.getOrElse(nd, 0L) + 1L
+        }
+      }
+      val rows = sumD.keys.toSeq.sorted
+      return if (isLong)
+        rows.map(nd => (nd, sumD(nd).toLong, cnt(nd)))
+          .toDF("node_id", "sum_dist", "n_from")
+      else rows.map(nd => (nd, sumD(nd), cnt(nd)))
+        .toDF("node_id", "sum_dist", "n_from")
+    }
     sources.map { s0 =>
       multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
     }.reduce(_.unionByName(_))
@@ -732,8 +810,77 @@ object GraphCheck {
     * Isolated nodes (no edges) are not in the node universe, matching
     * the edge-list domain. */
   def stronglyConnectedComponents(edges: DataFrame,
-      maxIter: Int = 50): DataFrame =
-    stronglyConnectedComponentsWithStats(edges, maxIter)._1
+      maxIter: Int = 50, localThreshold: Long = 100000L): DataFrame = {
+    // Broadcast-local fast path: the peel loop costs O(peels × rounds)
+    // job launches, pure overhead on a driver-sized graph. Iterative
+    // Tarjan gives the exact same relation — labels are defined as the
+    // max node id of each SCC in BOTH paths, so results are
+    // bit-identical, not merely equivalent. localThreshold = 0 forces
+    // the distributed peel loop (what ScaleSmoke witnesses).
+    val e0 = edges.select(col("start_node").as("src"), col("end_node").as("dst"))
+      .distinct().localCheckpoint(true)
+    if (localThreshold > 0 &&
+        e0.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      val adj = Array.fill(n)(List.empty[Int])
+      es.foreach { case (a, b) => adj(idx(a)) ::= idx(b) }
+      val index = Array.fill(n)(-1)
+      val low = new Array[Int](n)
+      val onStack = new Array[Boolean](n)
+      val comp = Array.fill(n)(-1)
+      val sccStack = scala.collection.mutable.ArrayBuffer[Int]()
+      var counter = 0
+      var nComp = 0
+      for (root <- 0 until n if index(root) == -1) {
+        // explicit call stack: (vertex, remaining-children iterator)
+        val call = scala.collection.mutable.Stack[(Int, Iterator[Int])]()
+        index(root) = counter; low(root) = counter; counter += 1
+        sccStack += root; onStack(root) = true
+        call.push((root, adj(root).iterator))
+        while (call.nonEmpty) {
+          val (v, it) = call.top
+          if (it.hasNext) {
+            val w = it.next()
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              sccStack += w; onStack(w) = true
+              call.push((w, adj(w).iterator))
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          } else {
+            call.pop()
+            if (call.nonEmpty) {
+              val p = call.top._1
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == index(v)) {
+              var done = false
+              while (!done) {
+                val w = sccStack.remove(sccStack.length - 1)
+                onStack(w) = false
+                comp(w) = nComp
+                if (w == v) done = true
+              }
+              nComp += 1
+            }
+          }
+        }
+      }
+      val maxId = Array.fill(nComp)(Long.MinValue)
+      for (i <- 0 until n)
+        maxId(comp(i)) = math.max(maxId(comp(i)), ids(i))
+      return ids.toIndexedSeq.map(id => (id, maxId(comp(idx(id)))))
+        .toDF("node_id", "scc")
+    }
+    stronglyConnectedComponentsWithStats(e0
+      .withColumnRenamed("src", "start_node")
+      .withColumnRenamed("dst", "end_node"), maxIter)._1
+  }
 
   /** [[stronglyConnectedComponents]] plus its loop-economics witnesses:
     * `(labels, outer peel count, max forward-propagation rounds)` —

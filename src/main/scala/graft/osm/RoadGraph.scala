@@ -328,4 +328,26 @@ object RoadGraph {
     val ntm = nodesToMerge(tables.wayNodes, net, limits)
     mergedNetwork(ntm, tables.nodes, net)
   }
+
+  /** [[buildMergedNetwork]] materialized ONCE per (session, fixture
+    * key) and shared by every downstream graph operator. This is the
+    * reference's own contract: `osm-road-graphs.sql:66-165` CTAS-es the
+    * split/merge result into persistent tables during ETL and every
+    * later `pgr_*` call reads the prebuilt relation — the network is
+    * not re-derived per query there, and it shouldn't be here. The
+    * first caller pays the 7-stage pipeline and `localCheckpoint`s the
+    * edge relation (tiny relative to executor memory even at planet
+    * scale — the planet's routable network is ~10^8 edges vs the 10^11
+    * raw rows it was derived from); later operators reuse the
+    * materialized copy. Callers must pass a `key` that uniquely names
+    * the deterministic fixture the tables were built from. */
+  def buildMergedNetworkCached(tables: OsmTables, key: String): DataFrame = {
+    val spark = tables.ways.sparkSession
+    val k = spark.sparkContext.applicationId + "/" + key
+    mergedMemo.computeIfAbsent(k,
+      _ => buildMergedNetwork(tables).localCheckpoint(true))
+  }
+
+  private val mergedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 }

@@ -516,4 +516,31 @@ class RoadGraphSpec extends SparkTestBase {
       math.abs(got(11L)._3 - 0.30) < 1e-15 && math.abs(got(11L)._4) < 1e-16)
     assert(got.keySet === Set(5L, 6L, 11L))
   }
+
+  test("broadcast-local fast paths == distributed loops (pageRank, SCC, closeness)") {
+    val e = RoadGraph.directed(merged)
+      .select(col("start_node"), col("end_node"))
+    // pageRank: ranks agree to the 8-place contract the oracle uses
+    def pr(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).toMap
+    assert(pr(GraphCheck.pageRank(e)) ===
+      pr(GraphCheck.pageRank(e, localThreshold = 0)))
+
+    // SCC: labels (max node id of the SCC) are bit-identical
+    def scc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc(GraphCheck.stronglyConnectedComponents(e)) ===
+      scc(GraphCheck.stronglyConnectedComponents(e, localThreshold = 0)))
+
+    // closeness: integer-centimeter sums and reach counts bit-identical
+    val ew = RoadGraph.directed(merged)
+      .select(col("start_node"), col("end_node"),
+        round(col("length") * 100).cast("long").as("w"))
+    def cl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val srcs = Seq(1L, 3L, 4L, 5L, 6L)
+    assert(cl(GraphCheck.closenessFromSources(ew, srcs)) ===
+      cl(GraphCheck.closenessFromSources(ew, srcs, localThreshold = 0)))
+  }
 }
