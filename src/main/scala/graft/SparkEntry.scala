@@ -1850,6 +1850,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- F22 extension: general ST_Transform(geom, srid) dispatcher —
+    //      the same points through WGS84 UTM zone 33N (EPSG:32633,
+    //      Snyder TM eqs. 8-9..8-13) and Web Mercator (EPSG:3857) in
+    //      one scan. Points stay inside the zone's ±3° span so the
+    //      series bound (<1 mm) holds; the oracle re-derives BOTH
+    //      projections from their published equations in DuckDB.
+    "q_geo_transform" -> ((s, dir) => {
+      customer(s, dir).select(col("c_custkey"),
+          struct(
+            (lit(12.0) + (col("c_custkey") % 60).cast("double") / 10.0).as("lon"),
+            (lit(40.0) + (col("c_custkey") % 250).cast("double") / 10.0).as("lat"))
+            .as("p"))
+        .select(col("c_custkey"),
+          functions.Geo.stTransform(col("p"), 32633).as("u"),
+          functions.Geo.stTransform(col("p"), 3857).as("m"))
+        .select(col("c_custkey"),
+          round(col("u.x"), 2).as("utm_x"), round(col("u.y"), 2).as("utm_y"),
+          round(col("m.x"), 2).as("merc_x"), round(col("m.y"), 2).as("merc_y"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- F22 extension: ST_DWithin as a grid-bucketed distance JOIN
     //      (one equi-join shuffle, 3x3 probe neighborhood, exact
     //      haversine post-filter — never all-pairs). Half-cell-offset
@@ -3201,6 +3222,55 @@ object SparkEntry {
            round(fe + a*bigF*t^n * sin(n*radians(lon - lon0)), 2) AS x,
            round(fn + rho0 - a*bigF*t^n * cos(n*radians(lon - lon0)), 2) AS y
          FROM pr ORDER BY c_custkey""",
+    // Snyder Transverse Mercator forward (USGS PP 1395, 8-9..8-13) with
+    // the published EPSG:32633 constants plus spherical Web Mercator —
+    // both re-derived natively in DuckDB. Powers are written as the
+    // same chained multiplications the engine uses (a2 = A*A, A^3 as
+    // A*a2, …) so both engines follow the identical IEEE operation
+    // sequence before the 2-place round.
+    "q_geo_transform" ->
+      """WITH c AS (
+           SELECT 6378137.0 AS a,
+                  2*(1/298.257223563) - (1/298.257223563)^2 AS e2,
+                  0.9996 AS k0, 15.0 AS lon0, 500000.0 AS fe, 0.0 AS fn),
+         d AS (
+           SELECT *, e2/(1-e2) AS ep2,
+             1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS c0,
+             3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS c2,
+             15*e2*e2/256 + 45*e2*e2*e2/1024 AS c4,
+             35*e2*e2*e2/3072 AS c6
+           FROM c),
+         pts AS (
+           SELECT c_custkey,
+                  12.0 + CAST(c_custkey % 60 AS DOUBLE)/10.0 AS lon,
+                  40.0 + CAST(c_custkey % 250 AS DOUBLE)/10.0 AS lat
+           FROM customer),
+         pr AS (
+           SELECT c_custkey, lon, lat, radians(lat) AS phi,
+                  a, e2, ep2, k0, lon0, fe, fn, c0, c2, c4, c6
+           FROM pts, d),
+         q AS (
+           SELECT *,
+             a / sqrt(1 - e2*sin(phi)*sin(phi)) AS bigN,
+             tan(phi)*tan(phi) AS bigT,
+             ep2 * cos(phi)*cos(phi) AS bigC,
+             radians(lon - lon0) * cos(phi) AS bigA,
+             a * (c0*phi - c2*sin(phi*2) + c4*sin(phi*4) - c6*sin(phi*6)) AS bigM
+           FROM pr),
+         q2 AS (SELECT *, bigA*bigA AS a2 FROM q)
+         SELECT c_custkey,
+           round(fe + k0 * bigN * (bigA
+             + (1 - bigT + bigC) * bigA * a2 / 6
+             + (5 - 18*bigT + bigT*bigT + 72*bigC - 58*ep2)
+                 * bigA * a2 * a2 / 120), 2) AS utm_x,
+           round(fn + k0 * (bigM
+             + bigN * tan(phi) * (a2/2
+               + (5 - bigT + 9*bigC + 4*bigC*bigC) * a2 * a2 / 24
+               + (61 - 58*bigT + bigT*bigT + 600*bigC - 330*ep2)
+                   * a2 * a2 * a2 / 720)), 2) AS utm_y,
+           round(6378137.0 * radians(lon), 2) AS merc_x,
+           round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS merc_y
+         FROM q2 ORDER BY c_custkey""",
     // Window-function ring rebuild (lead + first_value closing edge) —
     // independent formulation of the same exact-integer shoelace math
     // the engine computes with an array fold. The pseudo-angle sort key

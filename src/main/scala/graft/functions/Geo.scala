@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * [[planarLengthMeters]] implement the actual ST_Transform target —
   * Lambert Conformal Conic 2SP with the EPSG:3347 parameters (Snyder,
   * USGS Professional Paper 1395, eqs. 15-1..15-10) — as pure column
-  * arithmetic. SURVEY §7.4-3 documents the remaining deviation
-  * (arbitrary-CRS ST_Transform is out of scope; the two CRSs the
-  * reference scripts actually use are covered).
+  * arithmetic. [[stTransform]] generalizes this to the CRS families OSM
+  * tooling actually reaches for — 4326, 3857 Web Mercator, 3347, and
+  * all 120 WGS84 UTM zones (Snyder TM, eqs. 8-9..8-13) — still as pure
+  * codegen'd column trig; a PROJ-grade arbitrary-datum pipeline stays
+  * out of scope (SURVEY §7.4-3).
   */
 object Geo {
   /** WGS84 mean Earth radius in meters (IUGG R1). */
@@ -151,6 +153,108 @@ object Geo {
         pow(b.getField("x") - a.getField("x"), 2) +
           pow(b.getField("y") - a.getField("y"), 2)))
     aggregate(segs, lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Transverse Mercator parameters (the projection family behind every
+    * UTM zone). Same style as [[LccParams]]: ellipsoid + CRS constants,
+    * folded on the driver. */
+  final case class TmParams(a: Double, e2: Double, k0: Double,
+      lat0Deg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double)
+
+  /** WGS84 UTM zone parameters — EPSG:326zz (north) / 327zz (south).
+    * a=6378137, 1/f=298.257223563, k0=0.9996, central meridian
+    * -183 + 6·zone, FE 500 km, FN 0 / 10000 km. */
+  def utmParams(zone: Int, north: Boolean): TmParams = {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of 1..60")
+    val f = 1.0 / 298.257223563
+    TmParams(a = 6378137.0, e2 = 2 * f - f * f, k0 = 0.9996,
+      lat0Deg = 0.0, lon0Deg = -183.0 + 6.0 * zone,
+      falseEasting = 500000.0,
+      falseNorthing = if (north) 0.0 else 10000000.0)
+  }
+
+  /** ST_Transform(p, <TM CRS>): Transverse Mercator forward projection
+    * (Snyder, USGS PP 1395, eqs. 8-9..8-13 — public domain). All
+    * CRS-only constants (e'², the meridian-arc series coefficients,
+    * M0) fold on the driver; the per-point math is codegen'd trig on
+    * the lat/lon columns, so a projection of 10^11 points is a plain
+    * scan like [[lccProject]]. Accuracy is the standard series bound
+    * (< 1 mm inside the zone's ±3° span). */
+  def tmProject(p: Column, prm: TmParams): Column = {
+    val e2 = prm.e2
+    val ep2 = e2 / (1 - e2) // e'²
+    // meridian-arc series coefficients (Snyder 3-21)
+    val c0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+    val c2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+    val c4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+    val c6 = 35 * e2 * e2 * e2 / 3072
+    def mScalar(phi: Double): Double =
+      prm.a * (c0 * phi - c2 * math.sin(2 * phi) +
+        c4 * math.sin(4 * phi) - c6 * math.sin(6 * phi))
+    val m0 = mScalar(math.toRadians(prm.lat0Deg))
+
+    val phi = radians(p.getField("lat"))
+    val sinPhi = sin(phi); val cosPhi = cos(phi); val tanPhi = tan(phi)
+    val bigN = lit(prm.a) / sqrt(lit(1.0) - lit(e2) * sinPhi * sinPhi)
+    val bigT = tanPhi * tanPhi
+    val bigC = lit(ep2) * cosPhi * cosPhi
+    val bigA = radians(p.getField("lon") - lit(prm.lon0Deg)) * cosPhi
+    val bigM = lit(prm.a) * (lit(c0) * phi - lit(c2) * sin(phi * 2) +
+      lit(c4) * sin(phi * 4) - lit(c6) * sin(phi * 6))
+    val a2 = bigA * bigA
+    val x = lit(prm.falseEasting) + lit(prm.k0) * bigN * (bigA +
+      (lit(1.0) - bigT + bigC) * bigA * a2 / 6 +
+      (lit(5.0) - lit(18.0) * bigT + bigT * bigT + lit(72.0) * bigC -
+        lit(58.0 * ep2)) * bigA * a2 * a2 / 120)
+    val y = lit(prm.falseNorthing) + lit(prm.k0) * (bigM - lit(m0) +
+      bigN * tanPhi * (a2 / 2 +
+        (lit(5.0) - bigT + lit(9.0) * bigC + lit(4.0) * bigC * bigC) *
+          a2 * a2 / 24 +
+        (lit(61.0) - lit(58.0) * bigT + bigT * bigT + lit(600.0) * bigC -
+          lit(330.0 * ep2)) * a2 * a2 * a2 / 720))
+    struct(x.as("x"), y.as("y"))
+  }
+
+  /** EPSG:3857 Web Mercator forward — the tile-pyramid CRS
+    * (spherical: x = a·λ, y = a·ln tan(π/4 + φ/2)). */
+  def webMercator(p: Column): Column = {
+    val a = 6378137.0
+    struct(
+      (lit(a) * radians(p.getField("lon"))).as("x"),
+      (lit(a) * log(tan(lit(Math.PI / 4) + radians(p.getField("lat")) / 2)))
+        .as("y"))
+  }
+
+  /** EPSG:3857 inverse — closed form, the exact round-trip of
+    * [[webMercator]]. */
+  def webMercatorInverse(xy: Column): Column = {
+    val a = 6378137.0
+    struct(
+      degrees(xy.getField("x") / a).as("lon"),
+      degrees(atan(exp(xy.getField("y") / lit(a))) * 2 - lit(Math.PI / 2))
+        .as("lat"))
+  }
+
+  /** General `ST_Transform(geom, srid)` dispatcher over the supported
+    * CRS families: 4326 (identity), 3857 (Web Mercator), 3347 (the
+    * reference's StatCan Lambert, osm-road-graphs.sql:11), and all 120
+    * WGS84 UTM zones (EPSG:32601-32660 north / 32701-32760 south).
+    * This covers the projections OSM tooling reaches for in practice;
+    * an unknown SRID fails fast at PLAN time (driver-side), not per
+    * row. */
+  def stTransform(p: Column, srid: Int): Column = srid match {
+    case 4326 =>
+      struct(p.getField("lon").as("x"), p.getField("lat").as("y"))
+    case 3857 => webMercator(p)
+    case 3347 => lccProject(p)
+    case z if z >= 32601 && z <= 32660 =>
+      tmProject(p, utmParams(z - 32600, north = true))
+    case z if z >= 32701 && z <= 32760 =>
+      tmProject(p, utmParams(z - 32700, north = false))
+    case other => throw new IllegalArgumentException(
+      s"ST_Transform: unsupported SRID $other " +
+        "(supported: 4326, 3857, 3347, 32601-32660, 32701-32760)")
   }
 
   /** Grid cell id for a point at the given cell size (degrees) — the

@@ -122,6 +122,55 @@ class FunctionsSpec extends SparkTestBase {
     assert(p2 < g2 && math.abs(p2 - g2) / g2 < 0.04)
   }
 
+  test("ST_Transform family: UTM anchors, Web Mercator round-trip, dispatcher") {
+    def pt(lon: Double, lat: Double) =
+      struct(lit(lon).as("lon"), lit(lat).as("lat"))
+    // UTM zone 33N central-meridian anchors: easting is exactly FE on
+    // the meridian; the equator projects to northing 0 (lat0 = 0)
+    val cm = spark.range(1).select(
+        Geo.stTransform(pt(15.0, 50.0), 32633).as("a"),
+        Geo.stTransform(pt(15.0, 0.0), 32633).as("b"),
+        Geo.stTransform(pt(15.0, -50.0), 32733).as("c"))
+      .head()
+    assert(math.abs(cm.getStruct(0).getDouble(0) - 500000.0) < 1e-6)
+    assert(math.abs(cm.getStruct(1).getDouble(0) - 500000.0) < 1e-6)
+    assert(math.abs(cm.getStruct(1).getDouble(1)) < 1e-6)
+    // south zone: FN 10 000 km, hemispheric symmetry — 50°S in 33S
+    // sits as far below FN as 50°N sits above 0
+    val n50 = cm.getStruct(0).getDouble(1)
+    assert(math.abs((10000000.0 - cm.getStruct(2).getDouble(1)) - n50) < 1e-3)
+    // UTM scale sanity: 1° of longitude at lat 50 along the zone —
+    // planar vs spherical-haversine agree to ~0.3% (the ellipsoid's
+    // parallel radius at 50° differs from the mean sphere by that
+    // much; same 0.5% band the LCC test uses)
+    val seg = spark.range(1).select(
+        Geo.stTransform(pt(14.5, 50.0), 32633).as("p"),
+        Geo.stTransform(pt(15.5, 50.0), 32633).as("q")).head()
+    val dx = seg.getStruct(1).getDouble(0) - seg.getStruct(0).getDouble(0)
+    val dy = seg.getStruct(1).getDouble(1) - seg.getStruct(0).getDouble(1)
+    val planar = math.sqrt(dx * dx + dy * dy)
+    val geod = spark.range(1).select(Geo.haversineMeters(
+      lit(14.5), lit(50.0), lit(15.5), lit(50.0))).head().getDouble(0)
+    assert(math.abs(planar - geod) / geod < 0.005, s"$planar vs $geod")
+    // Web Mercator: published anchor y(85.05113°) == x(180°) (the
+    // square tile pyramid), and inverse is an exact round-trip
+    val wm = spark.range(1).select(
+        Geo.webMercator(pt(180.0, 85.05112877980659)).as("m"),
+        Geo.webMercatorInverse(
+          Geo.webMercator(pt(13.4, 52.52))).as("rt"))
+      .head()
+    assert(math.abs(wm.getStruct(0).getDouble(0) -
+      wm.getStruct(0).getDouble(1)) < 1e-3)
+    assert(math.abs(wm.getStruct(1).getDouble(0) - 13.4) < 1e-9)
+    assert(math.abs(wm.getStruct(1).getDouble(1) - 52.52) < 1e-9)
+    // dispatcher: 4326 is identity-as-xy; unsupported SRID fails at
+    // plan time
+    val id4326 = spark.range(1)
+      .select(Geo.stTransform(pt(1.5, -2.5), 4326)).head().getStruct(0)
+    assert(id4326.getDouble(0) === 1.5 && id4326.getDouble(1) === -2.5)
+    intercept[IllegalArgumentException] { Geo.stTransform(pt(0, 0), 2154) }
+  }
+
   test("distanceJoin == brute force on random point sets; extentAgg bbox") {
     val rnd = new scala.util.Random(7L)
     def pts(n: Int, off: Long) = (1 to n).map(i =>
