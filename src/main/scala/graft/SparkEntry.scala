@@ -2255,6 +2255,36 @@ object SparkEntry {
     //      to the base tables, and emit the post-change ways — the
     //      created way's denormalized linestring must read the MOVED
     //      node's coordinate, proving apply ordering is right
+    // ---- WARC/WET ingest boundary (Common Crawl layout: one gzip
+    //      member per record): write a deterministic WET fixture,
+    //      round-trip it through the DSv2 source, keep conversion
+    //      records, and census URI / byte / whitespace-token counts.
+    //      The oracle states the hand-computed expectation literally —
+    //      payload i is "tok " * 3(i+1) trimmed, so bytes = 12(i+1)-1
+    //      and tokens = 3(i+1); warcinfo and response records must be
+    //      filtered out.
+    "q_cc_wet_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("wet_q")
+      val rs: Seq[(String, String, String, String, Array[Byte])] =
+        ("warcinfo", null, "2024-03-01T12:00:00Z", "application/warc-fields",
+          "software: graft-fixture\r\n".getBytes("UTF-8")) +:
+        (0 until 5).map { i =>
+          ("conversion", s"https://corpus.example/doc/$i",
+            "2024-03-01T12:00:00Z", "text/plain",
+            ("tok " * (3 * (i + 1))).trim.getBytes("UTF-8"))
+        } :+ (("response", "https://corpus.example/raw",
+          "2024-03-01T12:00:00Z", "application/http",
+          "HTTP/1.1 200 OK\r\n\r\n<html/>".getBytes("UTF-8")))
+      java.nio.file.Files.write(tmp.resolve("part-000.wet.gz"),
+        graft.sources.Warc.writeRecords(rs, gzipPerRecord = true))
+      graft.sources.Warc.read(s, tmp.toString)
+        .filter(col("record_type") === "conversion")
+        .select(col("target_uri").as("uri"), col("content_length"),
+          size(split(decode(col("payload"), "UTF-8"), " "))
+            .cast("long").as("n_tokens"))
+        .orderBy("uri")
+    }),
+
     "q_osc_apply" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       val tmp = java.nio.file.Files.createTempDirectory("osc_q")
@@ -3496,6 +3526,18 @@ object SparkEntry {
     // (so its x2/y2 are the NEW coordinate); 101 refreshed but
     // endpoint-stable; everything else untouched. Hand-derived from
     // FIXTURES.md §2 + the diff.
+    // WET census expectation, restated by hand from the fixture law:
+    // doc i carries 3(i+1) tokens of "tok " (trimmed), so 12(i+1)-1
+    // bytes; non-conversion records are absent.
+    "q_cc_wet_ingest" ->
+      """SELECT * FROM (VALUES
+           ('https://corpus.example/doc/0', CAST(11 AS BIGINT), CAST(3 AS BIGINT)),
+           ('https://corpus.example/doc/1', CAST(23 AS BIGINT), CAST(6 AS BIGINT)),
+           ('https://corpus.example/doc/2', CAST(35 AS BIGINT), CAST(9 AS BIGINT)),
+           ('https://corpus.example/doc/3', CAST(47 AS BIGINT), CAST(12 AS BIGINT)),
+           ('https://corpus.example/doc/4', CAST(59 AS BIGINT), CAST(15 AS BIGINT)))
+         AS t(uri, content_length, n_tokens) ORDER BY uri""",
+
     "q_osc_apply" ->
       """SELECT * FROM (VALUES
            (CAST(101 AS BIGINT), 'residential', CAST(4 AS BIGINT),

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+/** The DSv2 WARC/WET reader: record framing, gzip-member layout,
+  * multi-file partitioning, header surfacing, and payload pruning. */
+class WarcSourceSpec extends SparkTestBase {
+
+  private def recs(n: Int, off: Int = 0) = (0 until n).map { i =>
+    val k = i + off
+    ("conversion", s"https://example.org/page/$k",
+      "2024-03-01T12:00:00Z", "text/plain",
+      s"document body $k — ${"x" * k}".getBytes("UTF-8"))
+  }
+
+  private def writeFile(name: String, bytes: Array[Byte]): String = {
+    val dir = Files.createTempDirectory("warc").toFile
+    val f = new java.io.File(dir, name)
+    Files.write(f.toPath, bytes)
+    f.getPath
+  }
+
+  test("plain WET stream: framing, headers, payload round-trip, warc_date") {
+    val rs = ("warcinfo", null, "2024-03-01T12:00:00Z",
+      "application/warc-fields", "software: graft-fixture\r\n".getBytes("UTF-8")) +: recs(3)
+    val path = writeFile("f.wet", Warc.writeRecords(rs, gzipPerRecord = false))
+    val rows = Warc.read(spark, path).orderBy("record_id").collect()
+    assert(rows.length === 4)
+    val byUri = rows.filter(!_.isNullAt(2))
+      .map(r => r.getString(2) -> r).toMap
+    assert(byUri.keySet === (0 until 3)
+      .map(i => s"https://example.org/page/$i").toSet)
+    val r1 = byUri("https://example.org/page/1")
+    assert(r1.getString(1) === "conversion")
+    assert(new String(r1.getAs[Array[Byte]]("payload"), "UTF-8") ===
+      "document body 1 — x")
+    assert(r1.getLong(r1.fieldIndex("content_length")) ===
+      "document body 1 — x".getBytes("UTF-8").length.toLong)
+    assert(r1.getAs[java.sql.Timestamp]("warc_date").toInstant.toString ===
+      "2024-03-01T12:00:00Z")
+    // full header map is surfaced verbatim
+    assert(r1.getAs[Map[String, String]]("headers")("WARC-Type") === "conversion")
+    // warcinfo has no Target-URI -> null column
+    val wi = rows.filter(_.getString(1) == "warcinfo")
+    assert(wi.length === 1 && wi.head.isNullAt(2))
+  }
+
+  test("gzip-per-record members (Common Crawl layout) decode as one stream") {
+    val path = writeFile("f.wet.gz", Warc.writeRecords(recs(5), gzipPerRecord = true))
+    val got = Warc.read(spark, path)
+      .select("target_uri", "content_length").orderBy("target_uri").collect()
+    assert(got.length === 5)
+    assert(got.map(_.getString(0)).toSeq ===
+      (0 until 5).map(i => s"https://example.org/page/$i"))
+    // content_length matches the actual UTF-8 payload byte count
+    assert(got.map(_.getLong(1)).toSeq ===
+      recs(5).map(_._5.length.toLong))
+  }
+
+  test("directory scan: one partition per file, files concatenate") {
+    val dir = Files.createTempDirectory("warcdir").toFile
+    Files.write(new java.io.File(dir, "a.wet.gz").toPath,
+      Warc.writeRecords(recs(2), gzipPerRecord = true))
+    Files.write(new java.io.File(dir, "b.wet").toPath,
+      Warc.writeRecords(recs(3, off = 10), gzipPerRecord = false))
+    val df = Warc.read(spark, dir.getPath)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.count() === 5)
+    assert(df.select("target_uri").distinct().count() === 5)
+  }
+
+  test("payload pruning: headers-only census never materializes payload") {
+    val path = writeFile("f.wet.gz", Warc.writeRecords(recs(4), gzipPerRecord = true))
+    val census = Warc.read(spark, path)
+      .groupBy("record_type")
+      .agg(count(lit(1)).as("n"), sum("content_length").as("bytes"))
+    // plan-level: the pruned read schema must not contain payload
+    val scan = census.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scan.contains("payload"),
+      s"payload should be pruned from the scan:\n$scan")
+    val r = census.collect().head
+    assert(r.getString(0) === "conversion" && r.getLong(1) === 4L)
+    assert(r.getLong(2) === recs(4).map(_._5.length.toLong).sum)
+  }
+}
