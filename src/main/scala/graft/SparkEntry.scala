@@ -1447,6 +1447,43 @@ object SparkEntry {
         .orderBy("rel_type", "member_type")
     }),
 
+    // ---- multipolygon assembly from raw pgsnapshot relation members:
+    //      ring stitching across split/reversed ways, holes subtracted.
+    //      Areas in milli-degree² on the 0.001° fixture grid; the
+    //      oracle restates the hand-derived ring accounting (301:
+    //      4×4 outer − 1×1 hole; 302: right triangle 3×3/2; 303: 3×3
+    //      stitched from 3 ways, one reversed; 304: two unit squares).
+    "q_rel_multipolygon" -> ((s, dir) => {
+      val (members, ways) = osm.Multipolygon.fixture(s)
+      osm.Multipolygon.multipolygonAreas(members, ways)
+        .select(col("relation_id"), col("n_outer"), col("n_inner"),
+          round(col("area_deg2") * 1e6, 6).as("area_mdeg2"))
+        .orderBy("relation_id")
+    }),
+
+    // ---- point-in-multipolygon (ST_Contains with holes): probes
+    //      chosen per regime — interior, inside-the-hole (must drop),
+    //      each disjoint outer, and fully outside. Grid-bucketed
+    //      containment join + hole anti-join; oracle restates the
+    //      hand-checked membership.
+    "q_rel_mp_contains" -> ((s, dir) => {
+      import s.implicits._
+      val (members, ways) = osm.Multipolygon.fixture(s)
+      val pts = Seq(
+        (1L, 0.003, 0.003),   // 301 interior (outside the hole)
+        (2L, 0.0015, 0.0015), // inside 301's hole -> NOT contained
+        (3L, 0.011, 0.0005),  // 302 triangle interior
+        (4L, 0.021, 0.001),   // 303 interior
+        (5L, 0.0335, 0.0005), // 304's second square
+        (6L, 0.05, 0.05))     // outside everything
+        .toDF("point_id", "lon", "lat")
+        .select(col("point_id"),
+          struct(col("lon"), col("lat")).as("p"))
+      osm.Multipolygon.containsJoin(pts, "point_id", col("p"),
+          members, ways, cellDeg = 0.002)
+        .orderBy("point_id", "relation_id")
+    }),
+
     // ---- complete multi-modal network with car/pedestrian/bicycle
     //      flags (osm-complete-graphs.sql:8-151, strict semantics incl.
     //      the AND/OR-precedence quirk; oracle mirrors the cascade)
@@ -3526,6 +3563,28 @@ object SparkEntry {
     // (so its x2/y2 are the NEW coordinate); 101 refreshed but
     // endpoint-stable; everything else untouched. Hand-derived from
     // FIXTURES.md §2 + the diff.
+    // Multipolygon accounting, hand-derived: areas on the 0.001° grid
+    // in milli-deg² — 301 = 4·4 − 1·1 = 15; 302 = 3·3/2 = 4.5;
+    // 303 = 3·3 = 9; 304 = 1 + 1 = 2. Ring counts follow the fixture.
+    "q_rel_multipolygon" ->
+      """SELECT * FROM (VALUES
+           (CAST(301 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(15.0 AS DOUBLE)),
+           (CAST(302 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(4.5  AS DOUBLE)),
+           (CAST(303 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(9.0  AS DOUBLE)),
+           (CAST(304 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2.0  AS DOUBLE)))
+         AS t(relation_id, n_outer, n_inner, area_mdeg2)
+         ORDER BY relation_id""",
+
+    // Hand-checked point-in-multipolygon membership: the hole probe
+    // (point 2) and the outside probe (point 6) are absent.
+    "q_rel_mp_contains" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(301 AS BIGINT)),
+           (CAST(3 AS BIGINT), CAST(302 AS BIGINT)),
+           (CAST(4 AS BIGINT), CAST(303 AS BIGINT)),
+           (CAST(5 AS BIGINT), CAST(304 AS BIGINT)))
+         AS t(point_id, relation_id) ORDER BY point_id, relation_id""",
+
     // WET census expectation, restated by hand from the fixture law:
     // doc i carries 3(i+1) tokens of "tok " (trimmed), so 12(i+1)-1
     // bytes; non-conversion records are absent.

@@ -76,7 +76,7 @@ object OsmModel {
       .select(col("way_id"), col("node_id"), col("sequence_id").cast("int").as("sequence_id"))
   }
 
-  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private[osm] def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   /** Relation fixture companion to [[microFixture]]: 6 relations over
     * its ways/nodes — multipolygons (incl. a POI-tagged one), routes
