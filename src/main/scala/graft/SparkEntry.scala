@@ -1084,6 +1084,22 @@ object SparkEntry {
     //      recall (candidate verify dominates; the extra matvec width is
     //      codegen'd and trivial). False positives are impossible
     //      (exact rescore).
+    // ---- SemDeDup: near-dup pairs restricted to k-means cluster
+    //      co-membership (fixed init centroids so DuckDB reproduces the
+    //      partition; the Lloyd-refined variant is spec-tested).
+    //      Threshold 0.45 sits in the data's real pair regime (max
+    //      pair cosine in the synthetic embeddings is ~0.51, nearest
+    //      off-threshold gap > 1e-3) — the row is NON-vacuous, unlike
+    //      a 0.9 threshold on this corpus.
+    "q_d_semantic_pairs" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding",
+        nlist = 8)
+      llm.Dedup.semanticDupPairs(e, "vec_id", "embedding", cents,
+          threshold = 0.45)
+        .orderBy("cluster", "id_a", "id_b")
+    }),
+
     "q_d_embedding_pairs" -> ((s, dir) => {
       llm.Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.9, numBits = 12, numTables = 32)
@@ -4409,6 +4425,42 @@ object SparkEntry {
     // ties to the lowest centroid id), nprobe=4 pruning, exact rescore,
     // per-query top-5 — all recomputed independently. Cosines match
     // bit-for-bit (left-to-right folds on both engines).
+    // SemDeDup re-derived: same fixed-centroid assignment idiom as
+    // q_s_ivf_fixed, then within-cluster pair cosines only.
+    "q_d_semantic_pairs" ->
+      """WITH cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         scores AS (
+           SELECT v.vec_id, c.cid,
+             list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c) /
+               (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(v.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.c, c.c))) AS cs
+           FROM embeddings v CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM scores) WHERE rn = 1),
+         pairs AS (
+           SELECT a.cid AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(CAST(va.embedding AS DOUBLE[]),
+                              CAST(vb.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(va.embedding AS DOUBLE[]),
+                                      CAST(va.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(vb.embedding AS DOUBLE[]),
+                                      CAST(vb.embedding AS DOUBLE[])))) AS cos
+           FROM assign a
+           JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           JOIN embeddings va ON va.vec_id = a.vec_id
+           JOIN embeddings vb ON vb.vec_id = b.vec_id)
+         SELECT CAST(cluster AS INT) AS cluster, id_a, id_b,
+                round(cos, 6) AS cos
+         FROM pairs WHERE cos >= 0.45
+         ORDER BY cluster, id_a, id_b""",
+
     "q_s_ivf_fixed" ->
       """WITH cents AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,

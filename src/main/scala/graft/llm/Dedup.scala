@@ -227,6 +227,37 @@ object Dedup {
     * exact-cosine verify, so each surviving pair is scored exactly once
     * and the wide vector rows never ride through the candidate shuffle.
     * Never all-pairs: (table, bucket) equality is the join key. */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) pair stage:
+    * duplicate pairs searched only WITHIN k-means cluster
+    * co-membership. Cluster assignment is one scan (codegen'd
+    * [[Similarity.centroidScores]] matvec + argmax); co-membership
+    * turns the all-pairs cosine problem into an equi-join on cluster
+    * id, with the exact [[Similarity.cosine]] check inside each
+    * cluster. That is the published algorithm's scaling argument:
+    * `nlist` grows like √N so per-cluster candidate sets stay bounded,
+    * cross-cluster near-dups are deliberately out of scope (the
+    * clustering IS the blocking), and a skewed cluster is one hot join
+    * key for AQE's skew split. Feed the pairs to [[keepCanonical]] for
+    * the keep-one policy. Pass [[Similarity.initCentroids]] for an
+    * oracle-reproducible partition or [[Similarity.kmeansCentroids]]
+    * for Lloyd-refined quality. */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val assigned = df.withColumn("__scores",
+        Similarity.centroidScores(col(vecCol), centroids))
+      .select(col(idCol), col(vecCol),
+        Similarity.bestFromScores(col("__scores")).as("cluster"))
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 12, dim: Int = 64,
       numTables: Int = 16): DataFrame = {

@@ -289,6 +289,47 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("semanticDupPairs: planted clusters, within-cluster dups found, cross-cluster blocked") {
+    import graft.llm.{Dedup, Similarity}
+    // three well-separated directions in R4; dups planted inside two of
+    // them, plus a cross-cluster near-dup pair (5 vs 6) that the
+    // blocking must NOT emit even though its cosine clears the bar
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (10L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),   // dup of axis 1
+      (11L, Seq(0.98f, 0.0f, 0.02f, 0.0f)),   // dup of axis 1
+      (20L, Seq(0.0f, 0.97f, 0.01f, 0.0f)),   // dup of axis 2
+      (5L, Seq(0.6f, 0.55f, 0.0f, 0.0f)),     // between axes 1 and 2
+      (6L, Seq(0.55f, 0.6f, 0.0f, 0.0f)))     // ... assigned the other side
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0), Seq(0, 0, 1.0, 0))
+    val pairs = Dedup.semanticDupPairs(vecs, "vec_id", "embedding",
+        cents, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((1L, 11L)) &&
+      pairs.contains((10L, 11L)), s"axis-1 dups missing: $pairs")
+    assert(pairs.contains((2L, 20L)))
+    assert(!pairs.contains((5L, 6L)),
+      "cross-cluster pair must be blocked by co-membership")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // keep-one composition: canonical (min id) survives per component
+    val kept = Dedup.keepCanonical(vecs, "vec_id",
+        Dedup.semanticDupPairs(vecs, "vec_id", "embedding", cents, 0.9)
+          .select($"id_a", $"id_b"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 5L, 6L))
+    // Lloyd-refined centroids keep the planted partition (3 clusters,
+    // same co-membership) — the refined variant is exercised too
+    val lloyd = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      nlist = 3, iters = 2)
+    val p2 = Dedup.semanticDupPairs(vecs, "vec_id", "embedding",
+        lloyd, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(p2.contains((10L, 11L)) && p2.contains((2L, 20L)))
+  }
+
   test("geo aggregates: multipoint collect and shared points (blade computation)") {
     import graft.functions.Geo
     val lines = Seq(
