@@ -86,8 +86,13 @@ object SparkEntry {
 
     // ---- J6 left-anti (osm-road-graphs.sql:161-165)
     "q_j6_anti" -> ((s, dir) => {
+      // anti-join against HIGH-VALUE orders: every sf customer has
+      // some order, so the unrestricted form returns 0 rows — a
+      // vacuous check any always-empty bug would pass. The 300k
+      // restriction leaves a real absent-set (30 rows at sf0.01).
       customer(s, dir)
-        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, dir).filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
     }),
@@ -2500,7 +2505,9 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     "q_j6_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000.0)
          ORDER BY c_custkey""",
     "q_j8_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
