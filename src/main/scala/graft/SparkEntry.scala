@@ -2407,7 +2407,15 @@ object SparkEntry {
     * codec runs in. */
   private def pngMedia(s: SparkSession, dir: String) = {
     import s.implicits._
-    documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    // repartition BEFORE the codec stage: the documents parquet is one
+    // tiny file, so the scan plans 1 split — and per-row ImageIO work
+    // is CPU-bound, not IO-bound, so that one split would serialize
+    // every encode/decode on a single core (measured 7 s -> sub-second
+    // at sf0.1). The general rule at any scale: partition count for a
+    // compute-heavy per-row stage must track cores, not input bytes.
+    documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long].map { id =>
       llm.Multimodal.MediaItem(id, llm.Multimodal.encodePng(
         (id % 31).toInt + 1, (id % 17).toInt + 1,
         ((id * 2654435761L) % 0x1000000L).toInt))

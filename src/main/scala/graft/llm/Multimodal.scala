@@ -21,6 +21,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-BACKED stream cache: every read/write
+  // round-trips a temp file through one shared cache directory, which
+  // serializes concurrent codec work across executor threads (the
+  // resize pass measured ~3x slower than its own codec cost from this
+  // alone). In-memory cache is lock-free per stream. Executor JVMs hit
+  // this object init before first use, so the switch applies wherever
+  // the partition passes run.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaMeta(width: Int, height: Int, frames: Int, format: String,
       px0: Int)
   case class MediaItem(doc_id: Long, payload: Array[Byte])
