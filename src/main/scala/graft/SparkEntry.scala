@@ -363,7 +363,7 @@ object SparkEntry {
 
     // ---- exact dedup by content hash: keeper = min id per fingerprint
     "q_d_exact_dedup" -> ((s, dir) => {
-      documents(s, dir)
+      spreadDocs(s, dir)
         .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
         .orderBy("fp")
@@ -372,7 +372,7 @@ object SparkEntry {
     // ---- near-dup by normalized fingerprint (distinct-word-set hash):
     //      hash-groupBy dedup, single shuffle, no pairwise stage
     "q_d_fingerprint_dedup" -> ((s, dir) => {
-      documents(s, dir)
+      spreadDocs(s, dir)
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
             .as("fp"))
@@ -638,7 +638,7 @@ object SparkEntry {
       // hash(id) % R; joining on (block, replica == salt) matches every
       // pair exactly once while capping per-task work at |block|^2/R.
       val R = 8
-      val d = documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      val d = spreadDocs(s, dir).select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("ws"))
       // candidate generation runs on SLIM rows (id + set size): the
       // salted 8x replication never duplicates the word arrays, and the
@@ -677,7 +677,7 @@ object SparkEntry {
     //      verify). md5-portable hash family -> the full pipeline is
     //      DuckDB-replicated in the oracle; recall properties in LlmSpec.
     "q_d_minhash_pairs" -> ((s, dir) => {
-      llm.Dedup.minhashNearDups(documents(s, dir), "doc_id", col("text"),
+      llm.Dedup.minhashNearDups(spreadDocs(s, dir), "doc_id", col("text"),
           numPerm = 32, shingleK = 5, bands = 4, threshold = 0.4)
         .orderBy("id_a", "id_b")
     }),
@@ -688,7 +688,7 @@ object SparkEntry {
     //      sets). Threshold-form levenshtein abandons far pairs early;
     //      the O(len²) cost only ever touches O(candidates) pairs.
     "q_d_editdist_pairs" -> ((s, dir) => {
-      val d = documents(s, dir)
+      val d = spreadDocs(s, dir)
       val sigs = llm.Dedup.minhashSignatures(d, "doc_id", col("text"),
         numPerm = 32, shingleK = 5)
       val cands = llm.Dedup.lshCandidatePairs(sigs, "doc_id",
@@ -703,7 +703,7 @@ object SparkEntry {
     //      chain (shingles -> signatures -> bands -> verify -> cluster
     //      -> anti-join) is DuckDB-replicated via a recursive CTE.
     "q_d_neardup_keep" -> ((s, dir) => {
-      val d = documents(s, dir)
+      val d = spreadDocs(s, dir)
       val pairs = llm.Dedup.minhashNearDups(d, "doc_id", col("text"),
         numPerm = 32, shingleK = 5, bands = 4, threshold = 0.4)
       llm.Dedup.keepCanonical(d, "doc_id", pairs)
@@ -714,7 +714,7 @@ object SparkEntry {
     // ---- SimHash near-dup (maxDist+1-chunk pigeonhole banding,
     //      DuckDB-replicated oracle via the portable 60-bit md5 hash)
     "q_d_simhash_pairs" -> ((s, dir) => {
-      llm.Dedup.simhashNearDups(documents(s, dir), "doc_id", col("text"),
+      llm.Dedup.simhashNearDups(spreadDocs(s, dir), "doc_id", col("text"),
           maxDist = 6)
         .orderBy("id_a", "id_b")
     }),
@@ -724,7 +724,7 @@ object SparkEntry {
     //      positions merge into maximal spans via a PER-DOC
     //      gaps-and-islands window — no doc-to-doc comparison anywhere
     "q_d_dup_passages" -> ((s, dir) => {
-      llm.Dedup.duplicatePassages(documents(s, dir), "doc_id", col("text"),
+      llm.Dedup.duplicatePassages(spreadDocs(s, dir), "doc_id", col("text"),
           n = 8, minCount = 2)
         .orderBy("doc_id", "span_start")
     }),
@@ -740,7 +740,7 @@ object SparkEntry {
     // ---- BPE-ish subword pre-tokenizer (regexp_extract_all both sides)
     "q_t_bpe_tokens" -> ((s, dir) => {
       val toks = llm.TextAnalysis.bpeishTokens(col("text"))
-      documents(s, dir)
+      spreadDocs(s, dir)
         .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
           element_at(toks, 1).as("first_tok"),
           element_at(toks, -1).as("last_tok"))
@@ -750,7 +750,7 @@ object SparkEntry {
     // ---- token-budget document chunking (pre-training sharding: one
     //      doc -> ordered <=40-token chunks, pure column-op explode)
     "q_t_chunks" -> ((s, dir) => {
-      llm.TextAnalysis.chunkByTokens(documents(s, dir), "doc_id",
+      llm.TextAnalysis.chunkByTokens(spreadDocs(s, dir), "doc_id",
           col("text"), maxTokens = 40)
         .orderBy("doc_id", "chunk_id")
     }),
@@ -815,7 +815,7 @@ object SparkEntry {
     //      orderBy.limit plans as TakeOrderedAndProject, not a global
     //      sort (PlanAudit)
     "q_t_top_ngrams" -> ((s, dir) => {
-      llm.TextAnalysis.topNgrams(documents(s, dir), col("text"), n = 2, k = 20)
+      llm.TextAnalysis.topNgrams(spreadDocs(s, dir), col("text"), n = 2, k = 20)
     }),
 
     // ---- Unicode NFC normalization (native codegen'd expression): the
@@ -852,7 +852,7 @@ object SparkEntry {
     // ---- top TF-IDF term per doc (two hash aggs on the doc-term axis,
     //      broadcast df join-back, scalar-agg corpus size — no OVER ())
     "q_t_tfidf" -> ((s, dir) => {
-      llm.TextAnalysis.tfidfTopTerms(documents(s, dir), "doc_id",
+      llm.TextAnalysis.tfidfTopTerms(spreadDocs(s, dir), "doc_id",
           col("text"), k = 1)
         .orderBy("doc_id")
     }),
@@ -870,7 +870,7 @@ object SparkEntry {
     //      with the benchmark subset (doc_id % 97 == 0) is dropped;
     //      broadcast semi-join of the tiny gram set, anti-join back
     "q_t_decontam" -> ((s, dir) => {
-      val d = documents(s, dir)
+      val d = spreadDocs(s, dir)
       val benchmark = d.filter(col("doc_id") % 97 === 0)
       llm.Curation.decontaminate(d, benchmark, "doc_id", col("text"), n = 8)
         .groupBy("lang").agg(count(lit(1)).as("kept"))
@@ -934,7 +934,7 @@ object SparkEntry {
     //      Only the final mean is float → round(4) is the whole
     //      cross-engine tolerance story
     "q_t_lm_score" -> ((s, dir) => {
-      llm.TextAnalysis.ngramLmScore(documents(s, dir), "doc_id",
+      llm.TextAnalysis.ngramLmScore(spreadDocs(s, dir), "doc_id",
           col("text"), k = 0.5)
         .orderBy("doc_id")
     }),
@@ -982,7 +982,7 @@ object SparkEntry {
     //      corpus); the oracle IS the global window, proving the
     //      block-decomposed form computes identical offsets
     "q_t_packing" -> ((s, dir) => {
-      val d = documents(s, dir)
+      val d = spreadDocs(s, dir)
       llm.Curation.packSequences(d, "doc_id",
           llm.TextAnalysis.tokenCount(col("text")), seqLen = 512,
           blockSize = 64L)
@@ -1001,7 +1001,7 @@ object SparkEntry {
     //      is wrong) — same policy as the Lloyd IVF recall gate.
     "q_s_pca" -> ((s, dir) => {
       import s.implicits._
-      val emb = embeddings(s, dir)
+      val emb = spreadEmb(s, dir)
       val model = llm.Pca.fit(emb, col("embedding"), k = 4)
       val mse = llm.Pca.reconstructionMse(emb, col("embedding"), model)
       def dot(a: Array[Double], b: Array[Double]) =
@@ -1041,7 +1041,7 @@ object SparkEntry {
     // ---- brute-force cosine top-k (exact ANN baseline; driver-collected
     //      query vector spliced as a literal)
     "q_s_cosine_topk" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = spreadEmb(s, dir)
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       llm.Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
@@ -1055,7 +1055,7 @@ object SparkEntry {
     //      exact, so the ranking gets a FULL value oracle, not a recall
     //      gate
     "q_s_int8_topk" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = spreadEmb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       llm.Similarity.int8TopKPerQuery(e, queries, "vec_id", "embedding",
@@ -1069,7 +1069,7 @@ object SparkEntry {
     //      spliced into the DuckDB oracle as literals, so the whole
     //      bucket->join->rescore->rank pipeline is independently checked
     "q_s_ann_lsh" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = spreadEmb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       llm.Similarity.annTopKPerQuery(e, queries, "vec_id", "embedding",
@@ -1097,7 +1097,7 @@ object SparkEntry {
     //      off-threshold gap > 1e-3) — the row is NON-vacuous, unlike
     //      a 0.9 threshold on this corpus.
     "q_d_semantic_pairs" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = spreadEmb(s, dir)
       val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding",
         nlist = 8)
       llm.Dedup.semanticDupPairs(e, "vec_id", "embedding", cents,
@@ -1106,7 +1106,7 @@ object SparkEntry {
     }),
 
     "q_d_embedding_pairs" -> ((s, dir) => {
-      llm.Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
+      llm.Dedup.embeddingNearDups(spreadEmb(s, dir), "vec_id", "embedding",
           threshold = 0.9, numBits = 12, numTables = 32)
         .orderBy("id_a", "id_b")
     }),
@@ -1130,7 +1130,7 @@ object SparkEntry {
     //      hits high recall at nprobe ~= nlist/8. The dial is the
     //      user's; the gate pins this config's quality.
     "q_s_ivf_ann" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = spreadEmb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val ann = llm.Similarity.ivfTopKPerQuery(e, queries, "vec_id",
@@ -1155,7 +1155,7 @@ object SparkEntry {
     //      Real embedding corpora concentrate variance and prune far
     //      harder at far smaller dims.
     "q_s_pca_ann" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = spreadEmb(s, dir)
       val model = llm.Pca.fit(e, col("embedding"), k = 32)
       val red = e.select(col("vec_id"),
         llm.Pca.project(col("embedding"), model).as("pv"))
@@ -1178,7 +1178,7 @@ object SparkEntry {
     //      centroid scoring, nprobe pruning, rescore and ranking all
     //      recomputed in DuckDB.
     "q_s_ivf_fixed" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = spreadEmb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
@@ -2405,6 +2405,19 @@ object SparkEntry {
     * values without ever touching a codec). Encoding happens in the
     * typed pass — the same per-partition batch shape a real ingest
     * codec runs in. */
+  /** Round-robin spread of a tiny single-split table to core count —
+    * applied ONLY ahead of CPU-heavy per-row stages (shingling, hash
+    * banding, matvec dots, LM scoring, codecs): the testdata parquet is
+    * one row group, so without it the whole map side of those stages
+    * serializes on a single core. Scan-local cheap queries stay
+    * unspread — their plan audits pin them exchange-free, and at real
+    * scale the input arrives pre-split so this exchange disappears. */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+
+  private def spreadEmb(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   private def pngMedia(s: SparkSession, dir: String) = {
     import s.implicits._
     // repartition BEFORE the codec stage: the documents parquet is one

@@ -195,10 +195,15 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q_t_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"),
       s"orderBy.limit should plan as TakeOrderedAndProject:\n$p")
-    // exactly one exchange: the gram hash-agg shuffle (map-side partials
-    // before it); a second would mean the vocabulary is globally sorted
-    val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$p")
+    // exactly one HASH exchange: the gram hash-agg shuffle (map-side
+    // partials before it); a second would mean the vocabulary is
+    // globally sorted. (The upstream round-robin spread of the
+    // single-split documents scan is a deliberate non-hash exchange —
+    // see SparkEntry.spreadDocs — and doesn't move grouped data.)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Sort "), s"no global vocabulary sort:\n$p")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"gram counting should be a hash aggregate with partials:\n$p")
   }
