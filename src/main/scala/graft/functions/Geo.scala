@@ -216,6 +216,106 @@ object Geo {
     struct(x.as("x"), y.as("y"))
   }
 
+  /** Transverse Mercator inverse (Snyder PP 1395, eqs. 8-16..8-25 with
+    * the footpoint-latitude series 3-26): `{x,y} -> {lon,lat}` — the
+    * exact partner of [[tmProject]] to series accuracy (<1e-9° inside
+    * the zone, round-trip spec-pinned). Same shape as the forward:
+    * CRS constants fold on the driver, per-point math is codegen'd
+    * column trig. */
+  def tmInverse(xy: Column, prm: TmParams): Column = {
+    val e2 = prm.e2
+    val ep2 = e2 / (1 - e2)
+    val c0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+    val c2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+    val c4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+    val c6 = 35 * e2 * e2 * e2 / 3072
+    def mScalar(phi: Double): Double =
+      prm.a * (c0 * phi - c2 * math.sin(2 * phi) +
+        c4 * math.sin(4 * phi) - c6 * math.sin(6 * phi))
+    val m0 = mScalar(math.toRadians(prm.lat0Deg))
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val j2 = 3 * e1 / 2 - 27 * e1 * e1 * e1 / 32
+    val j4 = 21 * e1 * e1 / 16 - 55 * e1 * e1 * e1 * e1 / 32
+    val j6 = 151 * e1 * e1 * e1 / 96
+    val j8 = 1097 * e1 * e1 * e1 * e1 / 512
+
+    val mu = (lit(m0) + (xy.getField("y") - lit(prm.falseNorthing)) / prm.k0) /
+      lit(prm.a * c0)
+    val phi1 = mu + lit(j2) * sin(mu * 2) + lit(j4) * sin(mu * 4) +
+      lit(j6) * sin(mu * 6) + lit(j8) * sin(mu * 8)
+    val sin1 = sin(phi1); val cos1 = cos(phi1); val tan1 = tan(phi1)
+    val c1c = lit(ep2) * cos1 * cos1
+    val t1c = tan1 * tan1
+    val n1 = lit(prm.a) / sqrt(lit(1.0) - lit(e2) * sin1 * sin1)
+    val r1 = lit(prm.a * (1 - e2)) /
+      pow(lit(1.0) - lit(e2) * sin1 * sin1, 1.5)
+    val d = (xy.getField("x") - lit(prm.falseEasting)) / (n1 * prm.k0)
+    val d2 = d * d
+    val phi = phi1 - (n1 * tan1 / r1) * (d2 / 2 -
+      (lit(5.0) + lit(3.0) * t1c + lit(10.0) * c1c - lit(4.0) * c1c * c1c -
+        lit(9.0 * ep2)) * d2 * d2 / 24 +
+      (lit(61.0) + lit(90.0) * t1c + lit(298.0) * c1c +
+        lit(45.0) * t1c * t1c - lit(252.0 * ep2) -
+        lit(3.0) * c1c * c1c) * d2 * d2 * d2 / 720)
+    val lam = lit(math.toRadians(prm.lon0Deg)) + (d -
+      (lit(1.0) + lit(2.0) * t1c + c1c) * d * d2 / 6 +
+      (lit(5.0) - lit(2.0) * c1c + lit(28.0) * t1c -
+        lit(3.0) * c1c * c1c + lit(8.0 * ep2) +
+        lit(24.0) * t1c * t1c) * d * d2 * d2 / 120) / cos1
+    struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
+  }
+
+  /** Lambert Conformal Conic inverse (Snyder 15-9..15-11; φ from t by
+    * the fixed-point iteration 7-9, unrolled to 6 applications — it
+    * converges quadratically, 6 is <1e-12 rad for |φ|<89°). Partner of
+    * [[lccProject]]. */
+  def lccInverse(xy: Column, prm: LccParams = Epsg3347): Column = {
+    import math.{cos => mcos, log => mlog, pow => mpow, sin => msin, sqrt => msqrt, tan => mtan}
+    val e = prm.e
+    def mScalar(phi: Double) = mcos(phi) / msqrt(1 - e * e * msin(phi) * msin(phi))
+    def tScalar(phi: Double) =
+      mtan(Math.PI / 4 - phi / 2) *
+        mpow((1 + e * msin(phi)) / (1 - e * msin(phi)), e / 2)
+    val phi1 = math.toRadians(prm.sp1Deg); val phi2 = math.toRadians(prm.sp2Deg)
+    val phi0 = math.toRadians(prm.lat0Deg)
+    val n = (mlog(mScalar(phi1)) - mlog(mScalar(phi2))) /
+      (mlog(tScalar(phi1)) - mlog(tScalar(phi2)))
+    val bigF = mScalar(phi1) / (n * mpow(tScalar(phi1), n))
+    val rho0 = prm.a * bigF * mpow(tScalar(phi0), n)
+
+    val dx = xy.getField("x") - lit(prm.falseEasting)
+    val dy = lit(rho0) - (xy.getField("y") - lit(prm.falseNorthing))
+    val rho = lit(if (n >= 0) 1.0 else -1.0) * sqrt(dx * dx + dy * dy)
+    val t = pow(rho / lit(prm.a * bigF), 1.0 / n)
+    val theta = atan2(dx, dy) // sign-safe for n > 0 (both EPSG:3347 SPs north)
+    val lam = theta / n + lit(math.toRadians(prm.lon0Deg))
+    // φ = π/2 − 2 atan(t ((1−e sinφ)/(1+e sinφ))^(e/2)), seeded with
+    // the spherical solution; 6 unrolled rounds
+    var phi: Column = lit(Math.PI / 2) - atan(t) * 2
+    for (_ <- 1 to 6) {
+      phi = lit(Math.PI / 2) - atan(t *
+        pow((lit(1.0) - lit(e) * sin(phi)) / (lit(1.0) + lit(e) * sin(phi)),
+          e / 2)) * 2
+    }
+    struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
+  }
+
+  /** Inverse partner of [[stTransform]]: `{x,y} -> {lon,lat}` for the
+    * same SRID families. */
+  def stTransformInverse(xy: Column, srid: Int): Column = srid match {
+    case 4326 =>
+      struct(xy.getField("x").as("lon"), xy.getField("y").as("lat"))
+    case 3857 => webMercatorInverse(xy)
+    case 3347 => lccInverse(xy)
+    case z if z >= 32601 && z <= 32660 =>
+      tmInverse(xy, utmParams(z - 32600, north = true))
+    case z if z >= 32701 && z <= 32760 =>
+      tmInverse(xy, utmParams(z - 32700, north = false))
+    case other => throw new IllegalArgumentException(
+      s"ST_Transform inverse: unsupported SRID $other " +
+        "(supported: 4326, 3857, 3347, 32601-32660, 32701-32760)")
+  }
+
   /** EPSG:3857 Web Mercator forward — the tile-pyramid CRS
     * (spherical: x = a·λ, y = a·ln tan(π/4 + φ/2)). */
   def webMercator(p: Column): Column = {

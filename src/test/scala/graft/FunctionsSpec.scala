@@ -171,6 +171,29 @@ class FunctionsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Geo.stTransform(pt(0, 0), 2154) }
   }
 
+  test("inverse projections round-trip forward to <1e-8 degrees (UTM, LCC, 3857)") {
+    // 1e-8 deg =~ 1.1 mm — the documented accuracy of the Snyder
+    // forward/inverse series pair inside a zone (measured worst
+    // residual 3.3e-9 deg at lat 52.5)
+    def pt(lon: Double, lat: Double) =
+      struct(lit(lon).as("lon"), lit(lat).as("lat"))
+    val probes = Seq( // (srid, lon, lat) across hemispheres and zones
+      (32633, 13.4, 52.52), (32633, 17.9, 40.1), (32633, 12.1, 64.9),
+      (32733, 16.0, -33.9), (32618, -74.0, 40.7),
+      (3347, -91.8, 63.4), (3347, -75.7, 45.4), (3347, -123.1, 49.3),
+      (3857, 139.7, 35.7), (3857, -58.4, -34.6))
+    probes.foreach { case (srid, lon, lat) =>
+      val rt = spark.range(1).select(
+          Geo.stTransformInverse(
+            Geo.stTransform(pt(lon, lat), srid), srid))
+        .head().getStruct(0)
+      assert(math.abs(rt.getDouble(0) - lon) < 1e-8,
+        s"srid $srid lon: ${rt.getDouble(0)} vs $lon")
+      assert(math.abs(rt.getDouble(1) - lat) < 1e-8,
+        s"srid $srid lat: ${rt.getDouble(1)} vs $lat")
+    }
+  }
+
   test("distanceJoin == brute force on random point sets; extentAgg bbox") {
     val rnd = new scala.util.Random(7L)
     def pts(n: Int, off: Long) = (1 to n).map(i =>

@@ -289,4 +289,46 @@ class PropertySpec extends SparkTestBase {
         s"simplified line drifted: ${probe.getDouble(1)} vs ${probe.getDouble(0)} + $eps")
     }
   }
+
+  test("ring stitching inverts random split/reverse/shuffle of random polygons") {
+    import graft.osm.{Multipolygon, RelationMember, Point}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      // random star-convex polygon: sorted angles with jittered radii
+      val n = 5 + rnd.nextInt(8)
+      val angles = Seq.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
+      val ring = angles.map { a =>
+        val r = 1.0 + rnd.nextDouble()
+        Point(r * math.cos(a), r * math.sin(a))
+      }
+      val closed = ring :+ ring.head
+      // expected area via local shoelace
+      val exp = math.abs(closed.sliding(2).map { case Seq(a, b) =>
+        a.lon * b.lat - b.lon * a.lat }.sum) / 2
+      // split the closed ring into 2..4 chains at random cut points,
+      // reverse a random subset, shuffle member order
+      val cutsN = 2 + rnd.nextInt(3)
+      val cuts = (0 +: Seq.fill(cutsN - 1)(1 + rnd.nextInt(closed.length - 2))
+        .distinct.sorted) :+ (closed.length - 1)
+      val segs = cuts.sliding(2).collect {
+        case Seq(a, b) if b > a => closed.slice(a, b + 1)
+      }.toSeq
+      val ways = rnd.shuffle(segs.zipWithIndex.map { case (seg, i) =>
+        val g = if (rnd.nextBoolean()) seg.reverse else seg
+        (100L + i, g)
+      })
+      val waysDf = ways.toDF("id", "linestring")
+      val members = ways.zipWithIndex.map { case ((wid, _), i) =>
+        RelationMember(1L, wid, "W", "outer", i) }.toDF()
+      val out = Multipolygon.multipolygonAreas(members, waysDf)
+        .select(col("n_outer"), col("n_inner"), col("area_deg2"))
+        .head()
+      assert(out.getLong(0) === 1L, s"trial $trial: expected 1 outer ring")
+      assert(out.getLong(1) === 0L)
+      assert(math.abs(out.getDouble(2) - exp) < 1e-9,
+        s"trial $trial: area ${out.getDouble(2)} != $exp")
+    }
+  }
 }
