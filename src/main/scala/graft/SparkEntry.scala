@@ -1188,6 +1188,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
     }),
 
+    // ---- product-quantization ADC search (the IVF-PQ index family's
+    //      scoring half): fixed per-subspace codebooks from the first
+    //      16 vectors (oracle-rebuildable), corpus scanned as 8 codes
+    //      per vector, per-query m×k distance table broadcast, each
+    //      candidate scored by 8 table lookups. DuckDB re-derives
+    //      codebooks, codes, and exact ADC distances.
+    "q_s_pq_adc" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cb = llm.Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+        m = 8, k = 16)
+      llm.Similarity.pqAdcTopK(e, queries, "vec_id", "embedding",
+          "query_id", k = 10, cb)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
     //      global window — must agree with the window semantics, so it
     //      shares q_x5's oracle
@@ -4453,6 +4471,50 @@ object SparkEntry {
     // ties to the lowest centroid id), nprobe=4 pruning, exact rescore,
     // per-query top-5 — all recomputed independently. Cosines match
     // bit-for-bit (left-to-right folds on both engines).
+    // PQ re-derived end-to-end: codebooks = sub-slices of the first 16
+    // vectors, codes = argmin(c·c − 2 c·v_m) with the same (score, j)
+    // tie order, ADC = Σ_m (q·q − 2 q·c + c·c) over the chosen
+    // centroids — identical expression structure to the engine.
+    "q_s_pq_adc" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (
+           SELECT m.range AS m, b.vec_id AS j,
+                  list_slice(b.v, m.range*8 + 1, m.range*8 + 8) AS c
+           FROM range(8) m, (SELECT vec_id, v FROM base WHERE vec_id < 16) b),
+         scores AS (
+           SELECT b.vec_id, c.m, c.j,
+             list_dot_product(c.c, c.c) -
+               2*list_dot_product(c.c,
+                   list_slice(b.v, c.m*8 + 1, c.m*8 + 8)) AS s
+           FROM base b CROSS JOIN cb c),
+         codes AS (
+           SELECT vec_id, m, j AS code FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn
+             FROM scores) WHERE rn = 1),
+         qsub AS (
+           SELECT b.vec_id AS query_id, m.range AS m,
+                  list_slice(b.v, m.range*8 + 1, m.range*8 + 8) AS qm
+           FROM base b, range(8) m WHERE b.vec_id < 5),
+         pair AS (
+           SELECT q.query_id, d.vec_id,
+             sum(list_dot_product(q.qm, q.qm) -
+                 2*list_dot_product(q.qm, c.c) +
+                 list_dot_product(c.c, c.c)) AS adc
+           FROM qsub q
+           JOIN codes d ON d.m = q.m
+           JOIN cb c ON c.m = d.m AND c.j = d.code
+           GROUP BY q.query_id, d.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+           FROM pair)
+         SELECT query_id, vec_id, round(adc, 6) AS adc
+         FROM ranked WHERE rn <= 10
+         ORDER BY query_id, vec_id""",
+
     // SemDeDup re-derived: same fixed-centroid assignment idiom as
     // q_s_ivf_fixed, then within-cluster pair cosines only.
     "q_d_semantic_pairs" ->

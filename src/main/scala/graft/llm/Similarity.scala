@@ -63,6 +63,88 @@ object Similarity {
     * (e.g. 16 of 1024 dims — a 64x bandwidth cut with column pruning);
     * the full-width vectors are fetched for `candK × |queries|` rows
     * via an equi-join, broadcast territory at any realistic batch. */
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011 — the
+    * IVF-PQ index family): split the `dim`-vector into `m` subspaces
+    * and give each its own `k`-centroid codebook. This FIXED variant
+    * slices the first `k` corpus vectors by id — same policy as
+    * [[initCentroids]]: an independent SQL oracle can rebuild the
+    * identical codebooks, so codes and ADC scores are value-checkable
+    * (Lloyd-refined codebooks would need the recall-gate policy).
+    * Returns `m × k × (dim/m)` doubles — driver-sized (8×16×8 = 1 KB),
+    * broadcast as plan literals. */
+  def pqCodebooksFixed(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val firstK = corpus.orderBy(idCol).limit(k).select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+    val dim = firstK.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(mi =>
+      firstK.map(v => v.slice(mi * sub, (mi + 1) * sub): Seq[Double]).toSeq)
+  }
+
+  /** PQ encode: `ARRAY<INT>` of `m` codes — per subspace, the centroid
+    * minimizing ‖v_m − c‖², computed as argmin(c·c − 2 c·v_m) (the
+    * ‖v_m‖² term is constant within a subspace). Each subspace is one
+    * codegen'd [[graft.functions.MatVec]] against its codebook; lowest
+    * index wins ties, mirroring the oracle's `ORDER BY score, j`. One
+    * scan, 8 bytes of index per 256-byte vector at (m=8, k≤256). */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    val codes = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val cc = cb.map(c => c.foldLeft(0.0)((s, x) => s + x * x))
+      val vm = slice(vec, mi * sub + 1, sub)
+      val scores = zip_with(
+        graft.functions.GraftFunctions.matVec(cb, vm),
+        typedlit(cc), (d, n2) => n2 - d * 2)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Per-query ADC lookup table as ONE flat `ARRAY<DOUBLE>` of length
+    * m·k: entry mi·k+j = ‖q_mi − c_mi,j‖² expanded as
+    * q·q − 2 q·c + c·c (the structure the oracle mirrors). */
+  def pqAdcTable(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    val parts = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val cc = cb.map(c => c.foldLeft(0.0)((s, x) => s + x * x))
+      val vm = slice(vec, mi * sub + 1, sub)
+      val qq = dot(vm, vm)
+      zip_with(graft.functions.GraftFunctions.matVec(cb, vm),
+        typedlit(cc), (d, n2) => qq - d * 2 + n2)
+    }
+    concat(parts: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: corpus is scanned as CODES ONLY
+    * (m small ints per vector — at planet scale the 32×-compressed code
+    * column is the only thing read), queries broadcast their m·k
+    * distance tables, and each candidate costs m array lookups instead
+    * of a dim-length dot. This is the brute-ADC building block; compose
+    * with the IVF cell prune ([[ivfTopKWithCentroids]]) for the full
+    * IVF-PQ index. Deterministic: ties rank by id. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val kcb = codebooks.head.length
+    val enc = corpus.select(col(idCol),
+      pqEncode(col(vecCol), codebooks).as("__codes"))
+    val q = queries.select(col(qidCol),
+      pqAdcTable(col(vecCol), codebooks).as("__tab"))
+    val scored = enc.crossJoin(broadcast(q))
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+          (c, mi) => element_at(col("__tab"), mi * kcb + c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("__adc").asc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("__adc").as("adc"))
+  }
+
   def rescoreTopKPerQuery(corpus: DataFrame, reduced: DataFrame,
       queries: DataFrame, redQueries: DataFrame, idCol: String,
       vecCol: String, redCol: String, qidCol: String, k: Int,

@@ -289,6 +289,42 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("product quantization: codes match brute-force nearest sub-centroid; ADC self-rank") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(11)
+    val dim = 8; val m = 2; val sub = dim / m; val kcb = 4
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksFixed(vecs, "vec_id", "embedding", m, kcb)
+    assert(cb.length === m && cb.head.length === kcb && cb.head.head.length === sub)
+    // engine codes == brute-force argmin over full L2² per subspace
+    val enc = vecs.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    raw.foreach { case (id, v) =>
+      (0 until m).foreach { mi =>
+        val vm = v.slice(mi * sub, (mi + 1) * sub)
+        val best = cb(mi).zipWithIndex.map { case (c, j) =>
+          (c.zip(vm).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }.min._2
+        assert(enc(id)(mi) === best, s"vec $id subspace $mi")
+      }
+    }
+    // a query that seeded the codebooks quantizes losslessly: its own
+    // ADC distance is 0, so it must rank itself first
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.pqAdcTopK(vecs, queries, "vec_id", "embedding",
+        "query_id", k = 1, cb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    (0L until 3L).foreach { qid =>
+      assert(top(qid)._1 === qid, s"query $qid should rank itself first")
+      assert(math.abs(top(qid)._2) < 1e-9)
+    }
+  }
+
   test("semanticDupPairs: planted clusters, within-cluster dups found, cross-cluster blocked") {
     import graft.llm.{Dedup, Similarity}
     // three well-separated directions in R4; dups planted inside two of
