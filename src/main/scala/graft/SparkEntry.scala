@@ -1206,6 +1206,22 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // ---- full IVF-PQ: coarse-cell prune (fixed centroids, nprobe=4)
+    //      then ADC scoring over codes — the deterministic compose of
+    //      q_s_ivf_fixed and q_s_pq_adc, value-checked end-to-end.
+    "q_s_ivfpq" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      val cb = llm.Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+        m = 8, k = 16)
+      llm.Similarity.ivfPqTopK(e, queries, "vec_id", "embedding",
+          "query_id", k = 10, cents, nprobe = 4, cb)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
     //      global window — must agree with the window semantics, so it
     //      shares q_x5's oracle
@@ -4471,6 +4487,69 @@ object SparkEntry {
     // ties to the lowest centroid id), nprobe=4 pruning, exact rescore,
     // per-query top-5 — all recomputed independently. Cosines match
     // bit-for-bit (left-to-right folds on both engines).
+    // IVF-PQ re-derived: coarse assignment + nprobe probes exactly as
+    // q_s_ivf_fixed, codes/ADC exactly as q_s_pq_adc, composed.
+    "q_s_ivfpq" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+         cscores AS (
+           SELECT b.vec_id, ct.cid,
+             list_dot_product(b.v, ct.c) /
+               (sqrt(list_dot_product(b.v, b.v)) *
+                sqrt(list_dot_product(ct.c, ct.c))) AS cs
+           FROM base b CROSS JOIN cents ct),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores WHERE vec_id < 5) WHERE rn <= 4),
+         cb AS (
+           SELECT m.range AS m, b.vec_id AS j,
+                  list_slice(b.v, m.range*8 + 1, m.range*8 + 8) AS c
+           FROM range(8) m, (SELECT vec_id, v FROM base WHERE vec_id < 16) b),
+         pqscores AS (
+           SELECT b.vec_id, c.m, c.j,
+             list_dot_product(c.c, c.c) -
+               2*list_dot_product(c.c,
+                   list_slice(b.v, c.m*8 + 1, c.m*8 + 8)) AS s
+           FROM base b CROSS JOIN cb c),
+         codes AS (
+           SELECT vec_id, m, j AS code FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn
+             FROM pqscores) WHERE rn = 1),
+         qsub AS (
+           SELECT b.vec_id AS query_id, m.range AS m,
+                  list_slice(b.v, m.range*8 + 1, m.range*8 + 8) AS qm
+           FROM base b, range(8) m WHERE b.vec_id < 5),
+         pair AS (
+           SELECT q.query_id, d.vec_id,
+             sum(list_dot_product(q.qm, q.qm) -
+                 2*list_dot_product(q.qm, c.c) +
+                 list_dot_product(c.c, c.c)) AS adc
+           FROM qsub q
+           JOIN codes d ON d.m = q.m
+           JOIN assign a ON a.vec_id = d.vec_id
+           JOIN probes p ON p.query_id = q.query_id AND p.cid = a.cid
+           JOIN cb c ON c.m = d.m AND c.j = d.code
+           GROUP BY q.query_id, d.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+           FROM pair)
+         SELECT query_id, vec_id, round(adc, 6) AS adc
+         FROM ranked WHERE rn <= 10
+         ORDER BY query_id, vec_id""",
+
     // PQ re-derived end-to-end: codebooks = sub-slices of the first 16
     // vectors, codes = argmin(c·c − 2 c·v_m) with the same (score, j)
     // tie order, ADC = Σ_m (q·q − 2 q·c + c·c) over the chosen

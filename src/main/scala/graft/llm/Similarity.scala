@@ -145,6 +145,40 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("__adc").as("adc"))
   }
 
+  /** Full IVF-PQ: coarse cells prune the candidate set (equi-join on
+    * cell id, `nprobe` probes per query), then PQ codes + the query's
+    * ADC table score the survivors — the index layout that serves
+    * billion-vector corpora: the scan reads (cell, m codes) per vector
+    * and NOTHING else; raw vectors exist only at build time. With
+    * fixed coarse centroids and fixed codebooks the whole path is
+    * deterministic and value-checkable. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, cents: Seq[Seq[Double]],
+      nprobe: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val kcb = codebooks.head.length
+    val enc = corpus
+      .withColumn("__scores", centroidScores(col(vecCol), cents))
+      .select(col(idCol), bestFromScores(col("__scores")).as("__cid"),
+        pqEncode(col(vecCol), codebooks).as("__codes"))
+    val probes = queries.select(col(qidCol), col(vecCol).as("__qv"))
+      .withColumn("__scores", centroidScores(col("__qv"), cents))
+      .withColumn("__cid",
+        explode(topFromScores(col("__scores"), cents.size, nprobe)))
+      .select(col(qidCol), col("__cid"),
+        pqAdcTable(col("__qv"), codebooks).as("__tab"))
+    val cand = enc.join(broadcast(probes), "__cid")
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+          (c, mi) => element_at(col("__tab"), mi * kcb + c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("__adc").asc, col(idCol))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("__adc").as("adc"))
+  }
+
   def rescoreTopKPerQuery(corpus: DataFrame, reduced: DataFrame,
       queries: DataFrame, redQueries: DataFrame, idCol: String,
       vecCol: String, redCol: String, qidCol: String, k: Int,
