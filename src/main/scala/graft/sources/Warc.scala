@@ -67,6 +67,11 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft.sources.WarcSource").load(path)
 
+  /** Streaming entry point: incremental ingest of a growing crawl-dump
+    * directory (see [[WarcMicroBatchStream]]). */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.format("graft.sources.WarcSource").load(path)
+
   /** Serialize records as a WET/WARC byte stream — the test/fixture
     * twin of the reader. `gzipPerRecord = true` writes one gzip member
     * per record (the Common Crawl layout); false writes the plain
@@ -103,7 +108,8 @@ case class WarcTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def name(): String = s"warc($path)"
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(tableSchema, path)
 }
@@ -136,6 +142,61 @@ case class WarcScan(required: StructType, path: String)
 
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(required, path)
+}
+
+/** Streaming side of the WARC source: monitor a crawl-dump directory
+  * and ingest newly-landed archives incrementally. Crawl output is
+  * append-only with lexicographically increasing names (the Common
+  * Crawl convention — `part-…`, segment timestamps), so the OFFSET is
+  * simply the highest file name ingested: a micro-batch is "every file
+  * whose name sorts in (start, end]", which makes offsets trivially
+  * serializable, replayable from the checkpoint log, and exactly-once
+  * at FILE granularity (a file is either fully in a batch or not yet
+  * seen — the batch boundary can't split a file). Per-batch work
+  * parallelizes exactly like the batch reader: one partition per new
+  * file. */
+class WarcMicroBatchStream(required: StructType, path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listNames(): Array[String] = {
+    val f = new java.io.File(path)
+    if (!f.isDirectory) Array(f.getName)
+    else f.listFiles().filter(_.isFile)
+      .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+      .map(_.getName).sorted
+  }
+
+  override def initialOffset(): Offset = WarcOffset("")
+  override def latestOffset(): Offset =
+    WarcOffset(listNames().lastOption.getOrElse(""))
+  override def deserializeOffset(json: String): Offset = WarcOffset(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcOffset].watermark
+    val e = end.asInstanceOf[WarcOffset].watermark
+    val dir = new java.io.File(path)
+    listNames().filter(n => n > s && n <= e)
+      .map(n => WarcFilePartition(new java.io.File(dir, n).getPath)
+        : InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(required)
+}
+
+/** Lexicographic file-name watermark (see [[WarcMicroBatchStream]]);
+  * the json form is the raw name — opaque to Spark's offset log. */
+case class WarcOffset(watermark: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = watermark
 }
 
 case class WarcReaderFactory(required: StructType)

@@ -73,6 +73,31 @@ class WarcSourceSpec extends SparkTestBase {
     assert(df.select("target_uri").distinct().count() === 5)
   }
 
+  test("streaming ingest: new archive files picked up incrementally, exactly once") {
+    val dir = Files.createTempDirectory("warcstream").toFile
+    Files.write(new java.io.File(dir, "part-00000.wet.gz").toPath,
+      Warc.writeRecords(recs(2), gzipPerRecord = true))
+    val q = Warc.readStream(spark, dir.getPath)
+      .select("target_uri", "content_length")
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM warc_stream").head.getLong(0) === 2L)
+      // a newly landed archive becomes exactly one new batch of rows
+      Files.write(new java.io.File(dir, "part-00001.wet.gz").toPath,
+        Warc.writeRecords(recs(3, off = 10), gzipPerRecord = true))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT target_uri FROM warc_stream").collect()
+        .map(_.getString(0))
+      assert(rows.length === 5, s"expected 5 rows, got ${rows.toSeq}")
+      assert(rows.distinct.length === 5, "no record ingested twice")
+      // an idle cycle with no new files adds nothing
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM warc_stream").head.getLong(0) === 5L)
+    } finally q.stop()
+  }
+
   test("payload pruning: headers-only census never materializes payload") {
     val path = writeFile("f.wet.gz", Warc.writeRecords(recs(4), gzipPerRecord = true))
     val census = Warc.read(spark, path)
