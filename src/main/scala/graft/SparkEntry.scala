@@ -288,7 +288,12 @@ object SparkEntry {
 
     // ---- A11 percentile_cont within group (osm-complete-graphs.sql:33-38)
     "q_a11_percentile" -> ((s, dir) => {
-      lineitem(s, dir)
+      // exact percentile buffers EVERY group value in the partial agg —
+      // on the single-split testdata scan that entire accumulation ran
+      // on one core; spread first so 32 partials merge instead
+      // (the 100 TB answer is the approx sketch — q_a10c)
+      lineitem(s, dir).select("l_returnflag", "l_extendedprice")
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy("l_returnflag")
         .agg(percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
           percentile(col("l_extendedprice"), lit(0.75)).as("p75"))

@@ -402,4 +402,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"ST_Contains join must bucket, not pair all rows:\n$p")
     assert(p.contains("HashJoin"), s"cell join should be a hash equi-join:\n$p")
   }
+
+  test("r12 operators keep their scale shapes (PQ, IVF-PQ, SemDeDup, multipolygon)") {
+    // PQ ADC: the per-query distance tables ride a broadcast, never a
+    // shuffled pair join
+    val pq = plan("q_s_pq_adc")
+    assert(pq.contains("BroadcastExchange"),
+      s"query ADC tables should broadcast:\n$pq")
+    // IVF-PQ: the cell prune is a broadcast hash EQUI-join on the cell
+    // id — the candidate set shrinks before any scoring
+    val ip = plan("q_s_ivfpq")
+    assert(ip.contains("BroadcastHashJoin"),
+      s"cell prune should be a broadcast hash join:\n$ip")
+    // SemDeDup: pair generation is an equi-join on the cluster id (the
+    // clustering IS the blocking — no all-pairs)
+    val sd = optimized("q_d_semantic_pairs")
+    assert(sd.contains("Join Inner") && sd.contains("cluster"),
+      s"pair generation must equi-join on cluster:\n$sd")
+    // point-in-multipolygon: hole subtraction is a real LeftAnti; the
+    // containment legs are cell equi-joins, never point x polygon pairs
+    val mp = plan("q_rel_mp_contains")
+    assert(mp.contains("LeftAnti"), s"holes should anti-join:\n$mp")
+    assert(!mp.contains("BroadcastNestedLoopJoin") &&
+      !mp.contains("CartesianProduct"),
+      s"containment must stay a cell equi-join:\n$mp")
+  }
 }
