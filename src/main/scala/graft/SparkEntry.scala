@@ -737,7 +737,7 @@ object SparkEntry {
     // ---- language ID by stopword-profile scoring (deterministic formula,
     //      mirrored in the oracle)
     "q_t_language_id" -> ((s, dir) => {
-      documents(s, dir)
+      spreadDocs(s, dir)
         .select(col("doc_id"), llm.TextAnalysis.languageId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     }),
