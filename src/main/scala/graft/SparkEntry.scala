@@ -1646,6 +1646,22 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- sampled betweenness centrality (Brandes from seed sources) —
+    //      completes the space-syntax centrality pair with closeness;
+    //      the oracle enumerates ALL simple paths from each seed,
+    //      keeps per-(s,t) shortest ones, and counts pass-throughs.
+    "q_osm_betweenness" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      osm.GraphCheck.betweennessFromSources(e, Seq(1L, 3L, 4L, 5L, 6L))
+        .select(col("node_id"),
+          round(col("betweenness"), 6).as("betweenness"))
+        .orderBy("node_id")
+    }),
+
     // ---- K shortest paths (pgr_ksp, Yen): route alternatives over the
     //      rebuilt graph augmented with two fixed shortcut edges (the
     //      micro network is a tree — without them there is exactly one
@@ -4036,6 +4052,54 @@ object SparkEntry {
                 CAST(sum(d) AS BIGINT) AS sum_cm,
                 count(*) AS n_from
          FROM mc GROUP BY node ORDER BY node_id"""),
+    // Brandes pair-dependencies re-derived by brute force: enumerate
+    // ALL simple paths from each seed (revisit guard terminates the
+    // recursion), keep the per-(s,t) minimum-cost ones, count how many
+    // pass through each interior node, and sum σ_st(v)/σ_st.
+    "q_osm_betweenness" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         sp(seed, node, dist, path) AS (
+           SELECT seed, seed, CAST(0 AS BIGINT), CAST(seed AS VARCHAR)
+           FROM (VALUES (1), (3), (4), (5), (6)) s(seed)
+           UNION ALL
+           SELECT sp.seed, e.dst, sp.dist + e.w,
+                  sp.path || ',' || CAST(e.dst AS VARCHAR)
+           FROM sp JOIN dedges e ON e.src = sp.node
+           WHERE position(',' || CAST(e.dst AS VARCHAR) || ','
+                          IN ',' || sp.path || ',') = 0),
+         mind AS (
+           SELECT seed, node AS t, min(dist) AS d
+           FROM sp WHERE node <> seed GROUP BY seed, node),
+         short AS (
+           SELECT sp.seed, sp.node AS t, sp.path
+           FROM sp JOIN mind
+             ON mind.seed = sp.seed AND mind.t = sp.node
+            AND sp.dist = mind.d),
+         sigma AS (
+           SELECT seed, t, count(*) AS sig FROM short GROUP BY seed, t),
+         gnodes AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM dedges
+             UNION SELECT dst FROM dedges)),
+         pass AS (
+           SELECT sh.seed, sh.t, n.node AS v, count(*) AS sv
+           FROM short sh JOIN gnodes n
+             ON position(',' || CAST(n.node AS VARCHAR) || ','
+                         IN ',' || sh.path || ',') > 0
+            AND n.node <> sh.seed AND n.node <> sh.t
+           GROUP BY sh.seed, sh.t, n.node),
+         bc AS (
+           SELECT p.v AS node_id,
+                  sum(CAST(p.sv AS DOUBLE) / sg.sig) AS b
+           FROM pass p JOIN sigma sg
+             ON sg.seed = p.seed AND sg.t = p.t
+           GROUP BY p.v)
+         SELECT CAST(n.node AS BIGINT) AS node_id,
+                round(coalesce(bc.b, 0), 6) AS betweenness
+         FROM gnodes n LEFT JOIN bc ON bc.node_id = n.node
+         ORDER BY node_id"""),
+
     // K shortest paths: enumerate ALL simple 1→4 paths over the same
     // rebuilt graph + the two literal shortcut edges (the recursion
     // forbids node revisits, so it terminates), rank by (dist, path)

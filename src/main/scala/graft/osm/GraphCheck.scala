@@ -379,6 +379,155 @@ object GraphCheck {
       .agg(sum(col("dist")).as("sum_dist"), count(lit(1)).as("n_from"))
   }
 
+  /** Sampled betweenness centrality (Brandes 2001) from `sources` —
+    * the other half of the space-syntax centrality surface the
+    * reference's igraph hand-off computes (closeness is
+    * [[closenessFromSources]]). For each sampled source s, every node
+    * v accumulates Σ_{t≠v≠s} σ_st(v)/σ_st — the pair-dependency of
+    * Brandes' algorithm restricted to sampled sources (the standard
+    * estimator; all-sources exact betweenness is all-pairs SSSP, off
+    * the table at road scale).
+    *
+    * Broadcast-local fast path: textbook Dijkstra-Brandes per source.
+    * Distributed path (localThreshold = 0 forces it): per source,
+    * (1) the existing distributed SSSP settles distances; (2) the
+    * shortest-path DAG is one join (`dist(u) + w = dist(v)` — exact on
+    * integer weights); (3) path counts σ flow FORWARD over the DAG by
+    * monotone fixpoint (one join+agg per round, rounds = shortest-path
+    * hop depth, the same bound ScaleSmoke pins for SSSP); (4)
+    * dependencies δ flow BACKWARD the same way. Per-source cost is
+    * therefore ~3 SSSP-equivalents; sources is the sample budget.
+    * Returns every graph node with its (float) centrality — consumers
+    * round for cross-engine comparison. */
+  def betweennessFromSources(edges: DataFrame, sources: Seq[Long],
+      maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eChk = materializeEdges(edges)
+    val allNodes = eChk.select(col("start_node").as("node_id"))
+      .unionByName(eChk.select(col("end_node").as("node_id")))
+      .distinct().localCheckpoint(true)
+    if (localThreshold > 0 &&
+        eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val es = eChk.select(col("start_node"), col("end_node"),
+          col("w").cast("double")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val bc = scala.collection.mutable.Map[Long, Double]()
+      sources.foreach { s =>
+        val dist = scala.collection.mutable.Map[Long, Double]()
+        val sigma = scala.collection.mutable.Map[Long, Double]()
+        val preds = scala.collection.mutable.Map[Long,
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        val settled = scala.collection.mutable.ArrayBuffer[Long]()
+        val done = scala.collection.mutable.Set[Long]()
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
+        dist(s) = 0.0; sigma(s) = 1.0; pq.enqueue((0.0, s))
+        while (pq.nonEmpty) {
+          val (d, u) = pq.dequeue()
+          if (d <= dist(u) && !done.contains(u)) {
+            done += u; settled += u
+            es.getOrElse(u, Array.empty[(Long, Double)]).foreach { case (v, w) =>
+              val nd = d + w
+              if (!dist.contains(v) || nd < dist(v)) {
+                dist(v) = nd; sigma(v) = sigma(u)
+                preds(v) = scala.collection.mutable.ArrayBuffer(u)
+                pq.enqueue((nd, v))
+              } else if (nd == dist(v) && !done.contains(v)) {
+                sigma(v) += sigma(u); preds(v) += u
+              }
+            }
+          }
+        }
+        val delta = scala.collection.mutable.Map[Long, Double]()
+        settled.reverseIterator.foreach { wn =>
+          preds.getOrElse(wn, Nil).foreach { u =>
+            delta(u) = delta.getOrElse(u, 0.0) +
+              sigma(u) / sigma(wn) * (1.0 + delta.getOrElse(wn, 0.0))
+          }
+          if (wn != s)
+            bc(wn) = bc.getOrElse(wn, 0.0) + delta.getOrElse(wn, 0.0)
+        }
+      }
+      val ids = allNodes.collect().map(_.getLong(0)).sorted
+      return ids.toIndexedSeq.map(id => (id, bc.getOrElse(id, 0.0)))
+        .toDF("node_id", "betweenness")
+    }
+    // distributed: per-source forward σ / backward δ fixpoints over the
+    // shortest-path DAG
+    val deltas = sources.map { s =>
+      val dist = multiSourceShortestPaths(eChk, Seq(s), maxIter,
+          localThreshold = 0)._1
+        .localCheckpoint(true)
+      val du = dist.select(col("node_id").as("__u"), col("dist").as("__du"))
+      val dv = dist.select(col("node_id").as("__v"), col("dist").as("__dv"))
+      val sp = eChk
+        .join(du, eChk("start_node") === col("__u"))
+        .join(dv, eChk("end_node") === col("__v"))
+        .filter(col("__du") + col("w") === col("__dv"))
+        .select(col("__u").as("src"), col("__v").as("dst"))
+        .localCheckpoint(true)
+      // forward σ: monotone toward the fixpoint level by level, so a
+      // stable global sum IS convergence
+      var sigma = dist.select(col("node_id"),
+          when(col("node_id") === s, 1.0).otherwise(0.0).as("sigma"))
+        .localCheckpoint(true)
+      var prevSum = Double.NaN
+      var i = 0
+      var stable = false
+      while (!stable && i < maxIter) {
+        val inflow = sp.join(sigma, sp("src") === sigma("node_id"))
+          .groupBy(col("dst")).agg(sum(col("sigma")).as("__in"))
+        sigma = dist.select(col("node_id"))
+          .join(inflow, dist("node_id") === inflow("dst"), "left_outer")
+          .select(col("node_id"),
+            when(col("node_id") === s, 1.0)
+              .otherwise(coalesce(col("__in"), lit(0.0))).as("sigma"))
+          .localCheckpoint(true)
+        val sSum = sigma.agg(sum(col("sigma"))).head().getDouble(0)
+        stable = sSum == prevSum
+        prevSum = sSum
+        i += 1
+      }
+      // backward δ: same monotone-fixpoint argument on the reversed DAG
+      val sg = sigma.select(col("node_id").as("__sn"), col("sigma").as("__s"))
+      var delta = dist.select(col("node_id"), lit(0.0).as("delta"))
+        .localCheckpoint(true)
+      prevSum = Double.NaN
+      i = 0
+      stable = false
+      while (!stable && i < maxIter) {
+        val terms = sp
+          .join(sg.withColumnRenamed("__sn", "__su"), sp("src") === col("__su"))
+          .withColumnRenamed("__s", "__sigu")
+          .join(sg.withColumnRenamed("__sn", "__sv"), sp("dst") === col("__sv"))
+          .withColumnRenamed("__s", "__sigv")
+          .join(delta.withColumnRenamed("node_id", "__dn"),
+            sp("dst") === col("__dn"))
+          .select(sp("src").as("node_id2"),
+            (col("__sigu") / col("__sigv") * (lit(1.0) + col("delta")))
+              .as("__t"))
+          .groupBy(col("node_id2")).agg(sum(col("__t")).as("__d"))
+        delta = dist.select(col("node_id"))
+          .join(terms, dist("node_id") === terms("node_id2"), "left_outer")
+          .select(col("node_id"), coalesce(col("__d"), lit(0.0)).as("delta"))
+          .localCheckpoint(true)
+        val dSum = delta.agg(sum(col("delta"))).head().getDouble(0)
+        stable = dSum == prevSum
+        prevSum = dSum
+        i += 1
+      }
+      delta.filter(col("node_id") =!= s)
+    }
+    val acc = deltas.reduce(_.unionByName(_))
+      .groupBy("node_id").agg(sum(col("delta")).as("__bc"))
+    allNodes.join(acc, Seq("node_id"), "left_outer")
+      .select(col("node_id"),
+        coalesce(col("__bc"), lit(0.0)).as("betweenness"))
+  }
+
   /** A* shortest path (`pgr_aStar` analog) with the great-circle
     * heuristic. Result contract is IDENTICAL to [[shortestPathTo]]:
     * edge weights are haversine-summed centimeter lengths, so the

@@ -543,4 +543,61 @@ class RoadGraphSpec extends SparkTestBase {
     assert(cl(GraphCheck.closenessFromSources(ew, srcs)) ===
       cl(GraphCheck.closenessFromSources(ew, srcs, localThreshold = 0)))
   }
+
+  test("betweennessFromSources: local == distributed; brute-force pair dependencies") {
+    val ew = RoadGraph.directed(merged)
+      .select(col("start_node"), col("end_node"),
+        round(col("length") * 100).cast("long").as("w"))
+    val srcs = Seq(1L, 3L, 4L, 5L, 6L)
+    def bcMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val loc = bcMap(GraphCheck.betweennessFromSources(ew, srcs))
+    val dist = bcMap(GraphCheck.betweennessFromSources(ew, srcs,
+      localThreshold = 0))
+    assert(loc.keySet === dist.keySet)
+    loc.foreach { case (n, v) =>
+      assert(math.abs(v - dist(n)) < 1e-9, s"node $n: $v vs ${dist(n)}") }
+
+    // brute force on a random weighted digraph: enumerate every simple
+    // path, per (s,t) keep the cheapest, and sum pass-through ratios
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val n = 7
+    val es = (for (a <- 1 to n; b <- 1 to n
+      if a != b && rnd.nextDouble() < 0.3)
+      yield (a.toLong, b.toLong, (1 + rnd.nextInt(4)).toLong))
+    val adj = es.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3))).toMap
+    def paths(s: Long): Seq[(Long, Long, Seq[Long])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long])]()
+      def dfs(u: Long, cost: Long, path: Seq[Long]): Unit = {
+        if (u != s) out += ((u, cost, path))
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (!path.contains(v)) dfs(v, cost + w, path :+ v)
+        }
+      }
+      dfs(s, 0L, Seq(s))
+      out.toSeq
+    }
+    val seeds = Seq(1L, 2L, 3L)
+    val expect = scala.collection.mutable.Map[Long, Double]()
+    seeds.foreach { s0 =>
+      val all = paths(s0)
+      all.groupBy(_._1).foreach { case (t, ps) =>
+        val best = ps.map(_._2).min
+        val shortest = ps.filter(_._2 == best).map(_._3)
+        val sig = shortest.size.toDouble
+        shortest.flatMap(_.drop(1).dropRight(1)).groupBy(identity)
+          .foreach { case (v, hits) =>
+            expect(v) = expect.getOrElse(v, 0.0) + hits.size / sig }
+      }
+    }
+    val got = bcMap(GraphCheck.betweennessFromSources(
+      es.toDF("start_node", "end_node", "w"), seeds))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - expect.getOrElse(v, 0.0)) < 1e-9,
+        s"node $v: ${got(v)} vs ${expect.getOrElse(v, 0.0)}")
+    }
+  }
 }
