@@ -72,6 +72,30 @@ object Warc {
   def readStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.format("graft.sources.WarcSource").load(path)
 
+  /** One serialized record (headers + payload + CRLF trailer),
+    * optionally as its own gzip member. */
+  private[sources] def recordBytes(typ: String, uri: String, date: String,
+      ctype: String, payload: Array[Byte], recId: String,
+      gzipMember: Boolean): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $typ\r\n")
+      .append(s"WARC-Record-ID: <urn:uuid:$recId>\r\n")
+      .append(s"WARC-Date: $date\r\n")
+    if (uri != null) head.append(s"WARC-Target-URI: $uri\r\n")
+    head.append(s"Content-Type: $ctype\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n")
+      .append("\r\n")
+    val bytes = head.toString.getBytes("UTF-8") ++ payload ++
+      "\r\n\r\n".getBytes("UTF-8")
+    if (gzipMember) {
+      val gz = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(gz)
+      g.write(bytes); g.close()
+      gz.toByteArray
+    } else bytes
+  }
+
   /** Serialize records as a WET/WARC byte stream — the test/fixture
     * twin of the reader. `gzipPerRecord = true` writes one gzip member
     * per record (the Common Crawl layout); false writes the plain
@@ -81,25 +105,52 @@ object Warc {
       gzipPerRecord: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     records.zipWithIndex.foreach { case ((typ, uri, date, ctype, payload), i) =>
-      val head = new StringBuilder()
-        .append("WARC/1.0\r\n")
-        .append(s"WARC-Type: $typ\r\n")
-        .append(s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n")
-        .append(s"WARC-Date: $date\r\n")
-      if (uri != null) head.append(s"WARC-Target-URI: $uri\r\n")
-      head.append(s"Content-Type: $ctype\r\n")
-        .append(s"Content-Length: ${payload.length}\r\n")
-        .append("\r\n")
-      val bytes = head.toString.getBytes("UTF-8") ++ payload ++
-        "\r\n\r\n".getBytes("UTF-8")
-      if (gzipPerRecord) {
-        val gz = new java.io.ByteArrayOutputStream()
-        val g = new java.util.zip.GZIPOutputStream(gz)
-        g.write(bytes); g.close()
-        out.write(gz.toByteArray)
-      } else out.write(bytes)
+      out.write(recordBytes(typ, uri, date, ctype, payload, s"rec-$i",
+        gzipPerRecord))
     }
     out.toByteArray
+  }
+
+  /** Distributed WET/WARC writer — the export half of the ingest pair
+    * (curated corpus back out as crawl-shaped archives): one
+    * `part-<pid>.warc[.gz]` file per partition, written straight from
+    * the executors with per-record gzip members, so the output obeys
+    * the same file-granular parallelism contract the reader plans by.
+    * Expected columns: `record_type`, `target_uri`, `warc_date`
+    * (timestamp), `content_type`, `payload` (binary); record ids are
+    * `<partition>-<row>`, unique without coordination. Sessions run
+    * UTC, so `date_format` emits the ISO form the reader parses back
+    * losslessly. Local-filesystem sink (this sandbox); production
+    * would resolve `dir` through the Hadoop FileSystem API like the
+    * PBF reader does. */
+  def write(df: DataFrame, dir: String, gzipPerRecord: Boolean = true): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
+    df.select(
+        org.apache.spark.sql.functions.col("record_type"),
+        org.apache.spark.sql.functions.col("target_uri"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("warc_date"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+        org.apache.spark.sql.functions.col("content_type"),
+        org.apache.spark.sql.functions.col("payload"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = java.nio.file.Paths.get(dir, f"part-$pid%05d$ext")
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(f), 1 << 16)
+          try {
+            var i = 0
+            it.foreach { r =>
+              out.write(recordBytes(r.getString(0), r.getString(1),
+                r.getString(2), r.getString(3),
+                r.getAs[Array[Byte]](4), s"$pid-$i", gzipPerRecord))
+              i += 1
+            }
+          } finally out.close()
+        }
+      }
   }
 }
 

@@ -73,6 +73,42 @@ class WarcSourceSpec extends SparkTestBase {
     assert(df.select("target_uri").distinct().count() === 5)
   }
 
+  test("distributed writer round-trip: read(write(df)) == df, per-partition files") {
+    import spark.implicits._
+    val n = 500
+    val in = spark.range(n).select(
+        lit("conversion").as("record_type"),
+        concat(lit("https://rt.example/"), col("id")).as("target_uri"),
+        to_timestamp(lit("2024-03-01 12:00:00")).as("warc_date"),
+        lit("text/plain").as("content_type"),
+        encode(concat(lit("body-"), col("id"),
+          lit(" é世界")), "UTF-8").as("payload"))
+      .repartition(4)
+    val dir = Files.createTempDirectory("warcw").toString
+    Warc.write(in, dir, gzipPerRecord = true)
+    // one file per (non-empty) input partition
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.length === 4 && files.forall(_.endsWith(".warc.gz")))
+    val back = Warc.read(spark, dir)
+    assert(back.rdd.getNumPartitions === 4)
+    val got = back.select(col("target_uri"),
+        decode(col("payload"), "UTF-8").as("body"),
+        col("warc_date"), col("content_type"), col("record_type"))
+      .collect()
+    assert(got.length === n)
+    got.foreach { r =>
+      val id = r.getString(0).stripPrefix("https://rt.example/")
+      assert(r.getString(1) === s"body-$id é世界",
+        s"payload mismatch for $id")
+      assert(r.getAs[java.sql.Timestamp](2).toInstant.toString ===
+        "2024-03-01T12:00:00Z")
+      assert(r.getString(3) === "text/plain")
+      assert(r.getString(4) === "conversion")
+    }
+    // record ids are globally unique without coordination
+    assert(back.select("record_id").distinct().count() === n)
+  }
+
   test("streaming ingest: new archive files picked up incrementally, exactly once") {
     val dir = Files.createTempDirectory("warcstream").toFile
     Files.write(new java.io.File(dir, "part-00000.wet.gz").toPath,
