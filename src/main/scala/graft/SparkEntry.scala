@@ -2398,6 +2398,29 @@ object SparkEntry {
         .orderBy("uri")
     }),
 
+    // ---- WET writer round-trip at data scale: the documents corpus
+    //      exported as crawl archives by the distributed writer, read
+    //      back by the DSv2 reader; per-doc char and byte counts must
+    //      match DuckDB's view of the original table — newlines and
+    //      multi-byte text survive the Content-Length framing.
+    "q_cc_wet_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("wet_rt").toString
+      graft.sources.Warc.write(
+        documents(s, dir).select(
+          lit("conversion").as("record_type"),
+          concat(lit("doc://"), col("doc_id")).as("target_uri"),
+          to_timestamp(lit("2024-03-01 12:00:00")).as("warc_date"),
+          lit("text/plain").as("content_type"),
+          encode(col("text"), "UTF-8").as("payload")), tmp)
+      graft.sources.Warc.read(s, tmp)
+        .select(
+          regexp_extract(col("target_uri"), "doc://(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          length(decode(col("payload"), "UTF-8")).cast("long").as("chars"),
+          col("content_length"))
+        .orderBy("doc_id")
+    }),
+
     "q_osc_apply" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       val tmp = java.nio.file.Files.createTempDirectory("osc_q")
@@ -3683,6 +3706,15 @@ object SparkEntry {
            (CAST(4 AS BIGINT), CAST(303 AS BIGINT)),
            (CAST(5 AS BIGINT), CAST(304 AS BIGINT)))
          AS t(point_id, relation_id) ORDER BY point_id, relation_id""",
+
+    // Writer round-trip: what comes back must equal DuckDB's direct
+    // view of the table that went in.
+    "q_cc_wet_roundtrip" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS chars,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                  AS content_length
+         FROM documents ORDER BY doc_id""",
 
     // WET census expectation, restated by hand from the fixture law:
     // doc i carries 3(i+1) tokens of "tok " (trimmed), so 12(i+1)-1
