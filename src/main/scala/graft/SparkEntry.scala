@@ -1211,6 +1211,48 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // ---- PQ under Lloyd-TRAINED codebooks in the production shape:
+    //      ADC candidate generation (candK=100) + exact L2 rescore of
+    //      candidates only, gated on recall@10 vs the full exact
+    //      search (the q_s_ivf_ann/q_s_pca_ann policy — trained
+    //      centroids are partition-order float sums, so recall is the
+    //      sound cross-engine contract). Measured on this corpus:
+    //      raw ADC top-10 is 0.3-0.4 (isotropic random vectors are
+    //      PQ's worst case — the PCA row documents the same), 4-bit
+    //      codebooks + candK 150-200 plateau at 0.9, and 6-bit
+    //      codebooks (k=64) + candK 100 measure recall 1.0 on every
+    //      query — a 5x prune with a full notch of margin over the
+    //      0.9 gate.
+    "q_s_pq_recall" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cb = llm.Similarity.pqCodebooksLloyd(e, "vec_id", "embedding",
+        m = 8, k = 64, iters = 2)
+      val cand = llm.Similarity.pqAdcTopK(e, queries, "vec_id", "embedding",
+        "query_id", k = 100, cb).select(col("query_id"), col("vec_id"))
+      val q2 = queries.select(col("query_id"), col("embedding").as("__qv"))
+      def l2TopK(pairs: org.apache.spark.sql.DataFrame, k: Int) = pairs
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(q2), "query_id")
+        .withColumn("__l2",
+          llm.Similarity.dot(col("embedding"), col("embedding"))
+            - llm.Similarity.dot(col("embedding"), col("__qv")) * 2
+            + llm.Similarity.dot(col("__qv"), col("__qv")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("__l2").asc, col("vec_id"))))
+        .filter(col("__rn") <= k)
+        .select(col("query_id"), col("vec_id"))
+      val ann = l2TopK(cand, 10)
+      val allPairs = e.select(col("vec_id"))
+        .crossJoin(queries.select(col("query_id")))
+      val exact = l2TopK(allPairs, 10)
+      llm.Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+        .select(col("query_id"), (col("recall") >= 0.9).as("recall_ok"))
+        .orderBy("query_id")
+    }),
+
     // ---- full IVF-PQ: coarse-cell prune (fixed centroids, nprobe=4)
     //      then ADC scoring over codes — the deterministic compose of
     //      q_s_ivf_fixed and q_s_pq_adc, value-checked end-to-end.
@@ -4574,6 +4616,12 @@ object SparkEntry {
     // exact brute force clears 0.95. The oracle is the literal expected
     // verdict table.
     "q_s_ivf_ann" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
+         FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+           AS t(query_id, recall_ok)
+         ORDER BY query_id""",
+    // PQ prune + exact rescore: same recall-gate policy as q_s_ivf_ann
+    "q_s_pq_recall" ->
       """SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
          FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
            AS t(query_id, recall_ok)

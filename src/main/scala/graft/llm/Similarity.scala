@@ -83,6 +83,26 @@ object Similarity {
       firstK.map(v => v.slice(mi * sub, (mi + 1) * sub): Seq[Double]).toSeq)
   }
 
+  /** Lloyd-refined PQ codebooks: per subspace, [[kmeansCentroids]] over
+    * the sliced sub-vectors. Training reuses the spherical k-means the
+    * IVF quantizer uses (cosine assignment); [[pqEncode]]'s L2 argmin
+    * against the refined centroids is the standard ADC contract. Like
+    * Lloyd IVF, the centroids are partition-order float sums — not
+    * value-checkable across engines — so queries built on these gate
+    * on RECALL vs the exact search (the q_s_ivf_ann policy). */
+  def pqCodebooksLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    val dim = corpus.select(vecCol).head().getSeq[Float](0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol), mi * sub + 1, sub).as("__sub")),
+        idCol, "__sub", k, iters)
+    }
+  }
+
   /** PQ encode: `ARRAY<INT>` of `m` codes — per subspace, the centroid
     * minimizing ‖v_m − c‖², computed as argmin(c·c − 2 c·v_m) (the
     * ‖v_m‖² term is constant within a subspace). Each subspace is one
