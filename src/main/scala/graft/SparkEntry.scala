@@ -1219,10 +1219,11 @@ object SparkEntry {
     //      sound cross-engine contract). Measured on this corpus:
     //      raw ADC top-10 is 0.3-0.4 (isotropic random vectors are
     //      PQ's worst case — the PCA row documents the same), 4-bit
-    //      codebooks + candK 150-200 plateau at 0.9, and 6-bit
-    //      codebooks (k=64) + candK 100 measure recall 1.0 on every
-    //      query — a 5x prune with a full notch of margin over the
-    //      0.9 gate.
+    //      codebooks plateau at 0.9 even at candK 200, and 6-bit
+    //      codebooks (k=64, L2-Lloyd-trained) + candK 150 measure
+    //      recall 1.0 on every query — a 3.3x prune with a full notch
+    //      of margin over the 0.9 gate (candK 100 left one query at
+    //      0.8).
     "q_s_pq_recall" -> ((s, dir) => {
       val e = spreadEmb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
@@ -1230,7 +1231,7 @@ object SparkEntry {
       val cb = llm.Similarity.pqCodebooksLloyd(e, "vec_id", "embedding",
         m = 8, k = 64, iters = 2)
       val cand = llm.Similarity.pqAdcTopK(e, queries, "vec_id", "embedding",
-        "query_id", k = 100, cb).select(col("query_id"), col("vec_id"))
+        "query_id", k = 150, cb).select(col("query_id"), col("vec_id"))
       val q2 = queries.select(col("query_id"), col("embedding").as("__qv"))
       def l2TopK(pairs: org.apache.spark.sql.DataFrame, k: Int) = pairs
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")

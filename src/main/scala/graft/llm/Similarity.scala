@@ -83,24 +83,44 @@ object Similarity {
       firstK.map(v => v.slice(mi * sub, (mi + 1) * sub): Seq[Double]).toSeq)
   }
 
-  /** Lloyd-refined PQ codebooks: per subspace, [[kmeansCentroids]] over
-    * the sliced sub-vectors. Training reuses the spherical k-means the
-    * IVF quantizer uses (cosine assignment); [[pqEncode]]'s L2 argmin
-    * against the refined centroids is the standard ADC contract. Like
-    * Lloyd IVF, the centroids are partition-order float sums — not
-    * value-checkable across engines — so queries built on these gate
-    * on RECALL vs the exact search (the q_s_ivf_ann policy). */
+  /** Lloyd-refined PQ codebooks — proper L2 Lloyd steps (assignment is
+    * [[pqEncode]]'s own argmin, so training optimizes exactly what ADC
+    * scores), and ALL m subspaces train in ONE job per iteration:
+    * encode every vector's m codes in one expression, posexplode to
+    * (subspace, code, sub-slice) rows, and a single (m·k)-group
+    * VectorSum hash-agg yields every cluster mean at once (the same
+    * one-pass shape [[kmeansCentroids]] uses, widened across
+    * subspaces). Empty clusters keep their previous centroid. Like
+    * Lloyd IVF, the refined centroids are partition-order float sums —
+    * not value-checkable across engines — so queries built on these
+    * gate on RECALL vs the exact search (the q_s_ivf_ann policy). */
   def pqCodebooksLloyd(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
     val dim = corpus.select(vecCol).head().getSeq[Float](0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { mi =>
-      kmeansCentroids(
-        corpus.select(col(idCol),
-          slice(col(vecCol), mi * sub + 1, sub).as("__sub")),
-        idCol, "__sub", k, iters)
+    val vecs = corpus.select(col(vecCol)).persist()
+    var cbs = pqCodebooksFixed(corpus, idCol, vecCol, m, k)
+    for (_ <- 1 to iters) {
+      val means = vecs
+        .select(posexplode(pqEncode(col(vecCol), cbs))
+          .as(Seq("__mi", "__code")), col(vecCol))
+        .select(col("__mi"), col("__code"),
+          slice(col(vecCol), col("__mi") * sub + 1, lit(sub)).as("__sub"))
+        .groupBy("__mi", "__code")
+        .agg(graft.functions.GraftFunctions.vectorSum(col("__sub")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(3).toDouble
+          (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).map(_ / n).toSeq
+        }.toMap
+      cbs = cbs.zipWithIndex.map { case (cb, mi) =>
+        cb.zipWithIndex.map { case (c, j) => means.getOrElse((mi, j), c) }
+      }
     }
+    vecs.unpersist()
+    cbs
   }
 
   /** PQ encode: `ARRAY<INT>` of `m` codes — per subspace, the centroid
