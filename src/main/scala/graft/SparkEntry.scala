@@ -1270,6 +1270,75 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // ---- residual-encoding IVF-PQ (FAISS IndexIVFPQ layout): PQ codes
+    //      cover the residual to the assigned coarse cell, and each
+    //      query probe re-centers into that cell's frame before building
+    //      its ADC table. Fixed first-16 quantizers (coarse AND product)
+    //      keep the whole path value-exact: DuckDB re-derives centroids,
+    //      assignments, residuals, residual codebooks, codes, and ADC.
+    "q_s_ivfpq_residual" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      val cb = llm.Similarity.pqCodebooksFixed(
+        llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents),
+        "vec_id", "embedding", m = 8, k = 16)
+      llm.Similarity.ivfPqResidualTopK(e, queries, "vec_id", "embedding",
+          "query_id", k = 10, cents, nprobe = 4, cb)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "vec_id")
+    }),
+
+    // ---- the reason residual encoding exists, measured: ADC-ONLY
+    //      recall@10 (no exact rescore anywhere) of residual IVF-PQ vs
+    //      raw-vector PQ, same corpus, same Lloyd budget (m=8, k=16,
+    //      2 iters). Raw ADC measures ~0.38 here (isotropic vectors are
+    //      PQ's worst case); residual re-centering lifts it to ~0.54 —
+    //      codebooks spend their 4 bits on within-cell variance instead
+    //      of re-describing cell means. Gate: residual strictly beats
+    //      raw AND clears 0.45 absolute (raw+0.16 measured, wide margin
+    //      over Lloyd float-sum wobble). Trained quantizers are not
+    //      value-portable, so the contract is this verdict row — the
+    //      q_s_ivf_ann / q_s_pq_recall policy.
+    "q_s_ivfpq_resid_recall" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nlist = 16, iters = 3)
+      val cbRaw = llm.Similarity.pqCodebooksLloyd(e, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      val cbRes = llm.Similarity.pqCodebooksLloyd(
+        llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents),
+        "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val rawTop = llm.Similarity.pqAdcTopK(e, queries, "vec_id",
+        "embedding", "query_id", k = 10, cbRaw)
+        .select(col("query_id"), col("vec_id"))
+      val resTop = llm.Similarity.ivfPqResidualTopK(e, queries, "vec_id",
+        "embedding", "query_id", k = 10, cents, nprobe = 4, cbRes)
+        .select(col("query_id"), col("vec_id"))
+      val q2 = queries.select(col("query_id"), col("embedding").as("__qv"))
+      val exact = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(q2))
+        .withColumn("__l2",
+          llm.Similarity.dot(col("embedding"), col("embedding"))
+            - llm.Similarity.dot(col("embedding"), col("__qv")) * 2
+            + llm.Similarity.dot(col("__qv"), col("__qv")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("__l2").asc, col("vec_id"))))
+        .filter(col("__rn") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val rawAvg = llm.Similarity.recallAtK(rawTop, exact, "query_id",
+        "vec_id").agg(avg("recall")).head().getDouble(0)
+      val resAvg = llm.Similarity.recallAtK(resTop, exact, "query_id",
+        "vec_id").agg(avg("recall")).head().getDouble(0)
+      import s.implicits._
+      Seq((resAvg > rawAvg, resAvg >= 0.45))
+        .toDF("resid_beats_raw", "resid_ok")
+    }),
+
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
     //      global window — must agree with the window semantics, so it
     //      shares q_x5's oracle
@@ -4699,6 +4768,91 @@ object SparkEntry {
          SELECT query_id, vec_id, round(adc, 6) AS adc
          FROM ranked WHERE rn <= 10
          ORDER BY query_id, vec_id""",
+
+    // Residual IVF-PQ re-derived end-to-end: coarse assignment as
+    // q_s_ivfpq; residuals r = v − c_cell elementwise in double;
+    // residual codebooks = sub-slices of the first-16 ids' residuals;
+    // codes = argmin over residual slices; the query residual (and so
+    // its ADC table) is rebuilt PER PROBED CELL. Same left-to-right
+    // fold structure as the engine, so ADC matches at 6 decimals.
+    "q_s_ivfpq_residual" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+         cscores AS (
+           SELECT b.vec_id, ct.cid,
+             list_dot_product(b.v, ct.c) /
+               (sqrt(list_dot_product(b.v, b.v)) *
+                sqrt(list_dot_product(ct.c, ct.c))) AS cs
+           FROM base b CROSS JOIN cents ct),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores) WHERE rn = 1),
+         resid AS (
+           SELECT b.vec_id, a.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM base b
+           JOIN assign a ON a.vec_id = b.vec_id
+           JOIN cents ct ON ct.cid = a.cid),
+         cb AS (
+           SELECT m.range AS m, r.vec_id AS j,
+                  list_slice(r.r, m.range*8 + 1, m.range*8 + 8) AS c
+           FROM range(8) m, (SELECT vec_id, r FROM resid WHERE vec_id < 16) r),
+         pqscores AS (
+           SELECT r.vec_id, c.m, c.j,
+             list_dot_product(c.c, c.c) -
+               2*list_dot_product(c.c,
+                   list_slice(r.r, c.m*8 + 1, c.m*8 + 8)) AS s
+           FROM resid r CROSS JOIN cb c),
+         codes AS (
+           SELECT vec_id, m, j AS code FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn
+             FROM pqscores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores WHERE vec_id < 5) WHERE rn <= 4),
+         qres AS (
+           SELECT p.query_id, p.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM probes p
+           JOIN base b ON b.vec_id = p.query_id
+           JOIN cents ct ON ct.cid = p.cid),
+         qsub AS (
+           SELECT q.query_id, q.cid, m.range AS m,
+                  list_slice(q.r, m.range*8 + 1, m.range*8 + 8) AS qm
+           FROM qres q, range(8) m),
+         pair AS (
+           SELECT q.query_id, d.vec_id,
+             sum(list_dot_product(q.qm, q.qm) -
+                 2*list_dot_product(q.qm, c.c) +
+                 list_dot_product(c.c, c.c)) AS adc
+           FROM qsub q
+           JOIN assign a ON a.cid = q.cid
+           JOIN codes d ON d.vec_id = a.vec_id AND d.m = q.m
+           JOIN cb c ON c.m = d.m AND c.j = d.code
+           GROUP BY q.query_id, d.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+           FROM pair)
+         SELECT query_id, vec_id, round(adc, 6) AS adc
+         FROM ranked WHERE rn <= 10
+         ORDER BY query_id, vec_id""",
+    // residual-vs-raw ADC recall: trained quantizers, so the contract
+    // is the literal expected verdict (the q_s_pq_recall policy)
+    "q_s_ivfpq_resid_recall" ->
+      """SELECT resid_beats_raw, resid_ok
+         FROM (VALUES (true, true)) AS t(resid_beats_raw, resid_ok)""",
 
     // PQ re-derived end-to-end: codebooks = sub-slices of the first 16
     // vectors, codes = argmin(c·c − 2 c·v_m) with the same (score, j)

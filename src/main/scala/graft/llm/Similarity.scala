@@ -74,8 +74,10 @@ object Similarity {
     * broadcast as plan literals. */
   def pqCodebooksFixed(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    // getSeq[Number], not [Float]: the corpus may be raw embeddings
+    // (ARRAY<FLOAT>) or a residual transform (ARRAY<DOUBLE>)
     val firstK = corpus.orderBy(idCol).limit(k).select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+      .map(_.getSeq[Number](0).map(_.doubleValue).toIndexedSeq)
     val dim = firstK.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -96,7 +98,7 @@ object Similarity {
     * gate on RECALL vs the exact search (the q_s_ivf_ann policy). */
   def pqCodebooksLloyd(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
-    val dim = corpus.select(vecCol).head().getSeq[Float](0).length
+    val dim = corpus.select(vecCol).head().getSeq[Number](0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val vecs = corpus.select(col(vecCol)).persist()
@@ -207,6 +209,71 @@ object Similarity {
         explode(topFromScores(col("__scores"), cents.size, nprobe)))
       .select(col(qidCol), col("__cid"),
         pqAdcTable(col("__qv"), codebooks).as("__tab"))
+    val cand = enc.join(broadcast(probes), "__cid")
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+          (c, mi) => element_at(col("__tab"), mi * kcb + c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("__adc").asc, col(idCol))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("__adc").as("adc"))
+  }
+
+  /** Residual to a coarse centroid: r = v − c_cid, elementwise in
+    * double. `cents` travels as a plan literal (nlist × dim doubles —
+    * driver-sized), indexed per row by the materialized cell id, so the
+    * subtraction is one codegen'd pass with no join. */
+  def residual(vec: Column, cid: Column, cents: Seq[Seq[Double]]): Column =
+    zip_with(vec, element_at(typedlit(cents), cid + 1),
+      (x, c) => x.cast("double") - c)
+
+  /** The corpus mapped to residual space: each vector replaced by its
+    * residual to its own nearest coarse centroid (same assignment rule
+    * as [[ivfPqTopK]] — argmax cosine, ties to the lowest cell id).
+    * PQ codebooks for a residual-encoding IVF-PQ index train on THIS
+    * frame (Jégou et al. TPAMI 2011 §IV; FAISS `IndexIVFPQ`): residual
+    * variance is what the codebooks actually have to cover, and it is
+    * much smaller than raw-vector variance once the coarse quantizer
+    * has soaked up the cell mean. One scan, no shuffle. */
+  def residualCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    corpus
+      .withColumn("__scores", centroidScores(col(vecCol), cents))
+      .withColumn("__cid", bestFromScores(col("__scores")))
+      .select(col(idCol), residual(col(vecCol), col("__cid"), cents).as(vecCol))
+
+  /** Residual-encoding IVF-PQ — the production FAISS-style composed
+    * index: each corpus vector stores (cell id, PQ codes of its
+    * RESIDUAL to the cell centroid); each query probe re-centers the
+    * query into that cell's residual frame and builds its ADC table
+    * there. ‖q − (c_cell + c_code)‖² = ‖(q − c_cell) − c_code‖², so
+    * ADC in residual space scores true distance to the reconstruction —
+    * this is what keeps nprobe-pruned recall up at high compression on
+    * real (non-isotropic) corpora, where raw-vector PQ wastes all its
+    * codebook span on the cell means. Scan shape is identical to
+    * [[ivfPqTopK]]: codes + cell id per corpus row, nothing else; the
+    * only per-probe extra is one O(dim) subtraction on the (tiny,
+    * broadcast) query side. Deterministic under fixed quantizers. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, cents: Seq[Seq[Double]],
+      nprobe: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val kcb = codebooks.head.length
+    val enc = corpus
+      .withColumn("__scores", centroidScores(col(vecCol), cents))
+      .withColumn("__cid", bestFromScores(col("__scores")))
+      .withColumn("__res", residual(col(vecCol), col("__cid"), cents))
+      .select(col(idCol), col("__cid"),
+        pqEncode(col("__res"), codebooks).as("__codes"))
+    val probes = queries.select(col(qidCol), col(vecCol).as("__qv"))
+      .withColumn("__scores", centroidScores(col("__qv"), cents))
+      .withColumn("__cid",
+        explode(topFromScores(col("__scores"), cents.size, nprobe)))
+      .withColumn("__qres", residual(col("__qv"), col("__cid"), cents))
+      .select(col(qidCol), col("__cid"),
+        pqAdcTable(col("__qres"), codebooks).as("__tab"))
     val cand = enc.join(broadcast(probes), "__cid")
       .withColumn("__adc", aggregate(
         zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),

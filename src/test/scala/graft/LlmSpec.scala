@@ -325,6 +325,70 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("residual IVF-PQ: residuals match v−c, self-rank zero, ADC equals hand-computed") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(7)
+    val dim = 8; val m = 2; val sub = dim / m; val kcb = 4; val nlist = 4
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = Similarity.initCentroids(vecs, "vec_id", "embedding", nlist)
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def assignOf(v: Seq[Double]) =
+      cents.zipWithIndex.map { case (c, i) => (-cos(v, c), i) }.min._2
+    // 1) residualCorpus values are exactly v − c_assigned
+    val resC = Similarity.residualCorpus(vecs, "vec_id", "embedding", cents)
+    val resMap = resC.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    raw.foreach { case (id, v) =>
+      val c = cents(assignOf(v))
+      val expect = v.zip(c).map { case (x, y) => x - y }
+      assert(resMap(id) === expect, s"residual of vec $id")
+    }
+    // 2) codebook seeds quantize their own residual losslessly -> each
+    //    query ranks itself first at ADC 0 (its own cell is always the
+    //    top probe: cosine(q, c_own) is maximal among cells by argmax)
+    val cb = Similarity.pqCodebooksFixed(resC, "vec_id", "embedding", m, kcb)
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.ivfPqResidualTopK(vecs, queries, "vec_id",
+        "embedding", "query_id", k = 1, cents, nprobe = nlist, cb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    (0L until 3L).foreach { qid =>
+      assert(top(qid)._1 === qid, s"query $qid should rank itself first")
+      assert(math.abs(top(qid)._2) < 1e-9)
+    }
+    // 3) full ADC table: engine scores == hand-computed Σ_m ‖r_q,m − c_code‖²
+    //    over each corpus vector's own-cell residual codes
+    def encode(r: Seq[Double]): Seq[Int] = (0 until m).map { mi =>
+      val rm = r.slice(mi * sub, (mi + 1) * sub)
+      cb(mi).zipWithIndex.map { case (c, j) =>
+        (c.zip(rm).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.min._2
+    }
+    val all = Similarity.ivfPqResidualTopK(vecs, queries, "vec_id",
+        "embedding", "query_id", k = 40, cents, nprobe = nlist, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    all.foreach { case ((qid, vid), adc) =>
+      val rq = {  // query residual in the CORPUS vector's cell frame
+        val cell = assignOf(raw(vid))
+        raw(qid).zip(cents(cell)).map { case (x, y) => x - y }
+      }
+      val codes = encode(resMap(vid))
+      val expect = (0 until m).map { mi =>
+        val qm = rq.slice(mi * sub, (mi + 1) * sub)
+        val c = cb(mi)(codes(mi))
+        qm.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(math.abs(adc - expect) < 1e-9, s"ADC mismatch q$qid v$vid")
+    }
+  }
+
   test("semanticDupPairs: planted clusters, within-cluster dups found, cross-cluster blocked") {
     import graft.llm.{Dedup, Similarity}
     // three well-separated directions in R4; dups planted inside two of
