@@ -404,6 +404,14 @@ object GraphCheck {
     val spark = edges.sparkSession
     import spark.implicits._
     val eChk = materializeEdges(edges)
+    // Brandes requires strictly positive weights: a zero-weight edge
+    // (e.g. a degenerate sub-centimeter edge rounded to 0) breaks the
+    // local tie guard AND makes the dist(u)+w=dist(v) shortest-path DAG
+    // cyclic, so the distributed sigma fixpoint diverges (ADVICE r12).
+    // Fail fast with a clear message instead.
+    require(eChk.filter(col("w") <= 0).limit(1).count() == 0L,
+      "betweennessFromSources: edge weights must be > 0 " +
+        "(clamp rounded lengths to a positive minimum before calling)")
     val allNodes = eChk.select(col("start_node").as("node_id"))
       .unionByName(eChk.select(col("end_node").as("node_id")))
       .distinct().localCheckpoint(true)

@@ -343,6 +343,12 @@ object RoadGraph {
     * the deterministic fixture the tables were built from. */
   def buildMergedNetworkCached(tables: OsmTables, key: String): DataFrame = {
     val spark = tables.ways.sparkSession
+    // evict entries whose owning SparkContext has stopped — their
+    // checkpoint blocks are gone anyway, and without eviction the memo
+    // (keyed by applicationId) grows for the JVM's lifetime across
+    // session restarts (ADVICE r12)
+    mergedMemo.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
     val k = spark.sparkContext.applicationId + "/" + key
     mergedMemo.computeIfAbsent(k,
       _ => buildMergedNetwork(tables).localCheckpoint(true))

@@ -126,11 +126,19 @@ object Warc {
   def write(df: DataFrame, dir: String, gzipPerRecord: Boolean = true): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
+    // WARC-Date hard-codes a 'Z' suffix, so the wall-clock digits MUST
+    // be UTC regardless of session timezone: date_format renders in the
+    // session zone, so shift the instant with to_utc_timestamp first
+    // (ADVICE r12 — correct-by-construction instead of leaning on this
+    // repo pinning spark.sql.session.timeZone=UTC).
+    val sessionTz =
+      df.sparkSession.sessionState.conf.sessionLocalTimeZone
     df.select(
         org.apache.spark.sql.functions.col("record_type"),
         org.apache.spark.sql.functions.col("target_uri"),
         org.apache.spark.sql.functions.date_format(
-          org.apache.spark.sql.functions.col("warc_date"),
+          org.apache.spark.sql.functions.to_utc_timestamp(
+            org.apache.spark.sql.functions.col("warc_date"), sessionTz),
           "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
         org.apache.spark.sql.functions.col("content_type"),
         org.apache.spark.sql.functions.col("payload"))
@@ -182,12 +190,17 @@ case class WarcScan(required: StructType, path: String)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val f = new java.io.File(path)
+    require(f.exists(), s"warc source: no such path: $path")
     val files =
-      if (f.isDirectory)
-        f.listFiles().filter(_.isFile)
+      if (f.isDirectory) {
+        // listFiles() is null on an unreadable dir — fail with the path,
+        // not an opaque NPE inside planning (ADVICE r12)
+        val ls = f.listFiles()
+        require(ls != null, s"warc source: cannot list directory: $path")
+        ls.filter(_.isFile)
           .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
           .map(_.getPath).sorted
-      else Array(path)
+      } else Array(path)
     files.map(WarcFilePartition(_): InputPartition)
   }
 
@@ -216,10 +229,15 @@ class WarcMicroBatchStream(required: StructType, path: String)
 
   private def listNames(): Array[String] = {
     val f = new java.io.File(path)
+    require(f.exists(), s"warc stream: no such path: $path")
     if (!f.isDirectory) Array(f.getName)
-    else f.listFiles().filter(_.isFile)
-      .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
-      .map(_.getName).sorted
+    else {
+      val ls = f.listFiles()
+      require(ls != null, s"warc stream: cannot list directory: $path")
+      ls.filter(_.isFile)
+        .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+        .map(_.getName).sorted
+    }
   }
 
   override def initialOffset(): Offset = WarcOffset("")
@@ -234,8 +252,13 @@ class WarcMicroBatchStream(required: StructType, path: String)
     val s = start.asInstanceOf[WarcOffset].watermark
     val e = end.asInstanceOf[WarcOffset].watermark
     val dir = new java.io.File(path)
+    // when `path` is a single file, the one "name" maps back to the
+    // path ITSELF — joining it onto the file would fabricate a
+    // nonexistent '<file>/<file>' child (ADVICE r12), mirroring the
+    // batch reader's else-branch instead
     listNames().filter(n => n > s && n <= e)
-      .map(n => WarcFilePartition(new java.io.File(dir, n).getPath)
+      .map(n => WarcFilePartition(
+        if (dir.isDirectory) new java.io.File(dir, n).getPath else path)
         : InputPartition)
   }
 

@@ -134,6 +134,27 @@ class WarcSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming from a SINGLE file path ingests that file (not <file>/<file>)") {
+    val path = writeFile("solo.wet.gz",
+      Warc.writeRecords(recs(4), gzipPerRecord = true))
+    val q = Warc.readStream(spark, path)
+      .select("target_uri")
+      .writeStream.format("memory").queryName("warc_solo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM warc_solo").head.getLong(0) === 4L)
+    } finally q.stop()
+  }
+
+  test("nonexistent path fails fast with the path in the message, not an NPE") {
+    val batch = intercept[Exception] {
+      Warc.read(spark, "/no/such/warc/dir").count()
+    }
+    assert(batch.getMessage != null &&
+      batch.getMessage.contains("/no/such/warc/dir"))
+  }
+
   test("payload pruning: headers-only census never materializes payload") {
     val path = writeFile("f.wet.gz", Warc.writeRecords(recs(4), gzipPerRecord = true))
     val census = Warc.read(spark, path)
