@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Bpe
+
+/** Distributed BPE vocabulary training: hand-computed merges, the
+  * local/distributed path agreement, greedy-rewrite semantics, apply
+  * retokenization, and the one-shuffle-per-round plan audit. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Sennrich's worked example: low×5 lower×2 newest×6 widest×3.
+  // Hand-derived (count desc, lexicographic (l, r) ties, overlapping
+  // pair counting): es(9), est(9), lo(7 — tie (l,o)/(o,w) to (l,o)),
+  // low(7).
+  private val fixture = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+  private val expected =
+    Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+
+  test("trainBpeLocal: Sennrich worked example, hand-computed merge sequence") {
+    val words = fixture.map { case (w, c) =>
+      (w.map(_.toString).toIndexedSeq, c)
+    }
+    assert(Bpe.trainBpeLocal(words, 4) === expected)
+    // asking for more merges than the fixture supports stops cleanly
+    assert(Bpe.trainBpeLocal(words, 1000).length >= 4)
+  }
+
+  test("trainBpe distributed path produces the identical merge sequence") {
+    val wc = fixture.toDF("word", "cnt")
+    assert(Bpe.trainBpe(wc, 4, localThreshold = 0) === expected)
+    // and the local fast path (threshold above table size) agrees
+    assert(Bpe.trainBpe(wc, 4) === expected)
+  }
+
+  test("merge pass is greedy left-to-right non-overlapping: [a,a,a] -> [aa,a]") {
+    assert(Bpe.mergeLocal(IndexedSeq("a", "a", "a"), ("a", "a"))
+      === IndexedSeq("aa", "a"))
+    assert(Bpe.mergeLocal(IndexedSeq("a", "a", "a", "a"), ("a", "a"))
+      === IndexedSeq("aa", "aa"))
+    // the column form agrees with the local form
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+      Seq("b", "a", "a"), Seq("a")).toDF("syms")
+    val merged = df.select(Bpe.mergeOnce(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(merged.toList === List(
+      List("aa", "a"), List("aa", "aa"), List("b", "aa"), List("a")))
+  }
+
+  test("applyBpe retokenizes with trained merges, replaying training exactly") {
+    val docs = Seq((1L, "lowest newest"), (2L, "low low wider"))
+      .toDF("doc_id", "text")
+    val toks = Bpe.applyBpe(docs, "doc_id", "text", expected)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // lowest: l o w e s t -> es -> est -> lo -> low => [low, est]
+    // newest: -> [n, e, w, est]  (exactly its final train-time symbols)
+    assert(toks(1L) === List("low", "est", "n", "e", "w", "est"))
+    assert(toks(2L) === List("low", "low", "w", "i", "d", "e", "r"))
+  }
+
+  test("plan audit: one merge round costs exactly one shuffle") {
+    val words = fixture.toDF("word", "cnt")
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+    val round = Bpe.pairCounts(words)
+      .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+    val plan = round.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length +
+      "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected 1 shuffle per round, plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-1 must be TakeOrdered, not a global sort")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      "pair counting must map-side combine before the shuffle")
+  }
+}
