@@ -61,34 +61,64 @@ object Multipolygon {
   }
 
   /** Greedy endpoint stitcher: grow from the first unused segment,
-    * appending any segment that continues the open end (reversed if
-    * drawn the other way), until the ring closes or no continuation
-    * exists. Exact-coordinate matching is correct on OSM data because
-    * ways in a ring SHARE the junction node, hence bit-identical
-    * lon/lat. O(n²) over one relation's segments — n is small by
-    * construction. */
+    * appending the lowest-index segment that continues the open end
+    * (reversed if drawn the other way), until the ring closes or no
+    * continuation exists. Exact-coordinate matching is correct on OSM
+    * data because ways in a ring SHARE the junction node, hence
+    * bit-identical lon/lat.
+    *
+    * O(n) via an endpoint index (point -> ordered segment ids) — this
+    * is the mega-relation skew guard: a pathological 10^5-way relation
+    * costs its one task LINEAR work, comparable to any other task's
+    * share of normal relations, instead of the quadratic pool scan
+    * that made one hot task dominate the stage (MpSmoke's skew variant
+    * pins the wall-clock bound). Selection order is bit-identical to
+    * the original quadratic scan: smallest surviving index among
+    * segments touching the open end, head-match preferred when one
+    * segment matches with both ends. */
   private def stitch(
       segs: Seq[IndexedSeq[Point]]): Seq[IndexedSeq[Point]] = {
-    val pool = scala.collection.mutable.ArrayBuffer(
-      segs.filter(_.length >= 2): _*)
-    val rings = scala.collection.mutable.ArrayBuffer[IndexedSeq[Point]]()
-    while (pool.nonEmpty) {
-      var ring = pool.remove(0)
-      var progress = true
-      while (ring.head != ring.last && progress) {
-        progress = false
-        val end = ring.last
-        var i = 0
-        while (i < pool.length && !progress) {
-          val s = pool(i)
-          if (s.head == end) {
-            ring = ring ++ s.tail; pool.remove(i); progress = true
-          } else if (s.last == end) {
-            ring = ring ++ s.reverse.tail; pool.remove(i); progress = true
-          } else i += 1
-        }
+    import scala.collection.mutable
+    val ss = segs.filter(_.length >= 2).toIndexedSeq
+    val n = ss.length
+    val used = new Array[Boolean](n)
+    // endpoint -> (segment id -> bitmask: 1 = matches at head, 2 = at last)
+    val idx = mutable.HashMap.empty[Point, java.util.TreeMap[Integer, Integer]]
+    def addEnd(p: Point, i: Int, bit: Int): Unit = {
+      val tm = idx.getOrElseUpdate(p, new java.util.TreeMap[Integer, Integer])
+      tm.merge(i, bit, (a, b) => Integer.valueOf(a | b))
+    }
+    var i = 0
+    while (i < n) { addEnd(ss(i).head, i, 1); addEnd(ss(i).last, i, 2); i += 1 }
+    def drop(i: Int): Unit = {
+      def rm(p: Point): Unit = idx.get(p).foreach { tm =>
+        tm.remove(Integer.valueOf(i)); if (tm.isEmpty) idx.remove(p)
       }
-      rings += ring
+      rm(ss(i).head)
+      if (ss(i).last != ss(i).head) rm(ss(i).last)
+    }
+    val rings = mutable.ArrayBuffer[IndexedSeq[Point]]()
+    var next = 0
+    while (next < n) {
+      if (used(next)) next += 1
+      else {
+        used(next) = true; drop(next)
+        val ring = mutable.ArrayBuffer[Point](ss(next): _*)
+        var progress = true
+        while (ring.head != ring.last && progress) {
+          idx.get(ring.last) match {
+            case Some(tm) =>
+              val e = tm.firstEntry()
+              val j = e.getKey.intValue(); val mask = e.getValue.intValue()
+              used(j) = true; drop(j)
+              val s = ss(j)
+              if ((mask & 1) != 0) ring ++= s.tail
+              else ring ++= s.reverse.tail
+            case None => progress = false
+          }
+        }
+        rings += ring.toIndexedSeq
+      }
     }
     rings.toSeq
   }
