@@ -752,6 +752,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- TRAINED BPE (replaces the fixed heuristic of q_t_bpe_tokens
+    //      for vocabulary prep): 8 merge rounds of adjacent-pair
+    //      counting over the word-frequency table — one hash-agg
+    //      shuffle per round (BpeSpec plan audit), vocabulary-sized
+    //      loop state, the corpus scanned exactly once (wordCounts).
+    //      DuckDB replays training: same overlap-counting pair stats,
+    //      same (count DESC, l, r) tie-break, same greedy left-to-right
+    //      rewrite (string replace over <>-fenced symbols).
+    "q_t_bpe_trained" -> ((s, dir) => {
+      import s.implicits._
+      val merges = llm.Bpe.trainBpe(
+        llm.Bpe.wordCounts(documents(s, dir), "text"), numMerges = 8)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+        .select(col("rank").cast("int").as("rank"),
+          col("left_sym"), col("right_sym"))
+        .orderBy("rank")
+    }),
+
+    // ---- retokenize with the TRAINED merges (Sennrich apply — rank
+    //      order, one greedy pass per merge): per-doc token count and
+    //      distinct-token count, vs the oracle's replayed final symbol
+    //      table joined back through each doc's word counts.
+    "q_t_bpe_apply" -> ((s, dir) => {
+      val merges = llm.Bpe.trainBpe(
+        llm.Bpe.wordCounts(documents(s, dir), "text"), numMerges = 8)
+      llm.Bpe.applyBpe(
+          documents(s, dir).filter(col("doc_id") < 20), "doc_id", "text",
+          merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tokens"))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
     // ---- token-budget document chunking (pre-training sharding: one
     //      doc -> ordered <=40-token chunks, pure column-op explode)
     "q_t_chunks" -> ((s, dir) => {
@@ -2321,6 +2357,35 @@ object SparkEntry {
     //      (shoelace/2, no abs) also pins the CCW orientation contract.
     //      All coordinates integer-valued → every cross product and
     //      shoelace term is exact, bit-portable across engines.
+    // ---- ST_Union AGGREGATE over polygons (coverage dissolve): shared
+    //      boundaries cancel (one anti-join shuffle on (group, edge)),
+    //      survivors re-stitch into shells+holes per group. Fixture is
+    //      hand-computable (the DissolveSpec geometry): group 1 = two
+    //      adjacent unit rects -> one 6-vertex shell; group 2 = the 3x3
+    //      cell ring -> 12-vertex shell (area 9) + preserved CW hole
+    //      (area -1). The oracle is the literal expected ring table —
+    //      stitching is not SQL-expressible, so the fixture is chosen
+    //      small enough to verify by hand (the q_s_ivf_ann policy);
+    //      DissolveSpec carries the property tests (orientation/closure
+    //      insensitivity, area conservation, pinch determinism).
+    "q_geo_dissolve" -> ((s, dir) => {
+      import s.implicits._
+      def rect(g: Long, x0: Double, y0: Double, x1: Double, y1: Double) =
+        (g, Seq(osm.Point(x0, y0), osm.Point(x1, y0), osm.Point(x1, y1),
+          osm.Point(x0, y1)))
+      val cells = for {
+        i <- 0 until 3; j <- 0 until 3 if !(i == 1 && j == 1)
+      } yield rect(2L, i, j, i + 1, j + 1)
+      val polys = (Seq(rect(1L, 0, 0, 1, 1), rect(1L, 1, 0, 2, 1)) ++ cells)
+        .toDF("group_id", "ring")
+      osm.Dissolve.dissolve(polys, "group_id", "ring")
+        .select(col("group_id"), col("ring_id"), col("is_hole"),
+          size(col("ring")).cast("long").as("n_pts"),
+          round(col("area_signed"), 6).as("area_signed"),
+          functions.Geo.asTextPolygon(col("ring")).as("wkt"))
+        .orderBy("group_id", "ring_id")
+    }),
+
     "q_geo_hull" -> ((s, dir) => {
       val base = customer(s, dir).select(
         col("c_nationkey").cast("long").as("nk"),
@@ -2967,6 +3032,8 @@ object SparkEntry {
                 round(avg(o_totalprice), 2) AS avg_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_t_bpe_trained" -> bpeTrainOracleSql(8),
+    "q_t_bpe_apply" -> bpeApplyOracleSql(8),
     "q_d_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, lang, source,
                            list_distinct(string_split(text, ' ')) AS ws
@@ -3684,6 +3751,21 @@ object SparkEntry {
     // it sorts the parabola points by x (the lower chain) and closes
     // with the chord, the CCW hull cycle by construction. Signed
     // shoelace (no abs) checks the engine's orientation contract too.
+    // coverage dissolve: literal hand-computed ring table (stitching is
+    // not SQL-expressible; DissolveSpec owns the property checks)
+    "q_geo_dissolve" ->
+      """SELECT CAST(group_id AS BIGINT) AS group_id, ring_id, is_hole,
+                CAST(n_pts AS BIGINT) AS n_pts,
+                CAST(area_signed AS DOUBLE) AS area_signed, wkt
+         FROM (VALUES
+           (1, 1, false, 6, 2.0,
+            'POLYGON((0.0 0.0, 1.0 0.0, 2.0 0.0, 2.0 1.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))'),
+           (2, 1, false, 12, 9.0,
+            'POLYGON((0.0 0.0, 1.0 0.0, 2.0 0.0, 3.0 0.0, 3.0 1.0, 3.0 2.0, 3.0 3.0, 2.0 3.0, 1.0 3.0, 0.0 3.0, 0.0 2.0, 0.0 1.0, 0.0 0.0))'),
+           (2, 2, true, 4, -1.0,
+            'POLYGON((1.0 1.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))'))
+           AS t(group_id, ring_id, is_hole, n_pts, area_signed, wkt)
+         ORDER BY group_id, ring_id""",
     "q_geo_hull" ->
       """WITH pts AS (
            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk,
@@ -5344,4 +5426,62 @@ $chain
   )
   SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b"""
   }
+
+  /** Unrolled BPE-training replay (the q_osm_pagerank unrolled-CTE
+    * policy): stage i counts every adjacent symbol pair of enc_i
+    * (overlapping included) weighted by word count, picks the (count
+    * DESC, l, r) winner, and rewrites enc_{i+1} by non-overlapping
+    * left-to-right string replace over `<sym><sym>`-fenced words —
+    * fencing makes symbol boundaries unambiguous, so `replace` is
+    * exactly the engine's greedy merge pass. MATERIALIZED throughout
+    * (plain CTEs re-inline the whole chain into every stage). */
+  private def bpeCtePrefix(nMerges: Int): String = {
+    val head = """
+  words AS MATERIALIZED (
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents) GROUP BY word),
+  enc0 AS MATERIALIZED (
+    SELECT word, cnt,
+      '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS enc
+    FROM words)"""
+    val stages = (0 until nMerges).map { i =>
+      s"""
+  pairs$i AS MATERIALIZED (
+    SELECT syms[j] AS l, syms[j+1] AS r, sum(cnt) AS c
+    FROM (SELECT string_split(trim(enc, '<>'), '><') AS syms, cnt
+          FROM enc$i),
+         unnest(generate_series(1, len(syms) - 1)) AS u(j)
+    GROUP BY 1, 2),
+  best$i AS MATERIALIZED (
+    SELECT l, r FROM pairs$i ORDER BY c DESC, l, r LIMIT 1),
+  enc${i + 1} AS MATERIALIZED (
+    SELECT word, cnt,
+      replace(enc, '<' || b.l || '><' || b.r || '>',
+                   '<' || b.l || b.r || '>') AS enc
+    FROM enc$i CROSS JOIN best$i b)"""
+    }
+    "WITH " + (head +: stages).mkString(",")
+  }
+
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val rows = (0 until nMerges)
+      .map(i => s"SELECT $i AS rank, l AS left_sym, r AS right_sym FROM best$i")
+      .mkString(" UNION ALL ")
+    bpeCtePrefix(nMerges) +
+      s" SELECT rank, left_sym, right_sym FROM ($rows) ORDER BY rank"
+  }
+
+  private def bpeApplyOracleSql(nMerges: Int): String =
+    bpeCtePrefix(nMerges) + s""",
+  docw AS MATERIALIZED (
+    SELECT doc_id, word, count(*) AS n FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents WHERE doc_id < 20) GROUP BY doc_id, word),
+  tok AS (
+    SELECT d.doc_id, d.n, unnest(string_split(trim(f.enc, '<>'), '><')) AS sym
+    FROM docw d JOIN enc$nMerges f USING (word))
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct
+  FROM tok GROUP BY doc_id ORDER BY doc_id"""
 }
