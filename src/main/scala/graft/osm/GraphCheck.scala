@@ -400,7 +400,8 @@ object GraphCheck {
     * Returns every graph node with its (float) centrality — consumers
     * round for cross-engine comparison. */
   def betweennessFromSources(edges: DataFrame, sources: Seq[Long],
-      maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+      maxIter: Int = 100, localThreshold: Long = 100000L,
+      waveSize: Int = 32): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val eChk = materializeEdges(edges)
@@ -463,35 +464,76 @@ object GraphCheck {
       return ids.toIndexedSeq.map(id => (id, bc.getOrElse(id, 0.0)))
         .toDF("node_id", "betweenness")
     }
-    // distributed: per-source forward σ / backward δ fixpoints over the
-    // shortest-path DAG
-    val deltas = sources.map { s =>
-      val dist = multiSourceShortestPaths(eChk, Seq(s), maxIter,
-          localThreshold = 0)._1
+    // distributed: sources advance in WAVES of source-keyed fixpoints
+    // (state rows are (src, node)) — each round is ONE join+agg no
+    // matter how many sources are in flight, so a wave's job count is
+    // the graph's hop depth, not depth × |sources| (the previous serial
+    // per-source loop paid b× the rounds; VERDICT r12 item 8). Wave
+    // state is waveSize × |reached| rows; `waveSize` bounds memory for
+    // igraph-style whole-network sweeps with hundreds of seeds.
+    val eb = eChk.select(col("start_node").as("src_n"),
+      col("end_node").as("dst_n"), col("w"))
+    val wType = eChk.schema("w").dataType
+    val waveDeltas = sources.grouped(waveSize).map { wave =>
+      // batched SSSP: per-(src, node) distances, the frontier-relaxation
+      // loop of multiSourceShortestPaths widened with the source key
+      var dist = wave.toDF("src")
+        .select(col("src"), col("src").as("node_id"),
+          lit(0L).cast(wType).as("dist"))
         .localCheckpoint(true)
-      val du = dist.select(col("node_id").as("__u"), col("dist").as("__du"))
-      val dv = dist.select(col("node_id").as("__v"), col("dist").as("__dv"))
-      val sp = eChk
-        .join(du, eChk("start_node") === col("__u"))
-        .join(dv, eChk("end_node") === col("__v"))
+      var frontier = dist
+      var frontierSize = wave.size.toLong
+      var i = 0
+      while (frontierSize > 0 && i < maxIter) {
+        val cand = eb.join(frontier, eb("src_n") === frontier("node_id"))
+          .select(col("src"), col("dst_n").as("node_id"),
+            (col("dist") + col("w")).as("dist"))
+          .groupBy("src", "node_id").agg(min(col("dist")).as("dist"))
+        val improved = cand
+          .join(dist.withColumnRenamed("dist", "__old"),
+            Seq("src", "node_id"), "left_outer")
+          .filter(col("__old").isNull || col("dist") < col("__old"))
+          .select(col("src"), col("node_id"), col("dist"))
+          .localCheckpoint(true)
+        frontierSize = improved.count()
+        if (frontierSize > 0) {
+          dist = dist.unionByName(improved)
+            .groupBy("src", "node_id").agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true)
+          frontier = improved
+        }
+        i += 1
+      }
+      // per-source shortest-path DAG: dist(u) + w = dist(v) edges
+      val du = dist.select(col("src"), col("node_id").as("u"),
+        col("dist").as("__du"))
+      val dv = dist.select(col("src").as("__sv"), col("node_id").as("v"),
+        col("dist").as("__dv"))
+      val sp = eb.join(du, eb("src_n") === du("u"))
+        .join(dv, col("__sv") === du("src") && eb("dst_n") === dv("v"))
         .filter(col("__du") + col("w") === col("__dv"))
-        .select(col("__u").as("src"), col("__v").as("dst"))
+        .select(col("src"), col("u"), col("v"))
         .localCheckpoint(true)
-      // forward σ: monotone toward the fixpoint level by level, so a
-      // stable global sum IS convergence
-      var sigma = dist.select(col("node_id"),
-          when(col("node_id") === s, 1.0).otherwise(0.0).as("sigma"))
+      // forward σ keyed (src, node): each key's value is monotone
+      // toward its fixpoint, so the TOTAL sum is monotone and a stable
+      // global sum is convergence for every source in the wave at once
+      var sigma = dist.select(col("src"), col("node_id"),
+          when(col("node_id") === col("src"), 1.0).otherwise(0.0)
+            .as("sigma"))
         .localCheckpoint(true)
       var prevSum = Double.NaN
-      var i = 0
+      i = 0
       var stable = false
       while (!stable && i < maxIter) {
-        val inflow = sp.join(sigma, sp("src") === sigma("node_id"))
-          .groupBy(col("dst")).agg(sum(col("sigma")).as("__in"))
-        sigma = dist.select(col("node_id"))
-          .join(inflow, dist("node_id") === inflow("dst"), "left_outer")
-          .select(col("node_id"),
-            when(col("node_id") === s, 1.0)
+        val sg = sigma.select(col("src"), col("node_id").as("u"),
+          col("sigma"))
+        val inflow = sp.join(sg, Seq("src", "u"))
+          .groupBy(col("src"), col("v")).agg(sum(col("sigma")).as("__in"))
+          .withColumnRenamed("v", "node_id")
+        sigma = dist.select(col("src"), col("node_id"))
+          .join(inflow, Seq("src", "node_id"), "left_outer")
+          .select(col("src"), col("node_id"),
+            when(col("node_id") === col("src"), 1.0)
               .otherwise(coalesce(col("__in"), lit(0.0))).as("sigma"))
           .localCheckpoint(true)
         val sSum = sigma.agg(sum(col("sigma"))).head().getDouble(0)
@@ -500,36 +542,39 @@ object GraphCheck {
         i += 1
       }
       // backward δ: same monotone-fixpoint argument on the reversed DAG
-      val sg = sigma.select(col("node_id").as("__sn"), col("sigma").as("__s"))
-      var delta = dist.select(col("node_id"), lit(0.0).as("delta"))
+      var delta = dist.select(col("src"), col("node_id"),
+          lit(0.0).as("delta"))
         .localCheckpoint(true)
       prevSum = Double.NaN
       i = 0
       stable = false
       while (!stable && i < maxIter) {
-        val terms = sp
-          .join(sg.withColumnRenamed("__sn", "__su"), sp("src") === col("__su"))
-          .withColumnRenamed("__s", "__sigu")
-          .join(sg.withColumnRenamed("__sn", "__sv"), sp("dst") === col("__sv"))
-          .withColumnRenamed("__s", "__sigv")
-          .join(delta.withColumnRenamed("node_id", "__dn"),
-            sp("dst") === col("__dn"))
-          .select(sp("src").as("node_id2"),
-            (col("__sigu") / col("__sigv") * (lit(1.0) + col("delta")))
+        val su = sigma.select(col("src"), col("node_id").as("u"),
+          col("sigma").as("__sigu"))
+        val sv = sigma.select(col("src"), col("node_id").as("v"),
+          col("sigma").as("__sigv"))
+        val dl = delta.select(col("src"), col("node_id").as("v"),
+          col("delta").as("__dl"))
+        val terms = sp.join(su, Seq("src", "u")).join(sv, Seq("src", "v"))
+          .join(dl, Seq("src", "v"))
+          .select(col("src"), col("u").as("node_id"),
+            (col("__sigu") / col("__sigv") * (lit(1.0) + col("__dl")))
               .as("__t"))
-          .groupBy(col("node_id2")).agg(sum(col("__t")).as("__d"))
-        delta = dist.select(col("node_id"))
-          .join(terms, dist("node_id") === terms("node_id2"), "left_outer")
-          .select(col("node_id"), coalesce(col("__d"), lit(0.0)).as("delta"))
+          .groupBy("src", "node_id").agg(sum(col("__t")).as("__d"))
+        delta = dist.select(col("src"), col("node_id"))
+          .join(terms, Seq("src", "node_id"), "left_outer")
+          .select(col("src"), col("node_id"),
+            coalesce(col("__d"), lit(0.0)).as("delta"))
           .localCheckpoint(true)
         val dSum = delta.agg(sum(col("delta"))).head().getDouble(0)
         stable = dSum == prevSum
         prevSum = dSum
         i += 1
       }
-      delta.filter(col("node_id") =!= s)
-    }
-    val acc = deltas.reduce(_.unionByName(_))
+      delta.filter(col("node_id") =!= col("src"))
+        .select(col("node_id"), col("delta"))
+    }.toSeq
+    val acc = waveDeltas.reduce(_.unionByName(_))
       .groupBy("node_id").agg(sum(col("delta")).as("__bc"))
     allNodes.join(acc, Seq("node_id"), "left_outer")
       .select(col("node_id"),
