@@ -286,6 +286,39 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("__adc").as("adc"))
   }
 
+  /** Parametric OPQ rotation (Ge et al., CVPR 2013: optimized product
+    * quantization, eigenvalue-allocation variant): fit FULL-RANK PCA,
+    * then deal the principal directions onto the m subspaces greedily —
+    * each next-largest eigenvalue goes to the subspace whose variance
+    * PRODUCT (sum of log λ) is currently smallest — so every subspace
+    * carries comparable information and no codebook starves while
+    * another drowns. Returns a [[Pca.PcaModel]] whose `components` are
+    * REORDERED so that slice mi of the rotated vector holds subspace
+    * mi's allocated directions; rotate with [[Pca.project]] (an
+    * orthonormal map + translation, so L2 distances — hence the exact
+    * top-k — are untouched; only the PQ cell shapes change, which is
+    * the point). One corpus scan (the PCA moment agg) + O(d³) driver
+    * Jacobi, the sanctioned [[Pca]] budget. */
+  def opqEigenAllocation(corpus: DataFrame, vecCol: String,
+      m: Int): Pca.PcaModel = {
+    val dim = corpus.select(vecCol).head().getSeq[Number](0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val model = Pca.fit(corpus, col(vecCol), dim)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val load = Array.fill(m)(0.0)
+    model.eigenvalues.indices.foreach { ei => // descending λ by Pca.fit
+      val open = (0 until m).filter(b => buckets(b).length < sub)
+      val b = open.minBy(b => (load(b), b))
+      buckets(b) += ei
+      load(b) += math.log(math.max(model.eigenvalues(ei), 1e-300))
+    }
+    val order = buckets.flatMap(_.toSeq)
+    model.copy(
+      components = order.map(model.components),
+      eigenvalues = order.map(model.eigenvalues))
+  }
+
   def rescoreTopKPerQuery(corpus: DataFrame, reduced: DataFrame,
       queries: DataFrame, redQueries: DataFrame, idCol: String,
       vecCol: String, redCol: String, qidCol: String, k: Int,

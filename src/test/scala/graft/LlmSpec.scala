@@ -389,6 +389,63 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("OPQ eigenvalue allocation: balanced subspaces, rotation orthonormal, ADC recall beats naive PQ on anisotropic data") {
+    import graft.llm.{Pca, Similarity}
+    val dim = 16; val m = 4; val kcb = 8
+    val rnd = new scala.util.Random(23)
+    // anisotropic: dim j scaled by (1+j) — naive PQ's last subspace
+    // holds almost all the variance and its 8 centroids drown
+    val vecs = (0L until 150L).map(i => (i,
+      Seq.tabulate(dim)(j => ((rnd.nextFloat() * 2 - 1) * (1 + j)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val rot = Similarity.opqEigenAllocation(vecs, "embedding", m)
+    // reordered components stay an orthonormal basis
+    val c = rot.components
+    assert(c.length === dim)
+    for (i <- c.indices; j <- i until dim) {
+      val d = c(i).zip(c(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"<c$i,c$j>=$d")
+    }
+    // allocation balances variance: every subspace got exactly one of
+    // the m largest eigenvalues (greedy deal of descending λ)
+    val topM = rot.eigenvalues.sorted.reverse.take(m).toSet
+    val sub = dim / m
+    val perBucket = rot.eigenvalues.grouped(sub).toSeq
+    assert(perBucket.forall(b => b.exists(topM.contains)),
+      s"some subspace has none of the top-$m eigenvalues")
+    // rotation preserves exact L2 top-k; quantized ADC recall improves
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val q2 = queries.select(col("query_id"), col("embedding").as("__qv"))
+    val exact = vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q2))
+      .withColumn("__l2",
+        Similarity.dot(col("embedding"), col("embedding"))
+          - Similarity.dot(col("embedding"), col("__qv")) * 2
+          + Similarity.dot(col("__qv"), col("__qv")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__l2").asc, col("vec_id"))))
+      .filter(col("__rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    def adcRecall(cps: org.apache.spark.sql.DataFrame,
+        qs: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Similarity.pqCodebooksLloyd(cps, "vec_id", "embedding",
+        m, kcb, 2)
+      val top = Similarity.pqAdcTopK(cps, qs, "vec_id", "embedding",
+        "query_id", 10, cb).select(col("query_id"), col("vec_id"))
+      Similarity.recallAtK(top, exact, "query_id", "vec_id")
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    val naive = adcRecall(vecs, queries)
+    val vR = vecs.select(col("vec_id"),
+      Pca.project(col("embedding"), rot).as("embedding"))
+    val qR = queries.select(col("query_id"),
+      Pca.project(col("embedding"), rot).as("embedding"))
+    val opq = adcRecall(vR, qR)
+    assert(opq > naive, s"OPQ ADC recall $opq should beat naive $naive")
+  }
+
   test("semanticDupPairs: planted clusters, within-cluster dups found, cross-cluster blocked") {
     import graft.llm.{Dedup, Similarity}
     // three well-separated directions in R4; dups planted inside two of
