@@ -1422,6 +1422,79 @@ object SparkEntry {
       Seq((opq > naive, opq >= 0.4)).toDF("opq_beats_naive", "opq_ok")
     }),
 
+    // ---- iterative OPQ (full Ge et al. alternating optimization):
+    //      Procrustes rotation updates descend the actual quantization
+    //      error, so on a corpus whose principal axes STRADDLE subspace
+    //      boundaries (the anisotropic scaling composed with a fixed
+    //      cross-dim mixing) it must hold or beat its own parametric
+    //      seed. Trained rotation + codebooks are float-sum state → the
+    //      literal-verdict gate (q_s_pq_recall policy); the invariants
+    //      (orthonormal R, factorization) are spec-gated in LlmSpec.
+    "q_s_opq_iter_recall" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, j) => x * (j.cast("double") + 1.0)).as("__a"))
+        // mix dim j with dim (j+5)%64: allocation alone cannot unmix
+        .select(col("vec_id"), zip_with(col("__a"),
+          concat(slice(col("__a"), 6, 59), slice(col("__a"), 1, 5)),
+          (x, y) => x * 0.8 + y * 0.6).as("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val q2 = queries.select(col("query_id"), col("embedding").as("__qv"))
+      val exact = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(q2))
+        .withColumn("__l2",
+          llm.Similarity.dot(col("embedding"), col("embedding"))
+            - llm.Similarity.dot(col("embedding"), col("__qv")) * 2
+            + llm.Similarity.dot(col("__qv"), col("__qv")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("__l2").asc, col("vec_id"))))
+        .filter(col("__rn") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      def adcRecall(rot: llm.Pca.PcaModel,
+          cb: Seq[Seq[Seq[Double]]]): Double = {
+        val cps = e.select(col("vec_id"),
+          llm.Pca.project(col("embedding"), rot).as("embedding"))
+        val qs = queries.select(col("query_id"),
+          llm.Pca.project(col("embedding"), rot).as("embedding"))
+        val top = llm.Similarity.pqAdcTopK(cps, qs, "vec_id", "embedding",
+          "query_id", k = 10, cb).select(col("query_id"), col("vec_id"))
+        llm.Similarity.recallAtK(top, exact, "query_id", "vec_id")
+          .agg(avg(col("recall"))).head().getDouble(0)
+      }
+      val seed = llm.Similarity.opqEigenAllocation(e, "embedding", m = 8)
+      val seedCb = llm.Similarity.pqCodebooksLloyd(
+        e.select(col("vec_id"),
+          llm.Pca.project(col("embedding"), seed).as("embedding")),
+        "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      def mseOf(r: llm.Pca.PcaModel, cb: Seq[Seq[Seq[Double]]]): Double = {
+        // __y/__codes materialized as attributes (multi-referenced, so
+        // CollapseProject keeps them): the heavy project+encode runs
+        // once per row instead of once per HOF lambda evaluation
+        e.select(llm.Pca.project(col("embedding"), r).as("__y"))
+          .select(col("__y"),
+            llm.Similarity.pqEncode(col("__y"), cb).as("__codes"))
+          .agg(avg(aggregate(zip_with(col("__y"),
+            llm.Similarity.pqReconstruct(col("__codes"), cb),
+            (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)))
+          .head().getDouble(0)
+      }
+      val (rot, cb, iterMse) = llm.Similarity.opqIterative(
+        e, "vec_id", "embedding", m = 8, k = 16, opqIters = 3,
+        lloydIters = 2)
+      val seedMse = mseOf(seed, seedCb)
+      val iter = adcRecall(rot, cb)
+      import s.implicits._
+      // the alternation's contract: never worse quantization error than
+      // the parametric seed (1.001 covers float-sum partition-order
+      // noise between two independent Lloyd runs), and ADC-only recall
+      // clears the same absolute floor as q_s_opq_recall
+      Seq((iterMse <= seedMse * 1.001, iter >= 0.4))
+        .toDF("iter_holds_seed", "iter_ok")
+    }),
+
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
     //      global window — must agree with the window semantics, so it
     //      shares q_x5's oracle
@@ -4986,6 +5059,11 @@ object SparkEntry {
     "q_s_opq_recall" ->
       """SELECT opq_beats_naive, opq_ok
          FROM (VALUES (true, true)) AS t(opq_beats_naive, opq_ok)""",
+    // iterative (Procrustes) OPQ vs its parametric seed: trained state,
+    // literal-verdict gate
+    "q_s_opq_iter_recall" ->
+      """SELECT iter_holds_seed, iter_ok
+         FROM (VALUES (true, true)) AS t(iter_holds_seed, iter_ok)""",
 
     // PQ re-derived end-to-end: codebooks = sub-slices of the first 16
     // vectors, codes = argmin(c·c − 2 c·v_m) with the same (score, j)

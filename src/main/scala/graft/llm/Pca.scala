@@ -164,4 +164,61 @@ object Pca {
     }
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
+
+  /** SVD of a square matrix via the symmetric eigensolver:
+    * `mat = U diag(σ) Vᵀ` with U, V returned as COLUMN matrices and σ
+    * descending. V and σ² come from Jacobi on `matᵀmat`; U columns are
+    * `mat·vᵢ/σᵢ`, Gram–Schmidt-completed where σᵢ underflows (rank
+    * deficiency) so U is always a full orthonormal basis — the shape
+    * the orthogonal-Procrustes update needs (R = V Uᵀ maximizes
+    * tr(R·mat) over rotations even when `mat` is singular). O(d³)
+    * driver work, same budget class as [[jacobiEigen]]. */
+  private[graft] def svdSquare(mat: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
+    val d = mat.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var r = 0
+      while (r < d) { s += mat(r)(i) * mat(r)(j); r += 1 }
+      s
+    }
+    val (vals, vecs) = jacobiEigen(mtm)
+    val order = vals.indices.sortBy(i => -vals(i))
+    val v = Array.tabulate(d, d)((r, c) => vecs(r)(order(c)))
+    val sig = order.map(i => math.sqrt(math.max(vals(i), 0.0))).toArray
+    val u = Array.ofDim[Double](d, d)
+    val tol = 1e-12 * math.max(sig.headOption.getOrElse(0.0), 1e-300)
+    var c = 0
+    while (c < d) {
+      val raw =
+        if (sig(c) > tol)
+          Array.tabulate(d) { r =>
+            var s = 0.0; var j = 0
+            while (j < d) { s += mat(r)(j) * v(j)(c); j += 1 }
+            s
+          }
+        else {
+          // null-space column: seed with the unit vector least covered
+          // by the U columns already placed, then orthogonalize
+          val cover = Array.ofDim[Double](d)
+          for (cc <- 0 until c; r <- 0 until d)
+            cover(r) += u(r)(cc) * u(r)(cc)
+          val seed = cover.indices.minBy(i => (cover(i), i))
+          Array.tabulate(d)(r => if (r == seed) 1.0 else 0.0)
+        }
+      // modified Gram–Schmidt against all previous columns (cheap
+      // reorthogonalization also scrubs float drift in the σ>0 columns)
+      for (cc <- 0 until c) {
+        var dp = 0.0; var r = 0
+        while (r < d) { dp += raw(r) * u(r)(cc); r += 1 }
+        r = 0
+        while (r < d) { raw(r) -= dp * u(r)(cc); r += 1 }
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      require(nrm > 1e-300, s"svdSquare: degenerate basis at column $c")
+      var r = 0
+      while (r < d) { u(r)(c) = raw(r) / nrm; r += 1 }
+      c += 1
+    }
+    (u, sig, v)
+  }
 }

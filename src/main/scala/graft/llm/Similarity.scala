@@ -97,12 +97,13 @@ object Similarity {
     * not value-checkable across engines — so queries built on these
     * gate on RECALL vs the exact search (the q_s_ivf_ann policy). */
   def pqCodebooksLloyd(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+      m: Int, k: Int, iters: Int,
+      init: Option[Seq[Seq[Seq[Double]]]] = None): Seq[Seq[Seq[Double]]] = {
     val dim = corpus.select(vecCol).head().getSeq[Number](0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val vecs = corpus.select(col(vecCol)).persist()
-    var cbs = pqCodebooksFixed(corpus, idCol, vecCol, m, k)
+    var cbs = init.getOrElse(pqCodebooksFixed(corpus, idCol, vecCol, m, k))
     for (_ <- 1 to iters) {
       val means = vecs
         .select(posexplode(pqEncode(col(vecCol), cbs))
@@ -317,6 +318,108 @@ object Similarity {
     model.copy(
       components = order.map(model.components),
       eigenvalues = order.map(model.eigenvalues))
+  }
+
+  /** PQ decode: the reconstruction ĉ(v) — each subspace's code mapped
+    * back to its centroid, concatenated to a full `dim`-vector. One
+    * literal lookup per subspace, no join; the training-side dual of
+    * [[pqEncode]] (used by the OPQ Procrustes step, reconstruction-MSE
+    * gates, and any re-ranking that wants approximate vectors without
+    * touching the raw column). */
+  def pqReconstruct(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, mi) =>
+      element_at(typedlit(cb.map(_.toIndexedSeq).toIndexedSeq),
+        element_at(codes, mi + 1) + 1)
+    }: _*)
+
+  /** Iterative OPQ (Ge et al., CVPR 2013 — the NON-parametric
+    * alternating optimization): seed R with [[opqEigenAllocation]],
+    * then alternate (a) Lloyd PQ codebooks on the rotated corpus with
+    * (b) the orthogonal-Procrustes rotation update
+    * `R = V Uᵀ, U Σ Vᵀ = SVD(Σ x̄ ĉ(R x̄)ᵀ)` — the closed-form rotation
+    * minimizing Σ‖R x̄ − ĉ‖² for fixed codes. Unlike the eigenvalue
+    * allocation (which only balances subspace VARIANCE), this descends
+    * the actual quantization error, so ADC recall improves further on
+    * corpora whose principal axes straddle subspace boundaries.
+    *
+    * 100 TB shape per OPQ round: the Lloyd refit (one hash-agg job per
+    * iteration) plus ONE extra corpus scan accumulating the d×d cross
+    * moment `M = Σ x̄ ĉᵀ` via [[graft.functions.VectorSum]] — d² doubles
+    * of agg state (32 KB at d=64), map-side partials, no per-row driver
+    * traffic. The SVD is O(d³) on the driver ([[Pca.svdSquare]], the
+    * sanctioned Jacobi budget). Rotation + codebooks are float-sum
+    * state → recall-gate policy, not value-check (the Lloyd rule).
+    * Returns the BEST-MSE (rotation model, codebooks, mse) across the
+    * alternation — iteration 1 is exactly the parametric seed + Lloyd,
+    * so the result never has worse quantization error than the seed;
+    * rotate with [[Pca.project]] before encoding/querying. */
+  def opqIterative(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, opqIters: Int, lloydIters: Int)
+      : (Pca.PcaModel, Seq[Seq[Seq[Double]]], Double) = {
+    var rot = opqEigenAllocation(corpus, vecCol, m)
+    val d = rot.mean.length
+    var cbs: Seq[Seq[Seq[Double]]] = Seq.empty
+    // track the best (rotation, codebooks) by measured quantization MSE
+    // — the alternation is monotone with warm-started Lloyd, but float
+    // noise and finite iteration counts make "keep the argmin" the
+    // contract callers can rely on (never worse than the seed)
+    var best: (Pca.PcaModel, Seq[Seq[Seq[Double]]], Double) = null
+    // EXPRESSION-NESTING TRAP (the withInt8 lesson, amplified): rec =
+    // pqReconstruct(pqEncode(project(x))) inlined into a HOF lambda is
+    // re-evaluated PER OUTER ELEMENT — O(d·m·k·sub) interpreted work ×
+    // d per row (measured: 200 s for 2000 rows at d=64). Materialize
+    // __y and __codes as row attributes first: each is referenced more
+    // than once downstream, so CollapseProject keeps the aliases and
+    // the heavy encode runs once per row; the lambdas then touch only
+    // O(1) attribute loads and literal lookups.
+    def encoded(r: Pca.PcaModel, cb: Seq[Seq[Seq[Double]]]): DataFrame =
+      corpus
+        .select(col(vecCol), Pca.project(col(vecCol), r).as("__y"))
+        .select(col(vecCol), col("__y"),
+          pqEncode(col("__y"), cb).as("__codes"))
+    def mseOf(r: Pca.PcaModel, cb: Seq[Seq[Seq[Double]]]): Double = {
+      val rec = pqReconstruct(col("__codes"), cb)
+      encoded(r, cb)
+        .agg(avg(aggregate(
+          zip_with(col("__y"), rec, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+        .head().getDouble(0)
+    }
+    for (t <- 1 to opqIters) {
+      val rotated = corpus.select(col(idCol),
+        Pca.project(col(vecCol), rot).as(vecCol))
+      // warm-start from the previous round's codebooks (FAISS
+      // OPQMatrix's structure): Lloyd continues in the updated frame
+      // instead of re-seeding, which is what makes the MSE descend
+      cbs = pqCodebooksLloyd(rotated, idCol, vecCol, m, k, lloydIters,
+        init = if (t == 1) None else Some(cbs))
+      val mse = mseOf(rot, cbs)
+      if (best == null || mse < best._3) best = (rot, cbs, mse)
+      if (t < opqIters) {
+        val xbar = zip_with(col(vecCol), typedlit(rot.mean.toIndexedSeq),
+          (x, mu) => x.cast("double") - mu)
+        val rec = pqReconstruct(col("__codes"), cbs)
+        // row-major flat outer product x̄ ĉᵀ: entry a·d+b = x̄_a·ĉ_b.
+        // __rec as a materialized column too: the inner transform's
+        // input is re-evaluated per OUTER element, so it must be an
+        // attribute load, not the 8-lookup concat
+        val mFlat = encoded(rot, cbs)
+          .select(xbar.as("__xbar"), rec.as("__rec"))
+          .select(flatten(transform(col("__xbar"),
+            xi => transform(col("__rec"), rj => xi * rj))).as("__outer"))
+          .agg(graft.functions.GraftFunctions.vectorSum(col("__outer")))
+          .head().getSeq[Double](0).toArray
+        val mMat = Array.tabulate(d, d)((a, b) => mFlat(a * d + b))
+        val (u, _, v) = Pca.svdSquare(mMat)
+        val r = Array.tabulate(d, d) { (i, j) =>
+          var s = 0.0; var c = 0
+          while (c < d) { s += v(i)(c) * u(j)(c); c += 1 }
+          s
+        }
+        rot = rot.copy(components = r)
+      }
+    }
+    best
   }
 
   def rescoreTopKPerQuery(corpus: DataFrame, reduced: DataFrame,

@@ -446,6 +446,110 @@ class LlmSpec extends SparkTestBase {
     assert(opq > naive, s"OPQ ADC recall $opq should beat naive $naive")
   }
 
+  test("svdSquare: exact factorization, orthonormal factors, rank-deficient completion") {
+    import graft.llm.Pca
+    val rnd = new scala.util.Random(7)
+    def check(mat: Array[Array[Double]]): Unit = {
+      val d = mat.length
+      val (u, s, v) = Pca.svdSquare(mat)
+      // descending sigma, all >= 0
+      for (i <- 1 until d) assert(s(i - 1) >= s(i) && s(i) >= 0.0)
+      // U, V orthonormal columns
+      for (a <- 0 until d; b <- a until d) {
+        def dp(m: Array[Array[Double]]) =
+          (0 until d).map(r => m(r)(a) * m(r)(b)).sum
+        val e = if (a == b) 1.0 else 0.0
+        assert(math.abs(dp(u) - e) < 1e-9, s"U col ${a},${b} = ${dp(u)}")
+        assert(math.abs(dp(v) - e) < 1e-9, s"V col ${a},${b} = ${dp(v)}")
+      }
+      // mat == U diag(s) Vᵀ
+      for (i <- 0 until d; j <- 0 until d) {
+        val r = (0 until d).map(c => u(i)(c) * s(c) * v(j)(c)).sum
+        assert(math.abs(r - mat(i)(j)) < 1e-8 * math.max(1.0, s(0)),
+          s"recon ($i,$j): $r vs ${mat(i)(j)}")
+      }
+    }
+    check(Array.tabulate(5, 5)((_, _) => rnd.nextGaussian() * 3))
+    // rank-1: forces the Gram–Schmidt null-space completion
+    val a = Array.tabulate(4)(i => i + 1.0)
+    check(Array.tabulate(4, 4)((i, j) => a(i) * a(j) * 0.5))
+    // zero matrix: every column completed
+    check(Array.ofDim[Double](3, 3))
+  }
+
+  test("opqIterative: Procrustes alternation keeps R orthonormal and does not lose recall vs the parametric seed") {
+    import graft.llm.{Pca, Similarity}
+    val dim = 16; val m = 4; val kcb = 8
+    val rnd = new scala.util.Random(23)
+    // same anisotropic corpus as the eigen-allocation test, PLUS a
+    // fixed cross-subspace rotation mixing adjacent dims — the case
+    // variance balancing alone cannot unmix but Procrustes can
+    val base = (0L until 150L).map(i => (i,
+      Seq.tabulate(dim)(j => (rnd.nextFloat() * 2 - 1) * (1 + j))))
+    val mixed = base.map { case (i, v) =>
+      (i, Seq.tabulate(dim) { j =>
+        val p = (j + 5) % dim
+        (0.8 * v(j) + 0.6 * v(p)).toFloat
+      })
+    }
+    val vecs = mixed.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val q2 = queries.select(col("query_id"), col("embedding").as("__qv"))
+    val exact = vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q2))
+      .withColumn("__l2",
+        Similarity.dot(col("embedding"), col("embedding"))
+          - Similarity.dot(col("embedding"), col("__qv")) * 2
+          + Similarity.dot(col("__qv"), col("__qv")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__l2").asc, col("vec_id"))))
+      .filter(col("__rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    def recallWith(rot: Pca.PcaModel, cb: Seq[Seq[Seq[Double]]]): Double = {
+      val vR = vecs.select(col("vec_id"),
+        Pca.project(col("embedding"), rot).as("embedding"))
+      val qR = queries.select(col("query_id"),
+        Pca.project(col("embedding"), rot).as("embedding"))
+      val top = Similarity.pqAdcTopK(vR, qR, "vec_id", "embedding",
+        "query_id", 10, cb).select(col("query_id"), col("vec_id"))
+      Similarity.recallAtK(top, exact, "query_id", "vec_id")
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    val seed = Similarity.opqEigenAllocation(vecs, "embedding", m)
+    val seedCb = Similarity.pqCodebooksLloyd(
+      vecs.select(col("vec_id"),
+        Pca.project(col("embedding"), seed).as("embedding")),
+      "vec_id", "embedding", m, kcb, 2)
+    val (rot, cb, iterMse) = Similarity.opqIterative(vecs, "vec_id",
+      "embedding", m, kcb, opqIters = 4, lloydIters = 2)
+    // returned MSE is the argmin across iterates and matches a direct
+    // recomputation of mean ‖R x̄ − ĉ(R x̄)‖² under the returned model
+    def mseOf(r: Pca.PcaModel, c: Seq[Seq[Seq[Double]]]): Double = {
+      val y = Pca.project(col("embedding"), r)
+      val rec = Similarity.pqReconstruct(Similarity.pqEncode(y, c), c)
+      vecs.agg(avg(aggregate(zip_with(y, rec, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))).head().getDouble(0)
+    }
+    assert(math.abs(mseOf(rot, cb) - iterMse) < 1e-6 * (1 + iterMse))
+    val seedMse = mseOf(seed, seedCb)
+    assert(iterMse <= seedMse * 1.001,
+      s"iterative OPQ mse $iterMse worse than parametric seed $seedMse")
+    // final rotation is still orthonormal (Procrustes preserves it)
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = rot.components(i).zip(rot.components(j))
+        .map { case (a, b) => a * b }.sum
+      val e = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - e) < 1e-9, s"<r$i,r$j>=$d")
+    }
+    val paramRecall = recallWith(seed, seedCb)
+    val iterRecall = recallWith(rot, cb)
+    info(s"parametric seed recall=$paramRecall iterative recall=$iterRecall")
+    assert(iterRecall >= paramRecall - 1e-9,
+      s"iterative OPQ recall $iterRecall fell below parametric seed $paramRecall")
+  }
+
   test("semanticDupPairs: planted clusters, within-cluster dups found, cross-cluster blocked") {
     import graft.llm.{Dedup, Similarity}
     // three well-separated directions in R4; dups planted inside two of
