@@ -734,6 +734,17 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- paragraph-level dedup with reassembly (CCNet/RefinedWeb):
+    //      fixed 8-token chunks, globally-first occurrence survives,
+    //      documents stitched back from surviving chunks — three keyed
+    //      shuffles (winner hash-agg, composite-key join-back, per-doc
+    //      regroup), no corpus-wide window
+    "q_d_paragraph_dedup" -> ((s, dir) => {
+      llm.Dedup.paragraphDedup(spreadDocs(s, dir), "doc_id", col("text"),
+          chunkTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- language ID by stopword-profile scoring (deterministic formula,
     //      mirrored in the oracle)
     "q_t_language_id" -> ((s, dir) => {
@@ -2506,6 +2517,38 @@ object SparkEntry {
         .orderBy("group_id", "ring_id")
     }),
 
+    // ---- ST_Difference / ST_SymDifference (general, concave-capable):
+    //      triangulate both rings, fold convex-minus-triangle over the
+    //      subject pieces — hand-computable fixture areas, scan-local
+    //      per-row expressions (no join, no shuffle beyond the sort)
+    "q_geo_difference" -> ((s, dir) => {
+      import s.implicits._
+      def ring(pts: (Double, Double)*): Seq[osm.Point] =
+        pts.map { case (x, y) => osm.Point(x, y) }
+      val square = ring((0, 0), (4, 0), (4, 4), (0, 4))
+      val inner = ring((1, 1), (3, 1), (3, 3), (1, 3))
+      val corner = ring((2, 2), (6, 2), (6, 6), (2, 6))
+      val far = ring((10, 10), (12, 10), (12, 12), (10, 12))
+      val lShape = ring((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))
+      val strip = ring((2, -1), (5, -1), (5, 5), (2, 5))
+      val shifted = ring((1, 0), (5, 0), (5, 4), (1, 4))
+      val cases = Seq(
+        (1L, square, inner),   // hole carved: 16−4, sym 12+0
+        (2L, square, corner),  // corner overlap 2×2: 12, sym 24
+        (3L, square, far),     // disjoint: 16, sym 16+4
+        (4L, inner, square),   // contained: 0, sym 12
+        (5L, square, lShape),  // concave CLIP (L⊂square): 4, sym 4
+        (6L, lShape, strip),   // concave SUBJECT: left column 8, sym 22
+        (7L, square, shifted)  // unit shift: 4, sym 8
+      ).toDF("case_id", "subject", "clip")
+      cases.select(col("case_id"),
+          round(Geo.differenceArea(col("subject"), col("clip")), 6)
+            .as("diff_area"),
+          round(Geo.symmetricDifferenceArea(col("subject"), col("clip")), 6)
+            .as("sym_area"))
+        .orderBy("case_id")
+    }),
+
     "q_geo_hull" -> ((s, dir) => {
       val base = customer(s, dir).select(
         col("c_nationkey").cast("long").as("nk"),
@@ -3886,6 +3929,17 @@ object SparkEntry {
             'POLYGON((1.0 1.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))'))
            AS t(group_id, ring_id, is_hole, n_pts, area_signed, wkt)
          ORDER BY group_id, ring_id""",
+    // general polygon difference: closed-form fixture areas (the
+    // q_geo_dissolve policy — geometry fixtures hand-computable)
+    "q_geo_difference" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id,
+                CAST(diff_area AS DOUBLE) AS diff_area,
+                CAST(sym_area AS DOUBLE) AS sym_area
+         FROM (VALUES
+           (1, 12.0, 12.0), (2, 12.0, 24.0), (3, 16.0, 20.0),
+           (4, 0.0, 12.0), (5, 4.0, 4.0), (6, 8.0, 22.0), (7, 4.0, 8.0))
+           AS t(case_id, diff_area, sym_area)
+         ORDER BY case_id""",
     "q_geo_hull" ->
       """WITH pts AS (
            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk,
@@ -4880,6 +4934,32 @@ object SparkEntry {
                 max(pos) + 7 AS span_end, count(*) AS n_grams
          FROM isl2 GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
+    // paragraph dedup re-derived: same 8-token chunking, first
+    // occurrence by (doc_id, chunk_id) wins (row_number over the exact
+    // chunk string — the engine's xxhash64 key is collision-checked by
+    // this exact-string compare), same per-doc reassembly; string_agg
+    // skips the NULLed-out losers
+    "q_d_paragraph_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tok AS (
+           SELECT doc_id, CAST(i AS INT) AS ord, t[i] AS tok
+           FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+         chunks AS (
+           SELECT doc_id, CAST(floor((ord - 1) / 8) AS INT) AS chunk_id,
+                  string_agg(tok, ' ' ORDER BY ord) AS chunk_text
+           FROM tok GROUP BY doc_id, CAST(floor((ord - 1) / 8) AS INT)),
+         flagged AS (
+           SELECT doc_id, chunk_id, chunk_text,
+                  row_number() OVER (PARTITION BY chunk_text
+                                     ORDER BY doc_id, chunk_id) AS rn
+           FROM chunks)
+         SELECT doc_id,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                                    ' ' ORDER BY chunk_id), '') AS clean_text,
+                count(*) FILTER (WHERE rn = 1) AS kept_chunks,
+                count(*) FILTER (WHERE rn > 1) AS dropped_chunks
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
     "q_s_ann_lsh" -> annLshOracleSql,
     // q_s_ivf_ann emits only the deterministic quality verdict
     // (query_id, recall_ok) — the Lloyd-trained top-k itself is not

@@ -92,8 +92,18 @@ object EarTriangulate {
     val prv = Array.tabulate(n)(i => (i + n - 1) % n)
     def cross(a: Int, b: Int, c: Int): Double =
       (xs(b) - xs(a)) * (ys(c) - ys(a)) - (ys(b) - ys(a)) * (xs(c) - xs(a))
-    def strictlyInside(p: Int, a: Int, b: Int, c: Int): Boolean =
-      cross(a, b, p) > 0.0 && cross(b, c, p) > 0.0 && cross(c, a, p) > 0.0
+    // NON-strict containment: a vertex exactly ON the candidate ear's
+    // boundary blocks it. With a strict test, a reflex vertex sitting
+    // on the a–c diagonal (square minus an L whose notch corner lies on
+    // the diagonal) lets an ear through whose diagonal EXITS the
+    // polygon — the triangles then overlap the notch and the area sum
+    // is wrong. For simple polygons a valid ear never has another
+    // vertex on its closed boundary (collinear chains are consumed by
+    // the zero-area cr==0 branch first), so blocking on touch costs
+    // nothing; truly degenerate rings still terminate via the
+    // earless-pass fallback below.
+    def blocksEar(p: Int, a: Int, b: Int, c: Int): Boolean =
+      cross(a, b, p) >= 0.0 && cross(b, c, p) >= 0.0 && cross(c, a, p) >= 0.0
     val out = new scala.collection.mutable.ArrayBuffer[Any](math.max(0, n - 2))
     def emit(a: Int, b: Int, c: Int): Unit =
       out += new GenericArrayData(Array[Any](
@@ -113,7 +123,7 @@ object EarTriangulate {
         isEar = true
         var p = nxt(c)
         while (isEar && p != a) {
-          if (strictlyInside(p, a, cur, c)) isEar = false
+          if (blocksEar(p, a, cur, c)) isEar = false
           p = nxt(p)
         }
         // invalid-ring termination guard: after a full earless pass,

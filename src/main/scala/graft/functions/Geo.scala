@@ -529,32 +529,105 @@ object Geo {
     * codegen'd, shuffle-free. */
   def convexClip(subject: Column, clip: Column): Column = {
     val ccw = when(shoelaceSigned(clip) < 0, reverse(clip)).otherwise(clip)
-    aggregate(ringEdges(ccw), subject, (ring, e) => {
-      val a = e.getField("a"); val b = e.getField("b")
-      val ex = b.getField("lon") - a.getField("lon")
-      val ey = b.getField("lat") - a.getField("lat")
-      def inside(p: Column): Column =
-        ex * (p.getField("lat") - a.getField("lat")) -
-          ey * (p.getField("lon") - a.getField("lon")) >= 0.0
-      def inter(s: Column, t: Column): Column = {
-        val dx = t.getField("lon") - s.getField("lon")
-        val dy = t.getField("lat") - s.getField("lat")
-        // param along s->t where it meets the a->b line
-        val tt = (ex * (s.getField("lat") - a.getField("lat")) -
-          ey * (s.getField("lon") - a.getField("lon"))) /
-          (ey * dx - ex * dy)
-        struct((s.getField("lon") + tt * dx).as("lon"),
-          (s.getField("lat") + tt * dy).as("lat"))
-      }
-      flatten(transform(ringEdges(ring), se => {
-        val s = se.getField("a"); val t = se.getField("b")
-        when(inside(s) && inside(t), array(t))
-          .when(inside(s) && !inside(t), array(inter(s, t)))
-          .when(!inside(s) && inside(t), array(inter(s, t), t))
-          .otherwise(slice(array(t), lit(1), lit(0)))
-      }))
-    })
+    aggregate(ringEdges(ccw), subject, (ring, e) =>
+      clipHalfPlane(ring, e.getField("a"), e.getField("b"),
+        keepLeft = true))
   }
+
+  /** One Sutherland–Hodgman step: the part of `ring` on one side of
+    * the infinite line through a→b — `keepLeft = true` keeps the
+    * half-plane to the LEFT of a→b (the inside of a CCW clip ring),
+    * `false` keeps the right. Boundary vertices belong to both sides,
+    * so the two halves tile the ring exactly (overlap has zero area).
+    * Shared kernel of [[convexClip]] (fold of left-keeps) and
+    * [[convexMinusTri]] (the difference decomposition needs both
+    * sides). */
+  private def clipHalfPlane(ring: Column, a: Column, b: Column,
+      keepLeft: Boolean): Column = {
+    val ex = b.getField("lon") - a.getField("lon")
+    val ey = b.getField("lat") - a.getField("lat")
+    def side(p: Column): Column = {
+      val c = ex * (p.getField("lat") - a.getField("lat")) -
+        ey * (p.getField("lon") - a.getField("lon"))
+      if (keepLeft) c >= 0.0 else c <= 0.0
+    }
+    def inter(s: Column, t: Column): Column = {
+      val dx = t.getField("lon") - s.getField("lon")
+      val dy = t.getField("lat") - s.getField("lat")
+      // param along s->t where it meets the a->b line. den == 0 with
+      // straddling sides is float-rounding on a near-parallel (or
+      // zero-length) edge: the sides' cross products disagree in their
+      // last ulp while the denominator cancels exactly — take tt = 0
+      // (point s), which is within rounding of the true crossing
+      val num = ex * (s.getField("lat") - a.getField("lat")) -
+        ey * (s.getField("lon") - a.getField("lon"))
+      val den = ey * dx - ex * dy
+      val tt = when(den === 0.0, lit(0.0)).otherwise(num / den)
+      struct((s.getField("lon") + tt * dx).as("lon"),
+        (s.getField("lat") + tt * dy).as("lat"))
+    }
+    flatten(transform(ringEdges(ring), se => {
+      val s = se.getField("a"); val t = se.getField("b")
+      when(side(s) && side(t), array(t))
+        .when(side(s) && !side(t), array(inter(s, t)))
+        .when(!side(s) && side(t), array(inter(s, t), t))
+        .otherwise(slice(array(t), lit(1), lit(0)))
+    }))
+  }
+
+  /** Convex ring minus a CCW triangle, as ≤3 disjoint convex pieces:
+    * for triangle edge j, piece j is the part of `p` INSIDE edges
+    * 0..j−1 and OUTSIDE edge j — the standard half-plane decomposition
+    * of a convex difference (each piece convex, pieces disjoint, union
+    * = p ∖ tri; the residue inside all three edges is p ∩ tri,
+    * discarded). Degenerate slivers (< 3 vertices or zero area) are
+    * filtered. */
+  private def convexMinusTri(p: Column, tri: Column): Column = {
+    val es = ringEdges(tri)
+    def a(i: Int) = element_at(es, i + 1).getField("a")
+    def b(i: Int) = element_at(es, i + 1).getField("b")
+    val out0 = clipHalfPlane(p, a(0), b(0), keepLeft = false)
+    val in0 = clipHalfPlane(p, a(0), b(0), keepLeft = true)
+    val out1 = clipHalfPlane(in0, a(1), b(1), keepLeft = false)
+    val in01 = clipHalfPlane(in0, a(1), b(1), keepLeft = true)
+    val out2 = clipHalfPlane(in01, a(2), b(2), keepLeft = false)
+    filter(array(out0, out1, out2),
+      r => size(r) >= 3 && abs(shoelaceSigned(r)) > 1e-15)
+  }
+
+  /** General `ST_Difference(polygon, polygon)` as `ST_Dump`-style
+    * convex pieces — the subtraction half of the boolean-op family
+    * ([[intersectionPieces]] ∩, [[graft.osm.Dissolve]] ∪): triangulate
+    * BOTH rings (concave-capable via [[GraftFunctions.earTriangulate]]),
+    * then fold the clip triangles over the subject pieces, replacing
+    * each piece by its [[convexMinusTri]] decomposition. Clip triangles
+    * partition the clip interior, so subtracting them sequentially
+    * subtracts the whole polygon; subject triangles partition the
+    * subject, so the surviving pieces tile `subject ∖ clip` exactly —
+    * piece boundaries along triangulation diagonals are decomposition
+    * artifacts (the [[intersectionPieces]] caveat), but membership and
+    * area are exact. Per-row expression fold — shuffle-free, scan-local
+    * at any scale. */
+  def differencePieces(subject: Column, clip: Column): Column = {
+    val subjTris = graft.functions.GraftFunctions.earTriangulate(subject)
+    val clipTris = graft.functions.GraftFunctions.earTriangulate(clip)
+    aggregate(clipTris, subjTris, (pieces, tri) =>
+      flatten(transform(pieces, p => convexMinusTri(p, tri))))
+  }
+
+  /** Area of the general polygon difference (planar, coordinate
+    * units²): Σ |area(piece)| over [[differencePieces]]. Satisfies the
+    * boolean-algebra identity
+    * `area(A ∖ B) = area(A) − area(A ∩ B)` (spec-gated). */
+  def differenceArea(subject: Column, clip: Column): Column =
+    aggregate(differencePieces(subject, clip), lit(0.0),
+      (acc, piece) => acc + abs(shoelaceSigned(piece)) / 2)
+
+  /** Area of the symmetric difference `A △ B` — both one-sided
+    * differences, no second triangulation pass shared but the whole
+    * thing is still one scan-local expression. */
+  def symmetricDifferenceArea(a: Column, b: Column): Column =
+    differenceArea(a, b) + differenceArea(b, a)
 
   /** General `ST_Intersection(polygon, polygon)` with a CONCAVE-capable
     * clip ring, as `ST_Dump`-style pieces: triangulate the clip polygon

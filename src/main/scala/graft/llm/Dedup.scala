@@ -422,4 +422,60 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .drop("__island")
   }
+
+  /** Paragraph-level exact dedup with document reassembly — the CCNet /
+    * RefinedWeb curation pass: split each document into fixed-size
+    * token chunks ("paragraphs"), keep only the GLOBALLY FIRST
+    * occurrence of each distinct chunk text (ordered by (doc, chunk
+    * position)), and stitch every document back together from its
+    * surviving chunks. Unlike [[exactDedup]] (whole documents) or
+    * [[duplicatePassages]] (flags spans but keeps them), this REWRITES
+    * the corpus: boilerplate shared across documents survives exactly
+    * once, in its earliest host.
+    *
+    * Returns one row per input document:
+    * `(idCol, clean_text, kept_chunks, dropped_chunks)` — documents
+    * whose every chunk was seen earlier elsewhere come back with
+    * `clean_text = ''` and `kept_chunks = 0` (callers filter or count).
+    *
+    * 100 TB shape: three keyed shuffles, no windows over corpus-wide
+    * keys, no all-pairs stage — (1) first-occurrence winners via a
+    * hash-agg `min(struct(doc, pos))` GROUPED BY `xxhash64(chunk)`
+    * (map-side partials absorb boilerplate skew: a chunk duplicated a
+    * billion times arrives at the reducer once per map partition);
+    * (2) an equi-join of chunks to winners on (hash, doc, pos) — the
+    * winner side is unique per hash, and the composite key spreads hot
+    * chunk texts; (3) per-document reassembly, a groupBy on the doc id.
+    * Hashing instead of joining on chunk strings is the
+    * [[duplicatePassages]] policy: a 64-bit collision can only
+    * OVER-drop, and the exact-string DuckDB oracle would catch one at
+    * test scale. */
+  def paragraphDedup(docs: DataFrame, idCol: String, text: Column,
+      chunkTokens: Int): DataFrame = {
+    val chunks = TextAnalysis.chunkByTokens(docs, idCol, text, chunkTokens)
+      .withColumn("__h", xxhash64(col("chunk_text")))
+    val winners = chunks
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__w"))
+      .select(col("__h").as("__wh"), col("__w").getField(idCol).as("__wid"),
+        col("__w").getField("chunk_id").as("__widx"))
+    val kept = chunks.join(winners,
+      col("__h") === col("__wh") &&
+        col(idCol) === col("__wid") && col("chunk_id") === col("__widx"))
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          c => c.getField("chunk_text")), " ").as("clean_text"),
+        count(lit(1)).as("kept_chunks"))
+    val totals = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__total"))
+    totals.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("__total") - coalesce(col("kept_chunks"), lit(0L)))
+          .as("dropped_chunks"))
+  }
 }

@@ -561,6 +561,61 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.getInt(1) >= 2, s"expected >=2 pieces, got ${got.getInt(1)}")
   }
 
+  test("differenceArea: concave-capable subtraction, area identity vs intersectionArea") {
+    def dArea(a: Seq[(Double, Double)], b: Seq[(Double, Double)]) =
+      spark.range(1)
+        .select(round(Geo.differenceArea(ringLit(a), ringLit(b)), 9))
+        .head().getDouble(0)
+    val square = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    val inner = Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0))
+    assert(dArea(square, inner) === 12.0) // hole carved out: 16 − 4
+    assert(dArea(inner, square) === 0.0)  // contained → nothing left
+    assert(dArea(square,
+      Seq((10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0))) === 16.0)
+    // corner overlap: minus [2,6]² removes the 2×2 shared corner
+    assert(dArea(square, Seq((2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0)))
+      === 12.0)
+    // concave CLIP: square minus an L (L ⊂ square, area 12) leaves 4
+    val l = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+    assert(dArea(square, l) === 4.0)
+    // concave SUBJECT: L minus the right half-plane strip x>=2 leaves
+    // the left column [0,2]×[0,4] = 8
+    assert(dArea(l, Seq((2.0, -1.0), (5.0, -1.0), (5.0, 5.0), (2.0, 5.0)))
+      === 8.0)
+    assert(dArea(l, square) === 0.0)
+    // symmetric difference: two unit-offset 4×4 squares overlap 3×4=12,
+    // so A△B = 2·(16−12) = 8
+    val shifted = Seq((1.0, 0.0), (5.0, 0.0), (5.0, 4.0), (1.0, 4.0))
+    val sd = spark.range(1)
+      .select(round(
+        Geo.symmetricDifferenceArea(ringLit(square), ringLit(shifted)), 9))
+      .head().getDouble(0)
+    assert(sd === 8.0)
+    // property: area(A∖B) = area(A) − area(A∩B) on random star rings
+    val rnd = new scala.util.Random(11L)
+    (1 to 8).foreach { _ =>
+      def star() = {
+        // radial ring around a shifted center: simple by construction
+        val n = rnd.nextInt(8) + 4
+        val ox = rnd.nextDouble() * 2; val oy = rnd.nextDouble() * 2
+        (0 until n).map { i =>
+          val ang = 2 * math.Pi * i / n
+          val r = rnd.nextDouble() * 3 + 1
+          (r * math.cos(ang) + ox, r * math.sin(ang) + oy)
+        }
+      }
+      val a = star(); val b = star()
+      val row = spark.range(1).select(
+          Geo.differenceArea(ringLit(a), ringLit(b)).as("d"),
+          Geo.intersectionArea(ringLit(a), ringLit(b)).as("i"),
+          (abs(Geo.shoelaceSigned(ringLit(a))) / 2).as("sa"))
+        .head()
+      val (d, i, sa) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(math.abs(d - (sa - i)) < 1e-9,
+        s"diff $d != area $sa - inter $i over $a minus $b")
+    }
+  }
+
   test("geometry booleans: convexClip cases, lineIntersections cases") {
     val square = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
     def clip(subj: Seq[(Double, Double)], c: Seq[(Double, Double)]) =

@@ -550,6 +550,28 @@ class LlmSpec extends SparkTestBase {
       s"iterative OPQ recall $iterRecall fell below parametric seed $paramRecall")
   }
 
+  test("paragraphDedup: globally-first chunk survives, docs reassemble in order, fully-duplicated docs come back empty") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // chunks: "a b c"(1,0) "d e f"(1,1) — both first
+      (2L, "a b c x y z"),   // "a b c" dup of (1,0); "x y z" first at (2,1)
+      (3L, "x y z"),         // dup of (2,1) -> fully dropped
+      (4L, "d e f d e f")    // both chunks dup of (1,1) -> fully dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", $"text", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d e f", 2L, 0L)))
+    assert(out(2L) === (("x y z", 1L, 1L)))
+    assert(out(3L) === (("", 0L, 1L)))
+    assert(out(4L) === (("", 0L, 2L)))
+    // a doc duplicated within ITSELF keeps only its first copy
+    val self = Dedup.paragraphDedup(
+      Seq((9L, "p q r p q r p q r")).toDF("doc_id", "text"),
+      "doc_id", $"text", chunkTokens = 3).head()
+    assert(self.getString(1) === "p q r")
+    assert(self.getLong(2) === 1L && self.getLong(3) === 2L)
+  }
+
   test("semanticDupPairs: planted clusters, within-cluster dups found, cross-cluster blocked") {
     import graft.llm.{Dedup, Similarity}
     // three well-separated directions in R4; dups planted inside two of
