@@ -575,45 +575,21 @@ object Geo {
     }))
   }
 
-  /** Convex ring minus a CCW triangle, as ≤3 disjoint convex pieces:
-    * for triangle edge j, piece j is the part of `p` INSIDE edges
-    * 0..j−1 and OUTSIDE edge j — the standard half-plane decomposition
-    * of a convex difference (each piece convex, pieces disjoint, union
-    * = p ∖ tri; the residue inside all three edges is p ∩ tri,
-    * discarded). Degenerate slivers (< 3 vertices or zero area) are
-    * filtered. */
-  private def convexMinusTri(p: Column, tri: Column): Column = {
-    val es = ringEdges(tri)
-    def a(i: Int) = element_at(es, i + 1).getField("a")
-    def b(i: Int) = element_at(es, i + 1).getField("b")
-    val out0 = clipHalfPlane(p, a(0), b(0), keepLeft = false)
-    val in0 = clipHalfPlane(p, a(0), b(0), keepLeft = true)
-    val out1 = clipHalfPlane(in0, a(1), b(1), keepLeft = false)
-    val in01 = clipHalfPlane(in0, a(1), b(1), keepLeft = true)
-    val out2 = clipHalfPlane(in01, a(2), b(2), keepLeft = false)
-    filter(array(out0, out1, out2),
-      r => size(r) >= 3 && abs(shoelaceSigned(r)) > 1e-15)
-  }
-
   /** General `ST_Difference(polygon, polygon)` as `ST_Dump`-style
     * convex pieces — the subtraction half of the boolean-op family
-    * ([[intersectionPieces]] ∩, [[graft.osm.Dissolve]] ∪): triangulate
-    * BOTH rings (concave-capable via [[GraftFunctions.earTriangulate]]),
-    * then fold the clip triangles over the subject pieces, replacing
-    * each piece by its [[convexMinusTri]] decomposition. Clip triangles
-    * partition the clip interior, so subtracting them sequentially
-    * subtracts the whole polygon; subject triangles partition the
-    * subject, so the surviving pieces tile `subject ∖ clip` exactly —
-    * piece boundaries along triangulation diagonals are decomposition
-    * artifacts (the [[intersectionPieces]] caveat), but membership and
-    * area are exact. Per-row expression fold — shuffle-free, scan-local
-    * at any scale. */
-  def differencePieces(subject: Column, clip: Column): Column = {
-    val subjTris = graft.functions.GraftFunctions.earTriangulate(subject)
-    val clipTris = graft.functions.GraftFunctions.earTriangulate(clip)
-    aggregate(clipTris, subjTris, (pieces, tri) =>
-      flatten(transform(pieces, p => convexMinusTri(p, tri))))
-  }
+    * ([[intersectionPieces]] ∩, [[graft.osm.Dissolve]] ∪). Delegates to
+    * the native [[PolygonDifference]] expression (triangulate both
+    * rings, fold the ≤3-piece half-plane decomposition of convex-minus-
+    * triangle over the subject pieces): a column-HOF formulation of the
+    * same fold is tens of thousands of Catalyst nodes and its ANALYSIS
+    * dominated runtime (14 s to plan a 7-row fixture), while the native
+    * kernel is one plan node and one primitive-array pass per row.
+    * Surviving pieces tile `subject ∖ clip` exactly — piece boundaries
+    * along triangulation diagonals are decomposition artifacts (the
+    * [[intersectionPieces]] caveat), but membership and area are exact.
+    * Shuffle-free, scan-local at any scale. */
+  def differencePieces(subject: Column, clip: Column): Column =
+    graft.functions.GraftFunctions.polygonDifference(subject, clip)
 
   /** Area of the general polygon difference (planar, coordinate
     * units²): Σ |area(piece)| over [[differencePieces]]. Satisfies the

@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[EarTriangulate].getName, "ear_triangulate"),
         (children: Seq[Expression]) => EarTriangulate(children.head)))
     ext.injectFunction(
+      (new FunctionIdentifier("polygon_difference"),
+        new ExpressionInfo(classOf[PolygonDifference].getName,
+          "polygon_difference"),
+        (children: Seq[Expression]) =>
+          PolygonDifference(children(0), children(1))))
+    ext.injectFunction(
       (new FunctionIdentifier("int_dot"),
         new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
         (children: Seq[Expression]) => IntDot(children(0), children(1))))
@@ -146,6 +152,11 @@ object GraftFunctions {
     * [[EarTriangulate]]): array of CCW triangles partitioning it. */
   def earTriangulate(ring: Column): Column =
     call_function("ear_triangulate", ring)
+
+  /** General polygon difference (injected [[PolygonDifference]]):
+    * convex pieces tiling `subject ∖ clip`. */
+  def polygonDifference(subject: Column, clip: Column): Column =
+    call_function("polygon_difference", subject, clip)
 
   /** One-pass repetition features over a token array (injected
     * [[RepetitionStats]]): struct(dup_token_frac, top_bigram_frac). */

@@ -349,13 +349,15 @@ object Similarity {
     * traffic. The SVD is O(d³) on the driver ([[Pca.svdSquare]], the
     * sanctioned Jacobi budget). Rotation + codebooks are float-sum
     * state → recall-gate policy, not value-check (the Lloyd rule).
-    * Returns the BEST-MSE (rotation model, codebooks, mse) across the
-    * alternation — iteration 1 is exactly the parametric seed + Lloyd,
-    * so the result never has worse quantization error than the seed;
-    * rotate with [[Pca.project]] before encoding/querying. */
+    * Returns the BEST-MSE (rotation model, codebooks, bestMse,
+    * seedMse) across the alternation — iteration 1 is exactly the
+    * parametric seed + Lloyd (its MSE comes back as `seedMse`, so
+    * callers comparing against the parametric baseline don't retrain
+    * it), and the result never has worse quantization error than that
+    * seed; rotate with [[Pca.project]] before encoding/querying. */
   def opqIterative(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, opqIters: Int, lloydIters: Int)
-      : (Pca.PcaModel, Seq[Seq[Seq[Double]]], Double) = {
+      : (Pca.PcaModel, Seq[Seq[Seq[Double]]], Double, Double) = {
     var rot = opqEigenAllocation(corpus, vecCol, m)
     val d = rot.mean.length
     var cbs: Seq[Seq[Seq[Double]]] = Seq.empty
@@ -385,6 +387,7 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x)))
         .head().getDouble(0)
     }
+    var seedMse = Double.NaN
     for (t <- 1 to opqIters) {
       val rotated = corpus.select(col(idCol),
         Pca.project(col(vecCol), rot).as(vecCol))
@@ -394,6 +397,7 @@ object Similarity {
       cbs = pqCodebooksLloyd(rotated, idCol, vecCol, m, k, lloydIters,
         init = if (t == 1) None else Some(cbs))
       val mse = mseOf(rot, cbs)
+      if (t == 1) seedMse = mse
       if (best == null || mse < best._3) best = (rot, cbs, mse)
       if (t < opqIters) {
         val xbar = zip_with(col(vecCol), typedlit(rot.mean.toIndexedSeq),
@@ -419,7 +423,7 @@ object Similarity {
         rot = rot.copy(components = r)
       }
     }
-    best
+    (best._1, best._2, best._3, seedMse)
   }
 
   def rescoreTopKPerQuery(corpus: DataFrame, reduced: DataFrame,

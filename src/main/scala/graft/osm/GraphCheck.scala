@@ -251,6 +251,65 @@ object GraphCheck {
     * one shuffle agg over E — the same loop economics as
     * [[connectedComponentsWithRounds]]; iteration count is a fixed
     * budget (20 ≈ 1e-7 residual at damping 0.85), not data-dependent. */
+  /** Exact per-node triangle counts + local clustering coefficient —
+    * the igraph `count_triangles` / `transitivity_local` pair, the
+    * standard cohesion metrics over a road/social graph.
+    *
+    * Algorithm (the MapReduce-era standard, Suri & Vassilvitskii's
+    * degree-ordered wedge join): canonicalize to a simple undirected
+    * edge set (a < b, self-loops dropped), orient every edge from its
+    * (degree, id)-SMALLER endpoint to the larger, enumerate wedges as
+    * the self-join of the oriented list on the source, and close each
+    * wedge against the id-canonical edge set. Each triangle is counted
+    * exactly once — anchored at its (degree, id)-minimum vertex.
+    *
+    * 100 TB shape: the orientation caps every out-neighborhood at
+    * O(√m), so the wedge self-join materializes O(m^{3/2}) rows worst
+    * case instead of Σdeg² (a single celebrity hub with 10⁶ neighbors
+    * would otherwise wedge 10¹² pairs); all joins are keyed shuffles
+    * (src; then the (y,z) pair key spreads hot closings), counts are
+    * hash-aggs with map-side partials, no driver state.
+    *
+    * Returns (node_id, degree, triangles, clustering) with
+    * clustering = 2·T_v / (deg_v·(deg_v−1)), 0 where degree < 2. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("start_node"), col("end_node")).as("a"),
+        greatest(col("start_node"), col("end_node")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    val dir = und
+      .join(deg.select(col("node_id").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node_id").as("b"), col("degree").as("__db")), "b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+    val e1 = dir.select(col("src"), col("dst").as("__d1"))
+    val e2 = dir.select(col("src"), col("dst").as("__d2"))
+    val wedges = e1.join(e2, "src").filter(col("__d1") < col("__d2"))
+      .select(col("src").as("x"), col("__d1").as("y"), col("__d2").as("z"))
+    val closing = dir.select(least(col("src"), col("dst")).as("y"),
+      greatest(col("src"), col("dst")).as("z"))
+    val tris = wedges.join(closing, Seq("y", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+    deg.join(tris, Seq("node_id"), "left")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          coalesce(col("triangles"), lit(0L)) * 2.0 /
+            (col("degree") * (col("degree") - lit(1L))))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 20,
       damping: Double = 0.85, localThreshold: Long = 100000L): DataFrame = {
     val e = edges.select(col("start_node").as("src"),

@@ -522,8 +522,10 @@ class LlmSpec extends SparkTestBase {
       vecs.select(col("vec_id"),
         Pca.project(col("embedding"), seed).as("embedding")),
       "vec_id", "embedding", m, kcb, 2)
-    val (rot, cb, iterMse) = Similarity.opqIterative(vecs, "vec_id",
-      "embedding", m, kcb, opqIters = 4, lloydIters = 2)
+    val (rot, cb, iterMse, seedMseReturned) = Similarity.opqIterative(
+      vecs, "vec_id", "embedding", m, kcb, opqIters = 4, lloydIters = 2)
+    assert(iterMse <= seedMseReturned,
+      "argmin contract: best MSE cannot exceed iteration 1's (seed) MSE")
     // returned MSE is the argmin across iterates and matches a direct
     // recomputation of mean ‖R x̄ − ĉ(R x̄)‖² under the returned model
     def mseOf(r: Pca.PcaModel, c: Seq[Seq[Seq[Double]]]): Double = {

@@ -155,6 +155,32 @@ class RoadGraphSpec extends SparkTestBase {
     assert(osm.GraphCheck.connectedComponents(empty).count() === 0L)
   }
 
+  test("triangle counts + clustering: hand-computed graph, dup/reversed/self edges canonicalized") {
+    import spark.implicits._
+    // triangle {1,2,3}; square {4,5,6,7} (cycle, no triangle); K4 on
+    // {10,11,12,13} (every node in 3 triangles, clustering 1); pendant
+    // 8-1; plus noise: duplicate, reversed, and self-loop edges
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (8L, 1L),
+      (2L, 1L), (1L, 2L), (9L, 9L) // reversed dup, dup, self-loop
+    ).toDF("start_node", "end_node")
+    val got = osm.GraphCheck.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((3L, 1L, 1.0 / 3)))  // deg 3 (2,3,8), one triangle
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((2L, 1L, 1.0)))
+    Seq(4L, 5L, 6L, 7L).foreach(n => assert(got(n) === ((2L, 0L, 0.0)), s"node $n"))
+    Seq(10L, 11L, 12L, 13L).foreach(n => assert(got(n) === ((3L, 3L, 1.0)), s"node $n"))
+    assert(got(8L) === ((1L, 0L, 0.0)))      // degree < 2 -> clustering 0
+    assert(!got.contains(9L))                // self-loop-only node drops
+    // total triangle incidences = 3 per triangle: 1 (tri) + 4 (K4) = 5 triangles
+    assert(got.values.map(_._2).sum === 15L)
+  }
+
   test("connected components: 256-chain converges in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the adversarial case: naive min-label propagation
