@@ -1732,6 +1732,17 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- community detection: synchronous LPA, 3 fixed rounds,
+    //      (max count, min label) tie order — a pure function of the
+    //      edge set, replayed round-for-round by the oracle
+    "q_osm_lpa" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      osm.GraphCheck.labelPropagation(
+          osm.RoadGraph.buildMergedNetworkCached(t, "micro"), rounds = 3)
+        .select(col("node_id"), col("label").as("community"))
+        .orderBy("node_id")
+    }),
+
     // ---- connected components at DATA SCALE on a worst-case topology:
     //      64-node CHAIN components synthesized from part (edge k->k+1
     //      unless k % 64 == 0). Chains are the adversarial case for
@@ -4243,6 +4254,7 @@ object SparkEntry {
                   ELSE 0.0 END, 6) AS clustering
          FROM deg d LEFT JOIN tcnt t ON d.node_id = t.node_id
          ORDER BY node_id""",
+    "q_osm_lpa" -> lpaOracleSql(3),
     "q_osm_components" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
       "WITH RECURSIVE") +
       """,
@@ -5595,6 +5607,36 @@ object SparkEntry {
 $chain
          SELECT CAST(node AS BIGINT) AS node_id, round(rank, 8) AS rank
          FROM p$iters ORDER BY node_id"""
+  }
+
+  /** Synchronous LPA replayed round-for-round: fixed iteration count →
+    * fixed MATERIALIZED CTE chain (the pagerankOracleSql policy), the
+    * per-node argmax as row_number over (count DESC, label) — exactly
+    * the engine's (−count, label) struct-min tie order. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { k =>
+      s"""         l$k AS MATERIALIZED (
+           SELECT a AS node_id, label FROM (
+             SELECT s.a, l.label,
+                    row_number() OVER (PARTITION BY s.a
+                      ORDER BY count(*) DESC, l.label) AS rn
+             FROM lsym s JOIN l${k - 1} l ON s.b = l.node_id
+             GROUP BY s.a, l.label)
+           WHERE rn = 1)"""
+    }.mkString(",\n")
+    OsmOracle.graphPrefix + s""",
+         lsym AS MATERIALIZED (
+           SELECT start_node AS a, end_node AS b FROM merged
+           WHERE start_node <> end_node
+           UNION
+           SELECT end_node, start_node FROM merged
+           WHERE start_node <> end_node),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT a AS node_id, a AS label FROM lsym),
+$chain
+         SELECT CAST(node_id AS BIGINT) AS node_id,
+                CAST(label AS BIGINT) AS community
+         FROM l$rounds ORDER BY node_id"""
   }
 
   /** Same candidate CTEs, verified by DuckDB's own levenshtein instead

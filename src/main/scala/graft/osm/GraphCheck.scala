@@ -251,6 +251,50 @@ object GraphCheck {
     * one shuffle agg over E — the same loop economics as
     * [[connectedComponentsWithRounds]]; iteration count is a fixed
     * budget (20 ≈ 1e-7 residual at damping 0.85), not data-dependent. */
+  /** Community detection by SYNCHRONOUS label propagation (LPA,
+    * Raghavan et al. 2007) with the deterministic contract this
+    * engine's oracle policy needs: a FIXED number of rounds, every
+    * node updating simultaneously to the most frequent label among its
+    * neighbors, ties broken to the SMALLEST label. Fixed rounds + total
+    * tie order make the result a pure function of the edge set (classic
+    * asynchronous LPA is schedule-dependent and unsuitable for
+    * cross-engine value checks); an independent SQL engine replays the
+    * rounds exactly.
+    *
+    * 100 TB shape: each round is ONE keyed join (edges × labels on the
+    * neighbor id) and two hash-aggs — (node, label) counts with
+    * map-side partials, then the per-node argmax as a `min(struct)`
+    * (no window, no skew pivot); `localCheckpoint` per round keeps the
+    * plan flat. Same loop economics as [[pageRank]]; round count is a
+    * fixed budget, not data-dependent. Isolated nodes (only
+    * self-loops) drop with the self-loops. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges
+      .select(col("start_node").as("a"), col("end_node").as("b"))
+      .unionByName(
+        edges.select(col("end_node").as("a"), col("start_node").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node_id")).distinct()
+      .withColumn("label", col("node_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels, sym("b") === labels("node_id"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("a"))
+        // lexicographic struct min = (largest count, then smallest
+        // label) — the deterministic argmax, one agg, no window
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__w"))
+        .select(col("a").as("node_id"), col("__w.l").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient —
     * the igraph `count_triangles` / `transitivity_local` pair, the
     * standard cohesion metrics over a road/social graph.

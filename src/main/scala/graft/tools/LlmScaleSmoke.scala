@@ -108,7 +108,11 @@ object LlmScaleSmoke {
         // LINEARLY with the corpus — the worst case for the model-side
         // join (real corpora grow vocabulary sublinearly)
         "lm_score" -> (() =>
-          TextAnalysis.ngramLmScore(docs, "id", col("text")).count()))
+          TextAnalysis.ngramLmScore(docs, "id", col("text")).count()),
+        // near-dup docs share 49 of 50 words -> duplicate 10-token
+        // chunks proportional to n; three keyed shuffles, expect ~1.0
+        "paragraph_dedup" -> (() =>
+          Dedup.paragraphDedup(docs, "id", col("text"), 10).count()))
       ops.filter(kv => wanted(kv._1))
         .map { case (name, body) => name -> timed(body()) }.toMap
     }
@@ -121,7 +125,7 @@ object LlmScaleSmoke {
     val lo = runAll(nLo)
     val hi = runAll(nHi)
     val parts = Seq("minhash", "simhash", "decontam", "dup_passages",
-        "lm_score").filter(wanted).map { op =>
+        "lm_score", "paragraph_dedup").filter(wanted).map { op =>
       val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
       val exp = math.log(tHi / tLo) / math.log(factor)
       f""""${op}_sec_lo":$tLo%.2f,"${op}_sec_hi":$tHi%.2f,""" +

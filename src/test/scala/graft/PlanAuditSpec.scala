@@ -309,6 +309,41 @@ class PlanAuditSpec extends SparkTestBase {
       s"islands window should partition by doc_id:\n$p")
   }
 
+  test("paragraph dedup: hashed winner key, no corpus-wide window, partial agg") {
+    val df = SparkEntry.queries("q_d_paragraph_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // first-occurrence winners come from a hash-agg on xxhash64(chunk),
+    // with map-side partials (partial_min) absorbing boilerplate skew —
+    // NEVER a row_number window over the chunk text
+    assert(p.contains("xxhash64"), s"winner key should be hashed:\n$p")
+    assert(p.contains("partial_min"), s"winner agg should map-side combine:\n$p")
+    assert(!p.contains("Window "), s"no window anywhere in paragraph dedup:\n$p")
+  }
+
+  test("triangle counting: keyed equi-joins only, partial counts, no window") {
+    val df = SparkEntry.queries("q_osm_triangles")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // wedge + closing joins are hash equi-joins (cartesian is globally
+    // asserted away); degree/triangle counts partial-aggregate
+    assert(p.contains("partial_count"), s"counts should map-side combine:\n$p")
+    assert(!p.contains("Window "), s"no window in triangle counting:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in triangle counting:\n$p")
+  }
+
+  test("lpa final labels: flat checkpointed plan, struct-min argmax without window") {
+    val df = SparkEntry.queries("q_osm_lpa")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // per-round localCheckpoint cuts lineage: the final plan must be a
+    // scan of the last round's checkpoint, not 3 rounds of join lineage
+    assert(!p.contains("Window "), s"argmax must be the struct-min agg:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"final plan should read the checkpoint, not re-derive rounds:\n$p")
+  }
+
   test("lm score: model relation cached once, feeds every consumer") {
     val df = SparkEntry.queries("q_t_lm_score")(spark, sf)
     df.collect()

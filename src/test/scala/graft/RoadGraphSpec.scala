@@ -181,6 +181,33 @@ class RoadGraphSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum === 15L)
   }
 
+  test("label propagation: distributed rounds == local synchronous replay; cliques converge, bridge keeps them apart") {
+    import spark.implicits._
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val es = cliqueA ++ cliqueB ++ Seq((4L, 11L))
+    val got = osm.GraphCheck.labelPropagation(
+        es.toDF("start_node", "end_node"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain-Scala synchronous replay of the same contract
+    def replay(rounds: Int): Map[Long, Long] = {
+      val sym = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter(t => t._1 != t._2).distinct
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to rounds)
+        lab = adj.map { case (n, nbrs) =>
+          val cnt = nbrs.map(lab).groupBy(identity).view.mapValues(_.size)
+          n -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      lab
+    }
+    assert(got === replay(4))
+    assert(Set(1L, 2L, 3L, 4L).map(got).size === 1, "clique A homogeneous")
+    assert(Set(11L, 12L, 13L, 14L).map(got).size === 1, "clique B homogeneous")
+    assert(got(1L) !== got(12L), "bridge must not merge the cliques")
+  }
+
   test("connected components: 256-chain converges in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the adversarial case: naive min-label propagation
