@@ -462,6 +462,29 @@ object SparkEntry {
     //      (batched parallel INSERTs) -> partitioned JDBC read-back ->
     //      aggregate. The oracle aggregates the parquet directly, so a
     //      green row proves the database hand-off is lossless.
+    // ---- S12: ANSI MERGE INTO (upsert) as the full-outer-join
+    //      rewrite — one keyed shuffle, no window; matched keys take
+    //      source values for the update columns, source-only keys
+    //      insert whole, target-only rows pass through
+    "q_s12_merge" -> ((s, dir) => {
+      val tgt = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val updates = orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      val inserts = orders(s, dir).filter(col("o_orderkey") % 1000 === 1)
+        .select((col("o_orderkey") + 90000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("N").as("o_orderstatus"))
+      ops.RelOps.mergeInto(tgt, updates.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_s10_jdbc_roundtrip" -> ((s, dir) => {
       val db = java.nio.file.Files.createTempDirectory("graft-jdbc")
         .toString + "/db"
@@ -4941,6 +4964,28 @@ object SparkEntry {
                 count(DISTINCT relation_id) AS n_rels
          FROM rels JOIN members USING (relation_id)
          GROUP BY rel_type, member_type ORDER BY rel_type, member_type""",
+    // MERGE replayed as the same full-outer CASE rewrite
+    "q_s12_merge" ->
+      """WITH tgt AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders),
+         src AS (
+           SELECT o_orderkey, o_custkey,
+                  o_totalprice + 10.0 AS o_totalprice,
+                  'U' AS o_orderstatus
+           FROM orders WHERE o_orderkey % 4 = 0
+           UNION ALL
+           SELECT o_orderkey + 90000000, o_custkey, o_totalprice, 'N'
+           FROM orders WHERE o_orderkey % 1000 = 1)
+         SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey
+                     ELSE s.o_custkey END AS o_custkey,
+                round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                           ELSE t.o_totalprice END, 2) AS o_totalprice,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                     ELSE t.o_orderstatus END AS o_orderstatus
+         FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+         ORDER BY o_orderkey""",
     "q_s11_bucketed" ->
       """SELECT c_mktsegment, count(*) AS cnt,
                 round(sum(o_totalprice), 2) AS total

@@ -114,4 +114,48 @@ object RelOps {
     */
   def withGlobalAgg(df: DataFrame, aggs: Column*): DataFrame =
     df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+
+  /** ANSI `MERGE INTO` (upsert), the batch-relational rewrite: target
+    * FULL OUTER JOINed to source on `keys`; matched rows take the
+    * source's values for `updateCols` and keep the target's for
+    * everything else, source-only rows INSERT whole, target-only rows
+    * pass through unchanged. Table-format engines (Delta/Iceberg) run
+    * this as row-level transactions; over immutable parquet the rewrite
+    * IS the merge — land the result with [[graft.etl.CatalogOps]] CTAS.
+    *
+    * Contract (the standard MERGE cardinality rule): at most one source
+    * row per key — duplicate source keys would fan matched rows out
+    * nondeterministically; enforce upstream with [[top1PerGroup]].
+    * Presence is tracked by injected marker columns, so NULL-valued key
+    * columns in the data cannot masquerade as "not matched".
+    *
+    * 100 TB shape: exactly one keyed shuffle (the full-outer hash
+    * join); no window, no collect. AQE handles a skewed key the same
+    * way it does every other join in this engine. */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+      updateCols: Seq[String]): DataFrame = {
+    val cols = target.columns.toSeq
+    require(source.columns.toSeq == cols,
+      s"mergeInto needs identical schemas, got ${cols.mkString(",")} vs " +
+        source.columns.mkString(","))
+    require(updateCols.forall(cols.contains) && keys.forall(cols.contains),
+      "update/key columns must exist in the schema")
+    require(keys.intersect(updateCols).isEmpty, "cannot update a merge key")
+    val t = target.withColumn("__tp", lit(true))
+      .select(col("__tp") +: cols.map(c => col(c).as(s"__t_$c")): _*)
+    val s = source.withColumn("__sp", lit(true))
+      .select(col("__sp") +: cols.map(c => col(c).as(s"__s_$c")): _*)
+    val cond = keys.map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _)
+    val matched = col("__tp").isNotNull && col("__sp").isNotNull
+    t.join(s, cond, "full_outer")
+      .select(cols.map { c =>
+        val tc = col(s"__t_$c"); val sc = col(s"__s_$c")
+        val v =
+          if (keys.contains(c)) coalesce(tc, sc)
+          else if (updateCols.contains(c))
+            when(col("__sp").isNotNull, sc).otherwise(tc) // update + insert
+          else when(matched, tc).when(col("__sp").isNotNull, sc).otherwise(tc)
+        v.as(c)
+      }: _*)
+  }
 }

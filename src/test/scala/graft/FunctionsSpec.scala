@@ -408,6 +408,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(r === Map("a" -> Some(1), "b" -> Some(20), "c" -> None, "d" -> Some(4)))
   }
 
+  test("mergeInto: matched updates listed cols only, source-only inserts, target-only passes through") {
+    val target = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "tag", "v")
+    val source = Seq((2L, "UPD", 200.0), (9L, "NEW", 90.0))
+      .toDF("k", "tag", "v")
+    val got = RelOps.mergeInto(target, source, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) === (("x", 10.0)))     // untouched
+    assert(got(2L) === (("y", 200.0)))    // v updated, tag NOT (not listed)
+    assert(got(3L) === (("z", 30.0)))
+    assert(got(9L) === (("NEW", 90.0)))   // inserted whole
+    assert(got.size === 4)
+    // guard rails: schema mismatch and key-update both refuse
+    intercept[IllegalArgumentException] {
+      RelOps.mergeInto(target, source.select($"k", $"v", $"tag"),
+        Seq("k"), Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      RelOps.mergeInto(target, source, Seq("k"), Seq("k", "v"))
+    }
+  }
+
   test("joinAsOf: <= visibility, per-key isolation, no-match nulls") {
     import graft.ops.AsOfJoin
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"))
