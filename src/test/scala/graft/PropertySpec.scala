@@ -85,6 +85,79 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("paragraphDedup invariants on random corpora: conservation, subsequence, determinism, idempotence") {
+    import graft.llm.Dedup
+    val rnd = new scala.util.Random(31L)
+    // small vocabulary forces real cross-document chunk collisions
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (0L until 40L).map { i =>
+      val n = rnd.nextInt(18) + 1
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", $"text", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === docs.map(_._1).toSet, "every document comes back")
+    // conservation: kept + dropped == the doc's chunk count
+    docs.foreach { case (id, text) =>
+      val nChunks = (text.split(" ").length + 2) / 3
+      val (_, kept, dropped) = out(id)
+      assert(kept + dropped === nChunks, s"doc $id chunk conservation")
+    }
+    // each clean text is a concatenation of a subset of the doc's
+    // in-order chunks
+    docs.foreach { case (id, text) =>
+      val chunks = text.split(" ").grouped(3).map(_.mkString(" ")).toSeq
+      val clean = out(id)._1
+      // greedy subsequence check over chunk units
+      var rest = clean
+      chunks.foreach { c =>
+        if (rest == c || rest.startsWith(c + " "))
+          rest = rest.stripPrefix(c).stripPrefix(" ")
+      }
+      assert(rest.isEmpty, s"doc $id: '$clean' not an in-order chunk subset")
+    }
+    // global: every distinct chunk text survives EXACTLY once
+    val keptChunks = out.toSeq.flatMap { case (_, (clean, _, _)) =>
+      if (clean.isEmpty) Seq.empty
+      else clean.split(" ").grouped(3).map(_.mkString(" ")).toSeq
+    }
+    assert(keptChunks.distinct.length === keptChunks.length,
+      "no chunk text survives twice corpus-wide")
+    // idempotence: dedup of the deduped corpus drops nothing
+    val again = Dedup.paragraphDedup(
+        out.toSeq.map { case (id, (c, _, _)) => (id, c) }
+          .filter(_._2.nonEmpty).toDF("doc_id", "text"),
+        "doc_id", $"text", chunkTokens = 3)
+      .agg(sum($"dropped_chunks")).head().getLong(0)
+    assert(again === 0L, "paragraph dedup must be idempotent")
+  }
+
+  test("mergeInto invariants on random upserts: key union, source precedence, idempotence") {
+    import graft.ops.RelOps
+    val rnd = new scala.util.Random(17L)
+    val tKeys = (0L until 60L).filter(_ => rnd.nextBoolean())
+    val sKeys = (0L until 80L).filter(_ => rnd.nextBoolean())
+    val target = tKeys.map(k => (k, s"t$k", k * 1.5)).toDF("k", "tag", "v")
+    val source = sKeys.map(k => (k, s"s$k", k * 10.0)).toDF("k", "tag", "v")
+    val merged = RelOps.mergeInto(target, source, Seq("k"), Seq("v"))
+    val got = merged.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got.keySet === (tKeys ++ sKeys).toSet, "result keys = key union")
+    got.foreach { case (k, (tag, v)) =>
+      val inT = tKeys.contains(k); val inS = sKeys.contains(k)
+      if (inS) assert(v === k * 10.0, s"source precedence on v for $k")
+      else assert(v === k * 1.5)
+      if (inT) assert(tag === s"t$k", s"non-update col keeps target for $k")
+      else assert(tag === s"s$k")
+    }
+    // idempotence: merging the same source again changes nothing
+    val twice = RelOps.mergeInto(merged, source, Seq("k"), Seq("v"))
+    assert(twice.exceptAll(merged).count() === 0L &&
+      merged.exceptAll(twice).count() === 0L, "mergeInto idempotent")
+  }
+
   test("array-form split == relational chain on random graphs with in-way repeats") {
     import graft.ops.RelOps
     import graft.osm.RoadGraph
