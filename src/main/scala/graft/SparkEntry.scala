@@ -1748,6 +1748,28 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- k-core numbers by synchronous H-index iteration (8 fixed
+    //      rounds, oracle-replayed; fixpoint = igraph coreness, spec-
+    //      gated against sequential peeling)
+    "q_osm_coreness" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(
+        (col("l_partkey") % 200).cast("long").as("start_node"),
+        (col("l_suppkey") % 200).cast("long").as("end_node"))
+      osm.GraphCheck.coreness(e, rounds = 8)
+        .orderBy("node_id")
+    }),
+
+    // ---- global transitivity over the same synthetic graph: 6T / Σd(d−1),
+    //      exact longs until the final ratio
+    "q_osm_transitivity" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(
+        (col("l_partkey") % 200).cast("long").as("start_node"),
+        (col("l_suppkey") % 200).cast("long").as("end_node"))
+      osm.GraphCheck.globalTransitivity(e)
+        .select(col("n_triangles"), col("wedges_x2"),
+          round(col("transitivity"), 6).as("transitivity"))
+    }),
+
     "q_osm_components" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       osm.GraphCheck.connectedComponents(
@@ -4278,6 +4300,28 @@ object SparkEntry {
          FROM deg d LEFT JOIN tcnt t ON d.node_id = t.node_id
          ORDER BY node_id""",
     "q_osm_lpa" -> lpaOracleSql(3),
+    "q_osm_coreness" -> corenessOracleSql(8),
+    // transitivity from the same orientation-free triangle enumeration
+    "q_osm_transitivity" ->
+      """WITH und AS (
+           SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS a,
+                  greatest(l_partkey % 200, l_suppkey % 200) AS b
+           FROM lineitem
+           WHERE l_partkey % 200 <> l_suppkey % 200),
+         deg AS (
+           SELECT node_id, count(*) AS degree FROM (
+             SELECT a AS node_id FROM und
+             UNION ALL SELECT b FROM und) GROUP BY node_id),
+         tri AS (
+           SELECT count(*) AS t FROM und e1
+           JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         w AS (SELECT sum(degree * (degree - 1)) AS w2 FROM deg)
+         SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+                CAST(w.w2 AS BIGINT) AS wedges_x2,
+                round(CASE WHEN w.w2 > 0 THEN 6.0 * tri.t / w.w2
+                      ELSE 0.0 END, 6) AS transitivity
+         FROM tri, w""",
     "q_osm_components" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
       "WITH RECURSIVE") +
       """,
@@ -5682,6 +5726,38 @@ $chain
          SELECT CAST(node_id AS BIGINT) AS node_id,
                 CAST(label AS BIGINT) AS community
          FROM l$rounds ORDER BY node_id"""
+  }
+
+  /** H-index coreness replayed round-for-round: fixed rounds →
+    * MATERIALIZED CTE chain; H = max rank r (neighbors sorted by value
+    * desc) with value ≥ r — tie order inside equal values cannot change
+    * H, so row_number is safe on both engines. */
+  private def corenessOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { k =>
+      s"""         h$k AS MATERIALIZED (
+           SELECT a AS node_id,
+                  coalesce(max(CASE WHEN value >= rn THEN rn END), 0) AS value
+           FROM (
+             SELECT s.a, v.value,
+                    CAST(row_number() OVER (PARTITION BY s.a
+                      ORDER BY v.value DESC) AS BIGINT) AS rn
+             FROM csym s JOIN h${k - 1} v ON s.b = v.node_id)
+           GROUP BY a)"""
+    }.mkString(",\n")
+    s"""WITH und AS (
+           SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS a,
+                  greatest(l_partkey % 200, l_suppkey % 200) AS b
+           FROM lineitem
+           WHERE l_partkey % 200 <> l_suppkey % 200),
+         csym AS MATERIALIZED (
+           SELECT a, b FROM und UNION SELECT b, a FROM und),
+         h0 AS MATERIALIZED (
+           SELECT a AS node_id, CAST(count(*) AS BIGINT) AS value
+           FROM csym GROUP BY a),
+$chain
+         SELECT CAST(node_id AS BIGINT) AS node_id,
+                CAST(value AS BIGINT) AS coreness
+         FROM h$rounds ORDER BY node_id"""
   }
 
   /** Same candidate CTEs, verified by DuckDB's own levenshtein instead

@@ -354,6 +354,65 @@ object GraphCheck {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** k-core numbers (igraph `coreness`) by SYNCHRONOUS H-index
+    * iteration (Lü–Zhou–Zhang–Stanley, PNAS 2016): start every node at
+    * its degree, then repeatedly replace each node's value with the
+    * H-index of its neighbors' values (the largest h such that at
+    * least h neighbors hold value ≥ h). The fixpoint is exactly the
+    * node's core number — but the oracle-deterministic CONTRACT here
+    * is "`rounds` synchronous H-rounds" (the labelPropagation policy):
+    * a pure function of the edge set that an independent SQL engine
+    * replays round-for-round, which equals coreness whenever the
+    * iteration has stabilized (spec-verified against a sequential
+    * peeling reference, and monotonically non-increasing so stability
+    * is checkable by running one more round).
+    *
+    * 100 TB shape: per round ONE keyed join (edges × values) and one
+    * per-node ranking window + hash-agg. The window sorts each node's
+    * neighbor list only (partitioned by node, never global); H depends
+    * only on the value multiset, so row_number tie order cannot leak
+    * into the result. localCheckpoint per round keeps plans flat. */
+  def coreness(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges
+      .select(col("start_node").as("a"), col("end_node").as("b"))
+      .unionByName(
+        edges.select(col("end_node").as("a"), col("start_node").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var vals = sym.groupBy(col("a")).agg(count(lit(1)).as("value"))
+      .select(col("a").as("node_id"), col("value"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = sym.join(vals, sym("b") === vals("node_id"))
+        .select(sym("a").as("a"), col("value"))
+      val w = Window.partitionBy("a").orderBy(col("value").desc)
+      vals = nb.withColumn("__r", row_number().over(w).cast("long"))
+        .groupBy(col("a"))
+        .agg(coalesce(max(when(col("value") >= col("__r"), col("__r"))),
+          lit(0L)).as("value"))
+        .select(col("a").as("node_id"), col("value"))
+        .localCheckpoint(true)
+    }
+    vals.select(col("node_id"), col("value").as("coreness"))
+  }
+
+  /** Global transitivity (igraph `transitivity_undirected`): one row
+    * `(n_triangles, wedges_x2, transitivity)` where transitivity =
+    * 3·triangles / wedges = 6·T / Σ deg·(deg−1). Σ per-node triangle
+    * incidences is exactly 3T, so this is one extra scalar aggregate
+    * over [[triangleCounts]] — all arithmetic on exact longs until the
+    * final ratio. */
+  def globalTransitivity(edges: DataFrame): DataFrame =
+    triangleCounts(edges)
+      .agg(sum(col("triangles")).as("__ti"),
+        sum(col("degree") * (col("degree") - lit(1L))).as("__w2"))
+      .select((col("__ti") / 3).cast("long").as("n_triangles"),
+        col("__w2").cast("long").as("wedges_x2"),
+        when(col("__w2") > 0, col("__ti") * 2.0 / col("__w2"))
+          .otherwise(lit(0.0)).as("transitivity"))
+
   def pageRank(edges: DataFrame, iters: Int = 20,
       damping: Double = 0.85, localThreshold: Long = 100000L): DataFrame = {
     val e = edges.select(col("start_node").as("src"),

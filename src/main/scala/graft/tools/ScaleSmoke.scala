@@ -415,6 +415,30 @@ object ScaleSmoke {
     require(astarSettled * 2 < astarTotalNodes,
       s"astar prune weak: settled $astarSettled of $astarTotalNodes")
 
+    // triangle counting + H-index coreness at constant average degree
+    // (hash-random endpoints, 4 edges/node): bounded degrees keep the
+    // degree-ordered wedge join linear-ish; measured at n and 4n,
+    // exponent = log(t_hi/t_lo)/log(4)
+    def cohesionSmoke(n: Long): (Double, Double, Long, Long) = {
+      val edges = spark.range(n * 4).select(
+        pmod(hash(col("id"), lit(1)), lit(n)).cast("long").as("start_node"),
+        pmod(hash(col("id"), lit(2)), lit(n)).cast("long").as("end_node"))
+      val t = System.nanoTime()
+      val tri = graft.osm.GraphCheck.triangleCounts(edges)
+        .agg(coalesce(sum(col("triangles")), lit(0L))).head().getLong(0)
+      val triSec = (System.nanoTime() - t) / 1e9
+      val t2 = System.nanoTime()
+      val maxCore = graft.osm.GraphCheck.coreness(edges, rounds = 6)
+        .agg(max(col("coreness"))).head().getLong(0)
+      val coreSec = (System.nanoTime() - t2) / 1e9
+      (triSec, coreSec, tri / 3, maxCore)
+    }
+    cohesionSmoke(60000L) // warm codegen off the measured path
+    val (triLoSec, coreLoSec, triLoCnt, coreLoMax) = cohesionSmoke(250000L)
+    val (triHiSec, coreHiSec, triHiCnt, coreHiMax) = cohesionSmoke(1000000L)
+    val triExp = math.log(triHiSec / triLoSec) / math.log(4.0)
+    val coreExp = math.log(coreHiSec / coreLoSec) / math.log(4.0)
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -450,7 +474,13 @@ object ScaleSmoke {
       f""""path_sec_lo":$pathLoSec%.2f,"path_sec_hi":$pathHiSec%.2f,""" +
       s""""astar_lattice_nodes":${astarG * astarG},""" +
       s""""astar_settled":$astarSettled,""" +
-      s""""astar_sssp_settled":$astarTotalNodes}""")
+      s""""astar_sssp_settled":$astarTotalNodes,""" +
+      s""""tri_count_lo":$triLoCnt,"tri_count_hi":$triHiCnt,""" +
+      f""""tri_sec_lo":$triLoSec%.2f,"tri_sec_hi":$triHiSec%.2f,""" +
+      f""""tri_exponent":$triExp%.3f,""" +
+      s""""core_max_lo":$coreLoMax,"core_max_hi":$coreHiMax,""" +
+      f""""core_sec_lo":$coreLoSec%.2f,"core_sec_hi":$coreHiSec%.2f,""" +
+      f""""core_exponent":$coreExp%.3f}""")
     spark.stop()
   }
 }

@@ -208,6 +208,43 @@ class RoadGraphSpec extends SparkTestBase {
     assert(got(1L) !== got(12L), "bridge must not merge the cliques")
   }
 
+  test("coreness: H-index rounds match the sequential peel reference and stabilize") {
+    import spark.implicits._
+    // K4 {10..13} core 3; triangle {1,2,3} core 2; pendant 20-10 and
+    // tail 3-30-31 core 1; bridge 4-11 links a core-1 node into K4's shell
+    val es = (for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (20L, 10L), (3L, 30L), (30L, 31L),
+        (4L, 11L))
+    val df = es.toDF("start_node", "end_node")
+    def run(r: Int) = osm.GraphCheck.coreness(df, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = run(8)
+    assert(got === run(9), "H-iteration must have stabilized by round 8")
+    // sequential peeling reference (the textbook k-core algorithm)
+    def peel(): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      es.foreach { case (a, b) =>
+        if (a != b) {
+          adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+        }
+      }
+      val core = scala.collection.mutable.Map.empty[Long, Long]
+      val live = scala.collection.mutable.Set.empty[Long] ++ adj.keys
+      var k = 0L
+      while (live.nonEmpty) {
+        val v = live.minBy(n => (adj(n).count(live), n))
+        k = math.max(k, adj(v).count(live).toLong)
+        core(v) = k
+        live -= v
+      }
+      core.toMap
+    }
+    assert(got === peel())
+    assert(got(10L) === 3L && got(1L) === 2L && got(30L) === 1L &&
+      got(4L) === 1L && got(20L) === 1L)
+  }
+
   test("connected components: 256-chain converges in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the adversarial case: naive min-label propagation
