@@ -944,6 +944,42 @@ object SparkEntry {
     // ---- benchmark decontamination: every doc sharing any word 8-gram
     //      with the benchmark subset (doc_id % 97 == 0) is dropped;
     //      broadcast semi-join of the tiny gram set, anti-join back
+    // ---- the batch curation pipeline END-TO-END: gopher quality gate →
+    //      language ID → exact dedup (min doc_id per content hash) →
+    //      benchmark decontamination → per-language stratified sampling
+    //      + split assignment — every stage a previously-oracled
+    //      operator, composed here so the CROSS-STAGE dataflow is also
+    //      value-checked (the oracle replays the whole chain). Scale
+    //      shape: union of the stages' own shapes — scan-local filters,
+    //      one hash-agg, two semi/anti joins, no window, no collect.
+    "q_t_pipeline" -> ((s, dir) => {
+      val d = spreadDocs(s, dir)
+      val passing = d.join(
+        llm.Curation.gopherFilter(d, "doc_id", col("text"),
+            minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6)
+          .filter(col("pass")).select("doc_id"),
+        Seq("doc_id"))
+      val lang = passing.withColumn("pred_lang",
+        llm.TextAnalysis.languageId(col("text")))
+      val keepers = llm.Dedup.exactDedup(lang, "doc_id", md5(col("text")))
+        .select(col("keeper").as("doc_id"))
+      val deduped = lang.join(keepers, Seq("doc_id"))
+      val benchmark = d.filter(col("doc_id") % 97 === 0)
+      val cleaned = llm.Curation.decontaminate(deduped, benchmark,
+        "doc_id", col("text"), n = 8)
+      val sampled = llm.Curation.sampleByHash(cleaned, col("doc_id"),
+        col("pred_lang"), Map("en" -> 0.7, "und" -> 0.3),
+        defaultRate = 0.5)
+      // split coin SALTED away from the sampling coin: with the same
+      // key both decisions correlate (every sampling survivor has
+      // coin < 0.7, so split would read 'train' for all of them)
+      sampled.select(col("doc_id"), col("pred_lang"),
+          llm.Curation.splitAssign(
+            concat(col("doc_id").cast("string"), lit(":split")))
+            .as("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_t_decontam" -> ((s, dir) => {
       val d = spreadDocs(s, dir)
       val benchmark = d.filter(col("doc_id") % 97 === 0)
@@ -3438,6 +3474,76 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, lang, source FROM u
          WHERE rn <= 10 ORDER BY lang, doc_id""",
+    // the full curation chain replayed stage-for-stage (each fragment is
+    // the corresponding single-op oracle's, re-scoped to the previous
+    // stage's survivors)
+    "q_t_pipeline" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+                  len(string_split(text, ' ')) AS n_tok,
+                  length(text) AS n_chars,
+                  length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+                  len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','an','and','or','of','to','in','is',
+                               'it','that','for','on','with','as','at','by'))) AS sw,
+                  len(list_distinct(string_split(text, ' '))) AS n_uniq
+           FROM documents),
+         passed AS (
+           SELECT doc_id, text FROM f
+           WHERE n_tok BETWEEN 30 AND 10000
+             AND n_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+             AND n_punct / CAST(n_chars AS DOUBLE) <= 0.1
+             AND sw >= 2
+             AND (n_tok - n_uniq) / CAST(n_tok AS DOUBLE) <= 0.6),
+         lang AS (
+           SELECT doc_id, text,
+                  CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+                       WHEN de >= greatest(en, es, fr) THEN 'de'
+                       WHEN en >= greatest(es, fr) THEN 'en'
+                       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang
+           FROM (
+             SELECT doc_id, text,
+               len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+               len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS de,
+               len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('el','la','de','que','y','los','en','un','por','con'))) AS es,
+               len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('le','la','de','et','les','des','est','un','une','dans'))) AS fr
+             FROM passed)),
+         keepers AS (
+           SELECT min(doc_id) AS doc_id FROM lang GROUP BY md5(text)),
+         dd AS (
+           SELECT l.doc_id, l.text, l.pred_lang
+           FROM lang l JOIN keepers k ON l.doc_id = k.doc_id),
+         btoks AS (SELECT string_split(text, ' ') AS t FROM documents
+                   WHERE doc_id % 97 = 0),
+         bgrams AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+                    FROM btoks,
+                         UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)),
+         dtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+         dirty AS (SELECT DISTINCT doc_id
+                   FROM dtoks,
+                        UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)
+                   WHERE array_to_string(t[i:i+7], ' ')
+                     IN (SELECT g FROM bgrams)),
+         clean AS (SELECT doc_id, pred_lang FROM dd
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         final AS (
+           SELECT doc_id, pred_lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 AS coin,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                    1, 8))::BIGINT / 4294967296.0 AS scoin
+           FROM clean)
+         SELECT doc_id, pred_lang,
+                CASE WHEN scoin < 0.8 THEN 'train'
+                     WHEN scoin < 0.9 THEN 'val' ELSE 'test' END AS split
+         FROM final
+         WHERE coin < CASE pred_lang WHEN 'en' THEN 0.7
+                      WHEN 'und' THEN 0.3 ELSE 0.5 END
+         ORDER BY doc_id""",
     "q_t_decontam" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                        FROM documents),
