@@ -344,6 +344,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"final plan should read the checkpoint, not re-derive rounds:\n$p")
   }
 
+  test("curation pipeline e2e: no window, no nested-loop, dedup is a hash-agg, decontam gram set broadcasts") {
+    val df = SparkEntry.queries("q_t_pipeline")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window "), s"no window in the pipeline:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in the pipeline:\n$p")
+    // exact dedup = min-per-content-hash hash agg with map-side partials
+    assert(p.contains("partial_min"), s"dedup should map-side combine:\n$p")
+    // decontamination's benchmark gram set is tiny -> broadcast semi join
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), s"decontam semi-join should broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"contaminated ids anti-join back:\n$p")
+  }
+
   test("lm score: model relation cached once, feeds every consumer") {
     val df = SparkEntry.queries("q_t_lm_score")(spark, sf)
     df.collect()
