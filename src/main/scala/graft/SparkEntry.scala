@@ -1795,6 +1795,17 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- degree assortativity over the same synthetic graph: exact
+    //      long sums, one float ratio at the end
+    "q_osm_assortativity" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(
+        (col("l_partkey") % 200).cast("long").as("start_node"),
+        (col("l_suppkey") % 200).cast("long").as("end_node"))
+      osm.GraphCheck.degreeAssortativity(e)
+        .select(col("n_pairs"),
+          round(col("assortativity"), 6).as("assortativity"))
+    }),
+
     // ---- global transitivity over the same synthetic graph: 6T / Σd(d−1),
     //      exact longs until the final ratio
     "q_osm_transitivity" -> ((s, dir) => {
@@ -4407,6 +4418,29 @@ object SparkEntry {
          ORDER BY node_id""",
     "q_osm_lpa" -> lpaOracleSql(3),
     "q_osm_coreness" -> corenessOracleSql(8),
+    // assortativity: same symmetrized-pair Pearson with exact long sums
+    "q_osm_assortativity" ->
+      """WITH und AS (
+           SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS a,
+                  greatest(l_partkey % 200, l_suppkey % 200) AS b
+           FROM lineitem
+           WHERE l_partkey % 200 <> l_suppkey % 200),
+         asym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+         deg AS (SELECT a AS node_id, count(*) AS degree
+                 FROM asym GROUP BY a),
+         p AS (
+           SELECT da.degree AS x, db.degree AS y
+           FROM asym s
+           JOIN deg da ON s.a = da.node_id
+           JOIN deg db ON s.b = db.node_id),
+         m AS (SELECT count(*) AS n, sum(x) AS sx,
+                      sum(x * x) AS sxx, sum(x * y) AS sxy FROM p)
+         SELECT CAST(n AS BIGINT) AS n_pairs,
+                round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                      ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+                  AS assortativity
+         FROM m""",
     // transitivity from the same orientation-free triangle enumeration
     "q_osm_transitivity" ->
       """WITH und AS (

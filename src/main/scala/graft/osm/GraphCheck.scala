@@ -398,6 +398,43 @@ object GraphCheck {
     vals.select(col("node_id"), col("value").as("coreness"))
   }
 
+  /** Degree assortativity (igraph `assortativity_degree`, Newman 2002):
+    * the Pearson correlation of (deg(u), deg(v)) over the SYMMETRIZED
+    * edge list (each undirected edge contributes both orientations, so
+    * the x/y marginals coincide). All sums are exact longs — n, Σx,
+    * Σx², Σxy — so the only float op is the final ratio and an
+    * independent SQL engine reproduces it bit-for-bit before rounding.
+    * Regular graphs (zero degree variance) return 0.0 by convention
+    * (igraph returns NaN; NaN does not hash portably).
+    *
+    * 100 TB shape: one degree hash-agg, two keyed joins to attach
+    * endpoint degrees, one scalar aggregate. No window, no collect. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("start_node"), col("end_node")).as("a"),
+        greatest(col("start_node"), col("end_node")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.unionByName(
+      und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node_id"))
+      .agg(count(lit(1)).as("degree"))
+    val pairs = sym
+      .join(deg.select(col("node_id").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node_id").as("b"), col("degree").as("__db")), "b")
+    pairs.agg(count(lit(1)).as("__n"), sum(col("__da")).as("__sx"),
+        sum(col("__da") * col("__da")).as("__sxx"),
+        sum(col("__da") * col("__db")).as("__sxy"))
+      .select(col("__n").as("n_pairs"),
+        when(col("__n") * col("__sxx") - col("__sx") * col("__sx") === 0, 0.0)
+          .otherwise(
+            (col("__n") * col("__sxy") - col("__sx") * col("__sx"))
+              .cast("double") /
+              (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+                .cast("double"))
+          .as("assortativity"))
+  }
+
   /** Global transitivity (igraph `transitivity_undirected`): one row
     * `(n_triangles, wedges_x2, transitivity)` where transitivity =
     * 3·triangles / wedges = 6·T / Σ deg·(deg−1). Σ per-node triangle

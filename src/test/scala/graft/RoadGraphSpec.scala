@@ -208,6 +208,33 @@ class RoadGraphSpec extends SparkTestBase {
     assert(got(1L) !== got(12L), "bridge must not merge the cliques")
   }
 
+  test("degree assortativity: star is -1, regular graph is 0 by convention, random graph matches local Pearson") {
+    import spark.implicits._
+    def r(es: Seq[(Long, Long)]): Double =
+      osm.GraphCheck.degreeAssortativity(es.toDF("start_node", "end_node"))
+        .head().getDouble(1)
+    // star K1,5: perfectly disassortative
+    assert(math.abs(r((1L to 5L).map(i => (0L, i))) - (-1.0)) < 1e-12)
+    // cycle (2-regular): zero degree variance -> 0.0 by convention
+    assert(r((0L until 6L).map(i => (i, (i + 1) % 6))) === 0.0)
+    // random graph vs a plain-Scala Pearson over symmetrized pairs
+    val rnd = new scala.util.Random(5L)
+    val es = (0 until 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(t => t._1 != t._2).distinct
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val sym = canon ++ canon.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = sym.map { case (a, _) => deg(a) }
+    val ys = sym.map { case (_, b) => deg(b) }
+    val n = xs.length.toDouble
+    val sx = xs.sum.toDouble; val sxx = xs.map(x => x * x).sum.toDouble
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+    val want = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert(math.abs(r(es) - want) < 1e-9, s"got ${r(es)} want $want")
+  }
+
   test("coreness: H-index rounds match the sequential peel reference and stabilize") {
     import spark.implicits._
     // K4 {10..13} core 3; triangle {1,2,3} core 2; pendant 20-10 and
