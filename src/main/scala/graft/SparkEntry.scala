@@ -4433,12 +4433,21 @@ object SparkEntry {
            FROM asym s
            JOIN deg da ON s.a = da.node_id
            JOIN deg db ON s.b = db.node_id),
-         m AS (SELECT count(*) AS n, sum(x) AS sx,
-                      sum(x * x) AS sxx, sum(x * y) AS sxy FROM p)
+         m AS (SELECT count(*) AS n,
+                      sum(CAST(x AS DECIMAL(19,0))) AS sx,
+                      sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                        AS sxx,
+                      sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                        AS sxy FROM p)
          SELECT CAST(n AS BIGINT) AS n_pairs,
-                round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
-                      ELSE CAST(n * sxy - sx * sx AS DOUBLE)
-                           / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+                round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                      THEN 0.0
+                      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      END, 6)
                   AS assortativity
          FROM m""",
     // transitivity from the same orientation-free triangle enumeration

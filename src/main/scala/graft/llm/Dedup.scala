@@ -447,20 +447,27 @@ object Dedup {
     * winner side is unique per hash, and the composite key spreads hot
     * chunk texts; (3) per-document reassembly, a groupBy on the doc id.
     * Hashing instead of joining on chunk strings is the
-    * [[duplicatePassages]] policy: a 64-bit collision can only
-    * OVER-drop, and the exact-string DuckDB oracle would catch one at
+    * [[duplicatePassages]] policy, WIDENED: the winner key is
+    * `(xxhash64(chunk), length(chunk))` — a 64-bit hash alone sees
+    * expected birthday collisions at ~1e10+ chunks (a 100 TB corpus),
+    * silently over-dropping distinct chunks; the composite key pushes
+    * collision probability back below corpus scale (colliding chunks
+    * must also share exact length) at zero extra shuffle cost. The
+    * exact-string DuckDB oracle would catch a residual collision at
     * test scale. */
   def paragraphDedup(docs: DataFrame, idCol: String, text: Column,
       chunkTokens: Int): DataFrame = {
     val chunks = TextAnalysis.chunkByTokens(docs, idCol, text, chunkTokens)
       .withColumn("__h", xxhash64(col("chunk_text")))
+      .withColumn("__hl", length(col("chunk_text")))
     val winners = chunks
-      .groupBy(col("__h"))
+      .groupBy(col("__h"), col("__hl"))
       .agg(min(struct(col(idCol), col("chunk_id"))).as("__w"))
-      .select(col("__h").as("__wh"), col("__w").getField(idCol).as("__wid"),
+      .select(col("__h").as("__wh"), col("__hl").as("__whl"),
+        col("__w").getField(idCol).as("__wid"),
         col("__w").getField("chunk_id").as("__widx"))
     val kept = chunks.join(winners,
-      col("__h") === col("__wh") &&
+      col("__h") === col("__wh") && col("__hl") === col("__whl") &&
         col(idCol) === col("__wid") && col("chunk_id") === col("__widx"))
     val reassembled = kept
       .groupBy(col(idCol))

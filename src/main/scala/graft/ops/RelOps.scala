@@ -125,15 +125,23 @@ object RelOps {
     *
     * Contract (the standard MERGE cardinality rule): at most one source
     * row per key — duplicate source keys would fan matched rows out
-    * nondeterministically; enforce upstream with [[top1PerGroup]].
-    * Presence is tracked by injected marker columns, so NULL-valued key
-    * columns in the data cannot masquerade as "not matched".
+    * nondeterministically, which ANSI MERGE treats as an ERROR, so with
+    * `enforceCardinality = true` (the default) the op pre-flights one
+    * hash-agg over the source keys and fails loudly on a duplicate
+    * instead of silently duplicating target rows. At 100 TB that
+    * pre-flight is one extra source-sized job; callers who already
+    * guarantee uniqueness upstream (e.g. via [[top1PerGroup]]) pass
+    * `enforceCardinality = false` to skip it. Presence is tracked by
+    * injected marker columns, so NULL-valued key columns in the data
+    * cannot masquerade as "not matched"; the injected names live under
+    * the reserved `__` prefix, which input schemas must not use (a user
+    * column literally named `__tp` would otherwise be overwritten).
     *
     * 100 TB shape: exactly one keyed shuffle (the full-outer hash
     * join); no window, no collect. AQE handles a skewed key the same
     * way it does every other join in this engine. */
   def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
-      updateCols: Seq[String]): DataFrame = {
+      updateCols: Seq[String], enforceCardinality: Boolean = true): DataFrame = {
     val cols = target.columns.toSeq
     require(source.columns.toSeq == cols,
       s"mergeInto needs identical schemas, got ${cols.mkString(",")} vs " +
@@ -141,6 +149,17 @@ object RelOps {
     require(updateCols.forall(cols.contains) && keys.forall(cols.contains),
       "update/key columns must exist in the schema")
     require(keys.intersect(updateCols).isEmpty, "cannot update a merge key")
+    require(!cols.exists(_.startsWith("__")),
+      "mergeInto reserves the __ column-name prefix for its presence " +
+        s"markers; rename ${cols.filter(_.startsWith("__")).mkString(",")}")
+    if (enforceCardinality) {
+      val dup = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE source has duplicate key ${dup.headOption.orNull} — ANSI " +
+          "MERGE forbids more than one source row per target row")
+    }
     val t = target.withColumn("__tp", lit(true))
       .select(col("__tp") +: cols.map(c => col(c).as(s"__t_$c")): _*)
     val s = source.withColumn("__sp", lit(true))

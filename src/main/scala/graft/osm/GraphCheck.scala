@@ -367,13 +367,21 @@ object GraphCheck {
     * peeling reference, and monotonically non-increasing so stability
     * is checkable by running one more round).
     *
-    * 100 TB shape: per round ONE keyed join (edges × values) and one
-    * per-node ranking window + hash-agg. The window sorts each node's
-    * neighbor list only (partitioned by node, never global); H depends
-    * only on the value multiset, so row_number tie order cannot leak
-    * into the result. localCheckpoint per round keeps plans flat. */
+    * 100 TB shape: per round ONE keyed join (edges × values) and TWO
+    * hash-aggs — WINDOW-FREE. The H-index needs only the multiset of
+    * neighbor values, so the round first histograms `(node, value)`
+    * pairs (map-side partial aggregation absorbs a celebrity hub: a
+    * 10⁶-degree node whose neighbors hold v distinct values arrives at
+    * the reducer as ≤v·partitions partial rows, never 10⁶ rows into
+    * one sorted window partition), then folds each node's (value,
+    * count) histogram — sorted by value DESCENDING, cumulating counts
+    * c — as H = max over prefixes of min(value, c) (the classic
+    * citation-curve intersection). Histogram width is bounded by the
+    * node's distinct neighbor values (≤ current max value, which only
+    * shrinks round over round — values are H-indices after round 1),
+    * so the per-node fold is tiny. localCheckpoint per round keeps
+    * plans flat. */
   def coreness(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sym = edges
       .select(col("start_node").as("a"), col("end_node").as("b"))
       .unionByName(
@@ -387,25 +395,51 @@ object GraphCheck {
     for (_ <- 1 to rounds) {
       val nb = sym.join(vals, sym("b") === vals("node_id"))
         .select(sym("a").as("a"), col("value"))
-      val w = Window.partitionBy("a").orderBy(col("value").desc)
-      vals = nb.withColumn("__r", row_number().over(w).cast("long"))
-        .groupBy(col("a"))
-        .agg(coalesce(max(when(col("value") >= col("__r"), col("__r"))),
-          lit(0L)).as("value"))
-        .select(col("a").as("node_id"), col("value"))
+      val hist = nb.groupBy(col("a"), col("value"))
+        .agg(count(lit(1)).as("__c"))
+      vals = hist.groupBy(col("a"))
+        .agg(sort_array(collect_list(struct(col("value"), col("__c"))),
+          asc = false).as("__h"))
+        .select(col("a").as("node_id"),
+          hIndexFromHistogram(col("__h")).as("value"))
         .localCheckpoint(true)
     }
     vals.select(col("node_id"), col("value").as("coreness"))
   }
 
+  /** H-index from a (value, count) histogram sorted by value DESC:
+    * fold cumulating the count `c`; H = max over prefixes of
+    * min(value, c). Equals the H-index of the expanded multiset (at
+    * threshold t = valueᵢ the number of elements ≥ t is exactly the
+    * cumulated count), evaluated on distinct values only — the
+    * window-free form of the neighbor ranking. */
+  private[graft] def hIndexFromHistogram(hist: Column): Column =
+    aggregate(hist,
+      struct(lit(0L).as("c"), lit(0L).as("h")),
+      (st, x) => {
+        val c = st.getField("c") + x.getField("__c")
+        struct(c.as("c"),
+          greatest(st.getField("h"), least(x.getField("value"), c)).as("h"))
+      },
+      st => st.getField("h"))
+
   /** Degree assortativity (igraph `assortativity_degree`, Newman 2002):
     * the Pearson correlation of (deg(u), deg(v)) over the SYMMETRIZED
     * edge list (each undirected edge contributes both orientations, so
-    * the x/y marginals coincide). All sums are exact longs — n, Σx,
-    * Σx², Σxy — so the only float op is the final ratio and an
-    * independent SQL engine reproduces it bit-for-bit before rounding.
-    * Regular graphs (zero degree variance) return 0.0 by convention
-    * (igraph returns NaN; NaN does not hash portably).
+    * the x/y marginals coincide). The moment SUMS are exact and
+    * overflow-safe at the 100 TB shape: per-row products are formed in
+    * DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) (degrees to ~1e19
+    * cannot wrap the way a silent non-ANSI long product would) and
+    * summed in DECIMAL(38,0) (exact to 1e38 — room for 1e12 edges of
+    * 1e9-degree hubs, and Spark raises on overflow instead of
+    * wrapping). Only the FINAL `n·Σxy − (Σx)²` products and the ratio
+    * run in double — order-free (the sums are exact, so no partial-sum
+    * nondeterminism) and reproduced bit-for-bit by an independent SQL
+    * engine applying the same casts. Precision bound: each double
+    * product carries ≤2 ulp, so the absolute error of the correlation
+    * is ~1e-15·(n·Σxy)/denominator — only coefficients within that of
+    * 0 lose digits. Regular graphs (zero degree variance) return 0.0
+    * by convention (igraph returns NaN; NaN does not hash portably).
     *
     * 100 TB shape: one degree hash-agg, two keyed joins to attach
     * endpoint degrees, one scalar aggregate. No window, no collect. */
@@ -422,16 +456,21 @@ object GraphCheck {
     val pairs = sym
       .join(deg.select(col("node_id").as("a"), col("degree").as("__da")), "a")
       .join(deg.select(col("node_id").as("b"), col("degree").as("__db")), "b")
-    pairs.agg(count(lit(1)).as("__n"), sum(col("__da")).as("__sx"),
-        sum(col("__da") * col("__da")).as("__sxx"),
-        sum(col("__da") * col("__db")).as("__sxy"))
+    val da = col("__da").cast("decimal(19,0)")
+    val db = col("__db").cast("decimal(19,0)")
+    pairs.agg(count(lit(1)).as("__n"),
+        sum(da).as("__sx"),
+        sum(da * da).as("__sxx"),
+        sum(da * db).as("__sxy"))
       .select(col("__n").as("n_pairs"),
-        when(col("__n") * col("__sxx") - col("__sx") * col("__sx") === 0, 0.0)
+        when(col("__n").cast("double") * col("__sxx").cast("double")
+            - col("__sx").cast("double") * col("__sx").cast("double") === 0.0,
+          0.0)
           .otherwise(
-            (col("__n") * col("__sxy") - col("__sx") * col("__sx"))
-              .cast("double") /
-              (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
-                .cast("double"))
+            (col("__n").cast("double") * col("__sxy").cast("double")
+              - col("__sx").cast("double") * col("__sx").cast("double")) /
+            (col("__n").cast("double") * col("__sxx").cast("double")
+              - col("__sx").cast("double") * col("__sx").cast("double")))
           .as("assortativity"))
   }
 
