@@ -423,6 +423,93 @@ object Dedup {
       .drop("__island")
   }
 
+  /** EXACT substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the ExactSubstr pass): every
+    * duplicated token span of length >= k is REMOVED from every
+    * occurrence except the globally first one, and each document is
+    * reassembled from its surviving tokens. Where [[duplicatePassages]]
+    * FLAGS approximate spans via hashed heavy-hitter n-grams, this op
+    * is exact (string-keyed winners — a 64-bit collision cannot
+    * over-drop) and rewrites the corpus.
+    *
+    * Semantics, precisely: a k-token window occurrence (doc, pos) is a
+    * duplicate iff its window TEXT occurs at any other (doc, pos); the
+    * canonical occurrence of a window text is min(doc, pos). Every
+    * token position covered by a NON-canonical duplicate window is
+    * dropped. Because a duplicated span of length L >= k duplicates all
+    * its L-k+1 windows, maximal duplicated spans are removed in full at
+    * every non-first occurrence and survive intact at the first — the
+    * Lee et al. cut rule, without materializing a suffix array. (A
+    * self-overlapping repeat like "a a a a" keeps only its first
+    * window's tokens: positions covered by any later duplicate window
+    * go, the well-defined distributed analog of their sequential cut.)
+    *
+    * Returns one row per input document:
+    * `(idCol, clean_text, total_tokens, removed_tokens)` — documents
+    * whose every token sat in duplicated spans come back with
+    * `clean_text = ''`.
+    *
+    * 100 TB shape — the suffix array of the corpus (Lee et al.'s
+    * single-node tool) needs ~8 bytes of RAM per corpus byte; this is
+    * the shuffle-native equivalent for a fixed minimum span k:
+    * (1) HASH PREFILTER: one xxhash64-keyed count — the overwhelmingly
+    * unique gram mass (map-side partials absorb boilerplate skew) dies
+    * here and never shuffles its string; (2) exact winners: a
+    * string-keyed hash-agg over SURVIVORS ONLY (size = true duplicate
+    * mass, not corpus mass — the lesson from duplicatePassages'
+    * measured 1.21 string-key exponent); (3) coverage: dup windows
+    * explode to k positions, distinct — k x duplicate mass, not corpus
+    * mass; (4) reassembly: one anti-join of the token table against
+    * covered positions and a per-doc groupBy, the paragraphDedup
+    * shape. No all-pairs stage, no window function, no suffix array. */
+  def substringDedup(docs: DataFrame, idCol: String, text: Column,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
+    val grams = toks.select(col(idCol),
+      posexplode(TextAnalysis.rawWordNgrams(array_join(col("__toks"), " "), k))
+        .as(Seq("pos", "g")))
+    // phase 1: cheap hash prefilter — a gram whose HASH is globally
+    // unique cannot be a duplicate; only hash-repeated grams carry
+    // their string into the exact stage
+    val hot = grams.groupBy(xxhash64(col("g")).as("__gh"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("__gh"))
+    val survivors = grams
+      .join(hot, xxhash64(col("g")) === col("__gh"), "left_semi")
+    // phase 2: exact, string-keyed — first occurrence wins
+    val winners = survivors.groupBy(col("g"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("g").as("__wg"),
+        col("__w").getField(idCol).as("__wid"),
+        col("__w").getField("pos").as("__wpos"))
+    val dupWindows = survivors.join(winners, col("g") === col("__wg"))
+      .filter(!(col(idCol) === col("__wid") && col("pos") === col("__wpos")))
+      .select(col(idCol).as("__did"), col("pos"))
+    val covered = dupWindows
+      .select(col("__did"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("__cp"))
+      .distinct()
+    val tokenTbl = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__tp", "__tok")))
+    val kept = tokenTbl.join(covered,
+      tokenTbl(idCol) === covered("__did") && col("__tp") === col("__cp"),
+      "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+          c => c.getField("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val totals = toks.select(col(idCol), size(col("__toks")).as("__total"))
+    totals.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("__total").cast("long").as("total_tokens"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).cast("long")
+          .as("removed_tokens"))
+  }
+
   /** Paragraph-level exact dedup with document reassembly — the CCNet /
     * RefinedWeb curation pass: split each document into fixed-size
     * token chunks ("paragraphs"), keep only the GLOBALLY FIRST
@@ -440,12 +527,13 @@ object Dedup {
     *
     * 100 TB shape: three keyed shuffles, no windows over corpus-wide
     * keys, no all-pairs stage — (1) first-occurrence winners via a
-    * hash-agg `min(struct(doc, pos))` GROUPED BY `xxhash64(chunk)`
-    * (map-side partials absorb boilerplate skew: a chunk duplicated a
-    * billion times arrives at the reducer once per map partition);
-    * (2) an equi-join of chunks to winners on (hash, doc, pos) — the
-    * winner side is unique per hash, and the composite key spreads hot
-    * chunk texts; (3) per-document reassembly, a groupBy on the doc id.
+    * hash-agg `min(struct(doc, pos))` GROUPED BY
+    * `(xxhash64(chunk), length(chunk))` (map-side partials absorb
+    * boilerplate skew: a chunk duplicated a billion times arrives at
+    * the reducer once per map partition); (2) an equi-join of chunks to
+    * winners on (hash, length, doc, pos) — the winner side is unique
+    * per (hash, length), and the composite key spreads hot chunk
+    * texts; (3) per-document reassembly, a groupBy on the doc id.
     * Hashing instead of joining on chunk strings is the
     * [[duplicatePassages]] policy, WIDENED: the winner key is
     * `(xxhash64(chunk), length(chunk))` — a 64-bit hash alone sees

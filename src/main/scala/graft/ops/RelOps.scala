@@ -128,7 +128,12 @@ object RelOps {
     * nondeterministically, which ANSI MERGE treats as an ERROR, so with
     * `enforceCardinality = true` (the default) the op pre-flights one
     * hash-agg over the source keys and fails loudly on a duplicate
-    * instead of silently duplicating target rows. At 100 TB that
+    * instead of silently duplicating target rows. Source rows with a
+    * NULL in any key column are exempt from the check — under the
+    * AND-chained `===` join condition they can never match, so they
+    * cannot fan out (each simply INSERTs). Note the pre-flight is an
+    * EAGER job (`limit(1).collect()`) inside an otherwise lazy plan
+    * builder. At 100 TB that
     * pre-flight is one extra source-sized job; callers who already
     * guarantee uniqueness upstream (e.g. via [[top1PerGroup]]) pass
     * `enforceCardinality = false` to skip it. Presence is tracked by
@@ -153,7 +158,13 @@ object RelOps {
       "mergeInto reserves the __ column-name prefix for its presence " +
         s"markers; rename ${cols.filter(_.startsWith("__")).mkString(",")}")
     if (enforceCardinality) {
-      val dup = source.groupBy(keys.map(col): _*)
+      // A NULL in ANY key column makes the AND-chained === join condition
+      // non-true, so such a source row can never match a target row and
+      // duplicates among them cannot fan out — exclude them from the check
+      // (they still INSERT, one row each).
+      val dup = source
+        .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
         .limit(1).collect()
       require(dup.isEmpty,

@@ -1,7 +1,7 @@
 package graft.osm
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Graph-construction validation utilities over the exported edge list.
   *
@@ -295,6 +295,132 @@ object GraphCheck {
     labels
   }
 
+  /** Newman modularity of a community labeling (igraph `modularity`,
+    * the first number every user computes after [[labelPropagation]] —
+    * the reference hands its edge list to igraph for exactly this,
+    * osm-pg-etl.md:34-52): Q = Σ_c [ L_c/m − (D_c/2m)² ] over the
+    * canonical simple undirected graph, where m = |edges|, L_c = edges
+    * inside community c, D_c = Σ degrees of c's nodes.
+    *
+    * Numeric contract (the degreeAssortativity policy): everything up
+    * to the final ratio is EXACT — the per-community numerator
+    * 4·m·L_c − D_c² is formed and summed in DECIMAL(38,0) (room for
+    * 1e12 edges), and only the single division Q = Σnum / (4m²) runs
+    * in double, reproduced bit-for-bit by an independent SQL engine.
+    *
+    * Returns ONE row `(m_edges, n_communities, modularity)`.
+    *
+    * 100 TB shape: two keyed label-attach joins, one degree hash-agg,
+    * two per-community hash-aggs, one scalar agg. No window, no
+    * collect; the scalar m rides a broadcast cross join. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("start_node"), col("end_node")).as("a"),
+        greatest(col("start_node"), col("end_node")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val la = labels.select(col("node_id").as("a"), col("label").as("__ca"))
+    val lb = labels.select(col("node_id").as("b"), col("label").as("__cb"))
+    val lc = und.join(la, "a").join(lb, "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("label")).agg(count(lit(1)).as("__Lc"))
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("__d"))
+    val dc = deg.join(labels.select(col("node_id").as("n"), col("label")), "n")
+      .groupBy("label").agg(sum(col("__d")).as("__Dc"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    dc.join(lc, Seq("label"), "left")
+      .select(col("label"), coalesce(col("__Lc"), lit(0L)).as("__Lc"),
+        col("__Dc"))
+      .crossJoin(broadcast(m))
+      .agg(first(col("__m")).as("m_edges"),
+        count(lit(1)).as("n_communities"),
+        sum((col("__m") * 4).cast("decimal(19,0)")
+            * col("__Lc").cast("decimal(19,0)")
+          - col("__Dc").cast("decimal(19,0)")
+            * col("__Dc").cast("decimal(19,0)")).as("__num"))
+      .select(col("m_edges"), col("n_communities"),
+        round(col("__num").cast("double") /
+          (col("m_edges").cast("double") * col("m_edges").cast("double")
+            * 4.0), 6).as("modularity"))
+  }
+
+  /** One SYNCHRONOUS local-move refinement round over a community
+    * labeling — the parallel form of a Louvain phase-1 sweep (Blondel
+    * et al. 2008; synchronous variant as in distributed-Louvain
+    * implementations): every node evaluates moving to each NEIGHBOR
+    * community and takes the best strictly-positive modularity gain,
+    * all moves applied simultaneously. Sequential Louvain is
+    * schedule-dependent (un-oracle-able); the synchronous round is a
+    * pure function of (edges, labels), replayed exactly by SQL.
+    *
+    * The gain test is EXACT integer arithmetic — no double ΔQ:
+    * maximizing ΔQ(n: old→c) over candidates c reduces to maximizing
+    * `2m·w_{n,c} − d_n·D_c` (ties to the smallest c), and the move
+    * fires iff `2m·(w_new − w_old) > d_n·(D_new − D_old + d_n)`
+    * (both sides DECIMAL(38,0); the 1/m and 1/2m² scalings cancel).
+    * w_{n,c} = edges from n into c, D_c = degree mass of c, computed
+    * BEFORE any move (synchronous semantics; a round can in principle
+    * oscillate on adjacent simultaneous movers — the documented
+    * parallel-Louvain tradeoff — but each accepted move is individually
+    * Q-positive against the pre-round state).
+    *
+    * 100 TB shape: one neighbor-label join + (node, community)
+    * hash-agg for w, one degree agg, one community agg for D, one
+    * per-node argmin(struct). No window, no collect. */
+  def refineCommunities(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("start_node"), col("end_node")).as("a"),
+        greatest(col("start_node"), col("end_node")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node_id"))
+      .agg(count(lit(1)).as("__d"))
+    val lbl = labels.select(col("node_id"), col("label"))
+    val dc = deg.join(lbl, "node_id")
+      .groupBy("label").agg(sum(col("__d")).as("__Dc"))
+    val w = sym
+      .join(lbl.select(col("node_id").as("b"), col("label").as("__c")), "b")
+      .groupBy(col("a").as("node_id"), col("__c"))
+      .agg(count(lit(1)).as("__w"))
+    val m = und.agg((count(lit(1)) * 2).cast("decimal(19,0)").as("__2m"))
+    val scored = w
+      .join(dc.select(col("label").as("__c"), col("__Dc")), "__c")
+      .join(lbl, "node_id").join(deg, "node_id")
+      .crossJoin(broadcast(m))
+      .withColumn("__gain2m2",
+        col("__2m") * col("__w").cast("decimal(19,0)")
+          - col("__d").cast("decimal(19,0)")
+            * col("__Dc").cast("decimal(19,0)"))
+    // own-community standing: w_old and D_old ride the same scored rows
+    // where __c == label; a node with no internal edge has w_old = 0
+    // but still needs D_old — take it from dc directly
+    val own = scored.filter(col("__c") === col("label"))
+      .select(col("node_id"), col("__w").as("__wOld"))
+    val best = scored.filter(col("__c") =!= col("label"))
+      .groupBy(col("node_id"))
+      .agg(min(struct((-col("__gain2m2")).as("ng"), col("__c").as("c"),
+        col("__w").as("w"), col("__Dc").as("D"))).as("__b"))
+      .select(col("node_id"), col("__b.c").as("__cNew"),
+        col("__b.w").as("__wNew"), col("__b.D").as("__DNew"))
+    lbl.join(deg, Seq("node_id"), "left")
+      .join(dc.select(col("label"), col("__Dc").as("__DOld")), Seq("label"), "left")
+      .join(own, Seq("node_id"), "left")
+      .join(best, Seq("node_id"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("node_id"),
+        when(col("__cNew").isNotNull &&
+          col("__2m") * (col("__wNew").cast("decimal(19,0)")
+            - coalesce(col("__wOld"), lit(0L)).cast("decimal(19,0)"))
+          > col("__d").cast("decimal(19,0)")
+            * (col("__DNew").cast("decimal(19,0)")
+              - col("__DOld").cast("decimal(19,0)")
+              + col("__d").cast("decimal(19,0)")),
+          col("__cNew")).otherwise(col("label")).as("label"))
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient —
     * the igraph `count_triangles` / `transitivity_local` pair, the
     * standard cohesion metrics over a road/social graph.
@@ -393,18 +519,24 @@ object GraphCheck {
       .select(col("a").as("node_id"), col("value"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val nb = sym.join(vals, sym("b") === vals("node_id"))
-        .select(sym("a").as("a"), col("value"))
-      val hist = nb.groupBy(col("a"), col("value"))
-        .agg(count(lit(1)).as("__c"))
-      vals = hist.groupBy(col("a"))
-        .agg(sort_array(collect_list(struct(col("value"), col("__c"))),
-          asc = false).as("__h"))
-        .select(col("a").as("node_id"),
-          hIndexFromHistogram(col("__h")).as("value"))
-        .localCheckpoint(true)
+      vals = corenessRound(sym, vals).localCheckpoint(true)
     }
     vals.select(col("node_id"), col("value").as("coreness"))
+  }
+
+  /** ONE H-index round of [[coreness]], built lazily (no checkpoint) so
+    * the plan can be audited: PlanAuditSpec asserts it contains no
+    * Window node — the whole point of the histogram-fold rewrite. */
+  private[graft] def corenessRound(sym: DataFrame, vals: DataFrame): DataFrame = {
+    val nb = sym.join(vals, sym("b") === vals("node_id"))
+      .select(sym("a").as("a"), col("value"))
+    val hist = nb.groupBy(col("a"), col("value"))
+      .agg(count(lit(1)).as("__c"))
+    hist.groupBy(col("a"))
+      .agg(sort_array(collect_list(struct(col("value"), col("__c"))),
+        asc = false).as("__h"))
+      .select(col("a").as("node_id"),
+        hIndexFromHistogram(col("__h")).as("value"))
   }
 
   /** H-index from a (value, count) histogram sorted by value DESC:
@@ -461,11 +593,15 @@ object GraphCheck {
     pairs.agg(count(lit(1)).as("__n"),
         sum(da).as("__sx"),
         sum(da * da).as("__sxx"),
-        sum(da * db).as("__sxy"))
+        sum(da * db).as("__sxy"),
+        min(col("__da")).as("__dmin"),
+        max(col("__da")).as("__dmax"))
       .select(col("__n").as("n_pairs"),
-        when(col("__n").cast("double") * col("__sxx").cast("double")
-            - col("__sx").cast("double") * col("__sx").cast("double") === 0.0,
-          0.0)
+        // Zero variance detected EXACTLY (all endpoint degrees equal), not
+        // via the double-rounded denominator: on a large regular graph with
+        // n·Σxx > 2^53 the double test can read nonzero and, since Σxy=Σxx
+        // there, return 1.0 instead of the documented 0.0 convention.
+        when(col("__dmin") === col("__dmax"), 0.0)
           .otherwise(
             (col("__n").cast("double") * col("__sxy").cast("double")
               - col("__sx").cast("double") * col("__sx").cast("double")) /

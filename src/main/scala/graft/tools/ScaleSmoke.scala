@@ -439,6 +439,27 @@ object ScaleSmoke {
     val triExp = math.log(triHiSec / triLoSec) / math.log(4.0)
     val coreExp = math.log(coreHiSec / coreLoSec) / math.log(4.0)
 
+    // celebrity-hub coreness: ONE node of degree 1M. The old sorted-window
+    // H-index path funneled all 1M neighbor rows into a single window
+    // partition (straggler); the histogram fold reduces them map-side to
+    // <= distinct-values x partitions rows, so wall time here should sit
+    // near the uniform-graph time per edge, not blow up on the one key.
+    def coreHubSmoke(spokes: Long): (Double, Long) = {
+      val star = spark.range(1L, spokes + 1).select(
+        lit(0L).as("start_node"), col("id").as("end_node"))
+      // a K8 welded on spokes 1..8 so the answer isn't all-ones
+      val k8 = spark.range(8L * 8).select(
+        (col("id") / 8 + 1).cast("long").as("start_node"),
+        (col("id") % 8 + 1).cast("long").as("end_node"))
+        .filter(col("start_node") < col("end_node"))
+      val t = System.nanoTime()
+      val maxCore = graft.osm.GraphCheck
+        .coreness(star.unionByName(k8), rounds = 4)
+        .agg(max(col("coreness"))).head().getLong(0)
+      ((System.nanoTime() - t) / 1e9, maxCore)
+    }
+    val (coreHubSec, coreHubMax) = coreHubSmoke(1000000L)
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -480,7 +501,9 @@ object ScaleSmoke {
       f""""tri_exponent":$triExp%.3f,""" +
       s""""core_max_lo":$coreLoMax,"core_max_hi":$coreHiMax,""" +
       f""""core_sec_lo":$coreLoSec%.2f,"core_sec_hi":$coreHiSec%.2f,""" +
-      f""""core_exponent":$coreExp%.3f}""")
+      f""""core_exponent":$coreExp%.3f,""" +
+      s""""core_hub_degree":1000000,"core_hub_max":$coreHubMax,""" +
+      f""""core_hub_sec":$coreHubSec%.2f}""")
     spark.stop()
   }
 }

@@ -389,6 +389,53 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("opqIvfPqResidualTopK: identity rotation reduces to plain residual IVF-PQ; permutation rotation equals search in hand-permuted space") {
+    import graft.llm.{Pca, Similarity}
+    val rnd = new scala.util.Random(11)
+    val dim = 8; val m = 2; val kcb = 4; val nlist = 4
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identity: the composed chain must equal the plain one bit-for-bit
+    val id = Similarity.permutationRotation(0 until dim)
+    val centsI = Similarity.initCentroids(vecs, "vec_id", "embedding", nlist)
+    val cbI = Similarity.pqCodebooksFixed(
+      Similarity.residualCorpus(vecs, "vec_id", "embedding", centsI),
+      "vec_id", "embedding", m, kcb)
+    assert(rows(Similarity.opqIvfPqResidualTopK(vecs, queries, "vec_id",
+        "embedding", "query_id", 5, id, centsI, nlist, cbI)) ===
+      rows(Similarity.ivfPqResidualTopK(vecs, queries, "vec_id",
+        "embedding", "query_id", 5, centsI, nlist, cbI)))
+    // nontrivial permutation: composed == plain chain on the corpus
+    // permuted BY HAND (same rotated-space quantizers both sides)
+    val perm = Seq(3, 0, 6, 1, 7, 2, 5, 4)
+    val rot = Similarity.permutationRotation(perm)
+    val permuted = vecs.select(col("vec_id"),
+      Pca.project(col("embedding"), rot).as("embedding"))
+    val qPermuted = queries.select(col("query_id"),
+      Pca.project(col("embedding"), rot).as("embedding"))
+    val cents = Similarity.initCentroids(permuted, "vec_id", "embedding", nlist)
+    val cb = Similarity.pqCodebooksFixed(
+      Similarity.residualCorpus(permuted, "vec_id", "embedding", cents),
+      "vec_id", "embedding", m, kcb)
+    assert(rows(Similarity.opqIvfPqResidualTopK(vecs, queries, "vec_id",
+        "embedding", "query_id", 5, rot, cents, nlist, cb)) ===
+      rows(Similarity.ivfPqResidualTopK(permuted, qPermuted, "vec_id",
+        "embedding", "query_id", 5, cents, nlist, cb)))
+    // and Pca.project under the permutation model really permutes
+    val got = permuted.filter(col("vec_id") === 0L)
+      .head().getSeq[Double](1).toIndexedSeq
+    val src = vecs.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).map(_.toDouble).toIndexedSeq
+    assert(got === perm.map(src), "permutation rotation must move values exactly")
+    intercept[IllegalArgumentException] {
+      Similarity.permutationRotation(Seq(0, 0, 1))
+    }
+  }
+
   test("OPQ eigenvalue allocation: balanced subspaces, rotation orthonormal, ADC recall beats naive PQ on anisotropic data") {
     import graft.llm.{Pca, Similarity}
     val dim = 16; val m = 4; val kcb = 8
@@ -572,6 +619,37 @@ class LlmSpec extends SparkTestBase {
       "doc_id", $"text", chunkTokens = 3).head()
     assert(self.getString(1) === "p q r")
     assert(self.getLong(2) === 1L && self.getLong(3) === 2L)
+  }
+
+  test("substringDedup: duplicated >=k spans cut at non-first occurrences, sub-k overlaps untouched, self-repeats keep one window") {
+    // A owns tokens t1..t12; B copies A's whole 12-token span behind a
+    // 2-token prefix and adds a distinct tail; C shares only an
+    // 11-token prefix of that span (< k) — untouched; D is all-dup.
+    val span = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, span),                              // canonical — survives whole
+      (2L, s"pre fix $span u1 u2"),            // loses the 12-span copy
+      (3L, (1 to 11).map(i => s"t$i").mkString(" ") + " z9"), // 11 < k
+      (4L, span)                               // full dup -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "doc_id", $"text", k = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((span, 12L, 0L)), "first occurrence keeps its span")
+    assert(out(2L) === (("pre fix u1 u2", 16L, 12L)), "copy cut, unique kept")
+    assert(out(3L) === (((1 to 11).map(i => s"t$i").mkString(" ") + " z9",
+      12L, 0L)), "sub-k overlap untouched")
+    assert(out(4L) === (("", 12L, 12L)), "whole-doc dup emptied")
+    // self-overlapping repeat: "a a a a a" at k=2 keeps only the first
+    // window's tokens (later windows are all duplicates of (doc, 0))
+    val self = Dedup.substringDedup(
+      Seq((9L, "a a a a a")).toDF("doc_id", "text"), "doc_id", $"text", k = 2)
+      .head()
+    // positions 1..4 are covered by the duplicate windows at 1/2/3
+    // (position 1 sits in the canonical window too, but coverage by ANY
+    // non-canonical window drops it) -> only position 0 survives
+    assert(self.getString(1) === "a")
+    assert(self.getLong(3) === 4L)
   }
 
   test("semanticDupPairs: planted clusters, within-cluster dups found, cross-cluster blocked") {

@@ -477,4 +477,49 @@ class PlanAuditSpec extends SparkTestBase {
       !mp.contains("CartesianProduct"),
       s"containment must stay a cell equi-join:\n$mp")
   }
+
+  test("coreness round plan is window-free (histogram fold, not a ranking window)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("start_node", "end_node")
+    val sym = edges
+      .select(col("start_node").as("a"), col("end_node").as("b"))
+      .unionByName(
+        edges.select(col("end_node").as("a"), col("start_node").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val vals = sym.groupBy(col("a")).agg(count(lit(1)).as("value"))
+      .select(col("a").as("node_id"), col("value"))
+    val round = osm.GraphCheck.corenessRound(sym, vals)
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"coreness round must histogram-fold, never rank in a window:\n$p")
+    // and the fold really runs: one round of H-index on this fixture
+    val got = round.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("coreness skewed hub: a 200k-degree star folds through the histogram, no per-neighbor rows") {
+    // A celebrity hub is the topology the old sorted-window path
+    // straggles on (one partition gets all 200k neighbor rows). The
+    // histogram path reduces the hub's neighbors map-side to <= values
+    // x partitions rows, so this completes in seconds. Correctness:
+    // star core = 1 for every node; with a K4 welded onto spoke 1 the
+    // clique keeps core 3.
+    import spark.implicits._
+    val n = 200000L
+    val star = spark.range(1L, n + 1).select(lit(0L).as("start_node"),
+      col("id").as("end_node"))
+    val k4 = Seq((1L, n + 1), (1L, n + 2), (1L, n + 3), (n + 1, n + 2),
+      (n + 1, n + 3), (n + 2, n + 3)).toDF("start_node", "end_node")
+    val core = osm.GraphCheck.coreness(star.unionByName(k4), rounds = 4)
+    val stats = core.agg(
+      max(when(col("node_id") === 0L, col("coreness"))).as("hub"),
+      max(when(col("node_id") >= 2L && col("node_id") <= n,
+        col("coreness"))).as("spoke_max"),
+      min(when(col("node_id") > n, col("coreness"))).as("clique_min"))
+      .head()
+    assert(stats.getLong(0) === 1L, "hub of a star has coreness 1")
+    assert(stats.getLong(1) === 1L, "pure spokes have coreness 1")
+    assert(stats.getLong(2) === 3L, "welded K4 keeps coreness 3")
+  }
 }
