@@ -1233,7 +1233,19 @@ object SparkEntry {
     }),
 
     "q_d_embedding_pairs" -> ((s, dir) => {
-      llm.Dedup.embeddingNearDups(spreadEmb(s, dir), "vec_id", "embedding",
+      val e = spreadEmb(s, dir)
+      // planted exact duplicates: ids <8 re-keyed +100000 and scaled by
+      // 2.0f — a power-of-two scaling is exact in float and flips no
+      // LSH projection sign, so recall of the planted pairs is
+      // GUARANTEED (same buckets in every table) and cosine is exactly
+      // 1.0 on both engines. Without them this row was green-on-empty:
+      // no natural pair in the synthetic corpus clears 0.9.
+      val planted = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") < 8)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+              .as("embedding")))
+      llm.Dedup.embeddingNearDups(planted, "vec_id", "embedding",
           threshold = 0.9, numBits = 12, numTables = 32)
         .orderBy("id_a", "id_b")
     }),
@@ -2031,6 +2043,30 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- Newman modularity of the LPA communities — the first number
+    //      every igraph user computes after community detection. Exact
+    //      DECIMAL(38,0) numerator, one double ratio (the assortativity
+    //      numeric contract), bit-matched by the oracle's HUGEINT sums.
+    "q_osm_modularity" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val edges = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val labels = osm.GraphCheck.labelPropagation(edges, rounds = 3)
+      osm.GraphCheck.modularity(edges, labels)
+    }),
+
+    // ---- one synchronous local-move refinement round (parallel
+    //      Louvain phase-1 step) over the LPA labels: exact-integer
+    //      gain test, all moves simultaneous — a pure function of the
+    //      graph, replayed move-for-move by the oracle
+    "q_osm_refine" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val edges = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val labels = osm.GraphCheck.labelPropagation(edges, rounds = 3)
+      osm.GraphCheck.refineCommunities(edges, labels)
+        .select(col("node_id"), col("label").as("community"))
+        .orderBy("node_id")
+    }),
+
     // ---- connected components at DATA SCALE on a worst-case topology:
     //      64-node CHAIN components synthesized from part (edge k->k+1
     //      unless k % 64 == 0). Chains are the adversarial case for
@@ -2164,6 +2200,26 @@ object SparkEntry {
     //      integer CENTIMETERS (round(length*100)::BIGINT) so path
     //      sums are bit-portable across engines — the hopping-window
     //      lesson applied to routing. Unreachable nodes absent.
+    // ---- turn-restricted routing (pgr_trsp analog): SSSP over the
+    //      edge-expanded diamond fixture with restrictions extracted
+    //      from type=restriction relations by the REAL extractor — the
+    //      banned straight-on (201->202 via 2) forces the 2-3-4 detour
+    //      (dist 4 instead of 2) and the mandatory only_right
+    //      (205->204 via 3) closes the 2-3-5 shortcut (dist 4 via the
+    //      long branch instead of 3)
+    "q_osm_route_restricted" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (1L, 1L, 2L, 1L, 201L), (2L, 2L, 4L, 1L, 202L),
+        (3L, 1L, 3L, 3L, 203L), (4L, 3L, 4L, 2L, 204L),
+        (5L, 2L, 3L, 1L, 205L), (6L, 3L, 5L, 1L, 206L)
+      ).toDF("edge_id", "start_node", "end_node", "w", "way_id")
+      val (rels, mems) = osm.OsmModel.restrictionRelations(s)
+      val restr = osm.RoadGraph.turnRestrictions(rels, mems)
+      osm.GraphCheck.restrictedShortestPaths(edges, restr, source = 1L)
+        .orderBy("node_id")
+    }),
+
     "q_osm_route" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
@@ -2522,6 +2578,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- REAL JPEG decode (JDK ImageIO): same fixture shape as
+    //      q_mm_decode_png but through the LOSSY codec — dims/format
+    //      are exactly predictable; the pixel probe gates |decoded -
+    //      encoded gray| <= 3 per channel (uniform gray confines JPEG
+    //      error to the luma DC quantization step). A header-only
+    //      decode has no pixel to pass the gate with.
+    "q_mm_decode_jpeg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val v = (col("doc_id") * 37) % 256
+      def ch(shift: Int) =
+        shiftright(col("meta.px0"), shift).bitwiseAND(lit(255))
+      llm.Multimodal.decode(jpegMedia(s, dir)).toDF()
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.frames").as("frames"), col("meta.format").as("format"),
+          (abs(ch(16) - v) <= 3 && abs(ch(8) - v) <= 3 &&
+            abs(ch(0) - v) <= 3).as("px_close"))
+        .orderBy("doc_id")
+    }),
+
     // ---- F22 extension: ST_Transform to the reference's planar CRS
     //      (EPSG:3347 Lambert Conformal Conic, osm-road-graphs.sql:11)
     //      as pure column trig; synthetic in-zone points derived from
@@ -2848,6 +2924,34 @@ object SparkEntry {
         .orderBy("case_id")
     }),
 
+    // ---- ST_Buffer (convex, round joins): per-nation synthetic bbox
+    //      buffered by r=2.5 at quad_segs=4 — 4 offset edges + 4
+    //      quarter arcs, 20 ring points per nation. Trig parity with
+    //      DuckDB holds at round-6 (the q_geo_transform policy); the
+    //      `+ 0.0` normalizes -0.0 from near-zero cosines so the hash
+    //      compare can't split on the zero sign.
+    "q_geo_buffer" -> ((s, dir) => {
+      val base = customer(s, dir).select(
+        col("c_nationkey").cast("long").as("nk"),
+        (col("c_custkey") % 50).cast("double").as("x"),
+        ((col("c_custkey") * 7) % 31).cast("double").as("y"))
+      val bbox = base.groupBy("nk").agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .filter(col("x1") > col("x0") && col("y1") > col("y0"))
+      val ring = array(
+        struct(col("x0").as("lon"), col("y0").as("lat")),
+        struct(col("x1").as("lon"), col("y0").as("lat")),
+        struct(col("x1").as("lon"), col("y1").as("lat")),
+        struct(col("x0").as("lon"), col("y1").as("lat")))
+      bbox.select(col("nk"),
+          posexplode(functions.Geo.bufferConvex(ring, 2.5, quadSegs = 4))
+            .as(Seq("pt_seq", "p")))
+        .select(col("nk"), col("pt_seq").cast("long").as("pt_seq"),
+          (round(col("p.lon"), 6) + 0.0).as("lon"),
+          (round(col("p.lat"), 6) + 0.0).as("lat"))
+        .orderBy("nk", "pt_seq")
+    }),
+
     "q_geo_hull" -> ((s, dir) => {
       val base = customer(s, dir).select(
         col("c_nationkey").cast("long").as("nk"),
@@ -3149,6 +3253,19 @@ object SparkEntry {
       llm.Multimodal.MediaItem(id, llm.Multimodal.encodePng(
         (id % 31).toInt + 1, (id % 17).toInt + 1,
         ((id * 2654435761L) % 0x1000000L).toInt))
+    }
+  }
+
+  private def jpegMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    // uniform GRAY payloads (r=g=b): chroma stays exactly 128 through
+    // the lossy codec, so the decode probe only sees the luma DC step
+    documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long].map { id =>
+      val v = ((id * 37) % 256).toInt
+      llm.Multimodal.MediaItem(id, llm.Multimodal.encodeJpeg(
+        (id % 31).toInt + 1, (id % 17).toInt + 1, v * 0x010101))
     }
   }
 
@@ -4309,6 +4426,33 @@ object SparkEntry {
            (4, 0.0, 12.0), (5, 4.0, 4.0), (6, 8.0, 22.0), (7, 4.0, 8.0))
            AS t(case_id, diff_area, sym_area)
          ORDER BY case_id""",
+    // ST_Buffer re-derived: same bbox; an axis-aligned CCW rectangle's
+    // vertex i sweeps its quarter arc from normal angle pi + i*pi/2
+    // (the closed form of the engine's atan2 normals), 4 steps each
+    "q_geo_buffer" ->
+      """WITH base AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                  CAST(c_custkey % 50 AS DOUBLE) AS x,
+                  CAST((c_custkey * 7) % 31 AS DOUBLE) AS y
+           FROM customer),
+         bbox AS (
+           SELECT nk, min(x) AS x0, max(x) AS x1,
+                  min(y) AS y0, max(y) AS y1
+           FROM base GROUP BY nk
+           HAVING max(x) > min(x) AND max(y) > min(y)),
+         pts AS (
+           SELECT nk,
+                  CAST(i.range * 5 + j.range AS BIGINT) AS pt_seq,
+                  CASE i.range WHEN 0 THEN x0 WHEN 1 THEN x1
+                               WHEN 2 THEN x1 ELSE x0 END AS cx,
+                  CASE i.range WHEN 0 THEN y0 WHEN 1 THEN y0
+                               WHEN 2 THEN y1 ELSE y1 END AS cy,
+                  pi() + i.range * pi()/2 + j.range * pi()/8 AS ang
+           FROM bbox, range(4) i, range(5) j)
+         SELECT nk, pt_seq,
+                round(cx + 2.5 * cos(ang), 6) + 0.0 AS lon,
+                round(cy + 2.5 * sin(ang), 6) + 0.0 AS lat
+         FROM pts ORDER BY nk, pt_seq""",
     "q_geo_hull" ->
       """WITH pts AS (
            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk,
@@ -4490,6 +4634,14 @@ object SparkEntry {
                 'png' AS format,
                 CAST((doc_id * 2654435761) % 16777216 AS INT) AS px0
          FROM documents ORDER BY doc_id""",
+    "q_mm_decode_jpeg" ->
+      """SELECT doc_id,
+                CAST(doc_id % 31 + 1 AS INT) AS width,
+                CAST(doc_id % 17 + 1 AS INT) AS height,
+                CAST(1 AS INT) AS frames,
+                'jpeg' AS format,
+                true AS px_close
+         FROM documents ORDER BY doc_id""",
     "q_mm_resize_png" ->
       """SELECT doc_id,
                 CAST(8 AS INT) AS width,
@@ -4613,6 +4765,8 @@ object SparkEntry {
          FROM deg d LEFT JOIN tcnt t ON d.node_id = t.node_id
          ORDER BY node_id""",
     "q_osm_lpa" -> lpaOracleSql(3),
+    "q_osm_modularity" -> modularityOracleSql(3),
+    "q_osm_refine" -> refineOracleSql(3),
     "q_osm_coreness" -> corenessOracleSql(8),
     // assortativity: symmetrized-pair Pearson — exact DECIMAL(38,0) sums,
     // exact min=max zero-variance gate, double only for the final ratio
@@ -4827,6 +4981,69 @@ object SparkEntry {
     // sums exact), expands the strict directed edge set, and runs a
     // hop-bounded recursive CTE with min-per-node — a completely
     // different algorithm arriving at the same distances
+    // turn-restricted routing re-derived: the same relation->restriction
+    // extraction (from/via/to member roles, only_* -> mandatory), the
+    // same line-graph expansion with only_* expanded against actual
+    // turns, recursive relaxation over edge states
+    "q_osm_route_restricted" ->
+      """WITH RECURSIVE
+         edges(edge_id, src, dst, w, way) AS (VALUES
+           (1,1,2,1,201),(2,2,4,1,202),(3,1,3,3,203),
+           (4,3,4,2,204),(5,2,3,1,205),(6,3,5,1,206)),
+         rels(relation_id, rtype, restriction) AS (VALUES
+           (301,'restriction','no_straight_on'),
+           (302,'restriction','only_right_turn'),
+           (303,'route',CAST(NULL AS VARCHAR)),
+           (304,'restriction','no_left_turn')),
+         mem(relation_id, member_id, mtype, role) AS (VALUES
+           (301,201,'W','from'),(301,2,'N','via'),(301,202,'W','to'),
+           (302,205,'W','from'),(302,3,'N','via'),(302,204,'W','to'),
+           (303,201,'W','from'),(303,202,'W','to'),
+           (304,203,'W','from'),(304,204,'W','to')),
+         restr AS (
+           SELECT f.member_id AS from_way, v.member_id AS via_node,
+                  t.member_id AS to_way,
+                  CASE WHEN r.restriction LIKE 'only%' THEN 'only'
+                       ELSE 'no' END AS kind
+           FROM rels r
+           JOIN mem f ON f.relation_id = r.relation_id
+                     AND f.role = 'from' AND f.mtype = 'W'
+           JOIN mem v ON v.relation_id = r.relation_id
+                     AND v.role = 'via' AND v.mtype = 'N'
+           JOIN mem t ON t.relation_id = r.relation_id
+                     AND t.role = 'to' AND t.mtype = 'W'
+           WHERE r.rtype = 'restriction'),
+         turns AS (
+           SELECT e1.edge_id AS a, e2.edge_id AS b, e2.w,
+                  e1.way AS fw, e1.dst AS via, e2.way AS tw
+           FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+         bans AS (
+           SELECT from_way AS fw, via_node AS via, to_way AS tw
+           FROM restr WHERE kind = 'no'
+           UNION ALL
+           SELECT t.fw, t.via, t.tw
+           FROM turns t JOIN restr r
+             ON r.kind = 'only' AND t.fw = r.from_way
+            AND t.via = r.via_node AND t.tw <> r.to_way),
+         lg AS (
+           SELECT t.a, t.b, t.w FROM turns t
+           LEFT JOIN bans bn ON bn.fw = t.fw AND bn.via = t.via
+                            AND bn.tw = t.tw
+           WHERE bn.fw IS NULL),
+         r(edge, dist, hops) AS (
+           SELECT e.edge_id, e.w, 1 FROM edges e WHERE e.src = 1
+           UNION ALL
+           SELECT l.b, r.dist + l.w, r.hops + 1
+           FROM r JOIN lg l ON l.a = r.edge WHERE r.hops < 8),
+         nd AS (
+           SELECT e.dst AS node_id, min(r.dist) AS dist
+           FROM r JOIN edges e ON e.edge_id = r.edge GROUP BY e.dst)
+         SELECT CAST(node_id AS BIGINT) AS node_id,
+                CAST(dist AS BIGINT) AS dist
+         FROM (SELECT 1 AS node_id, 0 AS dist
+               UNION ALL
+               SELECT node_id, dist FROM nd WHERE node_id <> 1)
+         ORDER BY node_id""",
     "q_osm_route" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
       "WITH RECURSIVE") +
       oracleRouteCore +
@@ -5971,21 +6188,22 @@ object SparkEntry {
     // the engine's OR-amplified LSH is expected to reproduce it exactly
     // (~99.5% per-pair recall; zero false positives by construction)
     "q_d_embedding_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])) /
-                      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(a.embedding AS DOUBLE[]))) *
-                       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])))), 6)
+      """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000,
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+           FROM embeddings WHERE vec_id < 8)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.embedding, b.embedding) /
+                      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                       sqrt(list_dot_product(b.embedding, b.embedding))), 6)
                   AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[])) /
-               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(a.embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])))) >= 0.9
+         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.embedding, b.embedding) /
+               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.9
          ORDER BY id_a, id_b"""
   )
 
@@ -6271,7 +6489,10 @@ $chain
     * fixed MATERIALIZED CTE chain (the pagerankOracleSql policy), the
     * per-node argmax as row_number over (count DESC, label) — exactly
     * the engine's (−count, label) struct-min tie order. */
-  private def lpaOracleSql(rounds: Int): String = {
+  /** Shared LPA round chain (graphPrefix + lsym + l0..l{rounds}) — the
+    * WITH-prefix only, so modularity / refinement oracles can extend
+    * the same labeling instead of re-deriving it. */
+  private def lpaChainSql(rounds: Int): String = {
     val chain = (1 to rounds).map { k =>
       s"""         l$k AS MATERIALIZED (
            SELECT a AS node_id, label FROM (
@@ -6291,11 +6512,100 @@ $chain
            WHERE start_node <> end_node),
          l0 AS MATERIALIZED (
            SELECT DISTINCT a AS node_id, a AS label FROM lsym),
-$chain
+$chain"""
+  }
+
+  private def lpaOracleSql(rounds: Int): String =
+    lpaChainSql(rounds) + s"""
          SELECT CAST(node_id AS BIGINT) AS node_id,
                 CAST(label AS BIGINT) AS community
          FROM l$rounds ORDER BY node_id"""
-  }
+
+  /** Newman modularity of the LPA labeling, exact integer sums (DuckDB
+    * BIGINT sums land in HUGEINT — exact), double only in the final
+    * ratio — mirrors GraphCheck.modularity's DECIMAL(38,0) contract. */
+  private def modularityOracleSql(rounds: Int): String =
+    lpaChainSql(rounds) + s""",
+         mund AS MATERIALIZED (
+           SELECT DISTINCT least(start_node, end_node) AS a,
+                  greatest(start_node, end_node) AS b
+           FROM merged WHERE start_node <> end_node),
+         mdeg AS (
+           SELECT node, count(*) AS d FROM (
+             SELECT a AS node FROM mund
+             UNION ALL SELECT b AS node FROM mund)
+           GROUP BY node),
+         mlc AS (
+           SELECT la.label, count(*) AS lc
+           FROM mund
+           JOIN l$rounds la ON mund.a = la.node_id
+           JOIN l$rounds lb ON mund.b = lb.node_id
+           WHERE la.label = lb.label GROUP BY la.label),
+         mdc AS (
+           SELECT la.label, sum(mdeg.d) AS dcs
+           FROM mdeg JOIN l$rounds la ON mdeg.node = la.node_id
+           GROUP BY la.label),
+         mm AS (SELECT count(*) AS m FROM mund)
+         SELECT CAST(mm.m AS BIGINT) AS m_edges,
+                CAST(count(*) AS BIGINT) AS n_communities,
+                round(CAST(sum(4 * mm.m * coalesce(mlc.lc, 0)
+                               - mdc.dcs * mdc.dcs) AS DOUBLE)
+                      / (4.0 * mm.m * mm.m), 6) AS modularity
+         FROM mdc LEFT JOIN mlc ON mlc.label = mdc.label, mm
+         GROUP BY mm.m"""
+
+  /** One synchronous exact-integer local-move round over the LPA
+    * labeling — mirrors GraphCheck.refineCommunities: argmax of
+    * 2m·w − d·D_c (ties to smallest c), move iff
+    * 2m·(w_new − w_old) > d·(D_new − D_old + d), all in HUGEINT. */
+  private def refineOracleSql(rounds: Int): String =
+    lpaChainSql(rounds) + s""",
+         mund AS MATERIALIZED (
+           SELECT DISTINCT least(start_node, end_node) AS a,
+                  greatest(start_node, end_node) AS b
+           FROM merged WHERE start_node <> end_node),
+         rsym AS MATERIALIZED (
+           SELECT a, b FROM mund UNION ALL SELECT b, a FROM mund),
+         rdeg AS (SELECT a AS node_id, count(*) AS d FROM rsym GROUP BY a),
+         rdc AS (
+           SELECT la.label, sum(rdeg.d) AS dcs
+           FROM rdeg JOIN l$rounds la ON rdeg.node_id = la.node_id
+           GROUP BY la.label),
+         rw AS (
+           SELECT r.a AS node_id, lb.label AS c, count(*) AS w
+           FROM rsym r JOIN l$rounds lb ON r.b = lb.node_id
+           GROUP BY r.a, lb.label),
+         m2 AS (SELECT 2 * count(*) AS m2 FROM mund),
+         scored AS (
+           SELECT rw.node_id, rw.c, rw.w, rdc.dcs, la.label AS cur, rdeg.d
+           FROM rw
+           JOIN rdc ON rdc.label = rw.c
+           JOIN l$rounds la ON la.node_id = rw.node_id
+           JOIN rdeg ON rdeg.node_id = rw.node_id),
+         best AS (
+           SELECT node_id, c, w, dcs FROM (
+             SELECT s.node_id, s.c, s.w, s.dcs,
+                    row_number() OVER (PARTITION BY s.node_id
+                      ORDER BY (CAST(m2.m2 AS HUGEINT) * s.w
+                                - CAST(s.d AS HUGEINT) * s.dcs) DESC,
+                               s.c) AS rn
+             FROM scored s, m2 WHERE s.c <> s.cur)
+           WHERE rn = 1),
+         own AS (
+           SELECT node_id, w AS wold FROM scored WHERE c = cur)
+         SELECT CAST(la.node_id AS BIGINT) AS node_id,
+                CAST(CASE WHEN best.node_id IS NOT NULL
+                       AND CAST(m2.m2 AS HUGEINT)
+                             * (best.w - coalesce(own.wold, 0))
+                           > CAST(rdeg.d AS HUGEINT)
+                             * (best.dcs - dcur.dcs + rdeg.d)
+                     THEN best.c ELSE la.label END AS BIGINT) AS community
+         FROM l$rounds la
+         JOIN rdeg ON rdeg.node_id = la.node_id
+         JOIN rdc dcur ON dcur.label = la.label
+         LEFT JOIN best ON best.node_id = la.node_id
+         LEFT JOIN own ON own.node_id = la.node_id, m2
+         ORDER BY la.node_id"""
 
   /** H-index coreness replayed round-for-round: fixed rounds →
     * MATERIALIZED CTE chain; H = max rank r (neighbors sorted by value

@@ -425,6 +425,68 @@ object Geo {
     * semantics). */
   def polygonArea(ring: Column): Column = abs(shoelaceSigned(ring)) / 2
 
+  /** ST_Buffer of a CONVEX polygon with round joins (the PostGIS
+    * default join style) in planar coordinates: each edge is offset
+    * outward by `r` and consecutive offsets are connected by a circular
+    * arc around the shared vertex, sampled at `quadSegs` segments per
+    * quarter circle (PostGIS's quad_segs). For a convex ring this IS
+    * the exact Minkowski sum boundary poly ⊕ disc(r) — vertex i
+    * contributes the arc from its in-edge's outward normal to its
+    * out-edge's (sweeping the exterior angle), and offset edges run
+    * between consecutive arcs. Input ring must be OPEN and CCW (the
+    * repo convention — [[graft.osm.Dissolve]] output shape); output is
+    * the buffered ring in the same form. CONVEX-ONLY contract: a
+    * reflex vertex would need the offset-edge intersection instead of
+    * an arc (and self-intersection cleanup at r beyond the local
+    * feature size) — the general-polygon union machinery PostGIS
+    * delegates to GEOS; out of scope the way overlapping-interior
+    * ST_Union is for [[graft.osm.Dissolve]].
+    *
+    * Closed-form gate (spec): square side s → area(buffer) ≈
+    * s² + 4·s·r + πr², low by exactly πr²·(1 − sinc(π/(8·quadSegs)))
+    * from the inscribed-arc sampling.
+    *
+    * 100 TB shape: pure per-row HOF expression — scan-local, no
+    * shuffle, no UDF. */
+  def bufferConvex(ring: Column, r: Double, quadSegs: Int = 8): Column = {
+    val n = size(ring)
+    val twoPi = 2 * math.Pi
+    val stepRad = math.Pi / 2 / quadSegs
+    flatten(transform(sequence(lit(0), n - 1), i => {
+      val cur = element_at(ring, i + 1)
+      val prev = element_at(ring, pmod(i - 1 + n, n) + 1)
+      val nxt = element_at(ring, pmod(i + 1, n) + 1)
+      def normalAngle(a: Column, b: Column): Column = {
+        // outward (right-hand) normal of edge a->b for a CCW ring:
+        // (dy, -dx) — atan2 normalizes, so no explicit length division
+        val dx = b.getField("lon") - a.getField("lon")
+        val dy = b.getField("lat") - a.getField("lat")
+        atan2(-dx, dy)
+      }
+      val a1 = normalAngle(prev, cur)
+      val delta = pmod(normalAngle(cur, nxt) - a1, lit(twoPi))
+      val steps = greatest(ceil(delta / stepRad).cast("int"), lit(1))
+      transform(sequence(lit(0), steps), j => {
+        val ang = a1 + delta * j.cast("double") / steps.cast("double")
+        struct(
+          (cur.getField("lon") + lit(r) * cos(ang)).as("lon"),
+          (cur.getField("lat") + lit(r) * sin(ang)).as("lat"))
+      })
+    }))
+  }
+
+  /** ST_Buffer of a POINT: the disc of radius `r` as a regular
+    * (4·quadSegs)-gon, CCW from angle 0 — PostGIS point-buffer
+    * semantics at the same quad_segs sampling. */
+  def bufferPoint(p: Column, r: Double, quadSegs: Int = 8): Column = {
+    val sides = 4 * quadSegs
+    transform(sequence(lit(0), lit(sides - 1)), j => {
+      val ang = j.cast("double") * (2 * math.Pi / sides)
+      struct((p.getField("lon") + lit(r) * cos(ang)).as("lon"),
+        (p.getField("lat") + lit(r) * sin(ang)).as("lat"))
+    })
+  }
+
   /** ST_Area in m² — ST_Transform to the LCC planar CRS, then shoelace,
     * the same project-then-measure shape the reference uses for lengths
     * (osm-road-graphs.sql:11). */

@@ -75,12 +75,39 @@ object Bpe {
         .otherwise(concat(st.getField("acc"), array(st.getField("p")))))
   }
 
+  /** True iff `syms` contains the ADJACENT pair (l, r) — the words a
+    * merge round actually touches. Same zip shape as [[pairCounts]]. */
+  private[graft] def hasAdjacentPair(syms: Column, l: String,
+      r: String): Column = {
+    val n = size(syms)
+    exists(arrays_zip(
+        slice(syms, lit(1), n - 1).as("l"), slice(syms, lit(2), n - 1).as("r")),
+      p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
+  }
+
   /** Train `numMerges` BPE merges over a `(word, cnt)` table. Returns
-    * the ranked merge list — driver-sized (the model). Distributed
-    * loop: per round one cached vocabulary-sized scan -> pair hash-agg
-    * -> TakeOrdered(1) -> re-cache merged words; the previous round's
-    * cache is dropped as soon as its successor materializes, so lineage
-    * stays one layer deep and no round rereads the corpus. */
+    * the ranked merge list — driver-sized (the model).
+    *
+    * Distributed loop with INCREMENTAL pair-count maintenance (the
+    * fastBPE/ tokenizers-style bookkeeping, distributed): the pair
+    * table is built ONCE, and each round delta-updates it from only
+    * the words that CONTAIN the winning pair adjacently — subtract
+    * those words' old pair multiset, add their post-merge multiset,
+    * fold into the counts table. A full recount touches every word
+    * every round (the r13 watch item at real vocab sizes: 4M words x
+    * 50k merges = 200G word-rescans); the delta touches the affected
+    * slice, which shrinks fast as merges specialize (the winning
+    * pair's host words are a vanishing vocabulary fraction after the
+    * first dozen rounds). Exactness: counts' = counts + delta is
+    * integer arithmetic — bit-identical merges to the full recount
+    * and to [[trainBpeLocal]] (spec-gated).
+    *
+    * Per round: TakeOrdered(1) off the cached counts table, one
+    * filter scan of the cached vocab, one pair hash-agg over affected
+    * words only, one counts-sized merge agg. `localCheckpoint` (not
+    * persist) on both rolling tables — 256+ rounds of filter+union
+    * would otherwise nest the logical plan 256 deep and stall the
+    * planner (the [[graft.osm.GraphCheck]] loop policy). */
   def trainBpe(wordCounts: DataFrame, numMerges: Int,
       localThreshold: Long = 100000L): Seq[(String, String)] = {
     if (localThreshold > 0 &&
@@ -92,25 +119,41 @@ object Bpe {
       return trainBpeLocal(local, numMerges)
     }
     var words = wordCounts
-      .select(split(col("word"), "").as("syms"), col("cnt")).persist()
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    var counts = pairCounts(words).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var continue = true
     for (_ <- 1 to numMerges if continue) {
-      val top = pairCounts(words)
+      val top = counts
         .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
       if (top.isEmpty) continue = false
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
-        val next = words
+        val hit = hasAdjacentPair(col("syms"), l, r)
+        val affected = words.filter(hit)
+        val mergedW = affected
           .select(mergeOnce(col("syms"), l, r).as("syms"), col("cnt"))
-          .persist()
-        next.count() // materialize before dropping the parent cache
-        words.unpersist()
-        words = next
+          .localCheckpoint(true) // read twice: next vocab + delta
+        val delta = pairCounts(mergedW.unionByName(
+          affected.select(col("syms"), (-col("cnt")).as("cnt"))))
+          .filter(col("c") =!= 0)
+        // coalesce BEFORE the checkpoint: filter∪union preserves parent
+        // partitions, so without it the vocab table GAINS ~one task set
+        // per round — 48 rounds measured 37 min from quadratic task
+        // counts alone; coalesced it's minutes. No shuffle (narrow).
+        val parts = words.rdd.getNumPartitions min
+          words.sparkSession.sparkContext.defaultParallelism
+        words = words.filter(!hit).unionByName(mergedW)
+          .coalesce(parts)
+          .localCheckpoint(true)
+        counts = counts.unionByName(delta)
+          .groupBy("l", "r").agg(sum("c").as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint(true)
       }
     }
-    words.unpersist()
     merges.toList
   }
 

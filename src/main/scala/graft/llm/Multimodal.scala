@@ -92,6 +92,26 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode a solid-`rgb` width x height JPEG — the lossy-codec
+    * counterpart of [[encodePng]]. JPEG round-trips are NOT bit-exact
+    * (DC quantization + YCbCr rounding), but a UNIFORM GRAY image
+    * (r=g=b) keeps chroma at exactly 128 and confines the error to the
+    * luma DC step: decode(encode(gray v)) lands within ±3 of v per
+    * channel — the tolerance the q_mm_decode_jpeg gate rides. */
+  def encodeJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < width) {
+      var y = 0
+      while (y < height) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Wrap any table with a binary payload column into the typed media
     * shape. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String)

@@ -251,6 +251,66 @@ object GraphCheck {
     * one shuffle agg over E — the same loop economics as
     * [[connectedComponentsWithRounds]]; iteration count is a fixed
     * budget (20 ≈ 1e-7 residual at damping 0.85), not data-dependent. */
+  /** Turn-restricted single-source shortest paths — the `pgr_trsp`
+    * analog: SSSP over the EDGE-EXPANDED graph (the line graph), where
+    * a state is "arrived at edge e's head along e" and a transition
+    * e1→e2 exists iff e1 ends where e2 starts AND the turn
+    * (e1.way, via, e2.way) is not banned. `restrictions` carries
+    * `(from_way, via_node, to_way, kind)` from
+    * [[RoadGraph.turnRestrictions]]: `no` bans its triple; `only`
+    * (mandatory turn) bans every OTHER transition off the from-way at
+    * the via node — both expanded here into one ban set, then ONE
+    * left-anti join prunes the line graph. U-turns stay legal unless
+    * explicitly restricted (pgr_trsp's default).
+    *
+    * `edges` carries `(edge_id, start_node, end_node, w, way_id)`;
+    * edge ids must be positive (id −1 seeds the virtual source state).
+    * Returns `(node_id, dist)` with the source at 0; unreachable nodes
+    * absent — [[shortestPaths]] semantics, which the expansion then
+    * inherits round-for-round.
+    *
+    * 100 TB shape: the line graph is Σ_v in(v)·out(v) — bounded by
+    * (max junction degree)·E, a small constant multiple of E on road
+    * networks — built with ONE keyed self-join; bans are a second
+    * keyed anti-join; then the standard SSSP loop economics. No
+    * per-restriction driver logic. */
+  def restrictedShortestPaths(edges: DataFrame, restrictions: DataFrame,
+      source: Long, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    val e1 = edges.select(col("edge_id").as("__a"),
+      col("end_node").as("__via"), col("way_id").as("__fw"))
+    val e2 = edges.select(col("edge_id").as("__b"),
+      col("start_node").as("__via2"), col("way_id").as("__tw"),
+      col("w").as("__w"))
+    val turns = e1.join(e2, col("__via") === col("__via2"))
+    val no = restrictions.filter(col("kind") === "no")
+      .select(col("from_way"), col("via_node"), col("to_way"))
+    val onlyBans = turns.join(
+        restrictions.filter(col("kind") === "only"),
+        col("__fw") === col("from_way") && col("__via") === col("via_node"))
+      .filter(col("__tw") =!= col("to_way"))
+      .select(col("__fw").as("from_way"), col("__via").as("via_node"),
+        col("__tw").as("to_way"))
+    val bans = no.unionByName(onlyBans).distinct()
+    val lg = turns.join(bans,
+        col("__fw") === col("from_way") && col("__via") === col("via_node")
+          && col("__tw") === col("to_way"), "left_anti")
+      .select(col("__a").as("start_node"), col("__b").as("end_node"),
+        col("__w").as("w"))
+    // virtual source state: no from-way, so no restriction can apply
+    val seed = edges.filter(col("start_node") === source)
+      .select(lit(-1L).as("start_node"), col("edge_id").as("end_node"),
+        col("w"))
+    val states = shortestPaths(lg.unionByName(seed), source = -1L, maxIter)
+    val nodeDist = states
+      .join(edges.select(col("edge_id").as("node_id"),
+        col("end_node").as("__n")), "node_id")
+      .groupBy(col("__n").as("node_id")).agg(min(col("dist")).as("dist"))
+    import spark.implicits._
+    nodeDist.filter(col("node_id") =!= source)
+      .unionByName(Seq((source, 0L)).toDF("node_id", "dist"))
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (LPA,
     * Raghavan et al. 2007) with the deterministic contract this
     * engine's oracle policy needs: a FIXED number of rounds, every

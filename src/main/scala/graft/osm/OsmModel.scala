@@ -169,6 +169,40 @@ object OsmModel {
     OsmTables(nodesDf, waysDf, wayNodesOf(spark, waysDf))
   }
 
+  /** Turn-restriction relation fixture (pgsnapshot 0.6 relations /
+    * relation_members, pgsnapshot_schema_0.6.sql:62-80; the
+    * `type=restriction` convention pgRouting's `pgr_trsp` consumes):
+    * one `no_*` and one `only_*` restriction over the diamond routing
+    * fixture's ways, plus a decoy non-restriction relation and a
+    * MALFORMED restriction (no via node) that extraction must drop.
+    * Kept separate from [[microRelations]] so the explore oracles'
+    * enumerated counts stay valid. */
+  def restrictionRelations(spark: SparkSession): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val t = ts("2020-05-08 12:00:00")
+    def rel(id: Long, tags: Map[String, String]) =
+      OsmRelation(id, 1, 1, t, 1L, tags)
+    val relations = Seq(
+      rel(301, Map("type" -> "restriction", "restriction" -> "no_straight_on")),
+      rel(302, Map("type" -> "restriction", "restriction" -> "only_right_turn")),
+      rel(303, Map("type" -> "route", "route" -> "bus")), // decoy: not a restriction
+      rel(304, Map("type" -> "restriction", "restriction" -> "no_left_turn"))
+    ).toDF()
+    val members = Seq(
+      RelationMember(301, 201, "W", "from", 0),
+      RelationMember(301, 2, "N", "via", 1),
+      RelationMember(301, 202, "W", "to", 2),
+      RelationMember(302, 205, "W", "from", 0),
+      RelationMember(302, 3, "N", "via", 1),
+      RelationMember(302, 204, "W", "to", 2),
+      RelationMember(303, 201, "W", "from", 0), // decoy members
+      RelationMember(303, 202, "W", "to", 1),
+      RelationMember(304, 203, "W", "from", 0), // malformed: via missing
+      RelationMember(304, 204, "W", "to", 1)
+    ).toDF()
+    (relations, members)
+  }
+
   /** Way-POI fixture (osm-pois-extract.sql:51-71 coverage): the micro
     * fixture's ways plus three more so every way-POI key (leisure,
     * landuse, sport, amenity) appears and the `highway IS NULL`

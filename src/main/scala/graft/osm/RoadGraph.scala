@@ -356,4 +356,33 @@ object RoadGraph {
 
   private val mergedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Extract turn restrictions from pgsnapshot relations — the
+    * `type=restriction` convention (from-way, via-node, to-way member
+    * roles; pgsnapshot_schema_0.6.sql:62-80) that pgRouting's
+    * `pgr_trsp` honors and the engine's Dijkstra family consumes via
+    * [[GraphCheck.restrictedShortestPaths]]. `kind` is `only` for
+    * `only_*` restriction tags (mandatory turn: every OTHER turn off
+    * the from-way at the via node is banned) and `no` otherwise.
+    * Malformed restrictions (missing from/via/to member) drop in the
+    * inner joins; multi-from/multi-to relations cross-product into one
+    * row per (from, to) pair, the OSM semantics.
+    *
+    * 100 TB shape: three keyed joins on relation_id, all broadcast-
+    * sized in practice (restrictions are a sliver of relations). */
+  def turnRestrictions(relations: DataFrame, members: DataFrame): DataFrame = {
+    val restr = relations
+      .filter(element_at(col("tags"), "type") === "restriction")
+      .select(col("id").as("relation_id"),
+        when(element_at(col("tags"), "restriction").startsWith("only"),
+          "only").otherwise("no").as("kind"))
+    def role(r: String, t: String, as: String) = members
+      .filter(col("member_role") === r && col("member_type") === t)
+      .select(col("relation_id"), col("member_id").as(as))
+    restr
+      .join(role("from", "W", "from_way"), "relation_id")
+      .join(role("via", "N", "via_node"), "relation_id")
+      .join(role("to", "W", "to_way"), "relation_id")
+      .select(col("from_way"), col("via_node"), col("to_way"), col("kind"))
+  }
 }

@@ -112,7 +112,12 @@ object LlmScaleSmoke {
         // near-dup docs share 49 of 50 words -> duplicate 10-token
         // chunks proportional to n; three keyed shuffles, expect ~1.0
         "paragraph_dedup" -> (() =>
-          Dedup.paragraphDedup(docs, "id", col("text"), 10).count()))
+          Dedup.paragraphDedup(docs, "id", col("text"), 10).count()),
+        // near-dup docs share 49-word runs -> duplicated >=12-token
+        // spans proportional to n; hash prefilter keeps the exact
+        // string stage duplicate-mass-sized, expect ~1.0
+        "substring_dedup" -> (() =>
+          Dedup.substringDedup(docs, "id", col("text"), 12).count()))
       ops.filter(kv => wanted(kv._1))
         .map { case (name, body) => name -> timed(body()) }.toMap
     }
@@ -125,7 +130,7 @@ object LlmScaleSmoke {
     val lo = runAll(nLo)
     val hi = runAll(nHi)
     val parts = Seq("minhash", "simhash", "decontam", "dup_passages",
-        "lm_score", "paragraph_dedup").filter(wanted).map { op =>
+        "lm_score", "paragraph_dedup", "substring_dedup").filter(wanted).map { op =>
       val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
       val exp = math.log(tHi / tLo) / math.log(factor)
       f""""${op}_sec_lo":$tLo%.2f,"${op}_sec_hi":$tHi%.2f,""" +
@@ -186,8 +191,33 @@ object LlmScaleSmoke {
         f""""pca_sec_hi":$tHiP%.2f,"pca_exponent":$pcaExp%.3f""")
     } else Nil
 
+    // BPE at REAL merge counts: the r13 watch item was the full pair
+    // recount per round; the incremental delta-maintenance must hold
+    // >=256 merges on a forced-distributed vocabulary without the
+    // per-round cost tracking vocabulary size. Gate: completes all 256
+    // merges; wall time reported for the round-over-round economics.
+    val bpeParts = if (wanted("bpe")) {
+      def bpeRun(nWords: Long, merges: Int): (Double, Int, Long) = {
+        val wc = spark.range(nWords).select(
+          md5(col("id").cast("string"))
+            .substr(lit(1), (pmod(hash(col("id")), lit(6)) + 4).cast("int"))
+            .as("word"),
+          (pmod(hash(col("id"), lit(7)), lit(50)) + 1).cast("long").as("cnt"))
+          .groupBy("word").agg(sum("cnt").as("cnt"))
+          .localCheckpoint(true)
+        val nw = wc.count()
+        val t0 = System.nanoTime()
+        val ms = graft.llm.Bpe.trainBpe(wc, merges, localThreshold = 0)
+        ((System.nanoTime() - t0) / 1e9, ms.length, nw)
+      }
+      bpeRun(5000L, 8) // warm
+      val (bpeSec, bpeMerges, bpeWords) = bpeRun(150000L, 256)
+      Seq(s""""bpe_words":$bpeWords,"bpe_merges":$bpeMerges,""" +
+        f""""bpe_sec":$bpeSec%.2f""")
+    } else Nil
+
     println(s"""{"metric":"llm_scale_smoke","docs_lo":$nLo,"docs_hi":$nHi,""" +
-      (parts ++ quantParts ++ pcaParts).mkString(",") + "}")
+      (parts ++ quantParts ++ pcaParts ++ bpeParts).mkString(",") + "}")
     spark.stop()
   }
 }

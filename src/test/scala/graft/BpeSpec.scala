@@ -60,6 +60,24 @@ class BpeSpec extends SparkTestBase {
     assert(toks(2L) === List("low", "low", "w", "i", "d", "e", "r"))
   }
 
+  test("incremental pair maintenance: 48 distributed merges bit-match the local recount on a random corpus") {
+    // deterministic pseudo-corpus wide enough that merges keep landing
+    // in different words — the regime where the delta bookkeeping must
+    // keep agreeing with a from-scratch recount for many rounds
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    val wc = (1 to 220).map { _ =>
+      val len = 3 + rnd.nextInt(8)
+      (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+        1L + rnd.nextInt(9))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+    val local = Bpe.trainBpeLocal(
+      wc.map { case (w, c) => (w.map(_.toString).toIndexedSeq, c) }, 48)
+    val dist = Bpe.trainBpe(wc.toDF("word", "cnt"), 48, localThreshold = 0)
+    assert(dist === local)
+    assert(dist.length === 48, s"fixture must support 48 merges, got ${dist.length}")
+  }
+
   test("plan audit: one merge round costs exactly one shuffle") {
     val words = fixture.toDF("word", "cnt")
       .select(split(col("word"), "").as("syms"), col("cnt"))

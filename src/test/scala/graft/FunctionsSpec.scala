@@ -856,6 +856,48 @@ class FunctionsSpec extends SparkTestBase {
       s"area ${r.getDouble(0)} vs edge product $approx")
   }
 
+  test("bufferConvex/bufferPoint: closed-form areas (square -> s^2+4sr+pi r^2, disc -> n-gon), convexity preserved") {
+    import org.apache.spark.sql.DataFrame
+    def areaOf(df: DataFrame): Double = df.head().getDouble(0)
+    // unit square, r=0.5, quadSegs=8: sampled arcs are inscribed, so
+    // the EXACT expected area is s^2 + 4sr + 16 r^2 sin(pi/16); the
+    // true Minkowski area s^2 + 4sr + pi r^2 is approached within
+    // pi r^2 (1 - sinc(pi/16)) ~ 0.005
+    val sq = Seq(1).toDF("one").select(array(
+      struct(lit(0.0).as("lon"), lit(0.0).as("lat")),
+      struct(lit(1.0).as("lon"), lit(0.0).as("lat")),
+      struct(lit(1.0).as("lon"), lit(1.0).as("lat")),
+      struct(lit(0.0).as("lon"), lit(1.0).as("lat"))).as("ring"))
+    val r = 0.5
+    val buffered = sq.select(Geo.bufferConvex(col("ring"), r, 8).as("b"))
+    val a = areaOf(buffered.select(Geo.polygonArea(col("b"))))
+    val exactSampled = 1.0 + 4 * r + 16 * r * r * math.sin(math.Pi / 16)
+    assert(math.abs(a - exactSampled) < 1e-9,
+      s"sampled-arc closed form: $a vs $exactSampled")
+    assert(math.abs(a - (1.0 + 4 * r + math.Pi * r * r)) < 0.01,
+      s"Minkowski area within stated tolerance: $a")
+    // buffered ring stays convex and CCW: every cross product positive
+    val ringPts = buffered.select(explode(col("b")).as("p"))
+      .collect().map(x => (x.getStruct(0).getDouble(0), x.getStruct(0).getDouble(1)))
+    val m = ringPts.length
+    assert(m === 4 * 9, "4 vertices x (8 arc steps + 1)")
+    (0 until m).foreach { i =>
+      val (ax, ay) = ringPts(i)
+      val (bx, by) = ringPts((i + 1) % m)
+      val (cx, cy) = ringPts((i + 2) % m)
+      val cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      assert(cross > -1e-12, s"reflex turn at $i: $cross")
+    }
+    // point disc: regular 32-gon, area (n/2) r^2 sin(2pi/n)
+    val disc = Seq(1).toDF("one")
+      .select(Geo.bufferPoint(
+        struct(lit(3.0).as("lon"), lit(4.0).as("lat")), 2.0, 8).as("b"))
+    val ad = areaOf(disc.select(Geo.polygonArea(col("b"))))
+    val expectDisc = 16.0 * 4.0 * math.sin(2 * math.Pi / 32)
+    assert(math.abs(ad - expectDisc) < 1e-9, s"$ad vs $expectDisc")
+    assert(math.abs(ad - math.Pi * 4.0) < 0.1)
+  }
+
   test("property: reverse(reverse(a)) == a (seeded)") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { _ =>

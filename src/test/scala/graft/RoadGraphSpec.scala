@@ -717,4 +717,67 @@ class RoadGraphSpec extends SparkTestBase {
         s"node $v: ${got(v)} vs ${expect.getOrElse(v, 0.0)}")
     }
   }
+
+  test("modularity: closed-form two-triangles+bridge; refinement fixes a planted mislabel and never lowers Q on cliques") {
+    import spark.implicits._
+    // two triangles joined by one bridge, labels = triangle membership:
+    // m=7, L=3 each, D=7 each -> Q = 2*(3/7 - (7/14)^2) = 5/14
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("start_node", "end_node")
+    val triLab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node_id", "label")
+    val q0 = GraphCheck.modularity(tri, triLab).head()
+    assert(q0.getLong(0) === 7L && q0.getLong(1) === 2L)
+    assert(math.abs(q0.getDouble(2) - 5.0 / 14) < 1e-6)
+    // two disjoint K4s, node 4 planted into the wrong community:
+    // refinement must move exactly node 4 back, raising Q to the
+    // perfect-partition 0.5
+    val k4s = (for (g <- Seq(0L, 4L); i <- 1L to 4L; j <- (i + 1) to 4L)
+      yield (g + i, g + j)).toDF("start_node", "end_node")
+    val planted = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L),
+      (6L, 5L), (7L, 5L), (8L, 5L)).toDF("node_id", "label")
+    val qBefore = GraphCheck.modularity(k4s, planted).head().getDouble(2)
+    val refined = GraphCheck.refineCommunities(k4s, planted)
+    val got = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+    val qAfter = GraphCheck.modularity(k4s, refined).head().getDouble(2)
+    assert(qAfter > qBefore, s"$qAfter should beat $qBefore")
+    assert(math.abs(qAfter - 0.5) < 1e-6)
+    // already-perfect clique labels: a refinement round is a no-op and
+    // modularity is non-decreasing (trivially equal)
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L),
+      (6L, 5L), (7L, 5L), (8L, 5L)).toDF("node_id", "label")
+    val stayDf = GraphCheck.refineCommunities(k4s, perfect)
+    val stay = stayDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stay === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+    val qStay = GraphCheck.modularity(k4s, perfect).head().getDouble(2)
+    assert(GraphCheck.modularity(k4s, stayDf).head().getDouble(2) >= qStay)
+  }
+
+  test("turn restrictions: extractor drops decoys/malformed; no_ and only_ reroute the diamond") {
+    import spark.implicits._
+    val (rels, mems) = OsmModel.restrictionRelations(spark)
+    val restr = RoadGraph.turnRestrictions(rels, mems)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // decoy route relation (303) and the via-less restriction (304) gone
+    assert(restr === Set((201L, 2L, 202L, "no"), (205L, 3L, 204L, "only")))
+    val edges = Seq(
+      (1L, 1L, 2L, 1L, 201L), (2L, 2L, 4L, 1L, 202L),
+      (3L, 1L, 3L, 3L, 203L), (4L, 3L, 4L, 2L, 204L),
+      (5L, 2L, 3L, 1L, 205L), (6L, 3L, 5L, 1L, 206L)
+    ).toDF("edge_id", "start_node", "end_node", "w", "way_id")
+    def dists(restrictions: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      GraphCheck.restrictedShortestPaths(edges, restrictions, source = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no restrictions: plain dijkstra distances
+    val none = Seq.empty[(Long, Long, Long, String)]
+      .toDF("from_way", "via_node", "to_way", "kind")
+    assert(dists(none) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+    // restricted: straight-on ban forces 1-2-3-4 (4); only_right at 3
+    // closes 2-3-5, so 5 rides the long branch 1-3-5 (4)
+    val got = dists(RoadGraph.turnRestrictions(rels, mems))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L, 5L -> 4L))
+  }
 }
