@@ -110,14 +110,25 @@ object LlmScaleSmoke {
         "lm_score" -> (() =>
           TextAnalysis.ngramLmScore(docs, "id", col("text")).count()),
         // near-dup docs share 49 of 50 words -> duplicate 10-token
-        // chunks proportional to n; three keyed shuffles, expect ~1.0
-        "paragraph_dedup" -> (() =>
-          Dedup.paragraphDedup(docs, "id", col("text"), 10).count()),
+        // chunks proportional to n; three keyed shuffles, expect ~1.0.
+        // NOT .count(): the final per-doc frame is `totals LEFT JOIN
+        // reassembled` on a unique key, and under count() Catalyst
+        // ELIMINATES the join (and with it the entire dedup) — the
+        // sum over a right-side column forces the real work
+        "paragraph_dedup" -> (() => {
+          val r = Dedup.paragraphDedup(docs, "id", col("text"), 10)
+            .agg(count(lit(1)), sum(col("kept_chunks"))).head()
+          r.getLong(0)
+        }),
         // near-dup docs share 49-word runs -> duplicated >=12-token
         // spans proportional to n; hash prefilter keeps the exact
-        // string stage duplicate-mass-sized, expect ~1.0
-        "substring_dedup" -> (() =>
-          Dedup.substringDedup(docs, "id", col("text"), 12).count()))
+        // string stage duplicate-mass-sized, expect ~1.0 (same forced
+        // aggregate — see paragraph_dedup)
+        "substring_dedup" -> (() => {
+          val r = Dedup.substringDedup(docs, "id", col("text"), 12)
+            .agg(count(lit(1)), sum(col("removed_tokens"))).head()
+          r.getLong(0)
+        }))
       ops.filter(kv => wanted(kv._1))
         .map { case (name, body) => name -> timed(body()) }.toMap
     }
