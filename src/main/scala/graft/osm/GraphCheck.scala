@@ -277,6 +277,29 @@ object GraphCheck {
   def restrictedShortestPaths(edges: DataFrame, restrictions: DataFrame,
       source: Long, maxIter: Int = 100): DataFrame = {
     val spark = edges.sparkSession
+    val lg = restrictedLineGraph(edges, restrictions)
+    // virtual source state: no from-way, so no restriction can apply
+    val seed = edges.filter(col("start_node") === source)
+      .select(lit(-1L).as("start_node"), col("edge_id").as("end_node"),
+        col("w"))
+    val states = shortestPaths(lg.unionByName(seed), source = -1L, maxIter)
+    val nodeDist = states
+      .join(edges.select(col("edge_id").as("node_id"),
+        col("end_node").as("__n")), "node_id")
+      .groupBy(col("__n").as("node_id")).agg(min(col("dist")).as("dist"))
+    import spark.implicits._
+    nodeDist.filter(col("node_id") =!= source)
+      .unionByName(Seq((source, 0L)).toDF("node_id", "dist"))
+  }
+
+  /** The banned-turn-pruned line graph of [[restrictedShortestPaths]],
+    * built LAZILY (the SSSP loop materializes eagerly, so the audit of
+    * the expansion's plan shape — keyed via-node join, real LeftAnti
+    * ban prune, nothing cartesian — needs the pre-loop frame; the
+    * corenessRound policy). Returns `(start_node, end_node, w)` over
+    * edge-id states. */
+  private[graft] def restrictedLineGraph(edges: DataFrame,
+      restrictions: DataFrame): DataFrame = {
     val e1 = edges.select(col("edge_id").as("__a"),
       col("end_node").as("__via"), col("way_id").as("__fw"))
     val e2 = edges.select(col("edge_id").as("__b"),
@@ -292,23 +315,11 @@ object GraphCheck {
       .select(col("__fw").as("from_way"), col("__via").as("via_node"),
         col("__tw").as("to_way"))
     val bans = no.unionByName(onlyBans).distinct()
-    val lg = turns.join(bans,
+    turns.join(bans,
         col("__fw") === col("from_way") && col("__via") === col("via_node")
           && col("__tw") === col("to_way"), "left_anti")
       .select(col("__a").as("start_node"), col("__b").as("end_node"),
         col("__w").as("w"))
-    // virtual source state: no from-way, so no restriction can apply
-    val seed = edges.filter(col("start_node") === source)
-      .select(lit(-1L).as("start_node"), col("edge_id").as("end_node"),
-        col("w"))
-    val states = shortestPaths(lg.unionByName(seed), source = -1L, maxIter)
-    val nodeDist = states
-      .join(edges.select(col("edge_id").as("node_id"),
-        col("end_node").as("__n")), "node_id")
-      .groupBy(col("__n").as("node_id")).agg(min(col("dist")).as("dist"))
-    import spark.implicits._
-    nodeDist.filter(col("node_id") =!= source)
-      .unionByName(Seq((source, 0L)).toDF("node_id", "dist"))
   }
 
   /** Community detection by SYNCHRONOUS label propagation (LPA,

@@ -478,6 +478,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"containment must stay a cell equi-join:\n$mp")
   }
 
+  test("r15 operators keep their scale shapes (substring dedup, restricted route, buffer)") {
+    // exact substring dedup: the hash prefilter must be a real
+    // LeftSemi (the unique gram mass dies before any string shuffle),
+    // winners a hash-agg, and nothing cartesian
+    val sd = plan("q_d_substring_dedup")
+    assert(sd.contains("LeftSemi"), s"hash prefilter should semi-join:\n$sd")
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin"),
+      "substring dedup must stay keyed")
+    // turn-restricted routing: the SSSP loop materializes eagerly, so
+    // audit the LINE-GRAPH frame itself — keyed equi-join on the via
+    // node, ban prune a real LeftAnti, nothing cartesian
+    import spark.implicits._
+    val rEdges = Seq((1L, 1L, 2L, 1L, 201L), (2L, 2L, 4L, 1L, 202L))
+      .toDF("edge_id", "start_node", "end_node", "w", "way_id")
+    val rBans = Seq((201L, 2L, 202L, "no"))
+      .toDF("from_way", "via_node", "to_way", "kind")
+    val rr = osm.GraphCheck.restrictedLineGraph(rEdges, rBans)
+      .queryExecution.executedPlan.toString
+    assert(rr.contains("LeftAnti"), s"bans should anti-join:\n$rr")
+    assert(!rr.contains("CartesianProduct") &&
+      !rr.contains("BroadcastNestedLoopJoin"),
+      s"line-graph expansion must stay keyed:\n$rr")
+    // ST_Buffer: the offset/arc construction is pure per-row HOF work —
+    // after the bbox aggregate there is no further exchange and no join
+    val gb = plan("q_geo_buffer")
+    assert(!gb.toLowerCase.contains("join"), s"buffer must not join:\n$gb")
+  }
+
   test("coreness round plan is window-free (histogram fold, not a ranking window)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
