@@ -2067,6 +2067,19 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- the full distributed Louvain phase-1 loop: three chained
+    //      synchronous local-move rounds over the LPA labels, every
+    //      round's stats recomputed from the previous — the oracle
+    //      unrolls the identical three rounds in HUGEINT
+    "q_osm_louvain" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val edges = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val labels = osm.GraphCheck.labelPropagation(edges, rounds = 3)
+      osm.GraphCheck.refineCommunitiesRounds(edges, labels, rounds = 3)
+        .select(col("node_id"), col("label").as("community"))
+        .orderBy("node_id")
+    }),
+
     // ---- connected components at DATA SCALE on a worst-case topology:
     //      64-node CHAIN components synthesized from part (edge k->k+1
     //      unless k % 64 == 0). Chains are the adversarial case for
@@ -2218,6 +2231,32 @@ object SparkEntry {
       val restr = osm.RoadGraph.turnRestrictions(rels, mems)
       osm.GraphCheck.restrictedShortestPaths(edges, restr, source = 1L)
         .orderBy("node_id")
+    }),
+
+    // ---- the full pgr_trsp surface: point-to-point restricted route
+    //      WITH path reconstruction — pgRouting-shaped rows
+    //      (seq, node_id, edge_id, agg_cost); the banned straight-on
+    //      forces 1-2-3-4 over the direct 1-2-4
+    "q_osm_route_restricted_path" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (1L, 1L, 2L, 1L, 201L), (2L, 2L, 4L, 1L, 202L),
+        (3L, 1L, 3L, 3L, 203L), (4L, 3L, 4L, 2L, 204L),
+        (5L, 2L, 3L, 1L, 205L), (6L, 3L, 5L, 1L, 206L)
+      ).toDF("edge_id", "start_node", "end_node", "w", "way_id")
+      val (rels, mems) = osm.OsmModel.restrictionRelations(s)
+      val restr = osm.RoadGraph.turnRestrictions(rels, mems)
+      val (es, ns, _) = osm.GraphCheck.restrictedRoute(
+        edges, restr, source = 1L, target = 4L).get
+      val w = edges.filter(col("edge_id").isin(es: _*))
+        .select(col("edge_id"), col("w")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = (0L, ns.head, None: Option[Long], 0L) +:
+        es.zipWithIndex.map { case (e, i) =>
+          ((i + 1).toLong, ns(i + 1), Some(e): Option[Long],
+            es.take(i + 1).map(w).sum)
+        }
+      rows.toDF("seq", "node_id", "edge_id", "agg_cost").orderBy("seq")
     }),
 
     "q_osm_route" -> ((s, dir) => {
@@ -4766,7 +4805,8 @@ object SparkEntry {
          ORDER BY node_id""",
     "q_osm_lpa" -> lpaOracleSql(3),
     "q_osm_modularity" -> modularityOracleSql(3),
-    "q_osm_refine" -> refineOracleSql(3),
+    "q_osm_refine" -> refineOracleSql(3, 1),
+    "q_osm_louvain" -> refineOracleSql(3, 3),
     "q_osm_coreness" -> corenessOracleSql(8),
     // assortativity: symmetrized-pair Pearson — exact DECIMAL(38,0) sums,
     // exact min=max zero-variance gate, double only for the final ratio
@@ -4981,6 +5021,81 @@ object SparkEntry {
     // sums exact), expands the strict directed edge set, and runs a
     // hop-bounded recursive CTE with min-per-node — a completely
     // different algorithm arriving at the same distances
+    // restricted route WITH path: same expansion, recursion carries the
+    // edge path and cumulative costs; the unique optimum's rows unrolled
+    "q_osm_route_restricted_path" ->
+      """WITH RECURSIVE
+         edges(edge_id, src, dst, w, way) AS (VALUES
+           (1,1,2,1,201),(2,2,4,1,202),(3,1,3,3,203),
+           (4,3,4,2,204),(5,2,3,1,205),(6,3,5,1,206)),
+         rels(relation_id, rtype, restriction) AS (VALUES
+           (301,'restriction','no_straight_on'),
+           (302,'restriction','only_right_turn'),
+           (303,'route',CAST(NULL AS VARCHAR)),
+           (304,'restriction','no_left_turn')),
+         mem(relation_id, member_id, mtype, role) AS (VALUES
+           (301,201,'W','from'),(301,2,'N','via'),(301,202,'W','to'),
+           (302,205,'W','from'),(302,3,'N','via'),(302,204,'W','to'),
+           (303,201,'W','from'),(303,202,'W','to'),
+           (304,203,'W','from'),(304,204,'W','to')),
+         restr AS (
+           SELECT f.member_id AS from_way, v.member_id AS via_node,
+                  t.member_id AS to_way,
+                  CASE WHEN r.restriction LIKE 'only%' THEN 'only'
+                       ELSE 'no' END AS kind
+           FROM rels r
+           JOIN mem f ON f.relation_id = r.relation_id
+                     AND f.role = 'from' AND f.mtype = 'W'
+           JOIN mem v ON v.relation_id = r.relation_id
+                     AND v.role = 'via' AND v.mtype = 'N'
+           JOIN mem t ON t.relation_id = r.relation_id
+                     AND t.role = 'to' AND t.mtype = 'W'
+           WHERE r.rtype = 'restriction'),
+         turns AS (
+           SELECT e1.edge_id AS a, e2.edge_id AS b, e2.w,
+                  e1.way AS fw, e1.dst AS via, e2.way AS tw
+           FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+         bans AS (
+           SELECT from_way AS fw, via_node AS via, to_way AS tw
+           FROM restr WHERE kind = 'no'
+           UNION ALL
+           SELECT t.fw, t.via, t.tw
+           FROM turns t JOIN restr r
+             ON r.kind = 'only' AND t.fw = r.from_way
+            AND t.via = r.via_node AND t.tw <> r.to_way),
+         lg AS (
+           SELECT t.a, t.b, t.w FROM turns t
+           LEFT JOIN bans bn ON bn.fw = t.fw AND bn.via = t.via
+                            AND bn.tw = t.tw
+           WHERE bn.fw IS NULL),
+         r(edge, dist, hops, epath, cpath) AS (
+           SELECT e.edge_id, e.w, 1, [e.edge_id], [e.w]
+           FROM edges e WHERE e.src = 1
+           UNION ALL
+           SELECT l.b, r.dist + l.w, r.hops + 1,
+                  list_append(r.epath, l.b),
+                  list_append(r.cpath, r.dist + l.w)
+           FROM r JOIN lg l ON l.a = r.edge WHERE r.hops < 6),
+         best AS (
+           SELECT r.epath, r.cpath
+           FROM r JOIN edges te ON te.edge_id = r.edge
+           WHERE te.dst = 4 ORDER BY r.dist, r.epath LIMIT 1),
+         hop_src AS (
+           SELECT unnest(epath) AS eid,
+                  generate_subscripts(epath, 1) AS i, cpath
+           FROM best),
+         hops AS (
+           SELECT CAST(u.i AS BIGINT) AS seq,
+                  CAST(ed.dst AS BIGINT) AS node_id,
+                  CAST(u.eid AS BIGINT) AS edge_id,
+                  CAST(u.cpath[u.i] AS BIGINT) AS agg_cost
+           FROM hop_src u JOIN edges ed ON ed.edge_id = u.eid)
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS seq, CAST(1 AS BIGINT) AS node_id,
+                  CAST(NULL AS BIGINT) AS edge_id,
+                  CAST(0 AS BIGINT) AS agg_cost
+           UNION ALL SELECT seq, node_id, edge_id, agg_cost FROM hops)
+         ORDER BY seq""",
     // turn-restricted routing re-derived: the same relation->restriction
     // extraction (from/via/to member roles, only_* -> mandatory), the
     // same line-graph expansion with only_* expanded against actual
@@ -6554,58 +6669,71 @@ $chain"""
          FROM mdc LEFT JOIN mlc ON mlc.label = mdc.label, mm
          GROUP BY mm.m"""
 
-  /** One synchronous exact-integer local-move round over the LPA
-    * labeling — mirrors GraphCheck.refineCommunities: argmax of
+  /** `refineRounds` chained synchronous exact-integer local-move
+    * rounds over the LPA labeling — mirrors
+    * GraphCheck.refineCommunities[Rounds]: per round, argmax of
     * 2m·w − d·D_c (ties to smallest c), move iff
-    * 2m·(w_new − w_old) > d·(D_new − D_old + d), all in HUGEINT. */
-  private def refineOracleSql(rounds: Int): String =
-    lpaChainSql(rounds) + s""",
-         mund AS MATERIALIZED (
-           SELECT DISTINCT least(start_node, end_node) AS a,
-                  greatest(start_node, end_node) AS b
-           FROM merged WHERE start_node <> end_node),
-         rsym AS MATERIALIZED (
-           SELECT a, b FROM mund UNION ALL SELECT b, a FROM mund),
-         rdeg AS (SELECT a AS node_id, count(*) AS d FROM rsym GROUP BY a),
-         rdc AS (
+    * 2m·(w_new − w_old) > d·(D_new − D_old + d), all in HUGEINT,
+    * recomputing w/D from the previous round's labels. */
+  private def refineOracleSql(lpaRounds: Int, refineRounds: Int): String = {
+    val steps = (1 to refineRounds).map { k =>
+      val in = if (k == 1) s"l$lpaRounds" else s"ref${k - 1}"
+      s""",
+         rdc$k AS (
            SELECT la.label, sum(rdeg.d) AS dcs
-           FROM rdeg JOIN l$rounds la ON rdeg.node_id = la.node_id
+           FROM rdeg JOIN $in la ON rdeg.node_id = la.node_id
            GROUP BY la.label),
-         rw AS (
+         rw$k AS (
            SELECT r.a AS node_id, lb.label AS c, count(*) AS w
-           FROM rsym r JOIN l$rounds lb ON r.b = lb.node_id
+           FROM rsym r JOIN $in lb ON r.b = lb.node_id
            GROUP BY r.a, lb.label),
-         m2 AS (SELECT 2 * count(*) AS m2 FROM mund),
-         scored AS (
-           SELECT rw.node_id, rw.c, rw.w, rdc.dcs, la.label AS cur, rdeg.d
-           FROM rw
-           JOIN rdc ON rdc.label = rw.c
-           JOIN l$rounds la ON la.node_id = rw.node_id
-           JOIN rdeg ON rdeg.node_id = rw.node_id),
-         best AS (
+         scored$k AS (
+           SELECT rw$k.node_id, rw$k.c, rw$k.w, rdc$k.dcs,
+                  la.label AS cur, rdeg.d
+           FROM rw$k
+           JOIN rdc$k ON rdc$k.label = rw$k.c
+           JOIN $in la ON la.node_id = rw$k.node_id
+           JOIN rdeg ON rdeg.node_id = rw$k.node_id),
+         best$k AS (
            SELECT node_id, c, w, dcs FROM (
              SELECT s.node_id, s.c, s.w, s.dcs,
                     row_number() OVER (PARTITION BY s.node_id
                       ORDER BY (CAST(m2.m2 AS HUGEINT) * s.w
                                 - CAST(s.d AS HUGEINT) * s.dcs) DESC,
                                s.c) AS rn
-             FROM scored s, m2 WHERE s.c <> s.cur)
+             FROM scored$k s, m2 WHERE s.c <> s.cur)
            WHERE rn = 1),
-         own AS (
-           SELECT node_id, w AS wold FROM scored WHERE c = cur)
-         SELECT CAST(la.node_id AS BIGINT) AS node_id,
-                CAST(CASE WHEN best.node_id IS NOT NULL
-                       AND CAST(m2.m2 AS HUGEINT)
-                             * (best.w - coalesce(own.wold, 0))
-                           > CAST(rdeg.d AS HUGEINT)
-                             * (best.dcs - dcur.dcs + rdeg.d)
-                     THEN best.c ELSE la.label END AS BIGINT) AS community
-         FROM l$rounds la
-         JOIN rdeg ON rdeg.node_id = la.node_id
-         JOIN rdc dcur ON dcur.label = la.label
-         LEFT JOIN best ON best.node_id = la.node_id
-         LEFT JOIN own ON own.node_id = la.node_id, m2
-         ORDER BY la.node_id"""
+         own$k AS (
+           SELECT node_id, w AS wold FROM scored$k WHERE c = cur),
+         ref$k AS MATERIALIZED (
+           SELECT la.node_id,
+                  CASE WHEN best$k.node_id IS NOT NULL
+                         AND CAST(m2.m2 AS HUGEINT)
+                               * (best$k.w - coalesce(own$k.wold, 0))
+                             > CAST(rdeg.d AS HUGEINT)
+                               * (best$k.dcs - dcur.dcs + rdeg.d)
+                       THEN best$k.c ELSE la.label END AS label
+           FROM $in la
+           JOIN rdeg ON rdeg.node_id = la.node_id
+           JOIN rdc$k dcur ON dcur.label = la.label
+           LEFT JOIN best$k ON best$k.node_id = la.node_id
+           LEFT JOIN own$k ON own$k.node_id = la.node_id, m2)"""
+    }.mkString
+    lpaChainSql(lpaRounds) + s""",
+         mund AS MATERIALIZED (
+           SELECT DISTINCT least(start_node, end_node) AS a,
+                  greatest(start_node, end_node) AS b
+           FROM merged WHERE start_node <> end_node),
+         rsym AS MATERIALIZED (
+           SELECT a, b FROM mund UNION ALL SELECT b, a FROM mund),
+         rdeg AS MATERIALIZED (
+           SELECT a AS node_id, count(*) AS d FROM rsym GROUP BY a),
+         m2 AS (SELECT 2 * count(*) AS m2 FROM mund)""" + steps + s"""
+         SELECT CAST(node_id AS BIGINT) AS node_id,
+                CAST(label AS BIGINT) AS community
+         FROM ref$refineRounds
+         ORDER BY node_id"""
+  }
 
   /** H-index coreness replayed round-for-round: fixed rounds →
     * MATERIALIZED CTE chain; H = max rank r (neighbors sorted by value

@@ -465,8 +465,13 @@ object Dedup {
   def substringDedup(docs: DataFrame, idCol: String, text: Column,
       k: Int): DataFrame = {
     val toks = docs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
+    // windows sliced straight off the token array (not re-joined and
+    // re-split through rawWordNgrams — one regex split per scan, not two)
     val grams = toks.select(col(idCol),
-      posexplode(TextAnalysis.rawWordNgrams(array_join(col("__toks"), " "), k))
+      posexplode(when(size(col("__toks")) >= k,
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => array_join(slice(col("__toks"), i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
         .as(Seq("pos", "g")))
     // phase 1: cheap hash prefilter — a gram whose HASH is globally
     // unique cannot be a duplicate; only hash-repeated grams carry

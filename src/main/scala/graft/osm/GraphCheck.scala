@@ -292,6 +292,39 @@ object GraphCheck {
       .unionByName(Seq((source, 0L)).toDF("node_id", "dist"))
   }
 
+  /** Turn-restricted point-to-point route — the full `pgr_trsp`
+    * surface: the banned-turn line graph of
+    * [[restrictedShortestPaths]] extended with a virtual SINK state
+    * (every edge entering `target` steps to −2 at cost 0), solved by
+    * [[shortestPathTo]] over edge states. Returns
+    * `(edge sequence, node sequence, total cost)`; None when no
+    * restriction-legal path exists. The state path strips its ±
+    * sentinels to the edge ids actually driven; node path = source +
+    * each edge's head. The final per-path lookups (edge → head node,
+    * weight) collect only PATH-sized rows — the documented igraph
+    * hand-off boundary, not a corpus collect. */
+  def restrictedRoute(edges: DataFrame, restrictions: DataFrame,
+      source: Long, target: Long, maxIter: Int = 100)
+      : Option[(Seq[Long], Seq[Long], Double)] = {
+    if (source == target) return Some((Seq.empty, Seq(source), 0.0))
+    val lg = restrictedLineGraph(edges, restrictions)
+    val seed = edges.filter(col("start_node") === source)
+      .select(lit(-1L).as("start_node"), col("edge_id").as("end_node"),
+        col("w"))
+    val sink = edges.filter(col("end_node") === target)
+      .select(col("edge_id").as("start_node"), lit(-2L).as("end_node"),
+        lit(0L).cast(edges.schema("w").dataType).as("w"))
+    shortestPathTo(lg.unionByName(seed).unionByName(sink), -1L, -2L,
+        maxIter)
+      .map { case (statePath, cost) =>
+        val edgeSeq = statePath.filter(id => id != -1L && id != -2L)
+        val heads = edges.filter(col("edge_id").isin(edgeSeq: _*))
+          .select(col("edge_id"), col("end_node")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (edgeSeq, source +: edgeSeq.map(heads), cost)
+      }
+  }
+
   /** The banned-turn-pruned line graph of [[restrictedShortestPaths]],
     * built LAZILY (the SSSP loop materializes eagerly, so the audit of
     * the expansion's plan shape — keyed via-node join, real LeftAnti
@@ -490,6 +523,24 @@ object GraphCheck {
               - col("__DOld").cast("decimal(19,0)")
               + col("__d").cast("decimal(19,0)")),
           col("__cNew")).otherwise(col("label")).as("label"))
+  }
+
+  /** The distributed Louvain phase-1 loop: `rounds` synchronous
+    * [[refineCommunities]] sweeps, each recomputing community stats
+    * from the previous round's labels. Fixed round count (not
+    * converge-detect) keeps it a pure function of (edges, labels) for
+    * the oracle, the [[labelPropagation]] policy; localCheckpoint per
+    * round keeps plans flat. Each accepted move is individually
+    * Q-positive against its round's state, so on fixtures without
+    * simultaneous-mover interference modularity is non-decreasing
+    * round over round (spec-gated). */
+  def refineCommunitiesRounds(edges: DataFrame, labels: DataFrame,
+      rounds: Int): DataFrame = {
+    var l = labels.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      l = refineCommunities(edges, l).localCheckpoint(true)
+    }
+    l
   }
 
   /** Exact per-node triangle counts + local clustering coefficient —

@@ -754,6 +754,14 @@ class RoadGraphSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
     val qStay = GraphCheck.modularity(k4s, perfect).head().getDouble(2)
     assert(GraphCheck.modularity(k4s, stayDf).head().getDouble(2) >= qStay)
+    // multi-round loop: the planted-mislabel fixture reaches its fixed
+    // point in round 1 and STAYS there (no oscillation) — 3 chained
+    // rounds return the same perfect partition, Q still 0.5
+    val multi = GraphCheck.refineCommunitiesRounds(k4s, planted, rounds = 3)
+    assert(multi.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === got)
+    assert(math.abs(GraphCheck.modularity(k4s, multi).head().getDouble(2)
+      - 0.5) < 1e-6)
   }
 
   test("turn restrictions: extractor drops decoys/malformed; no_ and only_ reroute the diamond") {
@@ -779,5 +787,16 @@ class RoadGraphSpec extends SparkTestBase {
     // closes 2-3-5, so 5 rides the long branch 1-3-5 (4)
     val got = dists(RoadGraph.turnRestrictions(rels, mems))
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L, 5L -> 4L))
+    // point-to-point with path: unrestricted rides the direct 1-2-4;
+    // the straight-on ban reroutes through 3
+    val restrDf = RoadGraph.turnRestrictions(rels, mems)
+    assert(GraphCheck.restrictedRoute(edges, none, 1L, 4L)
+      === Some((Seq(1L, 2L), Seq(1L, 2L, 4L), 2.0)))
+    assert(GraphCheck.restrictedRoute(edges, restrDf, 1L, 4L)
+      === Some((Seq(1L, 5L, 4L), Seq(1L, 2L, 3L, 4L), 4.0)))
+    assert(GraphCheck.restrictedRoute(edges, restrDf, 4L, 1L) === None,
+      "no reverse edges -> unreachable")
+    assert(GraphCheck.restrictedRoute(edges, restrDf, 1L, 1L)
+      === Some((Seq.empty, Seq(1L), 0.0)))
   }
 }
