@@ -2080,6 +2080,46 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- Louvain phase-2 coarsening: LPA communities collapsed to
+    //      super-nodes, internal edges riding self-loops — the exact
+    //      weighted community graph the multi-level loop runs on
+    "q_osm_coarsen" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val edges = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val labels = osm.GraphCheck.labelPropagation(edges, rounds = 3)
+      osm.GraphCheck.coarsenGraph(edges, labels)
+        .select(col("start_node").as("community_a"),
+          col("end_node").as("community_b"), col("w"))
+        .orderBy("community_a", "community_b")
+    }),
+
+    // ---- weighted modularity of the coarsened graph under identity
+    //      labels — must equal q_osm_modularity's Q bit-for-bit (the
+    //      invariant multi-level Louvain rests on), re-derived by the
+    //      oracle from the coarse graph's self-loops and strengths
+    "q_osm_modularity2" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val edges = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val labels = osm.GraphCheck.labelPropagation(edges, rounds = 3)
+      val ident = labels.select(col("label").as("node_id")).distinct()
+        .withColumn("label", col("node_id"))
+      osm.GraphCheck.modularityWeighted(
+        osm.GraphCheck.coarsenGraph(edges, labels), ident)
+    }),
+
+    // ---- two-level Louvain: 3 phase-1 sweeps, coarsen, 2 weighted
+    //      parity-alternated sweeps on the community graph, project
+    //      back — every move replayed in HUGEINT by the oracle
+    "q_osm_louvain2" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val edges = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val labels = osm.GraphCheck.labelPropagation(edges, rounds = 3)
+      osm.GraphCheck.louvainTwoLevel(edges, labels,
+          level1Rounds = 3, level2Rounds = 2)
+        .select(col("node_id"), col("label").as("community"))
+        .orderBy("node_id")
+    }),
+
     // ---- connected components at DATA SCALE on a worst-case topology:
     //      64-node CHAIN components synthesized from part (edge k->k+1
     //      unless k % 64 == 0). Chains are the adversarial case for
@@ -4807,6 +4847,9 @@ object SparkEntry {
     "q_osm_modularity" -> modularityOracleSql(3),
     "q_osm_refine" -> refineOracleSql(3, 1),
     "q_osm_louvain" -> refineOracleSql(3, 3),
+    "q_osm_coarsen" -> coarsenOracleSql(3),
+    "q_osm_modularity2" -> modularity2OracleSql(3),
+    "q_osm_louvain2" -> louvainOracleSql(3, 3, 2),
     "q_osm_coreness" -> corenessOracleSql(8),
     // assortativity: symmetrized-pair Pearson — exact DECIMAL(38,0) sums,
     // exact min=max zero-variance gate, double only for the final ratio
@@ -6674,8 +6717,10 @@ $chain"""
     * GraphCheck.refineCommunities[Rounds]: per round, argmax of
     * 2m·w − d·D_c (ties to smallest c), move iff
     * 2m·(w_new − w_old) > d·(D_new − D_old + d), all in HUGEINT,
-    * recomputing w/D from the previous round's labels. */
-  private def refineOracleSql(lpaRounds: Int, refineRounds: Int): String = {
+    * recomputing w/D from the previous round's labels. The chain form
+    * ends at the `ref{refineRounds}` CTE so louvainOracleSql can keep
+    * building on it. */
+  private def refineChainSql(lpaRounds: Int, refineRounds: Int): String = {
     val steps = (1 to refineRounds).map { k =>
       val in = if (k == 1) s"l$lpaRounds" else s"ref${k - 1}"
       s""",
@@ -6719,20 +6764,143 @@ $chain"""
            LEFT JOIN best$k ON best$k.node_id = la.node_id
            LEFT JOIN own$k ON own$k.node_id = la.node_id, m2)"""
     }.mkString
-    lpaChainSql(lpaRounds) + s""",
-         mund AS MATERIALIZED (
-           SELECT DISTINCT least(start_node, end_node) AS a,
-                  greatest(start_node, end_node) AS b
-           FROM merged WHERE start_node <> end_node),
+    lpaChainSql(lpaRounds) + mundSql + s""",
          rsym AS MATERIALIZED (
            SELECT a, b FROM mund UNION ALL SELECT b, a FROM mund),
          rdeg AS MATERIALIZED (
            SELECT a AS node_id, count(*) AS d FROM rsym GROUP BY a),
-         m2 AS (SELECT 2 * count(*) AS m2 FROM mund)""" + steps + s"""
+         m2 AS (SELECT 2 * count(*) AS m2 FROM mund)""" + steps
+  }
+
+  private def refineOracleSql(lpaRounds: Int, refineRounds: Int): String =
+    refineChainSql(lpaRounds, refineRounds) + s"""
          SELECT CAST(node_id AS BIGINT) AS node_id,
                 CAST(label AS BIGINT) AS community
          FROM ref$refineRounds
          ORDER BY node_id"""
+
+  /** Canonical simple undirected edge set of the micro graph. */
+  private val mundSql = """,
+         mund AS MATERIALIZED (
+           SELECT DISTINCT least(start_node, end_node) AS a,
+                  greatest(start_node, end_node) AS b
+           FROM merged WHERE start_node <> end_node)"""
+
+  /** Louvain phase-2 coarsening of `labelCte`'s communities: super-node
+    * graph with internal edges on the diagonal — mirrors
+    * GraphCheck.coarsenGraph. */
+  private def coarseChainSql(labelCte: String): String = s""",
+         coarse AS MATERIALIZED (
+           SELECT least(la.label, lb.label) AS a,
+                  greatest(la.label, lb.label) AS b, count(*) AS w
+           FROM mund
+           JOIN $labelCte la ON mund.a = la.node_id
+           JOIN $labelCte lb ON mund.b = lb.node_id
+           GROUP BY least(la.label, lb.label),
+                    greatest(la.label, lb.label))"""
+
+  private def coarsenOracleSql(lpaRounds: Int): String =
+    lpaChainSql(lpaRounds) + mundSql + coarseChainSql(s"l$lpaRounds") + """
+         SELECT CAST(a AS BIGINT) AS community_a,
+                CAST(b AS BIGINT) AS community_b,
+                CAST(w AS BIGINT) AS w
+         FROM coarse ORDER BY community_a, community_b"""
+
+  /** Weighted modularity of the coarse graph under identity labels —
+    * Win_c is the diagonal, S_c the super-node strength; exact HUGEINT
+    * numerator, one double ratio (the GraphCheck.modularityWeighted
+    * contract). Must equal q_osm_modularity's Q bit-for-bit. */
+  private def modularity2OracleSql(lpaRounds: Int): String =
+    lpaChainSql(lpaRounds) + mundSql + coarseChainSql(s"l$lpaRounds") + """,
+         cdeg AS MATERIALIZED (
+           SELECT node_id, sum(s) AS d FROM (
+             SELECT a AS node_id, w AS s FROM coarse WHERE a <> b
+             UNION ALL SELECT b, w FROM coarse WHERE a <> b
+             UNION ALL SELECT a, 2 * w FROM coarse WHERE a = b) t
+           GROUP BY node_id),
+         cw AS (SELECT sum(w) AS m FROM coarse)
+         SELECT CAST(cw.m AS BIGINT) AS w_total,
+                CAST(count(*) AS BIGINT) AS n_communities,
+                round(CAST(sum(4 * cw.m * coalesce(sl.w, 0)
+                               - cdeg.d * cdeg.d) AS DOUBLE)
+                      / (4.0 * cw.m * cw.m), 6) AS modularity
+         FROM cdeg LEFT JOIN (SELECT a, w FROM coarse WHERE a = b) sl
+           ON sl.a = cdeg.node_id, cw
+         GROUP BY cw.m"""
+
+  /** Two-level Louvain replayed move-for-move: the refine chain's
+    * ref{l1} labels, coarsened; then `l2Rounds` weighted synchronous
+    * sweeps over the community graph, round k gated to super-nodes
+    * with id % 2 == k % 2 (the parity alternation that breaks the
+    * two-community synchronous swap); labels projected back. All
+    * arithmetic HUGEINT — mirrors GraphCheck.louvainTwoLevel. */
+  private def louvainOracleSql(lpaRounds: Int, l1Rounds: Int,
+      l2Rounds: Int): String = {
+    val steps = (1 to l2Rounds).map { k =>
+      val in = if (k == 1) "c0" else s"cref${k - 1}"
+      val p = k % 2
+      s""",
+         wdc$k AS (
+           SELECT la.label, sum(cdeg.d) AS dcs
+           FROM cdeg JOIN $in la ON cdeg.node_id = la.node_id
+           GROUP BY la.label),
+         ww$k AS (
+           SELECT r.a AS node_id, lb.label AS c, sum(r.w) AS w
+           FROM csym r JOIN $in lb ON r.b = lb.node_id
+           GROUP BY r.a, lb.label),
+         wsc$k AS (
+           SELECT ww$k.node_id, ww$k.c, ww$k.w, wdc$k.dcs,
+                  la.label AS cur, cdeg.d
+           FROM ww$k
+           JOIN wdc$k ON wdc$k.label = ww$k.c
+           JOIN $in la ON la.node_id = ww$k.node_id
+           JOIN cdeg ON cdeg.node_id = ww$k.node_id),
+         wbest$k AS (
+           SELECT node_id, c, w, dcs FROM (
+             SELECT s.node_id, s.c, s.w, s.dcs,
+                    row_number() OVER (PARTITION BY s.node_id
+                      ORDER BY (CAST(cm2.m2 AS HUGEINT) * s.w
+                                - CAST(s.d AS HUGEINT) * s.dcs) DESC,
+                               s.c) AS rn
+             FROM wsc$k s, cm2 WHERE s.c <> s.cur)
+           WHERE rn = 1),
+         wown$k AS (
+           SELECT node_id, w AS wold FROM wsc$k WHERE c = cur),
+         cref$k AS MATERIALIZED (
+           SELECT la.node_id,
+                  CASE WHEN la.node_id % 2 = $p
+                         AND wbest$k.node_id IS NOT NULL
+                         AND CAST(cm2.m2 AS HUGEINT)
+                               * (wbest$k.w - coalesce(wown$k.wold, 0))
+                             > CAST(cdeg.d AS HUGEINT)
+                               * (wbest$k.dcs - dcur.dcs + cdeg.d)
+                       THEN wbest$k.c ELSE la.label END AS label
+           FROM $in la
+           JOIN cdeg ON cdeg.node_id = la.node_id
+           JOIN wdc$k dcur ON dcur.label = la.label
+           LEFT JOIN wbest$k ON wbest$k.node_id = la.node_id
+           LEFT JOIN wown$k ON wown$k.node_id = la.node_id, cm2)"""
+    }.mkString
+    refineChainSql(lpaRounds, l1Rounds) +
+      coarseChainSql(s"ref$l1Rounds") + s""",
+         csym AS MATERIALIZED (
+           SELECT a, b, w FROM coarse WHERE a <> b
+           UNION ALL SELECT b, a, w FROM coarse WHERE a <> b),
+         cdeg AS MATERIALIZED (
+           SELECT node_id, sum(s) AS d FROM (
+             SELECT a AS node_id, w AS s FROM csym
+             UNION ALL
+             SELECT a, 2 * w FROM coarse WHERE a = b) t
+           GROUP BY node_id),
+         cm2 AS (SELECT 2 * sum(w) AS m2 FROM coarse),
+         c0 AS MATERIALIZED (
+           SELECT DISTINCT label AS node_id, label FROM ref$l1Rounds)""" +
+      steps + s"""
+         SELECT CAST(la.node_id AS BIGINT) AS node_id,
+                CAST(cf.label AS BIGINT) AS community
+         FROM ref$l1Rounds la
+         JOIN cref$l2Rounds cf ON la.label = cf.node_id
+         ORDER BY la.node_id"""
   }
 
   /** H-index coreness replayed round-for-round: fixed rounds →

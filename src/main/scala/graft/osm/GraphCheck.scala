@@ -472,58 +472,21 @@ object GraphCheck {
     *
     * 100 TB shape: one neighbor-label join + (node, community)
     * hash-agg for w, one degree agg, one community agg for D, one
-    * per-node argmin(struct). No window, no collect. */
-  def refineCommunities(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("start_node"), col("end_node")).as("a"),
-        greatest(col("start_node"), col("end_node")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("node_id"))
-      .agg(count(lit(1)).as("__d"))
-    val lbl = labels.select(col("node_id"), col("label"))
-    val dc = deg.join(lbl, "node_id")
-      .groupBy("label").agg(sum(col("__d")).as("__Dc"))
-    val w = sym
-      .join(lbl.select(col("node_id").as("b"), col("label").as("__c")), "b")
-      .groupBy(col("a").as("node_id"), col("__c"))
-      .agg(count(lit(1)).as("__w"))
-    val m = und.agg((count(lit(1)) * 2).cast("decimal(19,0)").as("__2m"))
-    val scored = w
-      .join(dc.select(col("label").as("__c"), col("__Dc")), "__c")
-      .join(lbl, "node_id").join(deg, "node_id")
-      .crossJoin(broadcast(m))
-      .withColumn("__gain2m2",
-        col("__2m") * col("__w").cast("decimal(19,0)")
-          - col("__d").cast("decimal(19,0)")
-            * col("__Dc").cast("decimal(19,0)"))
-    // own-community standing: w_old and D_old ride the same scored rows
-    // where __c == label; a node with no internal edge has w_old = 0
-    // but still needs D_old — take it from dc directly
-    val own = scored.filter(col("__c") === col("label"))
-      .select(col("node_id"), col("__w").as("__wOld"))
-    val best = scored.filter(col("__c") =!= col("label"))
-      .groupBy(col("node_id"))
-      .agg(min(struct((-col("__gain2m2")).as("ng"), col("__c").as("c"),
-        col("__w").as("w"), col("__Dc").as("D"))).as("__b"))
-      .select(col("node_id"), col("__b.c").as("__cNew"),
-        col("__b.w").as("__wNew"), col("__b.D").as("__DNew"))
-    lbl.join(deg, Seq("node_id"), "left")
-      .join(dc.select(col("label"), col("__Dc").as("__DOld")), Seq("label"), "left")
-      .join(own, Seq("node_id"), "left")
-      .join(best, Seq("node_id"), "left")
-      .crossJoin(broadcast(m))
-      .select(col("node_id"),
-        when(col("__cNew").isNotNull &&
-          col("__2m") * (col("__wNew").cast("decimal(19,0)")
-            - coalesce(col("__wOld"), lit(0L)).cast("decimal(19,0)"))
-          > col("__d").cast("decimal(19,0)")
-            * (col("__DNew").cast("decimal(19,0)")
-              - col("__DOld").cast("decimal(19,0)")
-              + col("__d").cast("decimal(19,0)")),
-          col("__cNew")).otherwise(col("label")).as("label"))
-  }
+    * per-node argmin(struct). No window, no collect.
+    *
+    * Implementation: the unit-weight instance of
+    * [[refineCommunitiesWeighted]] — on a simple loop-free graph the
+    * weight sums degenerate to the edge counts above, value-for-value
+    * (oracle-re-certified after the unification). */
+  def refineCommunities(edges: DataFrame, labels: DataFrame): DataFrame =
+    refineCommunitiesWeighted(
+      edges
+        .select(least(col("start_node"), col("end_node")).as("start_node"),
+          greatest(col("start_node"), col("end_node")).as("end_node"))
+        .filter(col("start_node") =!= col("end_node"))
+        .distinct()
+        .withColumn("w", lit(1L)),
+      labels)
 
   /** The distributed Louvain phase-1 loop: `rounds` synchronous
     * [[refineCommunities]] sweeps, each recomputing community stats
@@ -541,6 +504,188 @@ object GraphCheck {
       l = refineCommunities(edges, l).localCheckpoint(true)
     }
     l
+  }
+
+  /** Louvain phase-2 coarsening: collapse each community of `labels`
+    * to one super-node. Output `(start_node, end_node, w)` is the
+    * canonical weighted community graph — start ≤ end, `w` = number
+    * of original edges between (or, on the diagonal, inside) the two
+    * communities; a community's internal edge count rides its
+    * self-loop. Feeding the result to [[modularityWeighted]] under
+    * identity labels reproduces [[modularity]] of the original graph
+    * EXACTLY (spec-gated) — the invariant that makes multi-level
+    * Louvain correct.
+    *
+    * 100 TB shape: two keyed label-attach joins + one (cA, cB)
+    * hash-agg; output is |communities|²-bounded but in practice tiny
+    * relative to the input — the whole point of coarsening. */
+  def coarsenGraph(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("start_node"), col("end_node")).as("a"),
+        greatest(col("start_node"), col("end_node")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    und
+      .join(labels.select(col("node_id").as("a"), col("label").as("__ca")),
+        "a")
+      .join(labels.select(col("node_id").as("b"), col("label").as("__cb")),
+        "b")
+      .groupBy(least(col("__ca"), col("__cb")).as("start_node"),
+        greatest(col("__ca"), col("__cb")).as("end_node"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Newman modularity of a WEIGHTED graph (self-loops allowed) — the
+    * form [[louvainTwoLevel]] needs on coarsened graphs. Input rows
+    * `(start_node, end_node, w)`; parallel rows are summed, direction
+    * ignored. W = Σw (each undirected edge once, self-loops once);
+    * strength s_i = Σ_{j≠i} w_ij + 2·w_ii;
+    * Q = Σ_c [ Win_c/W − (S_c/2W)² ] with Win_c counting self-loop
+    * weight. Same numeric contract as [[modularity]]: the summed
+    * numerator 4·W·Win_c − S_c² is exact DECIMAL(38,0); one double
+    * division at the end. Returns `(w_total, n_communities,
+    * modularity)`. */
+  def modularityWeighted(wedges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = canonWeighted(wedges)
+    val la = labels.select(col("node_id").as("a"), col("label").as("__ca"))
+    val lb = labels.select(col("node_id").as("b"), col("label").as("__cb"))
+    val win = und.join(la, "a").join(lb, "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("label")).agg(sum(col("__ew")).as("__Wc"))
+    val sc = strengths(und)
+      .join(labels.select(col("node_id"), col("label")), "node_id")
+      .groupBy("label").agg(sum(col("__d")).as("__Sc"))
+    val m = und.agg(sum(col("__ew")).as("__W"))
+    sc.join(win, Seq("label"), "left")
+      .select(col("label"), coalesce(col("__Wc"), lit(0L)).as("__Wc"),
+        col("__Sc"))
+      .crossJoin(broadcast(m))
+      .agg(first(col("__W")).as("w_total"),
+        count(lit(1)).as("n_communities"),
+        sum((col("__W") * 4).cast("decimal(19,0)")
+            * col("__Wc").cast("decimal(19,0)")
+          - col("__Sc").cast("decimal(19,0)")
+            * col("__Sc").cast("decimal(19,0)")).as("__num"))
+      .select(col("w_total"), col("n_communities"),
+        round(col("__num").cast("double") /
+          (col("w_total").cast("double") * col("w_total").cast("double")
+            * 4.0), 6).as("modularity"))
+  }
+
+  /** Canonical weighted simple form: a ≤ b, parallel rows summed,
+    * self-loops KEPT. Idempotent. */
+  private def canonWeighted(wedges: DataFrame): DataFrame =
+    wedges
+      .select(least(col("start_node"), col("end_node")).as("a"),
+        greatest(col("start_node"), col("end_node")).as("b"),
+        col("w").cast("long").as("__ew"))
+      .groupBy("a", "b").agg(sum(col("__ew")).as("__ew"))
+
+  /** Weighted node strengths s_i = Σ_{j≠i} w_ij + 2·w_ii over the
+    * canonical form. */
+  private def strengths(und: DataFrame): DataFrame =
+    und.filter(col("a") =!= col("b"))
+      .select(col("a").as("node_id"), col("__ew").as("__s"))
+      .unionByName(und.filter(col("a") =!= col("b"))
+        .select(col("b").as("node_id"), col("__ew").as("__s")))
+      .unionByName(und.filter(col("a") === col("b"))
+        .select(col("a").as("node_id"), (col("__ew") * 2).as("__s")))
+      .groupBy("node_id").agg(sum(col("__s")).as("__d"))
+
+  /** One synchronous local-move round over a WEIGHTED graph with
+    * self-loops — the [[refineCommunities]] gain algebra with edge
+    * counts replaced by weight sums (the 1/W scalings cancel the same
+    * way; self-loop weight moves with its node so it drops out of the
+    * candidate comparison, entering only through the strength s_n).
+    * All arithmetic stays exact: coarse weights are original-edge
+    * counts, so DECIMAL(38,0) products hold to 1e12 edges.
+    *
+    * `parity`: when `Some(p)`, only nodes with `node_id % 2 == p` may
+    * move this round — the standard parallel-Louvain gating that
+    * breaks the two-node synchronous swap (A→B's community while B→A's
+    * leaves Q unchanged forever); alternating p across rounds reaches
+    * the sequential fixpoint on merge-shaped fixtures (spec-gated).
+    * Deterministic, hence oracle-replayable. */
+  def refineCommunitiesWeighted(wedges: DataFrame, labels: DataFrame,
+      parity: Option[Int] = None): DataFrame = {
+    val und = canonWeighted(wedges)
+    val noLoop = und.filter(col("a") =!= col("b"))
+    val sym = noLoop.unionByName(
+      noLoop.select(col("b").as("a"), col("a").as("b"), col("__ew")))
+    val deg = strengths(und)
+    val lbl = labels.select(col("node_id"), col("label"))
+    val dc = deg.join(lbl, "node_id")
+      .groupBy("label").agg(sum(col("__d")).as("__Dc"))
+    val w = sym
+      .join(lbl.select(col("node_id").as("b"), col("label").as("__c")), "b")
+      .groupBy(col("a").as("node_id"), col("__c"))
+      .agg(sum(col("__ew")).as("__w"))
+    val m = und.agg((sum(col("__ew")) * 2).cast("decimal(19,0)").as("__2m"))
+    val scored = w
+      .join(dc.select(col("label").as("__c"), col("__Dc")), "__c")
+      .join(lbl, "node_id").join(deg, "node_id")
+      .crossJoin(broadcast(m))
+      .withColumn("__gain2m2",
+        col("__2m") * col("__w").cast("decimal(19,0)")
+          - col("__d").cast("decimal(19,0)")
+            * col("__Dc").cast("decimal(19,0)"))
+    val own = scored.filter(col("__c") === col("label"))
+      .select(col("node_id"), col("__w").as("__wOld"))
+    val best = scored.filter(col("__c") =!= col("label"))
+      .groupBy(col("node_id"))
+      .agg(min(struct((-col("__gain2m2")).as("ng"), col("__c").as("c"),
+        col("__w").as("w"), col("__Dc").as("D"))).as("__b"))
+      .select(col("node_id"), col("__b.c").as("__cNew"),
+        col("__b.w").as("__wNew"), col("__b.D").as("__DNew"))
+    val gate = parity match {
+      case Some(p) => pmod(col("node_id"), lit(2L)) === lit(p.toLong)
+      case None    => lit(true)
+    }
+    lbl.join(deg, Seq("node_id"), "left")
+      .join(dc.select(col("label"), col("__Dc").as("__DOld")),
+        Seq("label"), "left")
+      .join(own, Seq("node_id"), "left")
+      .join(best, Seq("node_id"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("node_id"),
+        when(gate && col("__cNew").isNotNull &&
+          col("__2m") * (col("__wNew").cast("decimal(19,0)")
+            - coalesce(col("__wOld"), lit(0L)).cast("decimal(19,0)"))
+          > col("__d").cast("decimal(19,0)")
+            * (col("__DNew").cast("decimal(19,0)")
+              - col("__DOld").cast("decimal(19,0)")
+              + col("__d").cast("decimal(19,0)")),
+          col("__cNew")).otherwise(col("label")).as("label"))
+  }
+
+  /** Two-level Louvain (Blondel et al. 2008 phases 1+2+1): refine the
+    * input labeling `level1Rounds` synchronous sweeps on the original
+    * graph, coarsen communities to super-nodes via [[coarsenGraph]],
+    * run `level2Rounds` WEIGHTED sweeps on the community graph
+    * (parity-alternated, round k gating `k % 2` — so community merges
+    * that no single-node move can reach happen without the synchronous
+    * swap pathology), then project super-node labels back to original
+    * nodes. A pure function of (edges, labels, rounds) — every step
+    * replayed exactly by the SQL oracle.
+    *
+    * 100 TB shape: level 1 is the [[refineCommunitiesRounds]] loop;
+    * level 2 runs on the coarsened graph, typically orders of
+    * magnitude smaller; the projection is one keyed join. */
+  def louvainTwoLevel(edges: DataFrame, labels: DataFrame,
+      level1Rounds: Int, level2Rounds: Int): DataFrame = {
+    val l1 = refineCommunitiesRounds(edges, labels, level1Rounds)
+    val coarse = coarsenGraph(edges, l1).localCheckpoint(true)
+    var cl = l1.select(col("label").as("node_id")).distinct()
+      .withColumn("label", col("node_id"))
+      .localCheckpoint(true)
+    for (k <- 1 to level2Rounds) {
+      cl = refineCommunitiesWeighted(coarse, cl, parity = Some(k % 2))
+        .localCheckpoint(true)
+    }
+    l1.select(col("node_id"), col("label").as("__c1"))
+      .join(cl.select(col("node_id").as("__c1"), col("label").as("__c2")),
+        "__c1")
+      .select(col("node_id"), col("__c2").as("label"))
   }
 
   /** Exact per-node triangle counts + local clustering coefficient —

@@ -764,6 +764,70 @@ class RoadGraphSpec extends SparkTestBase {
       - 0.5) < 1e-6)
   }
 
+  test("louvain phase 2: coarsen invariance, parity-gated weighted refine merges what node moves cannot") {
+    import spark.implicits._
+    // coarsen exactness on two-triangles+bridge: self-loops carry the
+    // 3 internal edges each, the bridge is the one cross edge
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("start_node", "end_node")
+    val triLab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node_id", "label")
+    val coarse = GraphCheck.coarsenGraph(tri, triLab)
+    assert(coarse.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((10L, 10L, 3L), (20L, 20L, 3L), (10L, 20L, 1L)))
+    // THE multi-level invariant: weighted Q of the coarse graph under
+    // identity labels == Q of the original graph under the labeling
+    val ident = Seq((10L, 10L), (20L, 20L)).toDF("node_id", "label")
+    val qw = GraphCheck.modularityWeighted(coarse, ident).head()
+    val q = GraphCheck.modularity(tri, triLab).head()
+    assert(qw.getLong(0) === q.getLong(0)) // W == m
+    assert(qw.getLong(1) === q.getLong(1))
+    assert(qw.getDouble(2) === q.getDouble(2))
+    // split K4: no single-NODE move is Q-positive enough under
+    // synchronous semantics (both halves move at once and just swap
+    // labels — the documented pathology), but the parity-gated
+    // COMMUNITY move merges the halves
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("start_node", "end_node")
+    val halves = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("node_id", "label")
+    val ck4 = GraphCheck.coarsenGraph(k4, halves)
+    val cl0 = Seq((1L, 1L), (2L, 2L)).toDF("node_id", "label")
+    val swap = GraphCheck.refineCommunitiesWeighted(ck4, cl0, parity = None)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(swap === Map(1L -> 2L, 2L -> 1L), "ungated round swaps forever")
+    val merged = GraphCheck.louvainTwoLevel(k4, halves,
+      level1Rounds = 0, level2Rounds = 2)
+    assert(merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    assert(math.abs(GraphCheck.modularity(k4, halves).head().getDouble(2)
+      - (-1.0 / 6)) < 1e-6)
+    assert(math.abs(GraphCheck.modularity(k4, merged).head().getDouble(2))
+      < 1e-9)
+    // ring of 8 two-node communities (pair i = nodes 100+i / 200+i,
+    // community id i — parities alternate around the ring): merging
+    // adjacent pairs is Q-positive only because n > 4; two alternating
+    // rounds land the hand-derived {1,2,3}{4,5}{6,7}{8} coarse
+    // partition, Q 0.375 -> 0.46875
+    val ring = ((1 to 8).map(i => (100L + i, 200L + i)) ++
+      (1 to 8).map(i => (200L + i, 100L + (i % 8) + 1)))
+      .toDF("start_node", "end_node")
+    val pairLab = (1 to 8).flatMap(i =>
+      Seq((100L + i, i.toLong), (200L + i, i.toLong)))
+      .toDF("node_id", "label")
+    val q1 = GraphCheck.modularity(ring, pairLab).head().getDouble(2)
+    assert(math.abs(q1 - 0.375) < 1e-6)
+    val two = GraphCheck.louvainTwoLevel(ring, pairLab,
+      level1Rounds = 0, level2Rounds = 2)
+    val byPair = two.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairCommunity = (1 to 8).map(i => byPair(100L + i))
+    assert(pairCommunity === Seq(2L, 2L, 2L, 4L, 4L, 6L, 6L, 8L))
+    val q2 = GraphCheck.modularity(ring, two).head().getDouble(2)
+    assert(math.abs(q2 - 0.46875) < 1e-6)
+    assert(q2 > q1)
+  }
+
   test("turn restrictions: extractor drops decoys/malformed; no_ and only_ reroute the diamond") {
     import spark.implicits._
     val (rels, mems) = OsmModel.restrictionRelations(spark)
