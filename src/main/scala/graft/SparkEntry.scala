@@ -2299,6 +2299,39 @@ object SparkEntry {
       rows.toDF("seq", "node_id", "edge_id", "agg_cost").orderBy("seq")
     }),
 
+    // ---- VIA-WAY restrictions (the pgr_trsp surface node-via bans
+    //      cannot express): shadow states ban the full F-V-T sequence
+    //      while partial uses of V stay legal — route r1 (1->4) must
+    //      exit V mid-way, route r0 (0->4, side entry) keeps V->T.
+    //      The oracle is a completely different algorithm: hop-bounded
+    //      path enumeration banning the contiguous edge triple.
+    "q_osm_route_viaway" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (1L, 1L, 2L, 1L, 101L), (2L, 2L, 3L, 1L, 102L),
+        (3L, 3L, 4L, 1L, 103L), (4L, 2L, 5L, 5L, 104L),
+        (5L, 5L, 4L, 5L, 105L), (6L, 3L, 6L, 1L, 106L),
+        (7L, 6L, 4L, 4L, 107L), (8L, 0L, 2L, 1L, 108L)
+      ).toDF("edge_id", "start_node", "end_node", "w", "way_id")
+      val (rels, mems) = osm.OsmModel.viaWayRestrictionRelations(s)
+      val restr = osm.RoadGraph.turnRestrictionsVia(rels, mems)
+      def rows(tag: String, src: Long) = {
+        val (es, ns, _) = osm.GraphCheck.restrictedRoute(
+          edges, restr, src, 4L).get
+        val wm = edges.filter(col("edge_id").isin(es: _*))
+          .select(col("edge_id"), col("w")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (tag, 0L, ns.head, None: Option[Long], 0L) +:
+          es.zipWithIndex.map { case (e, i) =>
+            (tag, (i + 1).toLong, ns(i + 1), Some(e): Option[Long],
+              es.take(i + 1).map(wm).sum)
+          }
+      }
+      (rows("r0", 0L) ++ rows("r1", 1L))
+        .toDF("route", "seq", "node_id", "edge_id", "agg_cost")
+        .orderBy("route", "seq")
+    }),
+
     "q_osm_route" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
       val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
@@ -5139,6 +5172,139 @@ object SparkEntry {
                   CAST(0 AS BIGINT) AS agg_cost
            UNION ALL SELECT seq, node_id, edge_id, agg_cost FROM hops)
          ORDER BY seq""",
+    // via-way restrictions re-derived WITHOUT shadow states: enumerate
+    // hop-bounded paths carrying the edge sequence as '/e1/e2/../',
+    // drop any path containing a banned CONTIGUOUS edge triple
+    // (resolved from the via-way relations), node-via bans stay
+    // pairwise; best legal path per source unrolled to pgRouting rows
+    "q_osm_route_viaway" ->
+      """WITH RECURSIVE
+         edges(edge_id, src, dst, w, way) AS (VALUES
+           (1,1,2,1,101),(2,2,3,1,102),(3,3,4,1,103),(4,2,5,5,104),
+           (5,5,4,5,105),(6,3,6,1,106),(7,6,4,4,107),(8,0,2,1,108)),
+         rels(relation_id, rtype, restriction) AS (VALUES
+           (401,'restriction','no_straight_on'),
+           (402,'restriction','only_right_turn'),
+           (403,'restriction','no_u_turn'),
+           (404,'restriction','no_left_turn')),
+         mem(relation_id, member_id, mtype, role) AS (VALUES
+           (401,101,'W','from'),(401,102,'W','via'),(401,103,'W','to'),
+           (402,101,'W','from'),(402,102,'W','via'),(402,106,'W','to'),
+           (403,104,'W','from'),(403,105,'W','via'),(403,102,'W','via'),
+           (403,103,'W','to'),
+           (404,108,'W','from'),(404,2,'N','via'),(404,102,'W','via'),
+           (404,104,'W','to')),
+         viaN AS (
+           SELECT relation_id, member_id AS via_node FROM mem
+           WHERE role = 'via' AND mtype = 'N'),
+         viaW AS (
+           SELECT relation_id, min(member_id) AS via_way FROM mem
+           WHERE role = 'via' AND mtype = 'W'
+           GROUP BY relation_id HAVING count(*) = 1),
+         restrx AS (
+           SELECT f.member_id AS from_way, v.via_node,
+                  CAST(NULL AS BIGINT) AS via_way, t.member_id AS to_way,
+                  CASE WHEN r.restriction LIKE 'only%' THEN 'only'
+                       ELSE 'no' END AS kind
+           FROM rels r
+           JOIN mem f ON f.relation_id = r.relation_id
+                     AND f.role = 'from' AND f.mtype = 'W'
+           JOIN viaN v ON v.relation_id = r.relation_id
+           JOIN mem t ON t.relation_id = r.relation_id
+                     AND t.role = 'to' AND t.mtype = 'W'
+           WHERE r.rtype = 'restriction'
+           UNION ALL
+           SELECT f.member_id, CAST(NULL AS BIGINT), v.via_way,
+                  t.member_id,
+                  CASE WHEN r.restriction LIKE 'only%' THEN 'only'
+                       ELSE 'no' END
+           FROM rels r
+           JOIN mem f ON f.relation_id = r.relation_id
+                     AND f.role = 'from' AND f.mtype = 'W'
+           JOIN viaW v ON v.relation_id = r.relation_id
+           JOIN mem t ON t.relation_id = r.relation_id
+                     AND t.role = 'to' AND t.mtype = 'W'
+           WHERE r.rtype = 'restriction' AND NOT EXISTS (
+             SELECT 1 FROM viaN vn
+             WHERE vn.relation_id = r.relation_id)),
+         turns AS (
+           SELECT e1.edge_id AS a, e2.edge_id AS b, e2.w,
+                  e1.way AS fw, e1.dst AS via, e2.way AS tw
+           FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+         nbans AS (
+           SELECT from_way AS fw, via_node AS via, to_way AS tw
+           FROM restrx WHERE via_node IS NOT NULL AND kind = 'no'
+           UNION ALL
+           SELECT t.fw, t.via, t.tw
+           FROM turns t JOIN restrx r
+             ON r.via_node IS NOT NULL AND r.kind = 'only'
+            AND t.fw = r.from_way AND t.via = r.via_node
+            AND t.tw <> r.to_way),
+         wtrip AS (
+           SELECT ef.edge_id AS f, ev.edge_id AS v, et.edge_id AS t,
+                  r.kind
+           FROM restrx r
+           JOIN edges ef ON ef.way = r.from_way
+           JOIN edges ev ON ev.way = r.via_way AND ev.src = ef.dst
+           JOIN edges et ON et.way = r.to_way AND et.src = ev.dst
+           WHERE r.via_way IS NOT NULL),
+         tbans AS (
+           SELECT f, v, t FROM wtrip WHERE kind = 'no'
+           UNION ALL
+           SELECT w.f, w.v, tr.b
+           FROM (SELECT DISTINCT f, v FROM wtrip WHERE kind = 'only') w
+           JOIN turns tr ON tr.a = w.v
+           WHERE NOT EXISTS (
+             SELECT 1 FROM wtrip o
+             WHERE o.kind = 'only' AND o.f = w.f AND o.v = w.v
+               AND o.t = tr.b)),
+         lg AS (
+           SELECT t.a, t.b, t.w FROM turns t
+           LEFT JOIN nbans bn ON bn.fw = t.fw AND bn.via = t.via
+                             AND bn.tw = t.tw
+           WHERE bn.fw IS NULL),
+         r(s0, edge, dist, hops, epath, cpath, ps) AS (
+           SELECT v.s0, e.edge_id, e.w, 1, [e.edge_id], [e.w],
+                  '/' || e.edge_id || '/'
+           FROM (VALUES (0), (1)) v(s0) JOIN edges e ON e.src = v.s0
+           UNION ALL
+           SELECT r.s0, l.b, r.dist + l.w, r.hops + 1,
+                  list_append(r.epath, l.b),
+                  list_append(r.cpath, r.dist + l.w),
+                  r.ps || l.b || '/'
+           FROM r JOIN lg l ON l.a = r.edge WHERE r.hops < 8),
+         legal AS (
+           SELECT * FROM r WHERE NOT EXISTS (
+             SELECT 1 FROM tbans b
+             WHERE r.ps LIKE '%/' || b.f || '/' || b.v || '/'
+                             || b.t || '/%')),
+         best AS (
+           SELECT s0, epath, cpath,
+                  row_number() OVER (PARTITION BY s0
+                    ORDER BY dist, epath) AS rn
+           FROM legal l JOIN edges te ON te.edge_id = l.edge
+           WHERE te.dst = 4),
+         b1 AS (SELECT s0, epath, cpath FROM best WHERE rn = 1),
+         hop_src AS (
+           SELECT s0, unnest(epath) AS eid,
+                  generate_subscripts(epath, 1) AS i, cpath
+           FROM b1),
+         hops AS (
+           SELECT CASE WHEN u.s0 = 0 THEN 'r0' ELSE 'r1' END AS route,
+                  CAST(u.i AS BIGINT) AS seq,
+                  CAST(ed.dst AS BIGINT) AS node_id,
+                  CAST(u.eid AS BIGINT) AS edge_id,
+                  CAST(u.cpath[u.i] AS BIGINT) AS agg_cost
+           FROM hop_src u JOIN edges ed ON ed.edge_id = u.eid)
+         SELECT * FROM (
+           SELECT CASE WHEN v.s0 = 0 THEN 'r0' ELSE 'r1' END AS route,
+                  CAST(0 AS BIGINT) AS seq, CAST(v.s0 AS BIGINT) AS node_id,
+                  CAST(NULL AS BIGINT) AS edge_id,
+                  CAST(0 AS BIGINT) AS agg_cost
+           FROM (VALUES (0), (1)) v(s0)
+           UNION ALL SELECT route, seq, node_id, edge_id, agg_cost
+           FROM hops)
+         ORDER BY route, seq""",
     // turn-restricted routing re-derived: the same relation->restriction
     // extraction (from/via/to member roles, only_* -> mandatory), the
     // same line-graph expansion with only_* expanded against actual

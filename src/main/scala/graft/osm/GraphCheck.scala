@@ -277,15 +277,15 @@ object GraphCheck {
   def restrictedShortestPaths(edges: DataFrame, restrictions: DataFrame,
       source: Long, maxIter: Int = 100): DataFrame = {
     val spark = edges.sparkSession
-    val lg = restrictedLineGraph(edges, restrictions)
+    val (lg, smap) = restrictedStateGraph(edges, restrictions)
     // virtual source state: no from-way, so no restriction can apply
     val seed = edges.filter(col("start_node") === source)
       .select(lit(-1L).as("start_node"), col("edge_id").as("end_node"),
         col("w"))
     val states = shortestPaths(lg.unionByName(seed), source = -1L, maxIter)
     val nodeDist = states
-      .join(edges.select(col("edge_id").as("node_id"),
-        col("end_node").as("__n")), "node_id")
+      .join(smap.select(col("state_id").as("node_id"),
+        col("arr_node").as("__n")), "node_id")
       .groupBy(col("__n").as("node_id")).agg(min(col("dist")).as("dist"))
     import spark.implicits._
     nodeDist.filter(col("node_id") =!= source)
@@ -307,21 +307,24 @@ object GraphCheck {
       source: Long, target: Long, maxIter: Int = 100)
       : Option[(Seq[Long], Seq[Long], Double)] = {
     if (source == target) return Some((Seq.empty, Seq(source), 0.0))
-    val lg = restrictedLineGraph(edges, restrictions)
+    val (lg, smap) = restrictedStateGraph(edges, restrictions)
     val seed = edges.filter(col("start_node") === source)
       .select(lit(-1L).as("start_node"), col("edge_id").as("end_node"),
         col("w"))
-    val sink = edges.filter(col("end_node") === target)
-      .select(col("edge_id").as("start_node"), lit(-2L).as("end_node"),
+    val sink = smap.filter(col("arr_node") === target)
+      .select(col("state_id").as("start_node"), lit(-2L).as("end_node"),
         lit(0L).cast(edges.schema("w").dataType).as("w"))
     shortestPathTo(lg.unionByName(seed).unionByName(sink), -1L, -2L,
         maxIter)
       .map { case (statePath, cost) =>
-        val edgeSeq = statePath.filter(id => id != -1L && id != -2L)
-        val heads = edges.filter(col("edge_id").isin(edgeSeq: _*))
-          .select(col("edge_id"), col("end_node")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        (edgeSeq, source +: edgeSeq.map(heads), cost)
+        val stateSeq = statePath.filter(id => id != -1L && id != -2L)
+        // PATH-sized lookup (shadow states translate to their via edge)
+        val real = smap.filter(col("state_id").isin(stateSeq: _*))
+          .select(col("state_id"), col("real_edge"), col("arr_node"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        (stateSeq.map(s => real(s)._1),
+          source +: stateSeq.map(s => real(s)._2), cost)
       }
   }
 
@@ -353,6 +356,105 @@ object GraphCheck {
           && col("__tw") === col("to_way"), "left_anti")
       .select(col("__a").as("start_node"), col("__b").as("end_node"),
         col("__w").as("w"))
+  }
+
+  /** The full `pgr_trsp` restriction surface: the line graph of
+    * [[restrictedLineGraph]] PLUS via-WAY restrictions (OSM's
+    * `type=restriction` with a `via` member of type W — "no driving
+    * F → across V → onto T"), which a pairwise ban cannot express:
+    * banning F→V would outlaw entering V and exiting elsewhere;
+    * banning V→T would outlaw reaching T through V from other
+    * entries. The classical fix (OSRM/pgRouting): SHADOW STATES —
+    * one clone s(F,V) of via-edge V per banned prefix, entered only
+    * by the redirected F→V transition, carrying every real
+    * continuation of V except the banned T's. Chained via-way
+    * restrictions compose: shadow exits are taken from the
+    * already-redirected graph and bans compare on the UNDERLYING
+    * edge id, so s(F,V) routes into s(V,X) where one exists.
+    *
+    * `restrictions` may carry `via_node` and/or `via_way` columns
+    * (each row exactly one non-null — [[RoadGraph.turnRestrictionsVia]]);
+    * without a `via_way` column this degenerates to
+    * [[restrictedLineGraph]] byte-for-byte. `only_*` via-way rows
+    * expand to "no" bans of every other continuation of (F, V).
+    *
+    * Returns `(stateGraph, stateMap)`; the map rows are
+    * `(state_id, arr_node, real_edge)` — real edges map to
+    * themselves, shadows to their via edge. Shadow ids sit below the
+    * −1/−2 routing sentinels.
+    *
+    * 100 TB shape: the restriction table is KB-sized even planet-wide
+    * (broadcast-class), so its resolution joins broadcast and the one
+    * shadow-id window over distinct (F, V) prefixes is bounded by the
+    * restriction count, never corpus data; everything edge-sized stays
+    * keyed (equi-joins and one LeftAnti). */
+  private[graft] def restrictedStateGraph(edges: DataFrame,
+      restrictions: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val baseMap = edges.select(col("edge_id").as("state_id"),
+      col("end_node").as("arr_node"), col("edge_id").as("real_edge"))
+    val hasVia = restrictions.columns.contains("via_way")
+    val nodeR =
+      if (hasVia) restrictions.filter(col("via_node").isNotNull)
+        .select(col("from_way"), col("via_node"), col("to_way"), col("kind"))
+      else restrictions
+    val lg0 = restrictedLineGraph(edges, nodeR)
+    if (!hasVia) return (lg0, baseMap)
+    val wayR = restrictions.filter(col("via_way").isNotNull)
+    // resolve way-level (F, V, T) to edge triples along shared junctions
+    val eF = edges.select(col("edge_id").as("__f"),
+      col("end_node").as("__n1"), col("way_id").as("__fww"))
+    val eV = edges.select(col("edge_id").as("__v"),
+      col("start_node").as("__vs"), col("end_node").as("__n2"),
+      col("way_id").as("__vww"))
+    val eT = edges.select(col("edge_id").as("__t"),
+      col("start_node").as("__ts"), col("way_id").as("__tww"))
+    val triples = broadcast(wayR)
+      .join(eF, col("__fww") === col("from_way"))
+      .join(eV, col("__vww") === col("via_way") && col("__vs") === col("__n1"))
+      .join(eT, col("__tww") === col("to_way") && col("__ts") === col("__n2"))
+      .select(col("__f"), col("__v"), col("__t"), col("kind"))
+    // only_*: mandatory turn — ban every continuation of (F, V) except
+    // the allowed T's, expanded against the real transitions out of V
+    val vOut = lg0.select(col("start_node").as("__v"),
+      col("end_node").as("__x"))
+    val onlyTriples = triples.filter(col("kind") === "only")
+    val onlyBans = onlyTriples.select(col("__f"), col("__v")).distinct()
+      .join(vOut, "__v")
+      .join(onlyTriples.select(col("__f"), col("__v"),
+        col("__t").as("__x")), Seq("__f", "__v", "__x"), "left_anti")
+      .select(col("__f"), col("__v"), col("__x").as("__t"))
+    val bans3 = triples.filter(col("kind") === "no")
+      .select(col("__f"), col("__v"), col("__t"))
+      .unionByName(onlyBans).distinct().localCheckpoint(true)
+    val pairs = bans3.select(col("__f"), col("__v")).distinct()
+      .withColumn("__sid", -lit(10L) - row_number().over(
+        Window.orderBy(col("__f"), col("__v"))).cast("long"))
+      .localCheckpoint(true)
+    // kill the real F→V transition, re-enter V through its shadow
+    val lg1 = lg0.join(broadcast(pairs.select(
+        col("__f").as("start_node"), col("__v").as("end_node"))),
+      Seq("start_node", "end_node"), "left_anti")
+    val redirect = lg0.join(broadcast(pairs),
+        lg0("start_node") === pairs("__f") &&
+          lg0("end_node") === pairs("__v"))
+      .select(col("start_node"), col("__sid").as("end_node"), col("w"))
+    val shadowMap = pairs
+      .join(edges.select(col("edge_id").as("__v"),
+        col("end_node").as("__vend")), "__v")
+      .select(col("__sid").as("state_id"), col("__vend").as("arr_node"),
+        col("__v").as("real_edge"))
+    val stateMap = baseMap.unionByName(shadowMap)
+    val vCont = lg1.unionByName(redirect)
+    val shadowOut = broadcast(pairs)
+      .join(vCont, pairs("__v") === vCont("start_node"))
+      .join(stateMap.select(col("state_id").as("end_node"),
+        col("real_edge").as("__xreal")), "end_node")
+      .join(bans3.select(col("__f"), col("__v"),
+        col("__t").as("__xreal")), Seq("__f", "__v", "__xreal"),
+        "left_anti")
+      .select(col("__sid").as("start_node"), col("end_node"), col("w"))
+    (vCont.unionByName(shadowOut), stateMap)
   }
 
   /** Community detection by SYNCHRONOUS label propagation (LPA,

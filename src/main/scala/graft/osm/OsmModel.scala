@@ -203,6 +203,43 @@ object OsmModel {
     (relations, members)
   }
 
+  /** Via-WAY restriction fixture for the shadow-state surface: a `no`
+    * and an `only` restriction whose via member is a WAY, plus a
+    * 2-way via sequence (out of scope — must drop) and a relation
+    * carrying BOTH a node via and a way via (node interpretation must
+    * win). Ways 101/102/103/106 belong to the 8-edge shadow fixture in
+    * RoadGraphSpec / q_osm_route_viaway. */
+  def viaWayRestrictionRelations(spark: SparkSession)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val t = ts("2020-05-08 12:00:00")
+    def rel(id: Long, tags: Map[String, String]) =
+      OsmRelation(id, 1, 1, t, 1L, tags)
+    val relations = Seq(
+      rel(401, Map("type" -> "restriction", "restriction" -> "no_straight_on")),
+      rel(402, Map("type" -> "restriction", "restriction" -> "only_right_turn")),
+      rel(403, Map("type" -> "restriction", "restriction" -> "no_u_turn")),
+      rel(404, Map("type" -> "restriction", "restriction" -> "no_left_turn"))
+    ).toDF()
+    val members = Seq(
+      RelationMember(401, 101, "W", "from", 0),
+      RelationMember(401, 102, "W", "via", 1),
+      RelationMember(401, 103, "W", "to", 2),
+      RelationMember(402, 101, "W", "from", 0),
+      RelationMember(402, 102, "W", "via", 1),
+      RelationMember(402, 106, "W", "to", 2),
+      RelationMember(403, 104, "W", "from", 0), // 2-way via: out of scope
+      RelationMember(403, 105, "W", "via", 1),
+      RelationMember(403, 102, "W", "via", 2),
+      RelationMember(403, 103, "W", "to", 3),
+      RelationMember(404, 108, "W", "from", 0), // node via wins over way via
+      RelationMember(404, 2, "N", "via", 1),
+      RelationMember(404, 102, "W", "via", 2),
+      RelationMember(404, 104, "W", "to", 3)
+    ).toDF()
+    (relations, members)
+  }
+
   /** Way-POI fixture (osm-pois-extract.sql:51-71 coverage): the micro
     * fixture's ways plus three more so every way-POI key (leisure,
     * landuse, sport, amenity) appears and the `highway IS NULL`

@@ -385,4 +385,42 @@ object RoadGraph {
       .join(role("to", "W", "to_way"), "relation_id")
       .select(col("from_way"), col("via_node"), col("to_way"), col("kind"))
   }
+
+  /** [[turnRestrictions]] extended with via-WAY members — the full OSM
+    * restriction surface `GraphCheck.restrictedStateGraph` consumes.
+    * Emits `(from_way, via_node, via_way, to_way, kind)` with exactly
+    * one of via_node / via_way non-null per row. Policy: a relation
+    * with a via NODE member keeps the node interpretation (a W via on
+    * the same relation is ignored); via sequences of 2+ ways are
+    * dropped as malformed-for-this-surface (the single-way via is the
+    * overwhelmingly common form); everything [[turnRestrictions]]
+    * already drops (wrong type tag, missing roles) stays dropped. */
+  def turnRestrictionsVia(relations: DataFrame,
+      members: DataFrame): DataFrame = {
+    val restr = relations
+      .filter(element_at(col("tags"), "type") === "restriction")
+      .select(col("id").as("relation_id"),
+        when(element_at(col("tags"), "restriction").startsWith("only"),
+          "only").otherwise("no").as("kind"))
+    def role(r: String, t: String, as: String) = members
+      .filter(col("member_role") === r && col("member_type") === t)
+      .select(col("relation_id"), col("member_id").as(as))
+    val viaN = role("via", "N", "via_node")
+    val viaW = role("via", "W", "via_way")
+      .groupBy("relation_id")
+      .agg(count(lit(1)).as("__c"), min(col("via_way")).as("via_way"))
+      .filter(col("__c") === 1)
+      .select(col("relation_id"), col("via_way"))
+      .join(viaN.select("relation_id"), Seq("relation_id"), "left_anti")
+    val via = viaN.select(col("relation_id"), col("via_node"),
+        lit(null).cast("long").as("via_way"))
+      .unionByName(viaW.select(col("relation_id"),
+        lit(null).cast("long").as("via_node"), col("via_way")))
+    restr
+      .join(role("from", "W", "from_way"), "relation_id")
+      .join(via, "relation_id")
+      .join(role("to", "W", "to_way"), "relation_id")
+      .select(col("from_way"), col("via_node"), col("via_way"),
+        col("to_way"), col("kind"))
+  }
 }

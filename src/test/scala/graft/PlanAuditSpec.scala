@@ -505,6 +505,68 @@ class PlanAuditSpec extends SparkTestBase {
     // after the bbox aggregate there is no further exchange and no join
     val gb = plan("q_geo_buffer")
     assert(!gb.toLowerCase.contains("join"), s"buffer must not join:\n$gb")
+    // via-way shadow states: restriction resolution broadcasts (the
+    // table is KB-class), the F->V kill is a real LeftAnti, nothing
+    // cartesian — audited on the returned state-graph frame
+    val vEdges = Seq((1L, 1L, 2L, 1L, 101L), (2L, 2L, 3L, 1L, 102L),
+      (3L, 3L, 4L, 1L, 103L))
+      .toDF("edge_id", "start_node", "end_node", "w", "way_id")
+    val vRestr = Seq((101L, Option.empty[Long], Option(102L), 103L, "no"))
+      .toDF("from_way", "via_node", "via_way", "to_way", "kind")
+    val (vlg, _) = osm.GraphCheck.restrictedStateGraph(vEdges, vRestr)
+    val vp = vlg.queryExecution.executedPlan.toString
+    assert(vp.contains("LeftAnti"), s"F->V kill should anti-join:\n$vp")
+    assert(vp.contains("BroadcastHashJoin"),
+      s"restriction resolution should broadcast:\n$vp")
+    assert(!vp.contains("CartesianProduct"),
+      s"shadow construction must stay keyed:\n$vp")
+  }
+
+  test("louvain phase 2: weighted round is window-free, coarsen is keyed joins + hash-agg; 50k-clique chain pairs exactly") {
+    import spark.implicits._
+    // plan shape of ONE weighted round (the loop materializes eagerly,
+    // so audit the round frame): argmax via struct-min hash-agg — no
+    // Window; the only non-equi join is the sanctioned broadcast of
+    // the scalar 2W; coarsen is two keyed joins into one hash-agg
+    val we = Seq((1L, 1L, 6L), (1L, 2L, 1L), (2L, 2L, 6L))
+      .toDF("start_node", "end_node", "w")
+    val wl = Seq((1L, 1L), (2L, 2L)).toDF("node_id", "label")
+    val wp = osm.GraphCheck.refineCommunitiesWeighted(we, wl, Some(1))
+      .queryExecution.executedPlan.toString
+    assert(!wp.contains("Window"),
+      s"weighted refine must argmax via struct-min, not a window:\n$wp")
+    assert(!wp.contains("CartesianProduct"), "no cartesian in refine")
+    val ce = Seq((1L, 2L), (2L, 3L)).toDF("start_node", "end_node")
+    val cp = osm.GraphCheck.coarsenGraph(ce, wl.unionByName(
+        Seq((3L, 2L)).toDF("node_id", "label")))
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("HashAggregate") && !cp.contains("CartesianProduct")
+      && !cp.contains("Window"), s"coarsen must stay keyed:\n$cp")
+    // scale witness: 50k K4 cliques in a chain (350k edges). Level-2
+    // merges adjacent cliques pairwise — the modularity resolution
+    // limit makes every pairing Q-positive at this m — and the parity
+    // alternation lands the exact {2j, 2j+1} pairing with NO
+    // oscillation: final label of node n is (n div 8) * 2.
+    val n = 50000L
+    val cliques = spark.range(0L, n)
+      .select(explode(array((for (i <- 0 to 3; j <- (i + 1) to 3) yield
+        struct((col("id") * 4 + i).as("start_node"),
+          (col("id") * 4 + j).as("end_node"))): _*)).as("e"))
+      .select(col("e.start_node"), col("e.end_node"))
+    val chainLinks = spark.range(0L, n - 1)
+      .select((col("id") * 4 + 3).as("start_node"),
+        ((col("id") + 1) * 4).as("end_node"))
+    val labels = spark.range(0L, 4 * n)
+      .select(col("id").as("node_id"),
+        floor(col("id") / 4).as("label"))
+    val two = osm.GraphCheck.louvainTwoLevel(
+      cliques.unionByName(chainLinks), labels,
+      level1Rounds = 0, level2Rounds = 2)
+    val bad = two
+      .filter(col("label") =!= floor(col("node_id") / 8) * 2).count()
+    assert(bad === 0L, s"$bad nodes off the exact pairwise merge")
+    assert(two.select(countDistinct(col("label"))).head().getLong(0)
+      === n / 2)
   }
 
   test("coreness round plan is window-free (histogram fold, not a ranking window)") {

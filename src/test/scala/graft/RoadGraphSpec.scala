@@ -863,4 +863,45 @@ class RoadGraphSpec extends SparkTestBase {
     assert(GraphCheck.restrictedRoute(edges, restrDf, 1L, 1L)
       === Some((Seq.empty, Seq(1L), 0.0)))
   }
+
+  test("via-way restrictions: shadow states ban the full F-V-T sequence but keep partial uses of V legal") {
+    import spark.implicits._
+    // F = way 101 (edge 1), V = way 102 (edge 2), T = way 103 (edge 3);
+    // alternates: 2-5-4 (slow), V-exit 3-6-4, side entry 0-2 (way 108)
+    val edges = Seq(
+      (1L, 1L, 2L, 1L, 101L), (2L, 2L, 3L, 1L, 102L),
+      (3L, 3L, 4L, 1L, 103L), (4L, 2L, 5L, 5L, 104L),
+      (5L, 5L, 4L, 5L, 105L), (6L, 3L, 6L, 1L, 106L),
+      (7L, 6L, 4L, 4L, 107L), (8L, 0L, 2L, 1L, 108L)
+    ).toDF("edge_id", "start_node", "end_node", "w", "way_id")
+    val (rels, mems) = OsmModel.viaWayRestrictionRelations(spark)
+    val restr = RoadGraph.turnRestrictionsVia(rels, mems)
+    // extractor: 401 no-via-way, 402 only-via-way, 403 dropped (2-way
+    // via sequence), 404 keeps the NODE interpretation
+    val got = restr.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Long]),
+      Option(r.get(2)).map(_.asInstanceOf[Long]),
+      r.getLong(3), r.getString(4))).toSet
+    assert(got === Set(
+      (101L, None, Some(102L), 103L, "no"),
+      (101L, None, Some(102L), 106L, "only"),
+      (108L, Some(2L), None, 104L, "no")))
+    // unrestricted baseline rides the banned sequence
+    val none = restr.filter(lit(false))
+    assert(GraphCheck.restrictedRoute(edges, none, 1L, 4L)
+      === Some((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L), 3.0)))
+    // banned F-V-T: reroute EXITS V mid-way (1-2-3-6-4) — a pairwise
+    // F->V or V->T ban could not leave this path legal
+    assert(GraphCheck.restrictedRoute(edges, restr, 1L, 4L)
+      === Some((Seq(1L, 2L, 6L, 7L), Seq(1L, 2L, 3L, 6L, 4L), 7.0)))
+    // entering V from the side (way 108) keeps V->T legal: the
+    // discriminator against banning V->T outright
+    assert(GraphCheck.restrictedRoute(edges, restr, 0L, 4L)
+      === Some((Seq(8L, 2L, 3L), Seq(0L, 2L, 3L, 4L), 3.0)))
+    // node-distance surface agrees (min over real + shadow states)
+    val d = GraphCheck.restrictedShortestPaths(edges, restr, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 3L, 5L -> 6L,
+      4L -> 7L))
+  }
 }
