@@ -2392,6 +2392,59 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- sampled harmonic centrality: the disconnected-robust sibling
+    //      of closeness (unreached pairs contribute 0); per-meter scale
+    //      applied BEFORE rounding so the cm-exact distances keep
+    //      six significant digits
+    "q_osm_harmonic" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      osm.GraphCheck.harmonicFromSources(e, Seq(1L, 3L, 4L, 5L, 6L))
+        .select(col("node_id"), col("n_from"),
+          round(col("inv_sum") * 100, 6).as("harmonic_per_m"))
+        .orderBy("node_id")
+    }),
+
+    // ---- sampled eccentricity per seed (max network distance + reach
+    //      count): exact integer centimeters; max over seeds = diameter
+    //      lower bound, min = radius upper bound
+    "q_osm_eccentricity" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      osm.GraphCheck.eccentricityFromSources(e, Seq(1L, 3L, 4L, 5L, 6L))
+        .select(col("node_id"), col("ecc").as("ecc_cm"), col("reached"))
+        .orderBy("node_id")
+    }),
+
+    // ---- pseudo-diameter: the classical two-sweep BFS bound (hop
+    //      metric, ties to the smallest id) — the scale-sane diameter
+    //      estimate; the oracle replays both sweeps
+    "q_osm_pseudo_diameter" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+      osm.GraphCheck.pseudoDiameter(e, seed = 1L)
+    }),
+
+    // ---- HITS hubs/authorities, 10 sum-normalized synchronous rounds
+    //      over the directed graph — the oracle unrolls the identical
+    //      chain in doubles, round(6) absorbing addition order
+    "q_osm_hits" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+      osm.GraphCheck.hits(e, iters = 10)
+        .select(col("node_id"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node_id")
+    }),
+
     // ---- sampled betweenness centrality (Brandes from seed sources) —
     //      completes the space-syntax centrality pair with closeness;
     //      the oracle enumerates ALL simple paths from each seed,
@@ -5450,6 +5503,62 @@ object SparkEntry {
                 CAST(sum(d) AS BIGINT) AS sum_cm,
                 count(*) AS n_from
          FROM mc GROUP BY node ORDER BY node_id"""),
+    // harmonic: same per-seed BFS relation, the fold is sum(1/d) over
+    // d > 0 with the same pre-round meter scaling as the engine
+    "q_osm_harmonic" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         rc(seed, node, dist, hops) AS (
+           SELECT seed, seed, CAST(0 AS BIGINT), 0
+           FROM (VALUES (1), (3), (4), (5), (6)) s(seed)
+           UNION ALL
+           SELECT rc.seed, e.dst, rc.dist + e.w, rc.hops + 1
+           FROM rc JOIN dedges e ON e.src = rc.node WHERE rc.hops < 8),
+         mc AS (SELECT seed, node, min(dist) AS d FROM rc GROUP BY seed, node)
+         SELECT CAST(node AS BIGINT) AS node_id,
+                count(*) AS n_from,
+                round(100.0 * sum(1.0 / d), 6) AS harmonic_per_m
+         FROM mc WHERE d > 0 GROUP BY node ORDER BY node_id"""),
+    // eccentricity: per SEED max distance + reach count off the same
+    // BFS relation (the seed's own 0-row counts as reached)
+    "q_osm_eccentricity" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         rc(seed, node, dist, hops) AS (
+           SELECT seed, seed, CAST(0 AS BIGINT), 0
+           FROM (VALUES (1), (3), (4), (5), (6)) s(seed)
+           UNION ALL
+           SELECT rc.seed, e.dst, rc.dist + e.w, rc.hops + 1
+           FROM rc JOIN dedges e ON e.src = rc.node WHERE rc.hops < 8),
+         mc AS (SELECT seed, node, min(dist) AS d FROM rc GROUP BY seed, node)
+         SELECT CAST(seed AS BIGINT) AS node_id,
+                CAST(max(d) AS BIGINT) AS ecc_cm,
+                count(*) AS reached
+         FROM mc GROUP BY seed ORDER BY node_id"""),
+    // pseudo-diameter: both hop-BFS sweeps replayed, argmax ties to
+    // the smallest node id at each sweep
+    "q_osm_pseudo_diameter" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         r1(node, d, hops) AS (
+           SELECT CAST(1 AS BIGINT), 0, 0
+           UNION ALL
+           SELECT e.dst, r1.d + 1, r1.hops + 1
+           FROM r1 JOIN dedges e ON e.src = r1.node WHERE r1.hops < 10),
+         m1 AS (SELECT node, min(d) AS d FROM r1 GROUP BY node),
+         u AS (SELECT node FROM m1 ORDER BY d DESC, node LIMIT 1),
+         r2(node, d, hops) AS (
+           SELECT node, 0, 0 FROM u
+           UNION ALL
+           SELECT e.dst, r2.d + 1, r2.hops + 1
+           FROM r2 JOIN dedges e ON e.src = r2.node WHERE r2.hops < 10),
+         m2 AS (SELECT node, min(d) AS d FROM r2 GROUP BY node),
+         v AS (SELECT node, d FROM m2 ORDER BY d DESC, node LIMIT 1)
+         SELECT CAST(u.node AS BIGINT) AS from_node,
+                CAST(v.node AS BIGINT) AS to_node,
+                CAST(v.d AS BIGINT) AS pseudo_diameter
+         FROM u, v"""),
+    "q_osm_hits" -> hitsOracleSql(10),
     // Brandes pair-dependencies re-derived by brute force: enumerate
     // ALL simple paths from each seed (revisit guard terminates the
     // recursion), keep the per-(s,t) minimum-cost ones, count how many
@@ -6807,6 +6916,53 @@ object SparkEntry {
 $chain
          SELECT CAST(node AS BIGINT) AS node_id, round(rank, 8) AS rank
          FROM p$iters ORDER BY node_id"""
+  }
+
+  /** HITS replayed round-for-round (the pagerankOracleSql policy:
+    * fixed MATERIALIZED chain, doubles, consumer round(6)): per round
+    * an authority pass (sum of inbound hub, sum-normalized) then a hub
+    * pass (sum of outbound authority, sum-normalized). */
+  private def hitsOracleSql(iters: Int): String = {
+    val chain = (1 to iters).map { k =>
+      s"""         ar$k AS MATERIALIZED (
+           SELECT e.dst AS node, sum(h${k - 1}.hub) AS a
+           FROM dm e JOIN h${k - 1} ON e.src = h${k - 1}.node
+           GROUP BY e.dst),
+         sa$k AS MATERIALIZED (SELECT sum(a) AS s FROM ar$k),
+         a$k AS MATERIALIZED (
+           SELECT nd.node,
+                  CASE WHEN s.s > 0 THEN COALESCE(ar.a, 0) / s.s
+                       ELSE 0 END AS auth
+           FROM hnodes nd CROSS JOIN sa$k s
+           LEFT JOIN ar$k ar ON ar.node = nd.node),
+         hr$k AS MATERIALIZED (
+           SELECT e.src AS node, sum(a$k.auth) AS h
+           FROM dm e JOIN a$k ON e.dst = a$k.node
+           GROUP BY e.src),
+         sh$k AS MATERIALIZED (SELECT sum(h) AS s FROM hr$k),
+         h$k AS MATERIALIZED (
+           SELECT nd.node,
+                  CASE WHEN s.s > 0 THEN COALESCE(hr.h, 0) / s.s
+                       ELSE 0 END AS hub
+           FROM hnodes nd CROSS JOIN sh$k s
+           LEFT JOIN hr$k hr ON hr.node = nd.node)"""
+    }.mkString(",\n")
+    OsmOracle.graphPrefix.replaceFirst("WITH", "WITH RECURSIVE") +
+      oracleRouteCore + s""",
+         dm AS MATERIALIZED (SELECT src, dst FROM dedges),
+         hnodes AS MATERIALIZED (
+           SELECT node FROM (SELECT src AS node FROM dm
+                             UNION ALL SELECT dst FROM dm)
+           GROUP BY node),
+         hn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM hnodes),
+         h0 AS MATERIALIZED (
+           SELECT node, 1.0 / hn.n AS hub FROM hnodes CROSS JOIN hn),
+$chain
+         SELECT CAST(h.node AS BIGINT) AS node_id,
+                round(h.hub, 6) AS hub, round(a.auth, 6) AS authority
+         FROM h$iters h JOIN a$iters a ON a.node = h.node
+         ORDER BY node_id"""
   }
 
   /** Synchronous LPA replayed round-for-round: fixed iteration count →

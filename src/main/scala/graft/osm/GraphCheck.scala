@@ -1122,6 +1122,145 @@ object GraphCheck {
       .agg(sum(col("dist")).as("sum_dist"), count(lit(1)).as("n_from"))
   }
 
+  /** Sampled HARMONIC centrality (igraph `harmonic_centrality`, the
+    * disconnected-robust sibling of closeness: unreachable pairs
+    * contribute 0 instead of poisoning the mean): per node,
+    * `inv_sum` = Σ_s 1/d(s, node) over the sources that reach it at
+    * d > 0, plus the reaching count. Same sampled-sources estimator
+    * and loop economics as [[closenessFromSources]] — k SSSP jobs over
+    * one materialized edge relation — only the final fold differs.
+    * The 1/d terms are double; consumers round for cross-engine
+    * comparison (the pageRank contract). */
+  def harmonicFromSources(edges: DataFrame, sources: Seq[Long],
+      maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    val eChk = materializeEdges(edges)
+    sources.map { s0 =>
+      multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
+    }.reduce(_.unionByName(_))
+      .filter(col("dist") > 0)
+      .groupBy("node_id")
+      .agg(sum(lit(1.0) / col("dist")).as("inv_sum"),
+        count(lit(1)).as("n_from"))
+  }
+
+  /** Sampled eccentricity (igraph `eccentricity` on chosen vertices):
+    * for each SOURCE, the max shortest-path distance to any node it
+    * reaches, plus the reached count. max over the sampled sources is
+    * the classic diameter lower bound, min an upper bound on radius
+    * (exact when sources = V — all-pairs, micro-scale only; sample at
+    * road scale, or take [[pseudoDiameter]]'s two-sweep bound).
+    * Exact integer output on integer weights. */
+  def eccentricityFromSources(edges: DataFrame, sources: Seq[Long],
+      maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eChk = materializeEdges(edges)
+    sources.map { s0 =>
+      multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
+        .agg(max(col("dist")).as("ecc"), count(lit(1)).as("reached"))
+        .select(lit(s0).as("node_id"), col("ecc"), col("reached"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Pseudo-diameter by the classical DOUBLE SWEEP (igraph
+    * `pseudo_diameter`): BFS from `seed` to its farthest node u (hop
+    * metric, ties to the smallest id), BFS again from u to its
+    * farthest v — d(u, v) is a high-quality diameter lower bound at
+    * the cost of exactly two SSSP runs (exact all-pairs eccentricity
+    * is O(V·E), off the table at road scale). Returns one row
+    * `(from_node, to_node, pseudo_diameter)`; deterministic, so an
+    * independent BFS replay reproduces it. */
+  def pseudoDiameter(edges: DataFrame, seed: Long,
+      maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    val hop = edges.select(col("start_node"), col("end_node"),
+      lit(1L).as("w"))
+    def farthest(s: Long): DataFrame =
+      multiSourceShortestPaths(hop, Seq(s), maxIter, localThreshold)._1
+        .agg(min(struct((-col("dist")).as("nd"),
+          col("node_id").as("n"))).as("__b"))
+        .select(col("__b.n").as("node_id"), (-col("__b.nd")).as("dist"))
+    val u = farthest(seed).head()
+    val v = farthest(u.getLong(0)).head()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((u.getLong(0), v.getLong(0), v.getLong(1)))
+      .toDF("from_node", "to_node", "pseudo_diameter")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999; igraph `hub_score` /
+    * `authority_score`) over the directed graph, `iters` synchronous
+    * rounds: a_k(v) = Σ_{u→v} h_{k−1}(u), h_k(u) = Σ_{u→v} a_k(v),
+    * each vector SUM-normalized every round (deterministic scaling —
+    * igraph rescales by max at the end; sum-norm is replayed exactly
+    * by the oracle chain, consumers round like [[pageRank]]'s).
+    *
+    * 100 TB shape: identical loop economics to [[pageRank]] — two
+    * keyed join+agg passes per round over the edge relation, scalar
+    * norms ride broadcast cross joins, localCheckpoint keeps plans
+    * flat; broadcast-local fast path below the same threshold. */
+  def hits(edges: DataFrame, iters: Int = 10,
+      localThreshold: Long = 100000L): DataFrame = {
+    val e = edges.select(col("start_node").as("src"),
+      col("end_node").as("dst")).localCheckpoint(true)
+    if (localThreshold > 0 &&
+        e.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      var hub = Array.fill(n)(1.0 / n)
+      var auth = Array.fill(n)(0.0)
+      var it = 0
+      while (it < iters) {
+        val a = new Array[Double](n)
+        es.foreach { case (u, v) => a(idx(v)) += hub(idx(u)) }
+        val as = a.sum
+        auth = if (as > 0) a.map(_ / as) else a
+        val h = new Array[Double](n)
+        es.foreach { case (u, v) => h(idx(u)) += auth(idx(v)) }
+        val hs = h.sum
+        hub = if (hs > 0) h.map(_ / hs) else h
+        it += 1
+      }
+      return ids.toIndexedSeq
+        .map(id => (id, hub(idx(id)), auth(idx(id))))
+        .toDF("node_id", "hub", "authority")
+    }
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    var hub = nodes.withColumn("hub", lit(1.0 / n)).localCheckpoint(true)
+    var auth = nodes.withColumn("authority", lit(0.0))
+    var i = 0
+    while (i < iters) {
+      val aRaw = e.join(hub, e("src") === hub("node_id"))
+        .groupBy(col("dst").as("node_id")).agg(sum(col("hub")).as("__a"))
+      val aN = aRaw.agg(sum(col("__a")).as("__s"))
+      auth = nodes.join(aRaw, Seq("node_id"), "left_outer")
+        .crossJoin(broadcast(aN))
+        .select(col("node_id"),
+          when(col("__s") > 0, coalesce(col("__a"), lit(0.0)) / col("__s"))
+            .otherwise(lit(0.0)).as("authority"))
+        .localCheckpoint(true)
+      val hRaw = e.join(auth, e("dst") === auth("node_id"))
+        .groupBy(col("src").as("node_id"))
+        .agg(sum(col("authority")).as("__h"))
+      val hN = hRaw.agg(sum(col("__h")).as("__s"))
+      hub = nodes.join(hRaw, Seq("node_id"), "left_outer")
+        .crossJoin(broadcast(hN))
+        .select(col("node_id"),
+          when(col("__s") > 0, coalesce(col("__h"), lit(0.0)) / col("__s"))
+            .otherwise(lit(0.0)).as("hub"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    hub.join(auth, "node_id")
+  }
+
   /** Sampled betweenness centrality (Brandes 2001) from `sources` —
     * the other half of the space-syntax centrality surface the
     * reference's igraph hand-off computes (closeness is

@@ -864,6 +864,50 @@ class RoadGraphSpec extends SparkTestBase {
       === Some((Seq.empty, Seq(1L), 0.0)))
   }
 
+  test("hits / harmonic / eccentricity / pseudo-diameter: closed forms, local == distributed") {
+    import spark.implicits._
+    // HITS co-citation star: 1 and 2 both point at 3 — pure hubs
+    // (0.5 each after sum-norm) and one pure authority; fixpoint from
+    // round 1 so 10 rounds stay put
+    val star = Seq((1L, 3L), (2L, 3L)).toDF("start_node", "end_node")
+    def hitsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> (math.rint(r.getDouble(1) * 1e10) / 1e10,
+          math.rint(r.getDouble(2) * 1e10) / 1e10)).toMap
+    val hLocal = hitsMap(GraphCheck.hits(star, iters = 10))
+    assert(hLocal === Map(1L -> (0.5, 0.0), 2L -> (0.5, 0.0),
+      3L -> (0.0, 1.0)))
+    assert(hitsMap(GraphCheck.hits(star, iters = 10, localThreshold = 0))
+      === hLocal, "distributed HITS must match the local path")
+    // harmonic on the weighted path 1 -(1)-> 2 -(2)-> 3, sources 1,2:
+    // node 2 gets 1/1 from source 1; node 3 gets 1/3 + 1/2
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 2L))
+      .toDF("start_node", "end_node", "w")
+    val hm = GraphCheck.harmonicFromSources(path, Seq(1L, 2L))
+      .collect().map(r => r.getLong(0) ->
+        (math.rint(r.getDouble(1) * 1e9) / 1e9, r.getLong(2))).toMap
+    assert(hm === Map(2L -> (1.0, 1L),
+      3L -> (math.rint((1.0 / 3 + 1.0 / 2) * 1e9) / 1e9, 2L)))
+    val hmD = GraphCheck.harmonicFromSources(path, Seq(1L, 2L),
+      localThreshold = 0)
+      .collect().map(r => r.getLong(0) ->
+        (math.rint(r.getDouble(1) * 1e9) / 1e9, r.getLong(2))).toMap
+    assert(hmD === hm, "distributed harmonic must match local")
+    // eccentricity per source on the same path (source row counts in
+    // `reached`: the SSSP relation includes the seed at 0)
+    val ec = GraphCheck.eccentricityFromSources(path, Seq(1L, 2L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(ec === Map(1L -> (3L, 3L), 2L -> (2L, 2L)))
+    // pseudo-diameter double sweep on the undirected 5-path, seeded
+    // mid-chain: first sweep ties at distance 2 (nodes 1 and 5) ->
+    // smallest id 1; second sweep lands 5 at 4 hops
+    val p5 = (1L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("start_node", "end_node")
+    val pd = GraphCheck.pseudoDiameter(p5, seed = 3L).head()
+    assert((pd.getLong(0), pd.getLong(1), pd.getLong(2)) === ((1L, 5L, 4L)))
+  }
+
   test("via-way restrictions: shadow states ban the full F-V-T sequence but keep partial uses of V legal") {
     import spark.implicits._
     // F = way 101 (edge 1), V = way 102 (edge 2), T = way 103 (edge 3);
