@@ -967,6 +967,30 @@ object SparkEntry {
     //      operator, composed here so the CROSS-STAGE dataflow is also
     //      value-checked (the oracle replays the whole chain). Scale
     //      shape: union of the stages' own shapes — scan-local filters,
+    // ---- fastText-style quality classifier: hashed 1..2-gram features
+    //      (portable md5 buckets), batch-GD logistic regression, every
+    //      doc scored — the CCNet filter shape. Label = "mentions
+    //      spark" (the one text-DERIVED signal the synthetic corpus
+    //      carries; its `lang` column is vocabulary-independent noise,
+    //      which a classifier correctly refuses to learn — spec-gated
+    //      non-vacuous: accuracy must beat the class prior). The
+    //      oracle replays features + all 24 gradient rounds + scoring
+    //      in doubles, round(5) absorbing exp() ulps.
+    "q_t_quality_model" -> ((s, dir) => {
+      val d = spreadDocs(s, dir)
+      val feats = llm.Regression.hashedNgramFeatures(
+        d, "doc_id", col("text"), dim = 1024, binary = true)
+      val labels = d.select(col("doc_id"),
+        array_contains(llm.TextAnalysis.tokens(col("text")), "spark")
+          .cast("int").as("y"))
+      val w = llm.Regression.fitLogistic(feats, "doc_id", labels, "y",
+        iters = 24, lr = 8.0)
+      llm.Regression.predictLogistic(feats, "doc_id", w)
+        .select(col("doc_id"), round(col("p"), 5).as("p_pos"),
+          (round(col("p"), 5) > 0.5).as("pred_pos"))
+        .orderBy("doc_id")
+    }),
+
     //      one hash-agg, two semi/anti joins, no window, no collect.
     "q_t_pipeline" -> ((s, dir) => {
       val d = spreadDocs(s, dir)
@@ -3963,6 +3987,7 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, lang, source FROM u
          WHERE rn <= 10 ORDER BY lang, doc_id""",
+    "q_t_quality_model" -> qualityModelOracleSql(24),
     // the full curation chain replayed stage-for-stage (each fragment is
     // the corresponding single-op oracle's, re-scoped to the previous
     // stage's survivors)
@@ -6916,6 +6941,66 @@ object SparkEntry {
 $chain
          SELECT CAST(node AS BIGINT) AS node_id, round(rank, 8) AS rank
          FROM p$iters ORDER BY node_id"""
+  }
+
+  /** The logistic quality model replayed end-to-end: hashed 1..2-gram
+    * tf features with the portable md5 bucket, `iters` batch-GD rounds
+    * as a MATERIALIZED chain (w ← w − Xᵀ(σ(Xw) − y)/n, intercept on
+    * reserved bucket −1), then scoring — doubles throughout, round(5)
+    * at the end (the pagerankOracleSql numeric policy; exp() agrees to
+    * ulps across engines, far inside the rounding). */
+  private def qualityModelOracleSql(iters: Int, lr: Double = 8.0): String = {
+    val chain = (1 to iters).map { k =>
+      s"""         s$k AS MATERIALIZED (
+           SELECT f.doc_id, sum(f.x * COALESCE(w.w, 0)) AS s
+           FROM fx f LEFT JOIN w${k - 1} w USING (bucket)
+           GROUP BY f.doc_id),
+         e$k AS MATERIALIZED (
+           SELECT s$k.doc_id, 1.0 / (1.0 + exp(-s$k.s)) - yy.y AS e
+           FROM s$k JOIN yy USING (doc_id)),
+         g$k AS MATERIALIZED (
+           SELECT f.bucket, sum(f.x * e$k.e) / nn.n AS g
+           FROM fx f JOIN e$k USING (doc_id), nn
+           GROUP BY f.bucket, nn.n),
+         w$k AS MATERIALIZED (
+           SELECT w.bucket, w.w - $lr * COALESCE(g$k.g, 0) AS w
+           FROM w${k - 1} w LEFT JOIN g$k USING (bucket))"""
+    }.mkString(",\n")
+    s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(text, '\\s+') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(t) AS g FROM toks
+           UNION ALL
+           SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+           FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)),
+         fc AS (
+           SELECT DISTINCT doc_id,
+                  (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                    % 2147483647) % 1024 AS bucket
+           FROM grams),
+         fx AS MATERIALIZED (
+           SELECT doc_id, bucket, 1.0 AS x FROM fc
+           UNION ALL
+           SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM documents),
+         yy AS MATERIALIZED (
+           SELECT doc_id,
+                  CASE WHEN list_contains(
+                    string_split_regex(text, '\\s+'), 'spark')
+                  THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM yy),
+         w0 AS MATERIALIZED (
+           SELECT DISTINCT bucket, 0.0 AS w FROM fx),
+$chain,
+         score AS (
+           SELECT f.doc_id,
+                  1.0 / (1.0 + exp(-sum(f.x * COALESCE(w.w, 0)))) AS p
+           FROM fx f LEFT JOIN w$iters w USING (bucket)
+           GROUP BY f.doc_id)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                round(p, 5) AS p_pos, round(p, 5) > 0.5 AS pred_pos
+         FROM score ORDER BY doc_id"""
   }
 
   /** HITS replayed round-for-round (the pagerankOracleSql policy:

@@ -111,4 +111,101 @@ object Regression {
     }
     beta
   }
+
+  // --------------------------------------------------------------------
+  // fastText-style hashed-ngram LOGISTIC classifier — the CCNet-family
+  // quality/language filter: hashed bag of word n-grams, batch
+  // gradient descent, score every doc. Unlike the closed-form fits
+  // above this is iterative, so it follows the pageRank oracle
+  // contract: FIXED iteration count, deterministic expression trees,
+  // doubles throughout, consumers round.
+
+  /** Hashed bag-of-word-ngram features (1..maxN-grams over whitespace
+    * tokens, fastText's input layer): rows `(idCol, bucket, x)` with
+    * `bucket = md5Hash31(gram) mod dim` (the PORTABLE hash family — an
+    * independent SQL engine computes identical buckets) and `x` the
+    * gram count tf-normalized by the doc's total gram count —
+    * or BINARY presence (x = 1) with `binary = true`, the right
+    * encoding when the signal is a handful of indicator grams (tf on
+    * a 100-gram doc shrinks each indicator to ~0.01 and the intercept
+    * swamps it; observed on the corpus label below).
+    *
+    * 100 TB shape: explode + one (doc, bucket) hash-agg + one per-doc
+    * total agg joined back — scan-proportional, map-side partials
+    * absorb token skew; `dim` caps the model state regardless of
+    * vocabulary size (the hashing trick). */
+  def hashedNgramFeatures(docs: DataFrame, idCol: String, text: Column,
+      dim: Int, maxN: Int = 2, binary: Boolean = false): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val gramsFor = (n: Int) =>
+      when(size(toks) >= n, transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val grams = (1 to maxN).map(gramsFor).reduce(concat(_, _))
+    val cnt = docs.select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol),
+        pmod(Dedup.md5Hash31(col("__g")), lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+    if (binary)
+      cnt.select(col(idCol), col("bucket"), lit(1.0).as("x"))
+    else {
+      val tot = cnt.groupBy(col(idCol)).agg(sum(col("__c")).as("__t"))
+      cnt.join(tot, idCol)
+        .select(col(idCol), col("bucket"),
+          (col("__c").cast("double") / col("__t")).as("x"))
+    }
+  }
+
+  /** Batch-gradient-descent logistic regression over sparse hashed
+    * features: w ← w − lr · Xᵀ(σ(Xw) − y)/n for `iters` rounds from
+    * w = 0. The intercept rides reserved bucket −1 (one unit feature
+    * per labeled doc), so there is NO driver-side scalar state — the
+    * whole model is the returned `(bucket, w)` relation and the loop
+    * is pure joins + hash-aggs (weights can be millions of buckets;
+    * nothing collects). Deterministic given (features, labels, iters,
+    * lr): round-k weights are a fixed expression tree the SQL oracle
+    * unrolls; float addition order drifts ≪ the consumer rounding. */
+  def fitLogistic(feats: DataFrame, idCol: String, labels: DataFrame,
+      yCol: String, iters: Int = 8, lr: Double = 1.0): DataFrame = {
+    val f = feats.select(col(idCol).as("__id"), col("bucket"), col("x"))
+      .unionByName(labels.select(col(idCol).as("__id"),
+        lit(-1L).as("bucket"), lit(1.0).as("x")))
+      .localCheckpoint(true)
+    val y = labels.select(col(idCol).as("__id"),
+      col(yCol).cast("double").as("__y")).localCheckpoint(true)
+    val n = y.count()
+    var w = f.select(col("bucket")).distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val s = f.join(w, Seq("bucket"), "left_outer")
+        .groupBy(col("__id"))
+        .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("__s"))
+      val err = s.join(y, "__id")
+        .select(col("__id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__s"))) - col("__y")).as("__e"))
+      val grad = f.join(err, "__id")
+        .groupBy(col("bucket"))
+        .agg((sum(col("x") * col("__e")) / n).as("__g"))
+      w = w.join(grad, Seq("bucket"), "left_outer")
+        .select(col("bucket"),
+          (col("w") - lit(lr) * coalesce(col("__g"), lit(0.0))).as("w"))
+        .localCheckpoint(true)
+    }
+    w
+  }
+
+  /** Score docs with a [[fitLogistic]] model: `(idCol, p)` with
+    * p = σ(w·x + b). Buckets unseen at training time contribute 0
+    * (the standard hashing-trick semantics). */
+  def predictLogistic(feats: DataFrame, idCol: String,
+      weights: DataFrame): DataFrame = {
+    val f = feats.select(col(idCol), col("bucket"), col("x"))
+      .unionByName(feats.select(col(idCol)).distinct()
+        .select(col(idCol), lit(-1L).as("bucket"), lit(1.0).as("x")))
+    f.join(weights, Seq("bucket"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("__s"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-col("__s")))).as("p"))
+  }
 }

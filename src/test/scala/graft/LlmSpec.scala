@@ -1060,4 +1060,93 @@ class LlmSpec extends SparkTestBase {
     val fr = Regression.fit2(df, $"x1", $"x2", $"y", lambda = 1e7)
     assert(math.abs(fr.beta1) < math.abs(f.beta1))
   }
+
+  test("logistic quality classifier: engine GD == plain-Scala replay; separable fixture classified") {
+    import graft.llm.Regression
+    import spark.implicits._
+    // independent replay of the WHOLE chain (features + GD) in plain
+    // Scala: portable md5 buckets, tf-normalized 1..2-grams, 3 rounds
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c d"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1), (2L, 0), (3L, 1)).toDF("doc_id", "y")
+    val dim = 16
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 2147483647L) % dim
+    }
+    def featsOf(text: String): Map[Long, Double] = {
+      val t = text.split("\\s+").toSeq
+      val grams = t ++ t.sliding(2).map(_.mkString(" ")).toSeq
+      val cnt = grams.groupBy(bucket).map { case (b, g) => b -> g.size }
+      cnt.map { case (b, c) => b -> c.toDouble / grams.size }
+    }
+    val fx = Map(1L -> "a b a", 2L -> "b c", 3L -> "c c d")
+      .map { case (id, t) => id -> (featsOf(t) + (-1L -> 1.0)) }
+    val ys = Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0)
+    var wExp = fx.values.flatMap(_.keys).toSet.map((b: Long) => b -> 0.0)
+      .toMap
+    val (iters, lr) = (3, 1.0)
+    for (_ <- 1 to iters) {
+      val err = fx.map { case (id, f) =>
+        val s = f.map { case (b, x) => x * wExp(b) }.sum
+        id -> (1.0 / (1.0 + math.exp(-s)) - ys(id))
+      }
+      val grad = fx.toSeq
+        .flatMap { case (id, f) => f.map { case (b, x) => b -> x * err(id) } }
+        .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).sum / 3.0 }
+      wExp = wExp.map { case (b, w) => b -> (w - lr * grad.getOrElse(b, 0.0)) }
+    }
+    val feats = Regression.hashedNgramFeatures(docs, "doc_id", $"text", dim)
+    val wGot = Regression.fitLogistic(feats, "doc_id", labels, "y",
+        iters = iters, lr = lr)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wGot.keySet === wExp.keySet)
+    wExp.foreach { case (b, w) =>
+      assert(math.abs(wGot(b) - w) < 1e-9, s"bucket $b: ${wGot(b)} vs $w")
+    }
+    // separable vocabulary: positives share 'good/great', negatives
+    // 'bad/awful' — 20 rounds drive every training doc to the right
+    // side of 0.5, and a held-out positive-vocab doc scores positive
+    val corpus = Seq(
+      (10L, "good great fine", 1), (11L, "nice good great", 1),
+      (12L, "great fine nice good", 1), (13L, "bad awful poor", 0),
+      (14L, "terrible bad awful", 0), (15L, "poor awful bad terrible", 0)
+    ).toDF("doc_id", "text", "y")
+    val cf = Regression.hashedNgramFeatures(corpus, "doc_id", $"text", 64)
+    val cw = Regression.fitLogistic(cf, "doc_id",
+      corpus.select($"doc_id", $"y"), "y", iters = 20, lr = 5.0)
+    val preds = Regression.predictLogistic(cf, "doc_id", cw)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (10L to 12L).foreach(id => assert(preds(id) > 0.5, s"doc $id"))
+    (13L to 15L).foreach(id => assert(preds(id) < 0.5, s"doc $id"))
+    val held = Regression.predictLogistic(
+      Regression.hashedNgramFeatures(
+        Seq((99L, "good nice great")).toDF("doc_id", "text"), "doc_id",
+        $"text", 64),
+      "doc_id", cw).head().getDouble(1)
+    assert(held > 0.5, s"held-out positive scored $held")
+    // NON-VACUITY gate on the real corpus (the q_t_quality_model
+    // shape): binary-presence features + the text-derived "mentions
+    // spark" label must beat the class-prior constant classifier —
+    // guards against the model silently predicting one class
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dFeats = Regression.hashedNgramFeatures(d, "doc_id", $"text",
+      dim = 1024, binary = true)
+    val dLabels = d.select($"doc_id",
+      array_contains(graft.llm.TextAnalysis.tokens($"text"), "spark")
+        .cast("int").as("y"))
+    val w = Regression.fitLogistic(dFeats, "doc_id", dLabels, "y",
+      iters = 24, lr = 8.0)
+    val scored = Regression.predictLogistic(dFeats, "doc_id", w)
+      .join(dLabels, "doc_id")
+      .agg(
+        avg((($"p" > 0.5).cast("int") === $"y").cast("double")).as("acc"),
+        greatest(avg($"y".cast("double")),
+          lit(1.0) - avg($"y".cast("double"))).as("prior"))
+      .head()
+    assert(scored.getDouble(0) > scored.getDouble(1) + 0.1,
+      s"accuracy ${scored.getDouble(0)} must beat prior ${scored.getDouble(1)}")
+  }
 }
