@@ -2536,6 +2536,35 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- personalized PageRank (random walk with restart from seeds
+    //      {1, 4}): teleport mass on the seed set only — the
+    //      relevance-to-these-nodes score; identical chain economics
+    //      to q_osm_pagerank, oracle unrolls the seeded variant
+    "q_osm_ppr" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"))
+      osm.GraphCheck.personalizedPageRank(e, Seq(1L, 4L), iters = 20)
+        .select(col("node_id"), round(col("rank"), 8).as("rank"))
+        .orderBy("node_id")
+    }),
+
+    // ---- pgr_dijkstraCost many-to-many matrix: exact integer-cm
+    //      costs, no self rows, unreachable pairs absent — the
+    //      VRP/logistics input surface
+    "q_osm_cost_matrix" -> ((s, dir) => {
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      osm.GraphCheck.costMatrix(e, Seq(1L, 3L, 5L), Seq(4L, 5L, 6L))
+        .select(col("start_vid"), col("end_vid"),
+          col("agg_cost").as("cost_cm"))
+        .orderBy("start_vid", "end_vid")
+    }),
+
     // ---- routing with PATH reconstruction (what pgr_dijkstra actually
     //      returns): predecessor-tracking relaxation + O(path-length)
     //      driver walk-back — never a full collect of the distance
@@ -6063,6 +6092,24 @@ object SparkEntry {
     "q_d_minhash_pairs" -> minhashOracleSql,
     "q_d_editdist_pairs" -> editDistOracleSql,
     "q_osm_pagerank" -> pagerankOracleSql,
+    "q_osm_ppr" -> pprOracleSql(Seq(1L, 4L), 20),
+    // cost matrix: per-seed BFS relation, min per (seed, node), target
+    // filter, self rows dropped (pgr_dijkstraCost semantics)
+    "q_osm_cost_matrix" -> (OsmOracle.graphPrefix.replaceFirst("WITH",
+      "WITH RECURSIVE") + oracleRouteCore +
+      """,
+         rc(seed, node, dist, hops) AS (
+           SELECT seed, seed, CAST(0 AS BIGINT), 0
+           FROM (VALUES (1), (3), (5)) s(seed)
+           UNION ALL
+           SELECT rc.seed, e.dst, rc.dist + e.w, rc.hops + 1
+           FROM rc JOIN dedges e ON e.src = rc.node WHERE rc.hops < 8),
+         mc AS (SELECT seed, node, min(dist) AS d FROM rc GROUP BY seed, node)
+         SELECT CAST(seed AS BIGINT) AS start_vid,
+                CAST(node AS BIGINT) AS end_vid,
+                CAST(d AS BIGINT) AS cost_cm
+         FROM mc WHERE node IN (4, 5, 6) AND node <> seed
+         ORDER BY start_vid, end_vid"""),
     "q_d_neardup_keep" -> neardupKeepOracleSql,
     "q_d_simhash_pairs" -> simhashOracleSql,
     "q_d_dup_passages" ->
@@ -7001,6 +7048,45 @@ $chain,
          SELECT CAST(doc_id AS BIGINT) AS doc_id,
                 round(p, 5) AS p_pos, round(p, 5) > 0.5 AS pred_pos
          FROM score ORDER BY doc_id"""
+  }
+
+  /** Personalized PageRank replayed round-for-round: the
+    * pagerankOracleSql chain with teleport mass and the initial rank
+    * concentrated on the seed set. */
+  private def pprOracleSql(seeds: Seq[Long], iters: Int): String = {
+    val inList = seeds.mkString(", ")
+    val share = s"0.15 / ${seeds.size}.0"
+    val init = s"1.0 / ${seeds.size}.0"
+    val chain = (1 to iters).map { k =>
+      s"""         p$k AS MATERIALIZED (
+           SELECT nd.node,
+                  CASE WHEN nd.node IN ($inList) THEN $share
+                       ELSE 0.0 END + 0.85 * COALESCE(s.c, 0) AS rank
+           FROM pgnodes nd
+           LEFT JOIN (
+             SELECT e.dst AS node, sum(p${k - 1}.rank / od.deg) AS c
+             FROM dm e JOIN p${k - 1} ON e.src = p${k - 1}.node
+                       JOIN od ON od.node = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)"""
+    }.mkString(",\n")
+    OsmOracle.graphPrefix.replaceFirst("WITH", "WITH RECURSIVE") +
+      oracleRouteCore + s""",
+         dm AS MATERIALIZED (SELECT src, dst FROM dedges),
+         pgnodes AS MATERIALIZED (
+           SELECT node FROM (SELECT src AS node FROM dm
+                             UNION ALL SELECT dst FROM dm)
+           GROUP BY node),
+         od AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+           FROM dm GROUP BY src),
+         p0 AS MATERIALIZED (
+           SELECT node,
+                  CASE WHEN node IN ($inList) THEN $init
+                       ELSE 0.0 END AS rank
+           FROM pgnodes),
+$chain
+         SELECT CAST(node AS BIGINT) AS node_id, round(rank, 8) AS rank
+         FROM p$iters ORDER BY node_id"""
   }
 
   /** HITS replayed round-for-round (the pagerankOracleSql policy:

@@ -1055,6 +1055,91 @@ object GraphCheck {
     rank
   }
 
+  /** Personalized PageRank (igraph `personalized_pagerank`, the
+    * random-walk-with-restart relevance score): [[pageRank]] with the
+    * teleport mass concentrated on `seeds` — restart probability
+    * (1−d)/|S| on each seed, 0 elsewhere; rank starts 1/|S| on seeds.
+    * Same loop economics and broadcast-local fast path as
+    * [[pageRank]]; dangling mass leaks identically, the oracle unrolls
+    * the identical chain. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iters: Int = 20, damping: Double = 0.85,
+      localThreshold: Long = 100000L): DataFrame = {
+    val e = edges.select(col("start_node").as("src"),
+      col("end_node").as("dst")).localCheckpoint(true)
+    val seedSet = seeds.toSet
+    val tp = (1.0 - damping) / seeds.size
+    if (localThreshold > 0 &&
+        e.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      val deg = new Array[Long](n)
+      es.foreach { case (s, _) => deg(idx(s)) += 1 }
+      var rank = ids.map(id =>
+        if (seedSet(id)) 1.0 / seeds.size else 0.0).toArray
+      var it = 0
+      while (it < iters) {
+        val next = ids.map(id => if (seedSet(id)) tp else 0.0).toArray
+        es.foreach { case (s, d) =>
+          next(idx(d)) += damping * rank(idx(s)) / deg(idx(s)) }
+        rank = next
+        it += 1
+      }
+      return ids.toIndexedSeq.map(id => (id, rank(idx(id))))
+        .toDF("node_id", "rank")
+    }
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct()
+      .withColumn("__tp",
+        when(col("node_id").isin(seeds: _*), lit(tp)).otherwise(lit(0.0)))
+      .localCheckpoint(true)
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
+      .localCheckpoint(true)
+    var rank = nodes.select(col("node_id"),
+        when(col("node_id").isin(seeds: _*), lit(1.0 / seeds.size))
+          .otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val inbound = ew.join(rank, ew("src") === rank("node_id"))
+        .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__s"))
+      rank = nodes
+        .join(inbound, nodes("node_id") === inbound("dst"), "left_outer")
+        .select(col("node_id"),
+          (col("__tp") + lit(damping) * coalesce(col("__s"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    rank
+  }
+
+  /** Many-to-many cost matrix (`pgr_dijkstraCost` / igraph
+    * `distances(v, to)`): one SSSP per source over ONE materialized
+    * edge relation, filtered to the target set — pgRouting-shaped rows
+    * `(start_vid, end_vid, agg_cost)`, unreachable pairs absent and —
+    * pgr_dijkstraCost semantics — no self rows. Exact integers on
+    * integer weights; the VRP/logistics input surface. */
+  def costMatrix(edges: DataFrame, sources: Seq[Long],
+      targets: Seq[Long], maxIter: Int = 100,
+      localThreshold: Long = 100000L): DataFrame = {
+    val eChk = materializeEdges(edges)
+    sources.map { s0 =>
+      multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
+        .filter(col("node_id").isin(targets: _*) &&
+          col("node_id") =!= s0)
+        .select(lit(s0).as("start_vid"), col("node_id").as("end_vid"),
+          col("dist").as("agg_cost"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Sampled closeness centrality: per node, the SUM of network
     * distances from each of `sources` that reaches it, plus the
     * reaching-source count — the exact integer pieces of avg distance

@@ -460,6 +460,35 @@ object ScaleSmoke {
     }
     val (coreHubSec, coreHubMax) = coreHubSmoke(1000000L)
 
+    // two-level Louvain at data scale: n K4-cliques in a chain (7n
+    // edges). Phase 2 must merge adjacent cliques PAIRWISE and exactly
+    // (the PlanAuditSpec closed form: final label = (node div 8) * 2),
+    // so the smoke self-asserts correctness while timing the
+    // coarsen + 2 parity-gated weighted sweeps + projection pipeline.
+    def louvainSmoke(n: Long): (Double, Long) = {
+      val cliques = spark.range(0L, n)
+        .select(explode(array((for (i <- 0 to 3; j <- (i + 1) to 3) yield
+          struct((col("id") * 4 + i).as("start_node"),
+            (col("id") * 4 + j).as("end_node"))): _*)).as("e"))
+        .select(col("e.start_node"), col("e.end_node"))
+      val links = spark.range(0L, n - 1)
+        .select((col("id") * 4 + 3).as("start_node"),
+          ((col("id") + 1) * 4).as("end_node"))
+      val labels = spark.range(0L, 4 * n)
+        .select(col("id").as("node_id"), floor(col("id") / 4).as("label"))
+      val t = System.nanoTime()
+      val two = graft.osm.GraphCheck.louvainTwoLevel(
+        cliques.unionByName(links), labels,
+        level1Rounds = 0, level2Rounds = 2)
+      val bad = two
+        .filter(col("label") =!= floor(col("node_id") / 8) * 2).count()
+      require(bad == 0L, s"louvain smoke: $bad nodes off the exact merge")
+      ((System.nanoTime() - t) / 1e9, n / 2)
+    }
+    val (louLoSec, louLoComms) = louvainSmoke(50000L)
+    val (louHiSec, louHiComms) = louvainSmoke(200000L)
+    val louExp = math.log(louHiSec / louLoSec) / math.log(4.0)
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -503,7 +532,10 @@ object ScaleSmoke {
       f""""core_sec_lo":$coreLoSec%.2f,"core_sec_hi":$coreHiSec%.2f,""" +
       f""""core_exponent":$coreExp%.3f,""" +
       s""""core_hub_degree":1000000,"core_hub_max":$coreHubMax,""" +
-      f""""core_hub_sec":$coreHubSec%.2f}""")
+      f""""core_hub_sec":$coreHubSec%.2f,""" +
+      s""""louvain_comms_lo":$louLoComms,"louvain_comms_hi":$louHiComms,""" +
+      f""""louvain_sec_lo":$louLoSec%.2f,"louvain_sec_hi":$louHiSec%.2f,""" +
+      f""""louvain_exponent":$louExp%.3f}""")
     spark.stop()
   }
 }

@@ -906,6 +906,25 @@ class RoadGraphSpec extends SparkTestBase {
       .toDF("start_node", "end_node")
     val pd = GraphCheck.pseudoDiameter(p5, seed = 3L).head()
     assert((pd.getLong(0), pd.getLong(1), pd.getLong(2)) === ((1L, 5L, 4L)))
+    // personalized PageRank, seed {1} on the out-star 1->{2,3}: at the
+    // fixpoint rank(1) = teleport 0.15, leaves get 0.85 * 0.15 / 2
+    val ppStar = Seq((1L, 2L), (1L, 3L)).toDF("start_node", "end_node")
+    val pp = GraphCheck.personalizedPageRank(ppStar, Seq(1L), iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pp(1L) - 0.15) < 1e-9)
+    assert(math.abs(pp(2L) - 0.85 * 0.15 / 2) < 1e-9)
+    assert(math.abs(pp(3L) - 0.85 * 0.15 / 2) < 1e-9)
+    val ppD = GraphCheck.personalizedPageRank(ppStar, Seq(1L),
+      iters = 20, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pp.foreach { case (n, r) =>
+      assert(math.abs(ppD(n) - r) < 1e-12, s"node $n local vs dist") }
+    // cost matrix on the weighted path: no self rows, unreachable
+    // pairs absent
+    val cm = GraphCheck.costMatrix(path, Seq(1L, 2L), Seq(2L, 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(cm === Set((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 2L)))
   }
 
   test("via-way restrictions: shadow states ban the full F-V-T sequence but keep partial uses of V legal") {
