@@ -960,13 +960,6 @@ object SparkEntry {
     // ---- benchmark decontamination: every doc sharing any word 8-gram
     //      with the benchmark subset (doc_id % 97 == 0) is dropped;
     //      broadcast semi-join of the tiny gram set, anti-join back
-    // ---- the batch curation pipeline END-TO-END: gopher quality gate →
-    //      language ID → exact dedup (min doc_id per content hash) →
-    //      benchmark decontamination → per-language stratified sampling
-    //      + split assignment — every stage a previously-oracled
-    //      operator, composed here so the CROSS-STAGE dataflow is also
-    //      value-checked (the oracle replays the whole chain). Scale
-    //      shape: union of the stages' own shapes — scan-local filters,
     // ---- fastText-style quality classifier: hashed 1..2-gram features
     //      (portable md5 buckets), batch-GD logistic regression, every
     //      doc scored — the CCNet filter shape. Label = "mentions
@@ -991,6 +984,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the batch curation pipeline END-TO-END: gopher quality gate →
+    //      language ID → exact dedup (min doc_id per content hash) →
+    //      benchmark decontamination → per-language stratified sampling
+    //      + split assignment — every stage a previously-oracled
+    //      operator, composed here so the CROSS-STAGE dataflow is also
+    //      value-checked (the oracle replays the whole chain). Scale
+    //      shape: union of the stages' own shapes — scan-local filters,
     //      one hash-agg, two semi/anti joins, no window, no collect.
     "q_t_pipeline" -> ((s, dir) => {
       val d = spreadDocs(s, dir)
@@ -5365,11 +5365,21 @@ object SparkEntry {
              SELECT 1 FROM wtrip o
              WHERE o.kind = 'only' AND o.f = w.f AND o.v = w.v
                AND o.t = tr.b)),
+         ebans AS (
+           -- only_* FIRST leg: off F every continuation but the via
+           -- edge dies (edge-space pair ban, mirrors the engine)
+           SELECT w.f, t.b AS x
+           FROM (SELECT DISTINCT f FROM wtrip WHERE kind = 'only') w
+           JOIN turns t ON t.a = w.f
+           WHERE NOT EXISTS (
+             SELECT 1 FROM wtrip o
+             WHERE o.kind = 'only' AND o.f = w.f AND o.v = t.b)),
          lg AS (
            SELECT t.a, t.b, t.w FROM turns t
            LEFT JOIN nbans bn ON bn.fw = t.fw AND bn.via = t.via
                              AND bn.tw = t.tw
-           WHERE bn.fw IS NULL),
+           WHERE bn.fw IS NULL AND NOT EXISTS (
+             SELECT 1 FROM ebans e WHERE e.f = t.a AND e.x = t.b)),
          r(s0, edge, dist, hops, epath, cpath, ps) AS (
            SELECT v.s0, e.edge_id, e.w, 1, [e.edge_id], [e.w],
                   '/' || e.edge_id || '/'
@@ -7349,13 +7359,15 @@ $chain"""
            JOIN $in la ON la.node_id = ww$k.node_id
            JOIN cdeg ON cdeg.node_id = ww$k.node_id),
          wbest$k AS (
+           -- gated rounds admit DOWN candidates only (c < cur): the
+           -- engine's swap-proof move rule
            SELECT node_id, c, w, dcs FROM (
              SELECT s.node_id, s.c, s.w, s.dcs,
                     row_number() OVER (PARTITION BY s.node_id
                       ORDER BY (CAST(cm2.m2 AS HUGEINT) * s.w
                                 - CAST(s.d AS HUGEINT) * s.dcs) DESC,
                                s.c) AS rn
-             FROM wsc$k s, cm2 WHERE s.c <> s.cur)
+             FROM wsc$k s, cm2 WHERE s.c < s.cur)
            WHERE rn = 1),
          wown$k AS (
            SELECT node_id, w AS wold FROM wsc$k WHERE c = cur),

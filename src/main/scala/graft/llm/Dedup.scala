@@ -468,10 +468,7 @@ object Dedup {
     // windows sliced straight off the token array (not re-joined and
     // re-split through rawWordNgrams — one regex split per scan, not two)
     val grams = toks.select(col(idCol),
-      posexplode(when(size(col("__toks")) >= k,
-        transform(sequence(lit(0), size(col("__toks")) - k),
-          i => array_join(slice(col("__toks"), i + 1, lit(k)), " ")))
-        .otherwise(array().cast("array<string>")))
+      posexplode(TextAnalysis.rawNgramsOfTokens(col("__toks"), k))
         .as(Seq("pos", "g")))
     // phase 1: cheap hash prefilter — a gram whose HASH is globally
     // unique cannot be a duplicate; only hash-repeated grams carry

@@ -137,11 +137,9 @@ object Regression {
   def hashedNgramFeatures(docs: DataFrame, idCol: String, text: Column,
       dim: Int, maxN: Int = 2, binary: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(text)
-    val gramsFor = (n: Int) =>
-      when(size(toks) >= n, transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    val grams = (1 to maxN).map(gramsFor).reduce(concat(_, _))
+    val grams = (1 to maxN)
+      .map(TextAnalysis.rawNgramsOfTokens(toks, _))
+      .reduce(concat(_, _))
     val cnt = docs.select(col(idCol), explode(grams).as("__g"))
       .select(col(idCol),
         pmod(Dedup.md5Hash31(col("__g")), lit(dim.toLong)).as("bucket"))

@@ -146,13 +146,18 @@ object TextAnalysis {
     * [[Dedup.wordNgrams]] NOT distinct'd: count-based consumers (LM
     * fitting, top-k vocabulary) need multiplicities. Empty array for
     * docs with fewer than `n` tokens. */
-  private[graft] def rawWordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  private[graft] def rawWordNgrams(text: Column, n: Int): Column =
+    rawNgramsOfTokens(tokens(text), n)
+
+  /** Space-joined n-gram windows sliced off an ALREADY-tokenized
+    * array — the one shared window expression (rawWordNgrams,
+    * Dedup.substringDedup, Regression.hashedNgramFeatures), so callers
+    * holding a token array pay one regex split per scan, not two. */
+  private[graft] def rawNgramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
 
   def topNgrams(docs: DataFrame, text: Column, n: Int = 2,
       k: Int = 20): DataFrame = {

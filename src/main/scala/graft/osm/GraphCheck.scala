@@ -376,7 +376,16 @@ object GraphCheck {
     * (each row exactly one non-null — [[RoadGraph.turnRestrictionsVia]]);
     * without a `via_way` column this degenerates to
     * [[restrictedLineGraph]] byte-for-byte. `only_*` via-way rows
-    * expand to "no" bans of every other continuation of (F, V).
+    * enforce BOTH legs: every non-V continuation of F dies (plain
+    * transition ban) and every non-T continuation of (F, V) dies
+    * (shadow-side ban).
+    *
+    * LIMITATION: a via way is resolved to the single edge running
+    * from F's head to T's tail — a via way SPLIT into several edges
+    * by an intermediate junction resolves to zero triples and the
+    * restriction goes unenforced (the multi-shadow chain is future
+    * work). Audit such rows with [[unresolvedViaWayRestrictions]]
+    * before trusting a routing result.
     *
     * Returns `(stateGraph, stateMap)`; the map rows are
     * `(state_id, arr_node, real_edge)` — real edges map to
@@ -401,24 +410,26 @@ object GraphCheck {
     val lg0 = restrictedLineGraph(edges, nodeR)
     if (!hasVia) return (lg0, baseMap)
     val wayR = restrictions.filter(col("via_way").isNotNull)
-    // resolve way-level (F, V, T) to edge triples along shared junctions
-    val eF = edges.select(col("edge_id").as("__f"),
-      col("end_node").as("__n1"), col("way_id").as("__fww"))
-    val eV = edges.select(col("edge_id").as("__v"),
-      col("start_node").as("__vs"), col("end_node").as("__n2"),
-      col("way_id").as("__vww"))
-    val eT = edges.select(col("edge_id").as("__t"),
-      col("start_node").as("__ts"), col("way_id").as("__tww"))
-    val triples = broadcast(wayR)
-      .join(eF, col("__fww") === col("from_way"))
-      .join(eV, col("__vww") === col("via_way") && col("__vs") === col("__n1"))
-      .join(eT, col("__tww") === col("to_way") && col("__ts") === col("__n2"))
+    val triples = resolveViaWayTriples(edges, wayR)
       .select(col("__f"), col("__v"), col("__t"), col("kind"))
-    // only_*: mandatory turn — ban every continuation of (F, V) except
-    // the allowed T's, expanded against the real transitions out of V
-    val vOut = lg0.select(col("start_node").as("__v"),
-      col("end_node").as("__x"))
+    // only_*: mandatory turn — TWO legs. First leg: off F you MUST
+    // enter V, so every other continuation of F dies outright (a
+    // plain transition ban, no shadow needed). Second leg: after
+    // F→V you must exit to T — ban every other continuation of
+    // (F, V), expanded against the real transitions out of V.
     val onlyTriples = triples.filter(col("kind") === "only")
+      .localCheckpoint(true)
+    val firstLegBans = onlyTriples.select(col("__f")).distinct()
+      .join(lg0, lg0("start_node") === col("__f"))
+      .select(col("__f"), col("end_node").as("__x"), col("w"))
+      .join(onlyTriples.select(col("__f"), col("__v").as("__x"))
+        .distinct(), Seq("__f", "__x"), "left_anti")
+    val lgA = lg0.join(
+      broadcast(firstLegBans.select(col("__f").as("start_node"),
+        col("__x").as("end_node")).distinct()),
+      Seq("start_node", "end_node"), "left_anti")
+    val vOut = lgA.select(col("start_node").as("__v"),
+      col("end_node").as("__x"))
     val onlyBans = onlyTriples.select(col("__f"), col("__v")).distinct()
       .join(vOut, "__v")
       .join(onlyTriples.select(col("__f"), col("__v"),
@@ -432,12 +443,12 @@ object GraphCheck {
         Window.orderBy(col("__f"), col("__v"))).cast("long"))
       .localCheckpoint(true)
     // kill the real F→V transition, re-enter V through its shadow
-    val lg1 = lg0.join(broadcast(pairs.select(
+    val lg1 = lgA.join(broadcast(pairs.select(
         col("__f").as("start_node"), col("__v").as("end_node"))),
       Seq("start_node", "end_node"), "left_anti")
-    val redirect = lg0.join(broadcast(pairs),
-        lg0("start_node") === pairs("__f") &&
-          lg0("end_node") === pairs("__v"))
+    val redirect = lgA.join(broadcast(pairs),
+        lgA("start_node") === pairs("__f") &&
+          lgA("end_node") === pairs("__v"))
       .select(col("start_node"), col("__sid").as("end_node"), col("w"))
     val shadowMap = pairs
       .join(edges.select(col("edge_id").as("__v"),
@@ -455,6 +466,41 @@ object GraphCheck {
         "left_anti")
       .select(col("__sid").as("start_node"), col("end_node"), col("w"))
     (vCont.unionByName(shadowOut), stateMap)
+  }
+
+  /** Way-level via restrictions resolved to edge triples: the via way
+    * must be the single edge running F's head → T's tail. Rows
+    * `(from_way, via_way, to_way, kind, __f, __v, __t)`. */
+  private def resolveViaWayTriples(edges: DataFrame,
+      wayR: DataFrame): DataFrame = {
+    val eF = edges.select(col("edge_id").as("__f"),
+      col("end_node").as("__n1"), col("way_id").as("__fww"))
+    val eV = edges.select(col("edge_id").as("__v"),
+      col("start_node").as("__vs"), col("end_node").as("__n2"),
+      col("way_id").as("__vww"))
+    val eT = edges.select(col("edge_id").as("__t"),
+      col("start_node").as("__ts"), col("way_id").as("__tww"))
+    broadcast(wayR)
+      .join(eF, col("__fww") === col("from_way"))
+      .join(eV, col("__vww") === col("via_way") && col("__vs") === col("__n1"))
+      .join(eT, col("__tww") === col("to_way") && col("__ts") === col("__n2"))
+      .select(col("from_way"), col("via_way"), col("to_way"), col("kind"),
+        col("__f"), col("__v"), col("__t"))
+  }
+
+  /** The via-WAY restrictions [[restrictedStateGraph]] could NOT
+    * enforce — rows of `restrictions` whose (F, V, T) resolved to zero
+    * edge triples, typically because the via way spans several edges
+    * (an intermediate junction splits it). Run this audit before
+    * trusting a restricted route; a non-empty result means the routing
+    * surface silently under-restricts those relations. */
+  def unresolvedViaWayRestrictions(edges: DataFrame,
+      restrictions: DataFrame): DataFrame = {
+    val wayR = restrictions.filter(col("via_way").isNotNull)
+    wayR.join(
+      resolveViaWayTriples(edges, wayR)
+        .select(col("from_way"), col("via_way"), col("to_way")).distinct(),
+      Seq("from_way", "via_way", "to_way"), "left_anti")
   }
 
   /** Community detection by SYNCHRONOUS label propagation (LPA,
@@ -581,14 +627,18 @@ object GraphCheck {
     * weight sums degenerate to the edge counts above, value-for-value
     * (oracle-re-certified after the unification). */
   def refineCommunities(edges: DataFrame, labels: DataFrame): DataFrame =
-    refineCommunitiesWeighted(
-      edges
-        .select(least(col("start_node"), col("end_node")).as("start_node"),
-          greatest(col("start_node"), col("end_node")).as("end_node"))
-        .filter(col("start_node") =!= col("end_node"))
-        .distinct()
-        .withColumn("w", lit(1L)),
-      labels)
+    refineWeightedCore(canonUnitEdges(edges), labels)
+
+  /** Canonical unit-weight frame `(a, b, __ew = 1)` of a simple graph
+    * — [[refineWeightedCore]] input without the weighted
+    * re-aggregation shuffle (the rows are already distinct). */
+  private def canonUnitEdges(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("start_node"), col("end_node")).as("a"),
+        greatest(col("start_node"), col("end_node")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .withColumn("__ew", lit(1L))
 
   /** The distributed Louvain phase-1 loop: `rounds` synchronous
     * [[refineCommunities]] sweeps, each recomputing community stats
@@ -601,9 +651,12 @@ object GraphCheck {
     * round over round (spec-gated). */
   def refineCommunitiesRounds(edges: DataFrame, labels: DataFrame,
       rounds: Int): DataFrame = {
+    // canonicalize ONCE; every sweep reuses the materialized frame
+    // instead of re-paying the distinct() shuffle
+    val und = canonUnitEdges(edges).localCheckpoint(true)
     var l = labels.localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      l = refineCommunities(edges, l).localCheckpoint(true)
+      l = refineWeightedCore(und, l).localCheckpoint(true)
     }
     l
   }
@@ -702,15 +755,28 @@ object GraphCheck {
     * All arithmetic stays exact: coarse weights are original-edge
     * counts, so DECIMAL(38,0) products hold to 1e12 edges.
     *
-    * `parity`: when `Some(p)`, only nodes with `node_id % 2 == p` may
-    * move this round — the standard parallel-Louvain gating that
-    * breaks the two-node synchronous swap (A→B's community while B→A's
-    * leaves Q unchanged forever); alternating p across rounds reaches
-    * the sequential fixpoint on merge-shaped fixtures (spec-gated).
-    * Deterministic, hence oracle-replayable. */
+    * `parity`: when `Some(p)`, the round is GATED: only nodes with
+    * `node_id % 2 == p` may move, and only to a community with a
+    * SMALLER id than their current one (candidates restricted before
+    * the argmax). Down-only makes the two-node synchronous swap
+    * structurally impossible — a swap needs both `c_b < c_a` and
+    * `c_a < c_b` — for ANY id pair, where gating on parity alone
+    * still let two same-parity communities swap forever and never
+    * merge; every pair merge stays reachable as higher-id → lower-id.
+    * Node labels are non-increasing under gated rounds, so there is
+    * no oscillation, only monotone convergence. Deterministic, hence
+    * oracle-replayable. */
   def refineCommunitiesWeighted(wedges: DataFrame, labels: DataFrame,
+      parity: Option[Int] = None): DataFrame =
+    refineWeightedCore(canonWeighted(wedges).localCheckpoint(true),
+      labels, parity)
+
+  /** [[refineCommunitiesWeighted]] body over an ALREADY-canonical
+    * weighted frame `(a, b, __ew)` (a ≤ b, parallel rows summed) —
+    * round loops canonicalize once and call this per sweep instead of
+    * paying the canonicalization shuffle every round. */
+  private[graft] def refineWeightedCore(und: DataFrame, labels: DataFrame,
       parity: Option[Int] = None): DataFrame = {
-    val und = canonWeighted(wedges)
     val noLoop = und.filter(col("a") =!= col("b"))
     val sym = noLoop.unionByName(
       noLoop.select(col("b").as("a"), col("a").as("b"), col("__ew")))
@@ -733,7 +799,11 @@ object GraphCheck {
             * col("__Dc").cast("decimal(19,0)"))
     val own = scored.filter(col("__c") === col("label"))
       .select(col("node_id"), col("__w").as("__wOld"))
-    val best = scored.filter(col("__c") =!= col("label"))
+    // gated rounds admit only DOWN candidates (see scaladoc)
+    val candidate =
+      if (parity.isDefined) col("__c") < col("label")
+      else col("__c") =!= col("label")
+    val best = scored.filter(candidate)
       .groupBy(col("node_id"))
       .agg(min(struct((-col("__gain2m2")).as("ng"), col("__c").as("c"),
         col("__w").as("w"), col("__Dc").as("D"))).as("__b"))
@@ -763,12 +833,13 @@ object GraphCheck {
   /** Two-level Louvain (Blondel et al. 2008 phases 1+2+1): refine the
     * input labeling `level1Rounds` synchronous sweeps on the original
     * graph, coarsen communities to super-nodes via [[coarsenGraph]],
-    * run `level2Rounds` WEIGHTED sweeps on the community graph
-    * (parity-alternated, round k gating `k % 2` — so community merges
-    * that no single-node move can reach happen without the synchronous
-    * swap pathology), then project super-node labels back to original
-    * nodes. A pure function of (edges, labels, rounds) — every step
-    * replayed exactly by the SQL oracle.
+    * run `level2Rounds` GATED weighted sweeps on the community graph
+    * (round k gates movers to id parity `k % 2` AND down-only moves —
+    * see [[refineCommunitiesWeighted]]; community merges that no
+    * single-node move can reach happen without the synchronous swap
+    * pathology, for ANY label parities), then project super-node
+    * labels back to original nodes. A pure function of (edges, labels,
+    * rounds) — every step replayed exactly by the SQL oracle.
     *
     * 100 TB shape: level 1 is the [[refineCommunitiesRounds]] loop;
     * level 2 runs on the coarsened graph, typically orders of
@@ -776,12 +847,17 @@ object GraphCheck {
   def louvainTwoLevel(edges: DataFrame, labels: DataFrame,
       level1Rounds: Int, level2Rounds: Int): DataFrame = {
     val l1 = refineCommunitiesRounds(edges, labels, level1Rounds)
-    val coarse = coarsenGraph(edges, l1).localCheckpoint(true)
+    // coarsenGraph output is already canonical (least/greatest keyed
+    // agg) — the level-2 loop feeds the core directly, one frame
+    val coarse = coarsenGraph(edges, l1)
+      .select(col("start_node").as("a"), col("end_node").as("b"),
+        col("w").as("__ew"))
+      .localCheckpoint(true)
     var cl = l1.select(col("label").as("node_id")).distinct()
       .withColumn("label", col("node_id"))
       .localCheckpoint(true)
     for (k <- 1 to level2Rounds) {
-      cl = refineCommunitiesWeighted(coarse, cl, parity = Some(k % 2))
+      cl = refineWeightedCore(coarse, cl, parity = Some(k % 2))
         .localCheckpoint(true)
     }
     l1.select(col("node_id"), col("label").as("__c1"))
@@ -1065,17 +1141,22 @@ object GraphCheck {
   def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
       iters: Int = 20, damping: Double = 0.85,
       localThreshold: Long = 100000L): DataFrame = {
+    // dedup seeds and make them part of the node universe: a repeated
+    // seed must not halve its restart share, and a seed with no edges
+    // must still hold its teleport mass (igraph keeps the vertex)
+    val seedIds = seeds.distinct
+    require(seedIds.nonEmpty, "personalizedPageRank: seeds must be non-empty")
     val e = edges.select(col("start_node").as("src"),
       col("end_node").as("dst")).localCheckpoint(true)
-    val seedSet = seeds.toSet
-    val tp = (1.0 - damping) / seeds.size
+    val seedSet = seedIds.toSet
+    val tp = (1.0 - damping) / seedIds.size
     if (localThreshold > 0 &&
         e.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
           .count() <= localThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val ids = (es.map(_._1) ++ es.map(_._2) ++ seedIds).distinct.sorted
       val idx = ids.zipWithIndex.toMap
       val n = ids.length
       val deg = new Array[Long](n)
@@ -1093,16 +1174,19 @@ object GraphCheck {
       return ids.toIndexedSeq.map(id => (id, rank(idx(id))))
         .toDF("node_id", "rank")
     }
+    val spark = edges.sparkSession
+    import spark.implicits._
     val nodes = e.select(col("src").as("node_id"))
       .unionByName(e.select(col("dst").as("node_id")))
+      .unionByName(seedIds.toDF("node_id"))
       .distinct()
       .withColumn("__tp",
-        when(col("node_id").isin(seeds: _*), lit(tp)).otherwise(lit(0.0)))
+        when(col("node_id").isin(seedIds: _*), lit(tp)).otherwise(lit(0.0)))
       .localCheckpoint(true)
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
       .localCheckpoint(true)
     var rank = nodes.select(col("node_id"),
-        when(col("node_id").isin(seeds: _*), lit(1.0 / seeds.size))
+        when(col("node_id").isin(seedIds: _*), lit(1.0 / seedIds.size))
           .otherwise(lit(0.0)).as("rank"))
       .localCheckpoint(true)
     var i = 0

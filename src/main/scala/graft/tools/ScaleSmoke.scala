@@ -466,20 +466,10 @@ object ScaleSmoke {
     // so the smoke self-asserts correctness while timing the
     // coarsen + 2 parity-gated weighted sweeps + projection pipeline.
     def louvainSmoke(n: Long): (Double, Long) = {
-      val cliques = spark.range(0L, n)
-        .select(explode(array((for (i <- 0 to 3; j <- (i + 1) to 3) yield
-          struct((col("id") * 4 + i).as("start_node"),
-            (col("id") * 4 + j).as("end_node"))): _*)).as("e"))
-        .select(col("e.start_node"), col("e.end_node"))
-      val links = spark.range(0L, n - 1)
-        .select((col("id") * 4 + 3).as("start_node"),
-          ((col("id") + 1) * 4).as("end_node"))
-      val labels = spark.range(0L, 4 * n)
-        .select(col("id").as("node_id"), floor(col("id") / 4).as("label"))
+      val (edges, labels) = graft.osm.GraphFixtures.cliqueChain(spark, n)
       val t = System.nanoTime()
       val two = graft.osm.GraphCheck.louvainTwoLevel(
-        cliques.unionByName(links), labels,
-        level1Rounds = 0, level2Rounds = 2)
+        edges, labels, level1Rounds = 0, level2Rounds = 2)
       val bad = two
         .filter(col("label") =!= floor(col("node_id") / 8) * 2).count()
       require(bad == 0L, s"louvain smoke: $bad nodes off the exact merge")

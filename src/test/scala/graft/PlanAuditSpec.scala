@@ -548,20 +548,9 @@ class PlanAuditSpec extends SparkTestBase {
     // alternation lands the exact {2j, 2j+1} pairing with NO
     // oscillation: final label of node n is (n div 8) * 2.
     val n = 50000L
-    val cliques = spark.range(0L, n)
-      .select(explode(array((for (i <- 0 to 3; j <- (i + 1) to 3) yield
-        struct((col("id") * 4 + i).as("start_node"),
-          (col("id") * 4 + j).as("end_node"))): _*)).as("e"))
-      .select(col("e.start_node"), col("e.end_node"))
-    val chainLinks = spark.range(0L, n - 1)
-      .select((col("id") * 4 + 3).as("start_node"),
-        ((col("id") + 1) * 4).as("end_node"))
-    val labels = spark.range(0L, 4 * n)
-      .select(col("id").as("node_id"),
-        floor(col("id") / 4).as("label"))
+    val (chainEdges, labels) = osm.GraphFixtures.cliqueChain(spark, n)
     val two = osm.GraphCheck.louvainTwoLevel(
-      cliques.unionByName(chainLinks), labels,
-      level1Rounds = 0, level2Rounds = 2)
+      chainEdges, labels, level1Rounds = 0, level2Rounds = 2)
     val bad = two
       .filter(col("label") =!= floor(col("node_id") / 8) * 2).count()
     assert(bad === 0L, s"$bad nodes off the exact pairwise merge")

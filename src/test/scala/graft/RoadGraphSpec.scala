@@ -800,16 +800,25 @@ class RoadGraphSpec extends SparkTestBase {
     val merged = GraphCheck.louvainTwoLevel(k4, halves,
       level1Rounds = 0, level2Rounds = 2)
     assert(merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
     assert(math.abs(GraphCheck.modularity(k4, halves).head().getDouble(2)
       - (-1.0 / 6)) < 1e-6)
     assert(math.abs(GraphCheck.modularity(k4, merged).head().getDouble(2))
       < 1e-9)
+    // SAME-PARITY community ids {1, 3}: a parity-only gate can never
+    // merge these (both gated together, the odd round just swaps) —
+    // the down-only move rule merges them regardless of parity
+    val halvesOdd = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("node_id", "label")
+    val mergedOdd = GraphCheck.louvainTwoLevel(k4, halvesOdd,
+      level1Rounds = 0, level2Rounds = 2)
+    assert(mergedOdd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      "same-parity communities must still merge")
     // ring of 8 two-node communities (pair i = nodes 100+i / 200+i,
-    // community id i — parities alternate around the ring): merging
-    // adjacent pairs is Q-positive only because n > 4; two alternating
-    // rounds land the hand-derived {1,2,3}{4,5}{6,7}{8} coarse
-    // partition, Q 0.375 -> 0.46875
+    // community id i): merging adjacent pairs is Q-positive only
+    // because n > 4; two gated rounds land the hand-derived pairing
+    // {1,8}{2,3}{4,5}{6,7} — every merge adjacent, Q 0.375 -> 0.5
     val ring = ((1 to 8).map(i => (100L + i, 200L + i)) ++
       (1 to 8).map(i => (200L + i, 100L + (i % 8) + 1)))
       .toDF("start_node", "end_node")
@@ -822,9 +831,9 @@ class RoadGraphSpec extends SparkTestBase {
       level1Rounds = 0, level2Rounds = 2)
     val byPair = two.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairCommunity = (1 to 8).map(i => byPair(100L + i))
-    assert(pairCommunity === Seq(2L, 2L, 2L, 4L, 4L, 6L, 6L, 8L))
+    assert(pairCommunity === Seq(1L, 2L, 2L, 4L, 4L, 6L, 6L, 1L))
     val q2 = GraphCheck.modularity(ring, two).head().getDouble(2)
-    assert(math.abs(q2 - 0.46875) < 1e-6)
+    assert(math.abs(q2 - 0.5) < 1e-6)
     assert(q2 > q1)
   }
 
@@ -961,10 +970,30 @@ class RoadGraphSpec extends SparkTestBase {
     // discriminator against banning V->T outright
     assert(GraphCheck.restrictedRoute(edges, restr, 0L, 4L)
       === Some((Seq(8L, 2L, 3L), Seq(0L, 2L, 3L, 4L), 3.0)))
-    // node-distance surface agrees (min over real + shadow states)
+    // only_ enforces BOTH legs: off way 101 you must ENTER the via
+    // way, so node 5 (reachable from 1 only through edge 4 off way
+    // 104) goes dark while the unrestricted graph rides 1-2-5
+    assert(GraphCheck.restrictedRoute(edges, none, 1L, 5L)
+      === Some((Seq(1L, 4L), Seq(1L, 2L, 5L), 6.0)))
+    assert(GraphCheck.restrictedRoute(edges, restr, 1L, 5L) === None,
+      "only_ must ban the non-via FIRST leg too")
+    // node-distance surface agrees (min over real + shadow states;
+    // node 5 unreachable under the first-leg ban)
     val d = GraphCheck.restrictedShortestPaths(edges, restr, 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 3L, 5L -> 6L,
-      4L -> 7L))
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 3L, 4L -> 7L))
+    // a via way split into TWO edges resolves to zero triples — the
+    // documented limitation must surface through the audit, never
+    // silently under-restrict
+    val edges2 = edges.unionByName(Seq(
+      (9L, 2L, 7L, 1L, 110L), (10L, 7L, 3L, 1L, 110L)
+    ).toDF("edge_id", "start_node", "end_node", "w", "way_id"))
+    val multiVia = Seq(
+      (101L, Option.empty[Long], Option(110L), 103L, "no"))
+      .toDF("from_way", "via_node", "via_way", "to_way", "kind")
+    assert(GraphCheck.unresolvedViaWayRestrictions(edges2, multiVia)
+      .count() === 1L)
+    assert(GraphCheck.unresolvedViaWayRestrictions(edges, restr)
+      .count() === 0L, "fixture restrictions all resolve")
   }
 }
