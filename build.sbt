@@ -26,5 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the heap: G1 grow/uncommit cycles on a moving heap showed up
+  // as kernel time 3x user time (mmap/fault/zero churn) and bimodal
+  // 5x stage-CPU swings on big runs; -Xms = -Xmx stops the churn and
+  // madvise'd transparent huge pages cut fault count 512x.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseTransparentHugePages",
+  // Whole-stage-codegen emits methods beyond HotSpot's 8000-bytecode
+  // JIT ceiling; with the default DontCompileHugeMethods the JVM runs
+  // those stages INTERPRETED — measured 6x CPU (1070 -> 6700 s) on the
+  // simhash signature map stage, kicking in semi-randomly as C2 warms.
+  // Standard Spark-perf setting; spark-submit clusters set it too.
+  "-XX:-DontCompileHugeMethods",
 )

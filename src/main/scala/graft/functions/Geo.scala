@@ -466,7 +466,10 @@ object Geo {
       val a1 = normalAngle(prev, cur)
       val delta = pmod(normalAngle(cur, nxt) - a1, lit(twoPi))
       val steps = greatest(ceil(delta / stepRad).cast("int"), lit(1))
-      transform(sequence(lit(0), steps), j => {
+      // collinear vertex: delta == 0 would emit the same point at j=0
+      // and j=1 (a degenerate zero-length ring edge) — emit one point
+      val hi = when(delta > 0d, steps).otherwise(lit(0))
+      transform(sequence(lit(0), hi), j => {
         val ang = a1 + delta * j.cast("double") / steps.cast("double")
         struct(
           (cur.getField("lon") + lit(r) * cos(ang)).as("lon"),

@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             ArrayType(org.apache.spark.sql.types.DoubleType)))
             .toAggregateExpression()))
     ext.injectFunction(
+      (new FunctionIdentifier("median_any"),
+        new ExpressionInfo(classOf[MedianAny].getName, "median_any"),
+        (children: Seq[Expression]) =>
+          MedianAny(children.head).toAggregateExpression()))
+    ext.injectFunction(
+      (new FunctionIdentifier("simhash_agg"),
+        new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
+        (children: Seq[Expression]) =>
+          SimhashAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.LongType))
+            .toAggregateExpression()))
+    ext.injectFunction(
       (new FunctionIdentifier("convex_hull"),
         new ExpressionInfo(classOf[ConvexHullAgg].getName, "convex_hull"),
         (children: Seq[Expression]) =>
@@ -131,6 +143,10 @@ object GraftFunctions {
   /** The TypedImperativeAggregate median (injected function). */
   def medianExactNative(c: Column): Column = call_function("median_exact_native", c)
 
+  /** Polymorphic median over any orderable atomic type (injected
+    * [[MedianAny]]) — text/timestamp/date medians included. */
+  def medianAny(c: Column): Column = call_function("median_any", c)
+
   /** ST_ConvexHull aggregate over a point-struct column: the CCW hull
     * ring (our polygon model), O(hull) partial state. Use in `agg()`. */
   def convexHull(p: Column): Column =
@@ -138,6 +154,10 @@ object GraftFunctions {
 
   /** Element-wise array-sum aggregate (injected [[VectorSum]]). */
   def vectorSum(c: Column): Column = call_function("vector_sum", c)
+
+  /** SimHash signature aggregate over a 60-bit token-hash column
+    * (injected [[SimhashAgg]]): packed majority-vote LONG per group. */
+  def simhashAgg(c: Column): Column = call_function("simhash_agg", c)
 
   /** Codegen'd matrix-vector product against a literal matrix
     * (injected [[MatVec]]): per-row dots of `vec` with each matrix row. */

@@ -85,6 +85,101 @@ object Bpe {
       p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
   }
 
+  // a space can't occur in symbols ([a-z]+ alphabet + concatenations),
+  // so "<l> <r>" is an unambiguous pair key for the batch-merge map
+  private def pairKey(l: Column, r: Column): Column =
+    concat(l, lit(" "), r)
+
+  private def batchMap(pairs: Seq[(String, String)]): Column =
+    map(pairs.flatMap { case (l, r) =>
+      Seq(lit(l + " " + r), lit(l + r)) }: _*)
+
+  /** True iff `syms` contains ANY of the batch's pairs adjacently. */
+  private[graft] def hasAdjacentAny(syms: Column,
+      pairs: Seq[(String, String)]): Column = {
+    val m = batchMap(pairs)
+    val n = size(syms)
+    exists(arrays_zip(
+        slice(syms, lit(1), n - 1).as("l"), slice(syms, lit(2), n - 1).as("r")),
+      p => element_at(m, pairKey(p.getField("l"), p.getField("r"))).isNotNull)
+  }
+
+  /** One combined greedy pass applying a SYMBOL-DISJOINT batch of
+    * merges — same fold as [[mergeOnce]] with a map lookup instead of
+    * one literal pair. Because no two batch pairs share a symbol,
+    * their merge sites can't overlap, so one combined left-to-right
+    * pass produces exactly the result of applying each pair's own
+    * pass in sequence (any order). */
+  private[graft] def mergeBatch(syms: Column,
+      pairs: Seq[(String, String)]): Column = {
+    val m = batchMap(pairs)
+    val init = struct(
+      array().cast("array<string>").as("acc"),
+      lit(null).cast("string").as("p"))
+    aggregate(syms, init,
+      (st, x) => {
+        val acc = st.getField("acc")
+        val p = st.getField("p")
+        val merged = element_at(m, pairKey(p, x))
+        when(p.isNotNull && merged.isNotNull,
+          struct(concat(acc, array(merged)).as("acc"),
+            lit(null).cast("string").as("p")))
+        .otherwise(
+          struct(when(p.isNull, acc).otherwise(concat(acc, array(p))).as("acc"),
+            x.as("p")))
+      },
+      st => when(st.getField("p").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("p")))))
+  }
+
+  /** The SEQUENCE-PRESERVING batch of merges from a sorted top-K
+    * candidate window `(l, r, c)` (count desc, then (l, r) asc):
+    * greedily accept a PREFIX whose pairs are pairwise symbol-disjoint
+    * (merged symbols included — a later candidate naming an accepted
+    * merge's output string would see new occurrences), stop at the
+    * first conflicting candidate, and keep only candidates whose count
+    * is STRICTLY above the first rejected/unknown candidate's count.
+    *
+    * Why this equals the one-merge-at-a-time sequence: merging (x, y)
+    * only changes counts of pairs sharing x or y (destroyed neighbors)
+    * or naming the merged symbol (created neighbors (w, xy), whose
+    * count is bounded by count(w, x) — a sharing pair). Every sharing
+    * pair sorts at or after the first rejected candidate, so its count
+    * — and every created pair's — is <= that candidate's count, i.e.
+    * strictly below every accepted candidate's. Accepted candidates'
+    * own counts are exactly invariant under each other's merges, and
+    * old pairs never gain count, so after applying accepted merges
+    * 1..i-1 the (count desc, l, r) winner is exactly candidate i.
+    * The strictness cut is what handles ties: a created pair could TIE
+    * a kept candidate's count and win on lexicographic order.
+    * `maxAccept` caps the batch (remaining merge budget). The head
+    * candidate (the true sequential winner) is always accepted. */
+  private[graft] def planBatch(top: Seq[(String, String, Long)],
+      windowFull: Boolean, maxAccept: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var tailCount = -1L
+    var stopped = false
+    top.foreach { case cand @ (l, r, c) =>
+      if (!stopped) {
+        if (accepted.size >= maxAccept) { tailCount = c; stopped = true }
+        else if (used(l) || used(r)) { tailCount = c; stopped = true }
+        else {
+          accepted += cand
+          used += l; used += r; used += (l + r)
+        }
+      }
+    }
+    // whole window accepted: candidates beyond it are unknown but
+    // bounded by the window's last count (sorted desc)
+    if (!stopped && windowFull && top.nonEmpty) tailCount = top.last._3
+    accepted.toList match {
+      case head :: tail =>
+        (head :: tail.takeWhile(_._3 > tailCount)).map(t => (t._1, t._2))
+      case Nil => Nil
+    }
+  }
+
   /** Train `numMerges` BPE merges over a `(word, cnt)` table. Returns
     * the ranked merge list — driver-sized (the model).
     *
@@ -102,14 +197,22 @@ object Bpe {
     * integer arithmetic — bit-identical merges to the full recount
     * and to [[trainBpeLocal]] (spec-gated).
     *
-    * Per round: TakeOrdered(1) off the cached counts table, one
-    * filter scan of the cached vocab, one pair hash-agg over affected
-    * words only, one counts-sized merge agg. `localCheckpoint` (not
-    * persist) on both rolling tables — 256+ rounds of filter+union
-    * would otherwise nest the logical plan 256 deep and stall the
-    * planner (the [[graft.osm.GraphCheck]] loop policy). */
+    * Per round: one TakeOrdered window off the cached counts table,
+    * one filter scan of the cached vocab, one pair hash-agg over
+    * affected words only, one counts-sized merge agg. `localCheckpoint`
+    * (not persist) on both rolling tables — 256+ rounds of
+    * filter+union would otherwise nest the logical plan 256 deep and
+    * stall the planner (the [[graft.osm.GraphCheck]] loop policy).
+    *
+    * BATCHED rounds: a 32k-merge production vocabulary at one shuffle
+    * round per merge is hours of fixed per-round cost, so each round
+    * pulls the top-`batchWindow` candidates and applies the
+    * [[planBatch]] symbol-disjoint prefix — PROVABLY the same merge
+    * sequence as one-at-a-time (see planBatch), just fewer shuffle
+    * rounds. `batchWindow = 1` reproduces the classic loop shape. */
   def trainBpe(wordCounts: DataFrame, numMerges: Int,
-      localThreshold: Long = 100000L): Seq[(String, String)] = {
+      localThreshold: Long = 100000L,
+      batchWindow: Int = 64): Seq[(String, String)] = {
     if (localThreshold > 0 &&
         wordCounts
           .limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
@@ -118,42 +221,72 @@ object Bpe {
         .map(r => (r.getString(0).map(_.toString).toIndexedSeq, r.getLong(1)))
       return trainBpeLocal(local, numMerges)
     }
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
     var words = wordCounts
       .select(split(col("word"), "").as("syms"), col("cnt"))
       .localCheckpoint(true)
-    var counts = pairCounts(words).localCheckpoint(true)
+    // counts is pair-vocabulary sized (alphabet² at most early) — one
+    // partition keeps the per-round top-K and merge-agg jobs 1-task
+    var counts = pairCounts(words).coalesce(1).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var continue = true
-    for (_ <- 1 to numMerges if continue) {
+    var rounds = 0
+    while (continue && merges.size < numMerges) {
       val top = counts
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty) continue = false
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(batchWindow).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val batch = planBatch(top, windowFull = top.size >= batchWindow,
+        maxAccept = numMerges - merges.size)
+      if (batch.isEmpty) continue = false
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((l, r))
-        val hit = hasAdjacentPair(col("syms"), l, r)
-        val affected = words.filter(hit)
-        val mergedW = affected
-          .select(mergeOnce(col("syms"), l, r).as("syms"), col("cnt"))
-          .localCheckpoint(true) // read twice: next vocab + delta
-        val delta = pairCounts(mergedW.unionByName(
-          affected.select(col("syms"), (-col("cnt")).as("cnt"))))
+        merges ++= batch
+        // ONE typed pass rewrites every word and carries the pre-merge
+        // symbols of changed words for the delta (null when untouched).
+        // A plain-Scala greedy pass, not the Column `aggregate` fold:
+        // the fold carries a struct + array-concat per element —
+        // O(len²) interpreted column ops per word, measured as the
+        // round's dominant cost at 145k words. Same per-word greedy
+        // semantics as [[mergeLocal]]; batch disjointness makes the
+        // combined pass equal the per-pair sequential passes.
+        val bm = batch.map { case (l, r) => (l, r) -> (l + r) }.toMap
+        val rewritten = words.as[(Seq[String], Long)]
+          .mapPartitions { it =>
+            it.map { case (syms, cnt) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var changed = false
+              var i = 0
+              while (i < syms.length) {
+                val m = if (i < syms.length - 1)
+                  bm.getOrElse((syms(i), syms(i + 1)), null) else null
+                if (m != null) { out += m; changed = true; i += 2 }
+                else { out += syms(i); i += 1 }
+              }
+              (out.toSeq, if (changed) syms else null, cnt)
+            }
+          }
+          .toDF("syms", "old_syms", "cnt")
+          .localCheckpoint(true) // the round's ONE eager vocab-scan job
+        words = rewritten.select("syms", "cnt")
+        val changed = rewritten.filter(col("old_syms").isNotNull)
+        val delta = pairCounts(
+          changed.select(col("syms"), col("cnt")).unionByName(
+            changed.select(col("old_syms").as("syms"), (-col("cnt")).as("cnt"))))
           .filter(col("c") =!= 0)
-        // coalesce BEFORE the checkpoint: filter∪union preserves parent
-        // partitions, so without it the vocab table GAINS ~one task set
-        // per round — 48 rounds measured 37 min from quadratic task
-        // counts alone; coalesced it's minutes. No shuffle (narrow).
-        val parts = words.rdd.getNumPartitions min
-          words.sparkSession.sparkContext.defaultParallelism
-        words = words.filter(!hit).unionByName(mergedW)
-          .coalesce(parts)
-          .localCheckpoint(true)
+        // LAZY checkpoint: still truncates the plan immediately, but
+        // materializes inside the next round's top-K job instead of
+        // as its own blocking job — one fewer job boundary per round
         counts = counts.unionByName(delta)
           .groupBy("l", "r").agg(sum("c").as("c"))
           .filter(col("c") > 0)
-          .localCheckpoint(true)
+          .coalesce(1)
+          .localCheckpoint(false)
       }
+      rounds += 1
     }
+    System.err.println(s"[bpe] ${merges.size} merges in $rounds shuffle " +
+      s"rounds (window $batchWindow)")
     merges.toList
   }
 

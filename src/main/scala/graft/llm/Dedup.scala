@@ -314,57 +314,104 @@ object Dedup {
   val SimhashBits = 60
 
   /** SimHash (60-bit): token hashes vote per bit position; sign of the
-    * vote sum sets the bit. One explode + ONE aggregate buffer: each
-    * token contributes a ±1 vote vector and [[graft.functions.VectorSum]]
-    * folds them element-wise — O(bits) state per group, map-side
-    * combine, no 60-column agg schema and no posexplode row blowup. */
-  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    // disjoint bit values sum == OR; powers as a literal array keeps the
-    // fold a single zip_with + aggregate (all built-in, codegen'd)
-    val powers = typedlit(Seq.tabulate(SimhashBits)(j => 1L << j))
-    // per-token ±1 vote per bit: test each bit by AND-ing against its
-    // power-of-two (shiftright needs a literal shift, so a Column lambda
-    // index can't drive it — the bitmask test is equivalent and codegen'd)
-    val voteVec = transform(powers,
-      p => when(col("__h").bitwiseAND(p) === p, 1.0d).otherwise(-1.0d))
-    val sig = aggregate(
-      zip_with(col("__votes"), powers,
-        (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    * vote sum sets the bit (tie -> 0). One explode + ONE native
+    * imperative aggregate: [[graft.functions.SimhashAgg]] folds each
+    * token's 60-bit hash straight into a mutable vote buffer and emits
+    * the packed signature — O(bits) state per group, map-side combine,
+    * no 60-column agg schema, no posexplode row blowup, and (unlike the
+    * earlier `transform`-vote + VectorSum + `zip_with` pack formulation)
+    * NO interpreted higher-order functions in the per-token hot path:
+    * HOFs cost 4-6x the CPU of the native update loop at 150M tokens
+    * and allocate a 60-element array per token. */
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame =
     df.select(col(idCol), explode(split(text, "\\s+")).as("__t"))
       .withColumn("__h", md5Hash60(col("__t")))
       .groupBy(idCol)
-      .agg(graft.functions.GraftFunctions.vectorSum(voteVec).as("__votes"))
-      .select(col(idCol), sig.as("simhash"))
-  }
+      .agg(graft.functions.GraftFunctions.simhashAgg(col("__h"))
+        .as("simhash"))
 
-  /** SimHash near-dup candidates: band the 60 bits into `maxDist + 1`
-    * chunks (pigeonhole: a pair within Hamming distance maxDist differs
-    * in at most maxDist chunks, so at least one of the maxDist+1 chunks
-    * is shared — the bound holds for ANY maxDist, not just the default),
-    * equi-join on (chunk_idx, chunk), verify exact Hamming <= maxDist.
-    */
+  /** SimHash near-dup candidates via COMPOSITE 2-chunk pigeonhole keys:
+    * band the 60 bits into `maxDist + 2` chunks — a pair within Hamming
+    * distance maxDist differs in at most maxDist chunks, so at least TWO
+    * of the maxDist+2 chunks are shared intact — and equi-join on every
+    * (chunk_i, chunk_j) pair (i < j), then verify exact Hamming <=
+    * maxDist. Recall is still exact (every true pair shares some intact
+    * chunk pair), so the verified output is IDENTICAL to the naive
+    * single-chunk scheme; what changes is candidate-bucket size. Single
+    * 12–16-bit chunks make bucket population grow ~n/2^16 and candidate
+    * pairs ~n^2/2^16 — LLMSMOKE_r15 measured exponent 1.406 (8.6 s ->
+    * 219 s for 10x docs). A composite key is ~24 bits wide, shrinking
+    * expected bucket collisions by ~2^8-2^12 per key at the cost of
+    * C(maxDist+2, 2) exploded rows per doc instead of maxDist+1 — a
+    * constant-factor explode for a quadratic-term cut.
+    *
+    * `maxBucket` (off when <= 0) additionally ports the minhash
+    * MEGABUCKET STAR GUARD ([[lshCandidatePairs]]) for 100 TB floods of
+    * near-identical signatures (boilerplate pages): buckets above the
+    * cap link each member to the bucket's min id only (B-1 star pairs
+    * instead of B(B-1)/2). With the guard on, a leaf-leaf pair whose
+    * hub fails the Hamming verify can be missed from that bucket —
+    * connected-component consumers keep the cluster; exact-pair-listing
+    * consumers leave it off (the default). */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sh = simhash(df, idCol, text)
-    val numChunks = maxDist + 1
+    val numChunks = maxDist + 2
     // near-equal chunk widths covering all SimhashBits bits exactly
     val bounds = (0 to numChunks).map(i => i * SimhashBits / numChunks)
     val chunks = (0 until numChunks).map { i =>
       val lo = bounds(i); val width = bounds(i + 1) - lo
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
     }
+    // composite keys: two chunk values packed into one LONG (chunk j in
+    // the low bits) — a primitive join key keeps hashing/comparison in
+    // whole-stage codegen, unlike a struct key; widths always fit: the
+    // two widest chunks sum to <= SimhashBits <= 60 bits. The join key
+    // is (pair_idx, key) so distinct chunk-pair positions never collide
+    val keyStructs = for {
+      i <- 0 until numChunks; j <- (i + 1) until numChunks
+    } yield {
+      val widthJ = bounds(j + 1) - bounds(j)
+      shiftleft(chunks(i), widthJ).bitwiseOR(chunks(j))
+    }
     // feeds both self-join sides; ReuseExchange runs the simhash
-    // aggregation once and serves both (chunk_idx, chunk) shuffles from
+    // aggregation once and serves both (pair_idx, key) shuffles from
     // its output — no pinned storage (verified in PlanAuditSpec)
     val chunked = sh.select(col(idCol), col("simhash"),
-        posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
-    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("__ha"),
-      col("chunk_idx"), col("chunk"))
-    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("__hb"),
-      col("chunk_idx"), col("chunk"))
-    l.join(r, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+        posexplode(array(keyStructs: _*)).as(Seq("pair_idx", "key")))
+    val candidates =
+      if (maxBucket <= 0) {
+        val l = chunked.select(col(idCol).as("id_a"),
+          col("simhash").as("__ha"), col("pair_idx"), col("key"))
+        val r = chunked.select(col(idCol).as("id_b"),
+          col("simhash").as("__hb"), col("pair_idx"), col("key"))
+        l.join(r, Seq("pair_idx", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      } else {
+        // bucket-size window shares the join's (pair_idx, key) shuffle
+        // partitioning — the guard costs no extra exchange
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("pair_idx", "key")
+        val sized = chunked
+          .withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__hub", min(col(idCol)).over(w))
+          .withColumn("__hubsig", min_by(col("simhash"), col(idCol)).over(w))
+        val small = sized.filter(col("__bn") <= maxBucket)
+        val l = small.select(col(idCol).as("id_a"),
+          col("simhash").as("__ha"), col("pair_idx"), col("key"))
+        val r = small.select(col(idCol).as("id_b"),
+          col("simhash").as("__hb"), col("pair_idx"), col("key"))
+        val dense = l.join(r, Seq("pair_idx", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+        val star = sized
+          .filter(col("__bn") > maxBucket && col(idCol) =!= col("__hub"))
+          .select(col("__hub").as("id_a"), col(idCol).as("id_b"),
+            col("__hubsig").as("__ha"), col("simhash").as("__hb"))
+        dense.unionByName(star)
+      }
+    candidates
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .distinct()

@@ -38,6 +38,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact L2 top-k ground truth per query — the brute-force arm of a
+    * recall gate: broadcast the query panel against the corpus, rank by
+    * squared L2 (id tie-break). One full corpus scan. */
+  def exactL2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol), col(vecCol).as("__qv"))))
+      .withColumn("__l2",
+        dot(col(vecCol), col(vecCol))
+          - dot(col(vecCol), col("__qv")) * 2
+          + dot(col("__qv"), col("__qv")))
+    val w = Window.partitionBy(qidCol).orderBy(col("__l2").asc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol))
+  }
+
+  // recall-gate ground truths, memoized per (session, caller key): the
+  // exact arm is a MEASUREMENT, not part of the index path, and several
+  // gates share a fixture (and re-read their own exact frame per arm) —
+  // uncached it dominated their bench cost (q_s_ivfpq_resid_recall 48 s
+  // cold vs a 1.9 s index path, r15 finding). Values are tiny
+  // (|queries| x k ids), localCheckpoint'd so reuse costs no recompute.
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** Memoize a ground-truth frame per (session, key); callers key by
+    * fixture: data dir + corpus transform + panel + metric + k. */
+  def memoizedGroundTruth(key: String,
+      spark: org.apache.spark.sql.SparkSession)(
+      body: => DataFrame): DataFrame =
+    exactCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$key",
+      _ => body.localCheckpoint(true))
+
+  /** [[exactL2TopK]] memoized per session and `key`. */
+  def exactL2TopKCached(key: String, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame =
+    memoizedGroundTruth(s"$key|l2|$k", corpus.sparkSession)(
+      exactL2TopK(corpus, queries, idCol, vecCol, qidCol, k))
+
   /** Exact top-k per query row: broadcast the (small) query set against
     * the corpus, rank within each query. One corpus scan regardless of
     * query count. */

@@ -1162,7 +1162,7 @@ object GraphCheck {
       val deg = new Array[Long](n)
       es.foreach { case (s, _) => deg(idx(s)) += 1 }
       var rank = ids.map(id =>
-        if (seedSet(id)) 1.0 / seeds.size else 0.0).toArray
+        if (seedSet(id)) 1.0 / seedIds.size else 0.0).toArray
       var it = 0
       while (it < iters) {
         val next = ids.map(id => if (seedSet(id)) tp else 0.0).toArray
@@ -1214,6 +1214,7 @@ object GraphCheck {
   def costMatrix(edges: DataFrame, sources: Seq[Long],
       targets: Seq[Long], maxIter: Int = 100,
       localThreshold: Long = 100000L): DataFrame = {
+    require(sources.nonEmpty, "costMatrix: sources must be non-empty")
     val eChk = materializeEdges(edges)
     sources.map { s0 =>
       multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
@@ -1237,6 +1238,7 @@ object GraphCheck {
     * feed (osm-pg-etl.md's igraph hand-off). */
   def closenessFromSources(edges: DataFrame, sources: Seq[Long],
       maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    require(sources.nonEmpty, "closenessFromSources: sources must be non-empty")
     val eChk = materializeEdges(edges)
     // Broadcast-local fast path: ONE collect of the edge relation, k
     // driver-side Dijkstras, one result relation — instead of k
@@ -1302,6 +1304,7 @@ object GraphCheck {
     * comparison (the pageRank contract). */
   def harmonicFromSources(edges: DataFrame, sources: Seq[Long],
       maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    require(sources.nonEmpty, "harmonicFromSources: sources must be non-empty")
     val eChk = materializeEdges(edges)
     sources.map { s0 =>
       multiSourceShortestPaths(eChk, Seq(s0), maxIter, localThreshold)._1
@@ -1321,6 +1324,7 @@ object GraphCheck {
     * Exact integer output on integer weights. */
   def eccentricityFromSources(edges: DataFrame, sources: Seq[Long],
       maxIter: Int = 100, localThreshold: Long = 100000L): DataFrame = {
+    require(sources.nonEmpty, "eccentricityFromSources: sources must be non-empty")
     val spark = edges.sparkSession
     import spark.implicits._
     val eChk = materializeEdges(edges)

@@ -479,6 +479,66 @@ object ScaleSmoke {
     val (louHiSec, louHiComms) = louvainSmoke(200000L)
     val louExp = math.log(louHiSec / louLoSec) / math.log(4.0)
 
+    // Turn-restricted routing (pgr_trsp via-way shadow states) at
+    // scale: a depth-10 4-ary out-tree — 1,398,100 edges, node v's
+    // children are 4v+1..4v+4, edge/way id = child id — with 1000
+    // via-way 'no' restrictions at DISTINCT (F, V) prefixes:
+    // (from_way (c-1)/4, via_way c, to_way 4c+1) for c in 341..1340
+    // (c at heap depth 5, banned grandchild g = 4c+1 at depth 6). In a
+    // tree the banned triple is the ONLY route into g, so each
+    // restriction prunes exactly g's subtree of (4^5-1)/3 = 341 nodes
+    // — an exact closed-form witness. Gates: the shadow-state count is
+    // |restrictions| (state graph stays |E| + |restrictions|-sized),
+    // the reached sets match the closed forms, and the restricted run's
+    // job count stays within a constant factor of the unrestricted SAME
+    // machinery (SSSP rounds track the depth, no per-restriction jobs).
+    val trspDepth = 10
+    val trspNodes = (math.pow(4.0, trspDepth + 1).toLong - 1) / 3
+    val trspEdges = spark.range(1L, trspNodes).select(
+        col("id").as("edge_id"),
+        ((col("id") - 1) / 4).cast("long").as("start_node"),
+        col("id").as("end_node"),
+        lit(1L).as("w"),
+        col("id").as("way_id"))
+      .localCheckpoint(true)
+    val trspR = spark.range(341L, 1341L).select(
+      ((col("id") - 1) / 4).cast("long").as("from_way"),
+      lit(null).cast("long").as("via_node"),
+      col("id").as("via_way"),
+      (col("id") * 4 + 1).as("to_way"),
+      lit("no").as("kind"))
+    val (_, trspSmap) =
+      graft.osm.GraphCheck.restrictedStateGraph(trspEdges, trspR)
+    val trspShadows = trspSmap.count() - (trspNodes - 1)
+    def trspRun(r: org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t = System.nanoTime()
+      val reached = graft.osm.GraphCheck
+        .restrictedShortestPaths(trspEdges, r, source = 0L).count()
+      val sec = (System.nanoTime() - t) / 1e9
+      spark.sparkContext.removeSparkListener(l)
+      (sec, jobs.get(), reached)
+    }
+    val (trspPlainSec, trspPlainJobs, trspPlainReached) =
+      trspRun(trspR.filter(lit(false)))
+    val (trspSec, trspJobs, trspReached) = trspRun(trspR)
+    require(trspShadows == 1000L,
+      s"trsp smoke: expected 1000 shadow states, got $trspShadows")
+    require(trspPlainReached == trspNodes,
+      s"trsp smoke: plain SSSP reached $trspPlainReached of $trspNodes")
+    require(trspReached == trspNodes - 1000L * 341,
+      s"trsp smoke: restricted reached $trspReached, " +
+        s"expected ${trspNodes - 341000L}")
+    require(trspJobs <= trspPlainJobs * 2 + 30,
+      s"trsp smoke: restricted jobs $trspJobs vs plain $trspPlainJobs — " +
+        "per-restriction job blowup")
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -525,7 +585,13 @@ object ScaleSmoke {
       f""""core_hub_sec":$coreHubSec%.2f,""" +
       s""""louvain_comms_lo":$louLoComms,"louvain_comms_hi":$louHiComms,""" +
       f""""louvain_sec_lo":$louLoSec%.2f,"louvain_sec_hi":$louHiSec%.2f,""" +
-      f""""louvain_exponent":$louExp%.3f}""")
+      f""""louvain_exponent":$louExp%.3f,""" +
+      s""""trsp_nodes":$trspNodes,"trsp_restrictions":1000,""" +
+      s""""trsp_shadow_states":$trspShadows,""" +
+      s""""trsp_reached_plain":$trspPlainReached,""" +
+      s""""trsp_reached_restricted":$trspReached,""" +
+      s""""trsp_jobs_plain":$trspPlainJobs,"trsp_jobs_restricted":$trspJobs,""" +
+      f""""trsp_sec_plain":$trspPlainSec%.2f,"trsp_sec_restricted":$trspSec%.2f}""")
     spark.stop()
   }
 }

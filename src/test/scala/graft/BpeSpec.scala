@@ -78,6 +78,71 @@ class BpeSpec extends SparkTestBase {
     assert(dist.length === 48, s"fixture must support 48 merges, got ${dist.length}")
   }
 
+  test("batched rounds reproduce the sequential merge sequence exactly (window 64 vs 1)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh"
+    val wc = (1 to 300).map { _ =>
+      val len = 3 + rnd.nextInt(9)
+      (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+        1L + rnd.nextInt(9))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+    val df = wc.toDF("word", "cnt")
+    val seq1 = Bpe.trainBpe(df, 40, localThreshold = 0, batchWindow = 1)
+    val seq64 = Bpe.trainBpe(df, 40, localThreshold = 0, batchWindow = 64)
+    assert(seq64 === seq1, "batched != sequential")
+    assert(seq1.length === 40)
+  }
+
+  test("planBatch: disjoint prefix, conflict stop, strict-count tie cut, head always kept") {
+    // head accepted; (c,d) disjoint and 9 > tail 5 -> kept;
+    // (a,x) shares 'a' with head -> rejected, sets tailCount = 5;
+    // nothing after the stop is considered
+    assert(Bpe.planBatch(Seq(("a", "b", 10L), ("c", "d", 9L),
+      ("a", "x", 5L), ("e", "f", 4L)), windowFull = false, maxAccept = 10)
+      === Seq(("a", "b"), ("c", "d")))
+    // tie with the rejected candidate: (c,d)=5 NOT > 5 -> cut; head kept
+    assert(Bpe.planBatch(Seq(("a", "b", 10L), ("c", "d", 5L),
+      ("a", "x", 5L)), windowFull = false, maxAccept = 10)
+      === Seq(("a", "b")))
+    // merged-symbol conflict: ("ab","z") names head's output -> stop
+    assert(Bpe.planBatch(Seq(("a", "b", 10L), ("ab", "z", 9L),
+      ("c", "d", 8L)), windowFull = false, maxAccept = 10)
+      === Seq(("a", "b")))
+    // full window, all disjoint: unknown tail bounds at last count ->
+    // last (tied at 6) is cut, head + strictly-above survive
+    assert(Bpe.planBatch(Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)),
+      windowFull = true, maxAccept = 10)
+      === Seq(("a", "b"), ("c", "d")))
+    // same window NOT full (no unknown tail): everything accepted
+    assert(Bpe.planBatch(Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)),
+      windowFull = false, maxAccept = 10)
+      === Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // maxAccept caps the batch
+    assert(Bpe.planBatch(Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)),
+      windowFull = false, maxAccept = 1) === Seq(("a", "b")))
+    assert(Bpe.planBatch(Nil, windowFull = false, maxAccept = 5) === Nil)
+  }
+
+  test("mergeBatch/hasAdjacentAny: combined pass equals per-pair sequential passes") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),        // both pairs fire
+      (2L, Seq("b", "a", "b", "a", "b")),   // overlapping same-pair run
+      (3L, Seq("c", "a", "b", "d")),        // merge does NOT bridge c,d
+      (4L, Seq("x", "y"))                   // untouched
+    ).toDF("id", "syms")
+    val batch = Seq(("a", "b"), ("c", "d"))
+    val got = df.select(col("id"), Bpe.mergeBatch(col("syms"), batch).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) === List("ab", "cd"))
+    assert(got(2L) === List("b", "ab", "ab"))
+    assert(got(3L) === List("c", "ab", "d"))
+    assert(got(4L) === List("x", "y"))
+    val hits = df.select(col("id"),
+        Bpe.hasAdjacentAny(col("syms"), batch).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hits === Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
   test("plan audit: one merge round costs exactly one shuffle") {
     val words = fixture.toDF("word", "cnt")
       .select(split(col("word"), "").as("syms"), col("cnt"))

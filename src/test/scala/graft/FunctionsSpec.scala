@@ -898,6 +898,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(ad - math.Pi * 4.0) < 0.1)
   }
 
+  test("bufferConvex: collinear vertex emits one point, no degenerate ring edge") {
+    // unit square with a collinear midpoint on the bottom edge: the
+    // extra vertex has delta = 0 (edge direction unchanged) and must
+    // contribute exactly ONE offset point, not a duplicated pair
+    val sq5 = Seq(1).toDF("one").select(array(
+      struct(lit(0.0).as("lon"), lit(0.0).as("lat")),
+      struct(lit(0.5).as("lon"), lit(0.0).as("lat")),
+      struct(lit(1.0).as("lon"), lit(0.0).as("lat")),
+      struct(lit(1.0).as("lon"), lit(1.0).as("lat")),
+      struct(lit(0.0).as("lon"), lit(1.0).as("lat"))).as("ring"))
+    val r = 0.5
+    val b = sq5.select(Geo.bufferConvex(col("ring"), r, 8).as("b"))
+    val pts = b.select(explode(col("b")).as("p")).collect()
+      .map(x => (x.getStruct(0).getDouble(0), x.getStruct(0).getDouble(1)))
+    // 4 corners x 9 arc points + 1 collinear vertex x 1 point
+    assert(pts.length === 4 * 9 + 1, s"got ${pts.length} ring points")
+    pts.indices.foreach { i =>
+      val (ax, ay) = pts(i); val (bx, by) = pts((i + 1) % pts.length)
+      assert(math.abs(ax - bx) > 1e-12 || math.abs(ay - by) > 1e-12,
+        s"duplicate consecutive ring point at $i: ($ax,$ay)")
+    }
+    // area identical to the 4-vertex square's buffer (same hull)
+    val a5 = b.select(Geo.polygonArea(col("b"))).head().getDouble(0)
+    val exactSampled = 1.0 + 4 * r + 16 * r * r * math.sin(math.Pi / 16)
+    assert(math.abs(a5 - exactSampled) < 1e-9, s"$a5 vs $exactSampled")
+  }
+
   test("property: reverse(reverse(a)) == a (seeded)") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { _ =>

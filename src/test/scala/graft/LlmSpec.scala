@@ -60,6 +60,31 @@ class LlmSpec extends SparkTestBase {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("simhashNearDups maxBucket star guard: megabucket flood links as hub star, small buckets unchanged") {
+    // 8 identical docs (one signature -> every composite chunk key is a
+    // megabucket) plus the fixture docs; guard cap 3 < 8
+    val flood = (100L until 108L).map(i => (i, "flood flood flood common words"))
+    val floodDf = flood.toDF("doc_id", "text")
+    val all = docs.unionByName(floodDf)
+    val unguarded = Dedup.simhashNearDups(all, "doc_id", $"text", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.simhashNearDups(all, "doc_id", $"text",
+        maxDist = 3, maxBucket = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unguarded: all 28 flood pairs; guarded: the 7 hub-star pairs only
+    val floodPairsAll = (for {
+      a <- 100L until 108L; b <- (a + 1) until 108L } yield (a, b)).toSet
+    val floodStar = (101L until 108L).map(b => (100L, b)).toSet
+    assert(floodPairsAll.subsetOf(unguarded))
+    assert(guarded.intersect(floodPairsAll) === floodStar,
+      "guarded megabucket must emit exactly the min-id star")
+    // guard output is a subset: the star never invents pairs
+    assert(guarded.subsetOf(unguarded))
+    // pairs outside megabuckets survive the guard (1<->4 are identical
+    // fixture docs in a size-2 bucket, below the cap)
+    assert(guarded.contains((1L, 4L)))
+  }
+
   test("word n-grams and shingles shapes") {
     val r = docs.filter($"doc_id" === 3)
       .select(Dedup.wordNgrams($"text", 2).as("ng"), Dedup.shingles($"text", 5).as("sh"))

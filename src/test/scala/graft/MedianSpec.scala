@@ -94,6 +94,39 @@ class MedianSpec extends SparkTestBase {
       .head.isNullAt(0))
   }
 
+  test("median_any: polymorphic semantics per type (text lower-middle, timestamp midpoint, numeric mean)") {
+    // text, even count: LOWER middle in UTF-8 order
+    val t = Seq("delta", "alpha", "charlie", "bravo").toDF("s")
+    assert(t.agg(GF.medianAny($"s")).head.getString(0) === "bravo")
+    // text, odd count: exact middle
+    val t3 = Seq("c", "a", "b").toDF("s")
+    assert(t3.agg(GF.medianAny($"s")).head.getString(0) === "b")
+    // timestamp, even count: midpoint of the two middle instants
+    val ts = Seq("2020-01-01 00:00:00", "2020-01-03 00:00:00",
+        "2020-09-09 00:00:00", "2019-01-01 00:00:00")
+      .toDF("raw").select(to_timestamp($"raw").as("ts"))
+    assert(ts.agg(GF.medianAny($"ts")).head.getTimestamp(0).toString
+      === "2020-01-02 00:00:00.0")
+    // numeric: mean of middles as double (matches the numeric medians)
+    val n = Seq(1L, 2L, 3L, 10L).toDF("x")
+    assert(n.agg(GF.medianAny($"x")).head.getDouble(0) === 2.5)
+    assert(tempTable.agg(GF.medianAny($"k")).head.getDouble(0) === 2.35)
+    // NULLs dropped; empty group -> null
+    val withNull = Seq(Some("b"), None, Some("a"), Some("c")).toDF("s")
+    assert(withNull.agg(GF.medianAny($"s")).head.getString(0) === "b")
+    assert(withNull.filter($"s".isNull).agg(GF.medianAny($"s")).head.isNullAt(0))
+    // date: lower middle, type preserved (documented DuckDB deviation)
+    val d = Seq("2020-01-01", "2020-01-04").toDF("raw")
+      .select(to_date($"raw").as("d"))
+    assert(d.agg(GF.medianAny($"d")).head.getDate(0).toString === "2020-01-01")
+    // merge-path independence: same result at any partitioning
+    val big = spark.range(101).select(
+      concat(lit("w"), lpad($"id".cast("string"), 3, "0")).as("s"))
+    val one = big.coalesce(1).agg(GF.medianAny($"s")).head.getString(0)
+    val many = big.repartition(17).agg(GF.medianAny($"s")).head.getString(0)
+    assert(one === "w050" && many === one)
+  }
+
   test("finish semantics match _final_median directly") {
     import graft.functions.MedianBuf
     assert(MedianAggregator.finish(MedianBuf(List(0, 1, 5, 3, 2.7, 2))) === 2.35)

@@ -928,6 +928,27 @@ class RoadGraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     pp.foreach { case (n, r) =>
       assert(math.abs(ppD(n) - r) < 1e-12, s"node $n local vs dist") }
+    // duplicate seeds are deduped identically on BOTH paths: a repeated
+    // seed must not halve its restart share (documented contract)
+    Seq(100000L, 0L).foreach { thr =>
+      val ppDup = GraphCheck.personalizedPageRank(ppStar, Seq(1L, 1L),
+        iters = 20, localThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      pp.foreach { case (n, r) =>
+        assert(math.abs(ppDup(n) - r) < 1e-12,
+          s"node $n dup-seed drift at threshold $thr") }
+    }
+    // empty source lists fail fast with a named contract, not a bare
+    // reduce() UnsupportedOperationException
+    Seq[(String, () => Any)](
+      "costMatrix" -> (() => GraphCheck.costMatrix(path, Seq.empty, Seq(2L))),
+      "closenessFromSources" -> (() => GraphCheck.closenessFromSources(path, Seq.empty)),
+      "harmonicFromSources" -> (() => GraphCheck.harmonicFromSources(path, Seq.empty)),
+      "eccentricityFromSources" -> (() => GraphCheck.eccentricityFromSources(path, Seq.empty))
+    ).foreach { case (name, thunk) =>
+      val ex = intercept[IllegalArgumentException](thunk())
+      assert(ex.getMessage.contains(name), s"$name guard message")
+    }
     // cost matrix on the weighted path: no self rows, unreachable
     // pairs absent
     val cm = GraphCheck.costMatrix(path, Seq(1L, 2L), Seq(2L, 3L))
