@@ -766,7 +766,9 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // ---- SimHash near-dup (maxDist+1-chunk pigeonhole banding,
+    // ---- SimHash near-dup (native SimhashAgg fingerprints; candidates
+    //      via 2-of-(maxDist+2) composite-chunk pigeonhole keys so any
+    //      <=maxDist pair shares two untouched chunks — linear buckets,
     //      DuckDB-replicated oracle via the portable 60-bit md5 hash)
     "q_d_simhash_pairs" -> ((s, dir) => {
       llm.Dedup.simhashNearDups(spreadDocs(s, dir), "doc_id", col("text"),
@@ -1882,26 +1884,28 @@ object SparkEntry {
           col("user_id").cast("long"), col("event_type"),
           col("value").cast("double"))
         .as[streaming.EventStream.Event].collect().sortBy(_.event_id)
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[streaming.EventStream.Event]
-      val deduped = streaming.EventStream.dedupStream(stream.toDF(),
-        concat_ws("|", col("event_type"), col("value")),
-        watermark = "365 days")
-      val sink = s"q_e_dedup_sink_${System.nanoTime()}"
-      val q = deduped.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .format("memory").queryName(sink).start()
-      try {
-        val (b1, b2) = ev.partition(_.event_id % 2 == 0)
-        stream.addData(b1.toIndexedSeq)
-        q.processAllAvailable()
-        stream.addData((b2 ++ b1.take(200)).toIndexedSeq)
-        q.processAllAvailable()
-        s.table(sink)
-          .select(col("event_type"), col("value"))
-          .orderBy("event_type", "value")
-          .localCheckpoint(true)
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[streaming.EventStream.Event]
+        val deduped = streaming.EventStream.dedupStream(stream.toDF(),
+          concat_ws("|", col("event_type"), col("value")),
+          watermark = "365 days")
+        val sink = s"q_e_dedup_sink_${System.nanoTime()}"
+        val q = deduped.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName(sink).start()
+        try {
+          val (b1, b2) = ev.partition(_.event_id % 2 == 0)
+          stream.addData(b1.toIndexedSeq)
+          q.processAllAvailable()
+          stream.addData((b2 ++ b1.take(200)).toIndexedSeq)
+          q.processAllAvailable()
+          s.table(sink)
+            .select(col("event_type"), col("value"))
+            .orderBy("event_type", "value")
+            .localCheckpoint(true)
+        } finally q.stop()
+      }
     }),
 
     // ---- §2.11 stream-stream interval join, driver-checked: clicks
@@ -1917,34 +1921,36 @@ object SparkEntry {
           col("user_id").cast("long"), col("event_type"),
           col("value").cast("double"))
         .as[streaming.EventStream.Event].collect().sortBy(_.event_id)
-      val ls = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[streaming.EventStream.Event]
-      val rs = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[streaming.EventStream.Event]
-      val joined = streaming.EventStream.intervalJoin(
-        ls.toDF(), rs.toDF(), "user_id",
-        horizon = "1 hour", watermark = "365 days")
-      val sink = s"q_e_ij_sink_${System.nanoTime()}"
-      val q = joined.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .format("memory").queryName(sink).start()
-      try {
-        val clicks = ev.filter(_.event_type == "click")
-        val views = ev.filter(_.event_type == "view")
-        ls.addData(clicks.filter(_.event_id % 2 == 0).toIndexedSeq)
-        rs.addData(views.filter(_.event_id % 2 == 1).toIndexedSeq)
-        q.processAllAvailable()
-        ls.addData(clicks.filter(_.event_id % 2 == 1).toIndexedSeq)
-        rs.addData(views.filter(_.event_id % 2 == 0).toIndexedSeq)
-        q.processAllAvailable()
-        s.table(sink)
-          .select(col("user_id"),
-            col("l_ts").cast("timestamp_ntz").as("l_ts"), col("l_type"),
-            col("r_ts").cast("timestamp_ntz").as("r_ts"), col("r_type"),
-            col("r_value"))
-          .orderBy("user_id", "l_ts", "r_ts")
-          .localCheckpoint(true)
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val ls = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[streaming.EventStream.Event]
+        val rs = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[streaming.EventStream.Event]
+        val joined = streaming.EventStream.intervalJoin(
+          ls.toDF(), rs.toDF(), "user_id",
+          horizon = "1 hour", watermark = "365 days")
+        val sink = s"q_e_ij_sink_${System.nanoTime()}"
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName(sink).start()
+        try {
+          val clicks = ev.filter(_.event_type == "click")
+          val views = ev.filter(_.event_type == "view")
+          ls.addData(clicks.filter(_.event_id % 2 == 0).toIndexedSeq)
+          rs.addData(views.filter(_.event_id % 2 == 1).toIndexedSeq)
+          q.processAllAvailable()
+          ls.addData(clicks.filter(_.event_id % 2 == 1).toIndexedSeq)
+          rs.addData(views.filter(_.event_id % 2 == 0).toIndexedSeq)
+          q.processAllAvailable()
+          s.table(sink)
+            .select(col("user_id"),
+              col("l_ts").cast("timestamp_ntz").as("l_ts"), col("l_type"),
+              col("r_ts").cast("timestamp_ntz").as("r_ts"), col("r_type"),
+              col("r_value"))
+            .orderBy("user_id", "l_ts", "r_ts")
+            .localCheckpoint(true)
+        } finally q.stop()
+      }
     }),
 
     // ---- the way-splitter at data scale: lineitem reinterpreted as
@@ -3523,6 +3529,23 @@ object SparkEntry {
     * serializes on a single core. Scan-local cheap queries stay
     * unspread — their plan audits pin them exchange-free, and at real
     * scale the input arrives pre-split so this exchange disappears. */
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`. Stateful streaming queries pin their STATE partition count
+    * from this conf at first start; the micro-batch oracle fixtures
+    * carry ~1.5k keys and a few hundred output rows, where the session
+    * default of 32 means 32 near-empty state stores (x4 stores for a
+    * stream-stream join) each paying a delta-file commit + fsync per
+    * micro-batch — pure fixed overhead (measured 14.3 s -> ~3 s for
+    * q_e_interval_join). On a real cluster this is the SAME knob sized
+    * the other way: state partitions track key cardinality x
+    * throughput, not the session's batch-shuffle default. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def spreadDocs(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).repartition(s.sparkContext.defaultParallelism)
 

@@ -104,14 +104,25 @@ case class MedianAny(
       case 0 =>
         val s = buf.asInstanceOf[ArrayBuffer[Long]].sorted
         if (n % 2 == 1) s(n / 2).toDouble
-        else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        else {
+          // overflow-safe midpoint: lo + diff/2 (+ .5 if diff is odd).
+          // hi >= lo after the sort, so diff as an UNSIGNED Long is the
+          // true distance even when hi - lo wraps (range > Long.MAX).
+          val lo = s(n / 2 - 1); val diff = s(n / 2) - lo
+          (lo + (diff >>> 1)).toDouble + (diff & 1L) * 0.5
+        }
       case 1 =>
         val s = buf.asInstanceOf[ArrayBuffer[Double]].sorted
         if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
       case 2 =>
         val s = buf.asInstanceOf[ArrayBuffer[Long]].sorted
         if (n % 2 == 1) s(n / 2)
-        else Math.floorDiv(s(n / 2 - 1) + s(n / 2), 2L)
+        else {
+          // floor midpoint without the a+b overflow; >>> treats a
+          // wrapped diff as unsigned so this holds for any Long range.
+          val lo = s(n / 2 - 1)
+          lo + ((s(n / 2) - lo) >>> 1)
+        }
       case 3 | 5 =>
         val s = buf.asInstanceOf[ArrayBuffer[Long]].sorted
         val m = s((n - 1) / 2) // lower middle

@@ -62,17 +62,32 @@ object Similarity {
   // uncached it dominated their bench cost (q_s_ivfpq_resid_recall 48 s
   // cold vs a 1.9 s index path, r15 finding). Values are tiny
   // (|queries| x k ids), localCheckpoint'd so reuse costs no recompute.
-  private val exactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  // Weak-keyed BY the session (reference identity, not identityHashCode,
+  // which can collide across sessions): a stopped session's entries
+  // become collectable instead of leaking, and a new session can never
+  // resolve to a dead session's frames. NOTE the key still identifies
+  // the fixture by path/params, not contents — regenerating a fixture
+  // dir inside one long-lived session requires a fresh key (callers in
+  // this repo never do; tests get a fresh session per suite).
+  private val exactCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
 
   /** Memoize a ground-truth frame per (session, key); callers key by
     * fixture: data dir + corpus transform + panel + metric + k. */
   def memoizedGroundTruth(key: String,
       spark: org.apache.spark.sql.SparkSession)(
-      body: => DataFrame): DataFrame =
-    exactCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$key",
-      _ => body.localCheckpoint(true))
+      body: => DataFrame): DataFrame = {
+    val perSession = exactCache.synchronized {
+      var m = exactCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+        exactCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => body.localCheckpoint(true))
+  }
 
   /** [[exactL2TopK]] memoized per session and `key`. */
   def exactL2TopKCached(key: String, corpus: DataFrame, queries: DataFrame,

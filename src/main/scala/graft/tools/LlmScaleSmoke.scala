@@ -13,8 +13,9 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   *
   *   - `Dedup.minhashNearDups`  — shingle -> minhash -> banded LSH join
   *     -> exact-Jaccard verify (the full near-dup chain);
-  *   - `Dedup.simhashNearDups`  — native VectorSum simhash -> pigeonhole
-  *     chunk join -> hamming verify;
+  *   - `Dedup.simhashNearDups`  — native SimhashAgg fingerprint ->
+  *     2-of-(maxDist+2) composite-chunk pigeonhole join -> hamming
+  *     verify;
   *   - `Curation.decontaminate` — word-8-gram broadcast semi-join against
   *     a benchmark set, then anti-join.
   *

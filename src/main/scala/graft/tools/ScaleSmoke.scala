@@ -522,6 +522,16 @@ object ScaleSmoke {
       val reached = graft.osm.GraphCheck
         .restrictedShortestPaths(trspEdges, r, source = 0L).count()
       val sec = (System.nanoTime() - t) / 1e9
+      // the listener bus is asynchronous — onJobStart events may still
+      // be in flight when the action returns. Quiesce: poll until the
+      // counter is stable across two consecutive reads (bounded 5 s)
+      // BEFORE removing the listener and reading the job count.
+      val deadline = System.nanoTime() + 5000000000L
+      var prev = -1L
+      while (prev != jobs.get() && System.nanoTime() < deadline) {
+        prev = jobs.get()
+        Thread.sleep(100)
+      }
       spark.sparkContext.removeSparkListener(l)
       (sec, jobs.get(), reached)
     }
