@@ -938,6 +938,28 @@ object SparkEntry {
       llm.TextAnalysis.topNgrams(spreadDocs(s, dir), col("text"), n = 2, k = 20)
     }),
 
+    // ---- exact heavy hitters at unbounded cardinality (two-pass
+    //      Misra-Gries): pass 1 folds each partition into a k-counter
+    //      sketch (one O(k) summary crosses the wire, never the
+    //      vocabulary); pass 2 recounts the <= k candidates exactly.
+    //      Word bigrams: 916 distinct at sf0.01 vs k=700, so the
+    //      sketch genuinely decrements/evicts and the no-miss bound
+    //      (phi=0.0015 > 1/(k+1)) is what keeps the result exact
+    "q_t_heavy_hitters" -> ((s, dir) => {
+      val toks = spreadDocs(s, dir)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), w => w =!= ""))
+            .as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("nxt")).as("item"))
+      llm.HeavyHitters.heavyHitters(bigrams, col("item"), k = 700,
+          phi = 0.0015)
+        .orderBy("item")
+    }),
+
     // ---- Unicode NFC normalization (native codegen'd expression): the
     //      pre-dedup canonicalization pass — composed vs decomposed
     //      "café" is the same text but a different md5/shingle/minhash.
@@ -3979,6 +4001,17 @@ object SparkEntry {
          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
                 toks[1] AS first_tok, toks[-1] AS last_tok
          FROM t ORDER BY doc_id""",
+    "q_t_heavy_hitters" ->
+      """WITH d2 AS (SELECT list_filter(string_split(text, ' '),
+                            x -> x <> '') AS ws FROM documents),
+         t AS (SELECT unnest(list_transform(
+                        range(1, len(ws)::int)::int[],
+                        i -> ws[i] || ' ' || ws[i+1])) AS item FROM d2),
+         n AS (SELECT count(*) AS c FROM t)
+         SELECT item, count(*) AS cnt
+         FROM t, n GROUP BY item, n.c
+         HAVING count(*) > n.c * 0.0015
+         ORDER BY item""",
     "q_t_quality" ->
       """WITH f AS (SELECT doc_id,
            round(len(list_filter(string_split(text, ' '),

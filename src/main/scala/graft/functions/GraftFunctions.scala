@@ -57,6 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               children(1), org.apache.spark.sql.types.DoubleType))
             .toAggregateExpression()))
     ext.injectFunction(
+      (new FunctionIdentifier("misra_gries"),
+        new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+        (children: Seq[Expression]) => {
+          require(children(1).foldable,
+            "misra_gries: k must be a literal")
+          MisraGriesAgg(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children.head, org.apache.spark.sql.types.StringType),
+            children(1).eval().asInstanceOf[Number].intValue)
+            .toAggregateExpression()
+        }))
+    ext.injectFunction(
       (new FunctionIdentifier("matvec"),
         new ExpressionInfo(classOf[MatVec].getName, "matvec"),
         (children: Seq[Expression]) => MatVec(children(0), children(1))))
@@ -151,6 +163,12 @@ object GraftFunctions {
     * ring (our polygon model), O(hull) partial state. Use in `agg()`. */
   def convexHull(p: Column): Column =
     call_function("convex_hull", p.getField("lon"), p.getField("lat"))
+
+  /** Misra-Gries k-counter heavy-hitter sketch aggregate (injected
+    * [[MisraGriesAgg]]): `array<struct<item,lb>>` of at most `k`
+    * candidates, every item with frequency > N/(k+1) guaranteed in. */
+  def misraGries(c: Column, k: Int): Column =
+    call_function("misra_gries", c, lit(k))
 
   /** Element-wise array-sum aggregate (injected [[VectorSum]]). */
   def vectorSum(c: Column): Column = call_function("vector_sum", c)
