@@ -797,6 +797,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- content-defined chunking dedup (the LBFS/FastCDC idea at
+    //      token granularity): a chunk boundary opens at every token
+    //      whose portable 31-bit md5 hash ≡ 0 (mod 8), so editing a
+    //      document re-synchronizes chunk frames at the next boundary
+    //      instead of shifting every later fixed-stride frame —
+    //      same keep-globally-first rewrite core as paragraph dedup
+    "q_d_cdc_dedup" -> ((s, dir) => {
+      llm.Dedup.cdcChunkDedup(spreadDocs(s, dir), "doc_id", col("text"),
+          avgTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- EXACT substring dedup (Lee et al. 2022 ExactSubstr): every
     //      duplicated >=12-token span removed from all but its first
     //      occurrence, documents reassembled. The corpus is the real
@@ -6309,6 +6321,45 @@ object SparkEntry {
            SELECT doc_id, CAST(floor((ord - 1) / 8) AS INT) AS chunk_id,
                   string_agg(tok, ' ' ORDER BY ord) AS chunk_text
            FROM tok GROUP BY doc_id, CAST(floor((ord - 1) / 8) AS INT)),
+         flagged AS (
+           SELECT doc_id, chunk_id, chunk_text,
+                  row_number() OVER (PARTITION BY chunk_text
+                                     ORDER BY doc_id, chunk_id) AS rn
+           FROM chunks)
+         SELECT doc_id,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                                    ' ' ORDER BY chunk_id), '') AS clean_text,
+                count(*) FILTER (WHERE rn = 1) AS kept_chunks,
+                count(*) FILTER (WHERE rn > 1) AS dropped_chunks
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    // CDC dedup re-derived: identical portable 31-bit md5 boundary rule
+    // (('0x'||hex8)::BIGINT mod 2^31-1, then mod 8), running-sum chunk
+    // ids per doc, keep-first by (doc, chunk) via row_number over the
+    // exact chunk text, reassemble in chunk order
+    "q_d_cdc_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tok AS (
+           SELECT doc_id, CAST(i AS INT) AS ord, t[i] AS tok
+           FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+           WHERE t[i] <> ''),
+         b AS (
+           SELECT doc_id, ord, tok,
+                  CASE WHEN row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY ord) > 1
+                        AND (('0x' || substr(md5(tok), 1, 8))::BIGINT
+                             % 2147483647) % 8 = 0
+                       THEN 1 ELSE 0 END AS bflag
+           FROM tok),
+         c AS (
+           SELECT doc_id, ord, tok,
+                  sum(bflag) OVER (PARTITION BY doc_id
+                                   ORDER BY ord) AS chunk_id
+           FROM b),
+         chunks AS (
+           SELECT doc_id, chunk_id,
+                  string_agg(tok, ' ' ORDER BY ord) AS chunk_text
+           FROM c GROUP BY doc_id, chunk_id),
          flagged AS (
            SELECT doc_id, chunk_id, chunk_text,
                   row_number() OVER (PARTITION BY chunk_text

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -593,8 +594,54 @@ object Dedup {
     * exact-string DuckDB oracle would catch a residual collision at
     * test scale. */
   def paragraphDedup(docs: DataFrame, idCol: String, text: Column,
-      chunkTokens: Int): DataFrame = {
-    val chunks = TextAnalysis.chunkByTokens(docs, idCol, text, chunkTokens)
+      chunkTokens: Int): DataFrame =
+    dedupChunksReassemble(
+      TextAnalysis.chunkByTokens(docs, idCol, text, chunkTokens), idCol)
+
+  /** Content-defined chunking (CDC) dedup with document reassembly —
+    * the same keep-globally-first-chunk rewrite as [[paragraphDedup]],
+    * but chunk BOUNDARIES are chosen by token content instead of a
+    * fixed stride: a new chunk starts at every token whose portable
+    * 31-bit md5 hash is ≡ 0 (mod `avgTokens`), giving expected chunk
+    * length `avgTokens`. This is the LBFS / FastCDC insight applied at
+    * token granularity: under fixed-stride chunking, inserting ONE word
+    * near the top of a page shifts every later chunk frame and zero
+    * chunks dedupe; under CDC the frames re-synchronize at the next
+    * content boundary, so everything past the edit still matches. The
+    * dedup/reassembly core is shared with [[paragraphDedup]] — same
+    * three keyed shuffles, same collision-hardened (hash, length)
+    * winner key, no corpus-wide window (the boundary flag and running
+    * chunk index are per-document windows, partition-pruned by doc id).
+    */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, text: Column,
+      avgTokens: Int): DataFrame = {
+    require(avgTokens >= 2, s"avgTokens must be >= 2, got $avgTokens")
+    val toks = docs.select(col(idCol),
+      posexplode(filter(split(text, " "), t => t =!= ""))
+        .as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val withChunk = toks
+      .withColumn("__b",
+        when(col("__pos") > 0 &&
+          pmod(md5Hash31(col("__tok")), lit(avgTokens)) === 0, 1)
+          .otherwise(0))
+      .withColumn("chunk_id", sum(col("__b")).over(w))
+    val chunks = withChunk
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        c => c.getField("__tok")), " ").as("chunk_text"))
+    dedupChunksReassemble(chunks, idCol)
+  }
+
+  /** Shared keep-globally-first core of [[paragraphDedup]] /
+    * [[cdcChunkDedup]]: `chunks` is `(idCol, chunk_id, chunk_text)`.
+    * See the paragraphDedup Scaladoc for the 100 TB plan-shape
+    * rationale (hash-agg winners on the widened (xxhash64, length)
+    * key, composite-key join-back, per-doc regroup). */
+  private def dedupChunksReassemble(chunksIn: DataFrame,
+      idCol: String): DataFrame = {
+    val chunks = chunksIn
       .withColumn("__h", xxhash64(col("chunk_text")))
       .withColumn("__hl", length(col("chunk_text")))
     val winners = chunks
