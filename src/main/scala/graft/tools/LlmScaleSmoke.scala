@@ -169,6 +169,30 @@ object LlmScaleSmoke {
           val r = Dedup.substringDedup(docs, "id", col("text"), 12)
             .agg(count(lit(1)), sum(col("removed_tokens"))).head()
           r.getLong(0)
+        }),
+        // same near-dup structure as paragraph_dedup but with
+        // content-defined boundaries; same forced aggregate
+        "cdc_dedup" -> (() => {
+          val r = Dedup.cdcChunkDedup(docs, "id", col("text"), 10)
+            .agg(count(lit(1)), sum(col("kept_chunks"))).head()
+          r.getLong(0)
+        }),
+        // two corpus scans + an O(k) broadcast + <= k-key agg: the
+        // hex-word vocabulary (up to 16.7M distinct) dwarfs k=2000 so
+        // MG decrements constantly — the adversarial regime for the
+        // sketch's O(k) sweep. One
+        // planted token at ~2x the phi threshold keeps the result
+        // non-vacuous (exactly 1 heavy hitter at every scale).
+        "heavy_hitters" -> (() => {
+          val toks = docs
+            .select(posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+            .select(col("w"))
+            .unionByName(spark.range(n * 50 / 400)
+              .select(lit("HOT").as("w")))
+          val rows = graft.llm.HeavyHitters.heavyHitters(
+            toks, col("w"), k = 2000, phi = 0.0005).count()
+          require(rows == 1L, s"heavy_hitters: expected 1 row, got $rows")
+          rows
         }))
       ops.filter(kv => wanted(kv._1))
         .map { case (name, body) => name -> timed(body()) }.toMap
@@ -197,7 +221,8 @@ object LlmScaleSmoke {
     val lo = runAll(nLo)
     val hi = runAll(nHi)
     val parts = Seq("minhash", "simhash", "decontam", "dup_passages",
-        "lm_score", "paragraph_dedup", "substring_dedup").filter(wanted).map { op =>
+        "lm_score", "paragraph_dedup", "substring_dedup", "cdc_dedup",
+        "heavy_hitters").filter(wanted).map { op =>
       val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
       val exp = math.log(tHi / tLo) / math.log(factor)
       f""""${op}_sec_lo":$tLo%.2f,"${op}_sec_hi":$tHi%.2f,""" +

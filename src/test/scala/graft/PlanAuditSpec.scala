@@ -602,4 +602,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(stats.getLong(1) === 1L, "pure spokes have coreness 1")
     assert(stats.getLong(2) === 3L, "welded K4 keeps coreness 3")
   }
+
+  test("r17 operators keep their scale shapes (heavy hitters, CDC dedup)") {
+    // heavy hitters: pass 2's candidate join must BROADCAST (<= k
+    // rows), the full-cardinality item column must never be a join or
+    // window key, and the sketch pass must run with partial aggregation
+    // (ObjectHashAggregate partial_misra_gries before the exchange)
+    val hh = plan("q_t_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin"),
+      "candidate recount must broadcast the <= k sketch items")
+    assert(!hh.contains("SortMergeJoin"),
+      "no sort-merge join anywhere in the two-pass plan")
+    assert(hh.contains("partial_misra_gries"),
+      "sketch must ship partial per-partition summaries")
+    // CDC dedup: windows only per-doc (partitioned), winner selection
+    // is a hash-agg on the hashed key, no corpus-wide window or
+    // nested-loop anywhere
+    val cdc = plan("q_d_cdc_dedup")
+    assert(!cdc.contains("BroadcastNestedLoopJoin") &&
+      !cdc.contains("CartesianProduct"))
+    val cdcOpt = optimized("q_d_cdc_dedup")
+    assert(!cdcOpt.contains("windowspecdefinition()"),
+      "no unpartitioned window in CDC dedup")
+    assert(cdcOpt.contains("xxhash64"),
+      "winner selection must key on the hashed chunk, not the string")
+  }
 }
