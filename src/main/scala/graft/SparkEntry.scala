@@ -972,6 +972,27 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // ---- per-group exact heavy hitters (the per-language boilerplate
+    //      detector): one Misra-Gries sketch per lang (state O(langs*k),
+    //      the bigram vocabulary still never shuffles un-sketched),
+    //      exact recount of the <= langs*k candidates, threshold
+    //      against each group's OWN total
+    "q_t_heavy_hitters_grp" -> ((s, dir) => {
+      val toks = spreadDocs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(filter(split(col("text"), " "), w => w =!= ""))
+            .as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("lang"),
+          concat_ws(" ", col("tok"), col("nxt")).as("item"))
+      llm.HeavyHitters.heavyHittersByGroup(bigrams, col("lang"),
+          col("item"), k = 400, phi = 0.0025)
+        .orderBy("grp", "item")
+    }),
+
     // ---- Unicode NFC normalization (native codegen'd expression): the
     //      pre-dedup canonicalization pass — composed vs decomposed
     //      "café" is the same text but a different md5/shingle/minhash.
@@ -4024,6 +4045,19 @@ object SparkEntry {
          FROM t, n GROUP BY item, n.c
          HAVING count(*) > n.c * 0.0015
          ORDER BY item""",
+    "q_t_heavy_hitters_grp" ->
+      """WITH d2 AS (SELECT lang, list_filter(string_split(text, ' '),
+                            x -> x <> '') AS ws FROM documents),
+         t AS (SELECT lang AS grp,
+                      unnest(list_transform(
+                        range(1, len(ws)::int)::int[],
+                        i -> ws[i] || ' ' || ws[i+1])) AS item FROM d2),
+         n AS (SELECT grp, count(*) AS c FROM t GROUP BY grp)
+         SELECT grp, item, count(*) AS cnt
+         FROM t JOIN n USING (grp)
+         GROUP BY grp, item, n.c
+         HAVING count(*) > n.c * 0.0025
+         ORDER BY grp, item""",
     "q_t_quality" ->
       """WITH f AS (SELECT doc_id,
            round(len(list_filter(string_split(text, ' '),

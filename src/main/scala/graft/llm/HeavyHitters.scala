@@ -60,4 +60,36 @@ object HeavyHitters {
       .filter(col("cnt") > col("n") * phi)
       .select(col("item"), col("cnt"))
   }
+
+  /** Per-group exact heavy hitters: for every distinct value of
+    * `group`, the items with frequency > `phi * N_group` (N_group =
+    * that group's item count) and their exact counts, as
+    * `(group, item, cnt)`. The per-language boilerplate/stopword
+    * detector: one k-counter sketch per group (state O(groups * k) —
+    * groups are language/source codes, small by construction; the
+    * ITEM cardinality, which is what explodes at corpus scale, still
+    * never crosses the wire un-sketched), then one exact recount of
+    * the <= groups * k candidates via a broadcast join keyed on
+    * (group, item). Same no-miss bound per group: requires
+    * `phi >= 1/(k+1)`. */
+  def heavyHittersByGroup(df: DataFrame, group: Column, item: Column,
+      k: Int, phi: Double): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
+    require(phi * (k + 1) >= 1.0,
+      s"no-miss guarantee needs k+1 >= 1/phi: k=$k, phi=$phi")
+    val items = df.select(group.cast("string").as("grp"),
+        item.cast("string").as("item"))
+      .filter(col("item").isNotNull && col("grp").isNotNull)
+    val sketch = items.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      graft.functions.GraftFunctions.misraGries(col("item"), k).as("mg"))
+    val cand = sketch
+      .select(col("grp"), col("n"), explode(col("mg")).as("e"))
+      .select(col("grp"), col("e.item").as("item"), col("n"))
+    items.join(broadcast(cand), Seq("grp", "item"))
+      .groupBy(col("grp"), col("item"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("n") * phi)
+      .select(col("grp"), col("item"), col("cnt"))
+  }
 }

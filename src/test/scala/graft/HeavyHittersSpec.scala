@@ -64,6 +64,33 @@ class HeavyHittersSpec extends SparkTestBase {
       "exact output must not depend on partitioning")
   }
 
+  test("grouped heavy hitters == per-group naive, thresholds per group") {
+    // two groups with DIFFERENT totals: g0 is zipf (45k rows), g1 is a
+    // small uniform group (500 rows) where far lower absolute counts
+    // qualify — a global threshold would get both wrong
+    val df = zipf.withColumn("g", lit("g0"))
+      .unionByName(spark.range(500).select(
+        concat(lit("u"), col("id") % 25).as("item"), lit("g1").as("g")))
+      .localCheckpoint(true)
+    val phi = 0.005
+    val got = HeavyHitters.heavyHittersByGroup(df, col("g"), col("item"),
+        k = 200, phi = phi)
+      .orderBy("grp", "item").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = df.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("g", "item").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter { case (g, _, c) => c > totals(g) * phi }
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    // both groups must contribute (g1's uniform 20-count items all
+    // clear 500*0.005 = 2.5; none would clear g0's threshold)
+    assert(got.count(_._1 == "g1") == 25)
+    assert(got.exists(_._1 == "g0"))
+  }
+
   test("nulls dropped; guard rejects phi below the sketch guarantee") {
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("item")
     val out = HeavyHitters.heavyHitters(df, col("item"), 4, 0.5)
