@@ -39,4 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // simhash signature map stage, kicking in semi-randomly as C2 warms.
   // Standard Spark-perf setting; spark-submit clusters set it too.
   "-XX:-DontCompileHugeMethods",
+  // A 200-query sweep generates thousands of whole-stage-codegen
+  // classes; at the default 240 MB reserved code cache the JVM starts
+  // silently FLUSHING compiled methods (UseCodeCacheFlushing) and
+  // re-runs evicted hot loops interpreted/deoptimized — observed as
+  // random 8x blowups of CPU-heavy queries mid-sweep (q_d_embedding_
+  // pairs 3.5 -> 27 s in one sweep, 2.6 s standalone, different
+  // victims each sweep). 1 GB keeps every compiled stage resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )
