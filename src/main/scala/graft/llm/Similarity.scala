@@ -155,12 +155,17 @@ object Similarity {
     * gate on RECALL vs the exact search (the q_s_ivf_ann policy). */
   def pqCodebooksLloyd(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int,
-      init: Option[Seq[Seq[Seq[Double]]]] = None): Seq[Seq[Seq[Double]]] = {
-    val dim = corpus.select(vecCol).head().getSeq[Number](0).length
+      init: Option[Seq[Seq[Seq[Double]]]] = None,
+      trainMaxRows: Long = 0L): Seq[Seq[Seq[Double]]] = {
+    // trainMaxRows > 0: Lloyd refinement scans a bounded hash-sample
+    // (the 100 TB shape — see boundedTrainingSample); the caller's
+    // encode pass still covers the full corpus.
+    val train = boundedTrainingSample(corpus, idCol, trainMaxRows)
+    val dim = train.select(vecCol).head().getSeq[Number](0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val vecs = corpus.select(col(vecCol)).persist()
-    var cbs = init.getOrElse(pqCodebooksFixed(corpus, idCol, vecCol, m, k))
+    val vecs = train.select(col(vecCol)).persist()
+    var cbs = init.getOrElse(pqCodebooksFixed(train, idCol, vecCol, m, k))
     for (_ <- 1 to iters) {
       val means = vecs
         .select(posexplode(pqEncode(col(vecCol), cbs))
@@ -741,19 +746,41 @@ object Similarity {
     slice(sorted, 1, n)
   }
 
+  /** Deterministic bounded training sample — the 100 TB quantizer-
+    * training contract: codebooks/centroids train on a hash-sample of
+    * at most ~`maxRows` vectors while the INDEX still covers the whole
+    * corpus (encode/assign is a full scan either way; only the O(iters)
+    * training rescans shrink). The coin is [[Curation.hashUniform]] on
+    * the id — deterministic, rerun-stable, and independent of partition
+    * layout, unlike `DataFrame.sample`. `maxRows <= 0` disables.
+    * Costs one `count()` when enabled (metadata-cheap vs the training
+    * scans it bounds); expected sample size is Binomial(n, maxRows/n),
+    * within a few % of `maxRows` at any realistic n. */
+  def boundedTrainingSample(corpus: DataFrame, idCol: String,
+      maxRows: Long): DataFrame = {
+    if (maxRows <= 0) return corpus
+    val n = corpus.count()
+    if (n <= maxRows) corpus
+    else corpus.filter(
+      Curation.hashUniform(col(idCol)) < maxRows.toDouble / n)
+  }
+
   /** Deterministic Lloyd k-means over the embedding column: init = first
     * `nlist` vectors by id, then `iters` rounds of assign (one corpus
     * scan, codegen'd argmax) + per-dimension mean (posexplode +
     * hash agg). The centroid matrix (nlist x dim doubles) round-trips
     * through the driver each round — the standard k-means driver loop,
     * O(nlist*dim) per round, independent of corpus size. Empty clusters
-    * keep their previous centroid.
+    * keep their previous centroid. `trainMaxRows > 0` bounds the
+    * training set via [[boundedTrainingSample]] (init then comes from
+    * the sample — still deterministic).
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int): Seq[Seq[Double]] = {
+      nlist: Int, iters: Int, trainMaxRows: Long = 0L): Seq[Seq[Double]] = {
     // the loop rescans the corpus once per iteration (+ the caller's
     // assignment pass) — persist the 2-column projection once
-    val vecs = corpus.select(col(idCol), col(vecCol)).persist()
+    val vecs = boundedTrainingSample(corpus, idCol, trainMaxRows)
+      .select(col(idCol), col(vecCol)).persist()
     // getSeq[Number]: raw embeddings are ARRAY<FLOAT>, a rotated or
     // anisotropized corpus is ARRAY<DOUBLE>
     var centroids: Seq[Seq[Double]] = vecs.orderBy(idCol).limit(nlist)

@@ -718,6 +718,30 @@ class LlmSpec extends SparkTestBase {
     assert(p2.contains((10L, 11L)) && p2.contains((2L, 20L)))
   }
 
+  test("boundedTrainingSample: deterministic, bounded, no-op under the cap") {
+    import graft.llm.Similarity
+    val df = (0L until 2000L).map(i => (i, Seq(i.toFloat)))
+      .toDF("id", "v")
+    // under the cap (and cap<=0): identity — no count job side effects
+    assert(Similarity.boundedTrainingSample(df, "id", 0L).count() === 2000L)
+    assert(Similarity.boundedTrainingSample(df, "id", 5000L).count() === 2000L)
+    val s1 = Similarity.boundedTrainingSample(df, "id", 500L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // bounded near the cap (binomial: allow a wide-but-telling band)
+    assert(s1.size > 350 && s1.size < 650, s"sample size ${s1.size}")
+    // deterministic across reruns AND partition layouts (hash coin on
+    // the id, not RNG/partition state)
+    val s2 = Similarity.boundedTrainingSample(df.repartition(7), "id", 500L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    // sampled training still yields nlist usable centroids
+    val cents = Similarity.kmeansCentroids(
+      (0L until 300L).map(i => (i, Seq((i % 3 * 10).toFloat, i.toFloat / 300)))
+        .toDF("id", "v"), "id", "v", nlist = 3, iters = 2,
+      trainMaxRows = 100L)
+    assert(cents.size === 3 && cents.forall(_.size === 2))
+  }
+
   test("geo aggregates: multipoint collect and shared points (blade computation)") {
     import graft.functions.Geo
     val lines = Seq(
