@@ -2674,6 +2674,35 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // ---- isochrone POLYGON (pgr_drivingDistance + pgr_alphaShape —
+    //      the pair the reference's pgRouting consumer emits service
+    //      areas with): reached nodes within 3400 m of node 1
+    //      ({1,3,4,5,6} — node 4 and the two spur nodes sit at
+    //      3335.85 m) snap to 0.02-degree cells {(0,0),(1,0),(1,-1)},
+    //      whose union outline is a CONCAVE (L-shaped) ring traced
+    //      interior-left (ServiceArea.cellUnionRings). Hand-derived
+    //      ring oracle; cell relation is area-bounded (the 100 TB
+    //      shape), the ring walk is presentation-sized driver work.
+    "q_osm_isochrone_poly" -> ((s, dir) => {
+      import s.implicits._
+      val t = osm.OsmModel.microFixture(s)
+      val merged = osm.RoadGraph.buildMergedNetworkCached(t, "micro")
+      val e = osm.RoadGraph.directed(merged)
+        .select(col("start_node"), col("end_node"),
+          round(col("length") * 100).cast("long").as("w"))
+      val reached = osm.GraphCheck.multiSourceShortestPaths(e, Seq(1L))._1
+        .filter(col("dist") <= 340000L)
+      val coords = t.nodes.select(col("id").as("node_id"),
+        col("geom.lon").as("lon"), col("geom.lat").as("lat"))
+      val cells = osm.ServiceArea.isochroneCells(reached, coords, 0.02)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      osm.ServiceArea.cellUnionRings(cells, 0.02)
+        .toDF("ring_id", "seq", "lon", "lat")
+        .select(col("ring_id"), col("seq"),
+          round(col("lon"), 9).as("lon"), round(col("lat"), 9).as("lat"))
+        .orderBy("ring_id", "seq")
+    }),
+
     // ---- sampled closeness centrality (the space-syntax accessibility
     //      measure the reference's igraph hand-off computes): per node,
     //      the exact integer SUM of distances from every sampled source
@@ -6081,6 +6110,20 @@ object SparkEntry {
                 CAST(min(dist) AS BIGINT) AS dist_cm
          FROM r GROUP BY node HAVING min(dist) <= 330000
          ORDER BY node_id"""),
+    // hand-derived alpha-shape ring: reached@3400m = {1,3,4,5,6} (from
+    // the q_osm_isochrone recursion at the wider cutoff) -> 0.02-degree
+    // cells (0,0),(1,0),(1,-1) -> L-shaped union outline traced CCW
+    // from its lexicographically-smallest vertex, collinear runs merged
+    "q_osm_isochrone_poly" ->
+      """SELECT * FROM (VALUES
+           (0, 0, CAST(0.00 AS DOUBLE), CAST( 0.00 AS DOUBLE)),
+           (0, 1, CAST(0.02 AS DOUBLE), CAST( 0.00 AS DOUBLE)),
+           (0, 2, CAST(0.02 AS DOUBLE), CAST(-0.02 AS DOUBLE)),
+           (0, 3, CAST(0.04 AS DOUBLE), CAST(-0.02 AS DOUBLE)),
+           (0, 4, CAST(0.04 AS DOUBLE), CAST( 0.02 AS DOUBLE)),
+           (0, 5, CAST(0.00 AS DOUBLE), CAST( 0.02 AS DOUBLE)))
+         AS t(ring_id, seq, lon, lat)
+         ORDER BY ring_id, seq""",
     // path enumeration with the same rebuilt graph: recursion carries
     // the node list, the best (dist, path) row for the target is
     // exploded positionally — independent of the engine's

@@ -1017,4 +1017,35 @@ class RoadGraphSpec extends SparkTestBase {
     assert(GraphCheck.unresolvedViaWayRestrictions(edges, restr)
       .count() === 0L, "fixture restrictions all resolve")
   }
+
+  test("cellUnionRings: L-shape concave ring, hole ring, saddle split") {
+    import graft.osm.ServiceArea
+    // L-shape (the q_osm_isochrone_poly fixture): one concave CCW ring
+    val l = ServiceArea.cellUnionRings(
+      Seq((0L, 0L), (1L, 0L), (1L, -1L)), 1.0)
+    assert(l.map(r => (r._3, r._4)) === Seq(
+      (0.0, 0.0), (1.0, 0.0), (1.0, -1.0), (2.0, -1.0), (2.0, 1.0),
+      (0.0, 1.0)))
+    // 3x3 ring of cells with the center missing: outer CCW ring (4
+    // corners after collinear merge) + inner CW hole ring
+    val donutCells = for {
+      x <- 0L to 2L; y <- 0L to 2L if (x, y) != ((1L, 1L))
+    } yield (x, y)
+    val donut = ServiceArea.cellUnionRings(donutCells, 1.0)
+    val byRing = donut.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(r => (r._3, r._4))).toMap
+    assert(byRing(0) === Seq((0.0, 0.0), (3.0, 0.0), (3.0, 3.0),
+      (0.0, 3.0)), "outer ring CCW from min vertex")
+    assert(byRing(1) === Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0),
+      (2.0, 1.0)), "hole ring CW (interior-left convention)")
+    // corner-touching cells (saddle at (1,1)): two separate 4-vertex
+    // rings, not one figure-eight — the per-edge left-turn walk
+    val saddle = ServiceArea.cellUnionRings(Seq((0L, 0L), (1L, 1L)), 1.0)
+    val rings = saddle.groupBy(_._1)
+    assert(rings.size === 2 && rings.values.forall(_.size === 4))
+    // degenerate: single cell -> unit square CCW
+    assert(ServiceArea.cellUnionRings(Seq((5L, 7L)), 0.5)
+      .map(r => (r._3, r._4)) ===
+      Seq((2.5, 3.5), (3.0, 3.5), (3.0, 4.0), (2.5, 4.0)))
+  }
 }
