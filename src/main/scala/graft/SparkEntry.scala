@@ -879,6 +879,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BYTE-LEVEL trained BPE (the GPT-2 tokenizer-training shape,
+    //      VERDICT r17 item 8): regex pre-tokenization with the space
+    //      prefix convention (Bpe.bytePretokens — the GPT-2 pattern
+    //      family minus its lookahead clause so RE2/DuckDB replays it),
+    //      initial symbols = UTF-8 bytes as 2-hex-digit strings (full
+    //      byte fallback — hex-coding plays the byte-to-unicode role),
+    //      then the SAME training loop as q_t_bpe_trained. The oracle
+    //      replays pre-tokenization (same regex), byte symbolization
+    //      (hex(encode(word))), and all 8 merge rounds.
+    "q_t_bpe_bytelevel" -> ((s, dir) => {
+      import s.implicits._
+      val merges = llm.Bpe.trainBpeBytes(
+        llm.Bpe.byteWordCounts(documents(s, dir), "text"), numMerges = 8)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+        .select(col("rank").cast("int").as("rank"),
+          col("left_sym"), col("right_sym"))
+        .orderBy("rank")
+    }),
+
     // ---- token-budget document chunking (pre-training sharding: one
     //      doc -> ordered <=40-token chunks, pure column-op explode)
     "q_t_chunks" -> ((s, dir) => {
@@ -4197,6 +4218,7 @@ object SparkEntry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_t_bpe_trained" -> bpeTrainOracleSql(8),
     "q_t_bpe_apply" -> bpeApplyOracleSql(8),
+    "q_t_bpe_bytelevel" -> bpeByteTrainOracleSql(8),
     "q_d_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, lang, source,
                            list_distinct(string_split(text, ' ')) AS ws
@@ -8009,8 +8031,8 @@ $chain
     * fencing makes symbol boundaries unambiguous, so `replace` is
     * exactly the engine's greedy merge pass. MATERIALIZED throughout
     * (plain CTEs re-inline the whole chain into every stage). */
-  private def bpeCtePrefix(nMerges: Int): String = {
-    val head = """
+  private def bpeCtePrefix(nMerges: Int): String =
+    bpeCteWith(nMerges, head = """
   words AS MATERIALIZED (
     SELECT word, count(*) AS cnt FROM (
       SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -8018,7 +8040,25 @@ $chain
   enc0 AS MATERIALIZED (
     SELECT word, cnt,
       '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS enc
-    FROM words)"""
+    FROM words)""")
+
+  /** Byte-level variant: pre-tokens from the SAME regex the engine
+    * uses (no lookahead — RE2), symbols = UTF-8 bytes as 2-hex-digit
+    * strings via hex(encode(word)); the merge stages are shared. */
+  private def bpeByteCtePrefix(nMerges: Int): String =
+    bpeCteWith(nMerges, head = """
+  words AS MATERIALIZED (
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text),
+        ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS word
+      FROM documents) GROUP BY word),
+  enc0 AS MATERIALIZED (
+    SELECT word, cnt,
+      '<' || array_to_string(
+        regexp_extract_all(hex(encode(word)), '..'), '><') || '>' AS enc
+    FROM words)""")
+
+  private def bpeCteWith(nMerges: Int, head: String): String = {
     val stages = (0 until nMerges).map { i =>
       s"""
   pairs$i AS MATERIALIZED (
@@ -8043,6 +8083,14 @@ $chain
       .map(i => s"SELECT $i AS rank, l AS left_sym, r AS right_sym FROM best$i")
       .mkString(" UNION ALL ")
     bpeCtePrefix(nMerges) +
+      s" SELECT rank, left_sym, right_sym FROM ($rows) ORDER BY rank"
+  }
+
+  private def bpeByteTrainOracleSql(nMerges: Int): String = {
+    val rows = (0 until nMerges)
+      .map(i => s"SELECT $i AS rank, l AS left_sym, r AS right_sym FROM best$i")
+      .mkString(" UNION ALL ")
+    bpeByteCtePrefix(nMerges) +
       s" SELECT rank, left_sym, right_sym FROM ($rows) ORDER BY rank"
   }
 

@@ -212,20 +212,61 @@ object Bpe {
     * rounds. `batchWindow = 1` reproduces the classic loop shape. */
   def trainBpe(wordCounts: DataFrame, numMerges: Int,
       localThreshold: Long = 100000L,
-      batchWindow: Int = 64): Seq[(String, String)] = {
+      batchWindow: Int = 64,
+      localSymThreshold: Long = 32000000L): Seq[(String, String)] =
+    trainBpeSyms(
+      wordCounts.select(split(col("word"), "").as("syms"), col("cnt")),
+      numMerges, localThreshold, batchWindow, localSymThreshold)
+
+  /** [[trainBpe]] over a pre-symbolized `(syms ARRAY<STRING>, cnt)`
+    * table — the entry point byte-level training shares with the
+    * character-level path (only the initial alphabet differs).
+    *
+    * ACTIVE-SET HAND-OFF: single-symbol words are permanently inert
+    * (they can never host an adjacent pair again), so the live state
+    * is the multi-symbol words' total symbol count. Whenever that
+    * fits the driver (`localSymThreshold`, probed at round 0 and
+    * every 8 batch rounds — one sum-agg job over the cached
+    * vocabulary table), the remaining merges run in
+    * [[trainBpeLocalIndexed]]: bit-identical merges (single-symbol
+    * words contribute zero pairs, and the local trainer shares the
+    * count/tie/rewrite contract) with zero further shuffle rounds —
+    * the production-vocab economics fix (a 32k-merge vocabulary at
+    * ~0.2 s/shuffle-round is hours; the indexed local loop finishes
+    * the specialized tail in seconds). A 100 TB corpus starts far
+    * above the threshold (hundreds of millions of unique-word
+    * symbols) and crosses it as merges collapse frequent words. */
+  def trainBpeSyms(symWords: DataFrame, numMerges: Int,
+      localThreshold: Long = 100000L,
+      batchWindow: Int = 64,
+      localSymThreshold: Long = 32000000L): Seq[(String, String)] = {
     if (localThreshold > 0 &&
-        wordCounts
+        symWords
           .limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
           .count() <= localThreshold) {
-      val local = wordCounts.collect()
-        .map(r => (r.getString(0).map(_.toString).toIndexedSeq, r.getLong(1)))
-      return trainBpeLocal(local, numMerges)
+      val local = symWords.collect()
+        .map(r => (r.getSeq[String](0).toIndexedSeq, r.getLong(1)))
+      return trainBpeLocalIndexed(local, numMerges)
     }
-    val spark = wordCounts.sparkSession
+    val spark = symWords.sparkSession
     import spark.implicits._
-    var words = wordCounts
-      .select(split(col("word"), "").as("syms"), col("cnt"))
+    var words = symWords
+      .select(col("syms"), col("cnt"))
       .localCheckpoint(true)
+    def activeSymbols(): Long =
+      words.filter(size(col("syms")) > 1)
+        .agg(coalesce(sum(size(col("syms"))), lit(0L)))
+        .head().getLong(0)
+    def handOff(merges: Seq[(String, String)]): Seq[(String, String)] = {
+      val local = words.filter(size(col("syms")) > 1)
+        .as[(Seq[String], Long)].collect()
+        .map { case (s, c) => (s.toIndexedSeq, c) }.toSeq
+      System.err.println(s"[bpe] hand-off to indexed local loop at " +
+        s"${merges.size} merges, ${local.size} active words")
+      merges ++ trainBpeLocalIndexed(local, numMerges - merges.size)
+    }
+    if (localSymThreshold > 0 && activeSymbols() <= localSymThreshold)
+      return handOff(Nil)
     // counts is pair-vocabulary sized (alphabet² at most early) — one
     // partition keeps the per-round top-K and merge-agg jobs 1-task
     var counts = pairCounts(words).coalesce(1).localCheckpoint(true)
@@ -284,6 +325,15 @@ object Bpe {
           .localCheckpoint(false)
       }
       rounds += 1
+      // active-set probe (see trainBpeSyms doc): one cheap sum-agg
+      // every 8 batch rounds; crossing the threshold finishes the
+      // remaining merges driver-side with zero further shuffle rounds
+      if (continue && merges.size < numMerges && localSymThreshold > 0 &&
+          rounds % 8 == 0 && activeSymbols() <= localSymThreshold) {
+        System.err.println(s"[bpe] ${merges.size} merges in $rounds " +
+          s"shuffle rounds (window $batchWindow) before hand-off")
+        return handOff(merges.toList)
+      }
     }
     System.err.println(s"[bpe] ${merges.size} merges in $rounds shuffle " +
       s"rounds (window $batchWindow)")
@@ -317,6 +367,113 @@ object Bpe {
     }
     merges.toList
   }
+
+  /** Driver-local training with INCREMENTAL pair bookkeeping (the
+    * fastBPE shape): pair counts and a pair -> word-ids occurrence
+    * index are built once; each merge round scans the counts map for
+    * the (count desc, l, r) winner and rewrites ONLY the words in the
+    * winner's occurrence list, folding each rewritten word's pair
+    * delta back into the counts. Occurrence lists may go stale (a word
+    * rewritten by a later merge keeps its old entries); a stale entry
+    * is harmless — the rewrite is a no-op and its delta is zero.
+    * Bit-identical merges to [[trainBpeLocal]] (spec-gated): same
+    * overlap counting, same tie-break, same greedy rewrite — the
+    * (l, r) key makes every argmax unique, so map iteration order
+    * can't leak in. O(total symbols) init; each round costs the
+    * counts-map scan + the touched words' lengths. */
+  private[graft] def trainBpeLocalIndexed(
+      words: Seq[(IndexedSeq[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    val ws = words.map(_._1).toArray
+    val cnt = words.map(_._2).toArray
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    def pairsOf(syms: IndexedSeq[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    ws.indices.foreach { wi =>
+      pairsOf(ws(wi)).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + cnt(wi)
+        occ.getOrElseUpdate(p,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+      }
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.iterator
+          .reduceLeft { (a, b) =>
+            val cmp = java.lang.Long.compare(b._2, a._2)
+            if (cmp != 0) { if (cmp < 0) a else b }
+            else if (Ordering[(String, String)].lteq(a._1, b._1)) a else b
+          }._1
+        merges += best
+        val touched = occ.getOrElse(best,
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        touched.distinct.foreach { wi =>
+          val old = ws(wi)
+          val merged = mergeLocal(old, best)
+          if (merged.length != old.length) {
+            pairsOf(old).foreach { p =>
+              val c = counts(p) - cnt(wi)
+              if (c == 0L) counts.remove(p) else counts(p) = c
+            }
+            pairsOf(merged).foreach { p =>
+              counts(p) = counts.getOrElse(p, 0L) + cnt(wi)
+              occ.getOrElseUpdate(p,
+                scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+            }
+            ws(wi) = merged
+          }
+        }
+        occ.remove(best)
+      }
+    }
+    merges.toList
+  }
+
+  // ---- byte-level BPE (the GPT-2 tokenizer-training shape) ----------
+
+  /** Regex pre-tokenization for byte-level BPE: space-prefixed letter
+    * runs, digit runs, and punctuation runs over the lowercased text —
+    * the GPT-2 pattern family, minus its lookahead clause (`\s+(?!\S)`)
+    * so the SAME pattern replays in RE2 engines (the DuckDB oracle);
+    * unmatched whitespace separates pre-tokens and is dropped. The
+    * space prefix is what byte-level vocabularies encode word
+    * boundaries with. */
+  def bytePretokens(text: Column): Column =
+    regexp_extract_all(lower(text),
+      lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"), lit(0))
+
+  /** Pre-token frequency table for byte-level training — the same
+    * one-corpus-scan contract as [[wordCounts]]. */
+  def byteWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bytePretokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** A pre-token's initial byte symbols: UTF-8 bytes as two-hex-digit
+    * strings ("20" = the boundary space, "61" = 'a'); merged symbols
+    * concatenate hex pairs. Hex-coding plays GPT-2's byte-to-unicode
+    * role — every byte (not every codepoint) is a first-class symbol
+    * with a printable, SQL-portable name, so the trained vocabulary
+    * has full byte fallback and the DuckDB oracle replays it with
+    * `hex(encode(word))`. */
+  def byteSyms(word: Column): Column =
+    regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0))
+
+  /** Train byte-level BPE merges over a [[byteWordCounts]] table:
+    * the SAME training loop as [[trainBpe]] — only the initial
+    * alphabet (bytes, not characters) differs. */
+  def trainBpeBytes(wordCounts: DataFrame, numMerges: Int,
+      localThreshold: Long = 100000L,
+      batchWindow: Int = 64,
+      localSymThreshold: Long = 32000000L): Seq[(String, String)] =
+    trainBpeSyms(
+      wordCounts.select(byteSyms(col("word")).as("syms"), col("cnt")),
+      numMerges, localThreshold, batchWindow, localSymThreshold)
 
   /** Greedy left-to-right non-overlapping merge pass (local form of
     * [[mergeOnce]]). */

@@ -289,7 +289,8 @@ object LlmScaleSmoke {
     // per-round cost tracking vocabulary size. Gate: completes all 256
     // merges; wall time reported for the round-over-round economics.
     val bpeParts = if (wanted("bpe")) {
-      def bpeRun(nWords: Long, merges: Int): (Double, Int, Long) = {
+      def bpeRun(nWords: Long, merges: Int,
+          symThreshold: Long): (Double, Int, Long) = {
         val wc = spark.range(nWords).select(
           md5(col("id").cast("string"))
             .substr(lit(1), (pmod(hash(col("id")), lit(6)) + 4).cast("int"))
@@ -299,13 +300,24 @@ object LlmScaleSmoke {
           .localCheckpoint(true)
         val nw = wc.count()
         val t0 = System.nanoTime()
-        val ms = graft.llm.Bpe.trainBpe(wc, merges, localThreshold = 0)
+        val ms = graft.llm.Bpe.trainBpe(wc, merges, localThreshold = 0,
+          localSymThreshold = symThreshold)
         ((System.nanoTime() - t0) / 1e9, ms.length, nw)
       }
-      bpeRun(5000L, 8) // warm
-      val (bpeSec, bpeMerges, bpeWords) = bpeRun(150000L, 256)
+      bpeRun(5000L, 8, 0L) // warm
+      // forced-distributed 256 merges: tracks the incremental
+      // delta-maintenance economics round over round
+      val (bpeSec, bpeMerges, bpeWords) = bpeRun(150000L, 256, 0L)
+      // PRODUCTION-VOCAB economics (VERDICT r17 item 6): 1024 merges
+      // with the active-set hand-off enabled — the symbol-sum probe
+      // fires and the indexed local loop finishes the tail with zero
+      // further shuffle rounds
+      val (bpe1kSec, bpe1kMerges, _) = bpeRun(150000L, 1024,
+        32000000L)
       Seq(s""""bpe_words":$bpeWords,"bpe_merges":$bpeMerges,""" +
-        f""""bpe_sec":$bpeSec%.2f""")
+        f""""bpe_sec":$bpeSec%.2f,""" +
+        s""""bpe1024_merges":$bpe1kMerges,""" +
+        f""""bpe1024_sec":$bpe1kSec%.2f""")
     } else Nil
 
     println(s"""{"metric":"llm_scale_smoke","docs_lo":$nLo,"docs_hi":$nHi,""" +

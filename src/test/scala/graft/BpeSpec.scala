@@ -30,7 +30,7 @@ class BpeSpec extends SparkTestBase {
 
   test("trainBpe distributed path produces the identical merge sequence") {
     val wc = fixture.toDF("word", "cnt")
-    assert(Bpe.trainBpe(wc, 4, localThreshold = 0) === expected)
+    assert(Bpe.trainBpe(wc, 4, localThreshold = 0, localSymThreshold = 0) === expected)
     // and the local fast path (threshold above table size) agrees
     assert(Bpe.trainBpe(wc, 4) === expected)
   }
@@ -73,7 +73,8 @@ class BpeSpec extends SparkTestBase {
     }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
     val local = Bpe.trainBpeLocal(
       wc.map { case (w, c) => (w.map(_.toString).toIndexedSeq, c) }, 48)
-    val dist = Bpe.trainBpe(wc.toDF("word", "cnt"), 48, localThreshold = 0)
+    val dist = Bpe.trainBpe(wc.toDF("word", "cnt"), 48,
+      localThreshold = 0, localSymThreshold = 0)
     assert(dist === local)
     assert(dist.length === 48, s"fixture must support 48 merges, got ${dist.length}")
   }
@@ -87,8 +88,10 @@ class BpeSpec extends SparkTestBase {
         1L + rnd.nextInt(9))
     }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
     val df = wc.toDF("word", "cnt")
-    val seq1 = Bpe.trainBpe(df, 40, localThreshold = 0, batchWindow = 1)
-    val seq64 = Bpe.trainBpe(df, 40, localThreshold = 0, batchWindow = 64)
+    val seq1 = Bpe.trainBpe(df, 40, localThreshold = 0,
+      batchWindow = 1, localSymThreshold = 0)
+    val seq64 = Bpe.trainBpe(df, 40, localThreshold = 0,
+      batchWindow = 64, localSymThreshold = 0)
     assert(seq64 === seq1, "batched != sequential")
     assert(seq1.length === 40)
   }
@@ -156,5 +159,70 @@ class BpeSpec extends SparkTestBase {
       "top-1 must be TakeOrdered, not a global sort")
     assert(plan.contains("partial_sum") || plan.contains("partial"),
       "pair counting must map-side combine before the shuffle")
+  }
+
+  test("trainBpeLocalIndexed bit-matches the naive local recount (128 merges, random corpus)") {
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abcdefg"
+    val words = (1 to 400).map { _ =>
+      val len = 3 + rnd.nextInt(9)
+      (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+        1L + rnd.nextInt(9))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      .map { case (w, c) => (w.map(_.toString).toIndexedSeq, c) }
+    val naive = Bpe.trainBpeLocal(words, 128)
+    val indexed = Bpe.trainBpeLocalIndexed(words, 128)
+    assert(indexed === naive)
+    assert(naive.length === 128,
+      s"fixture must support 128 merges, got ${naive.length}")
+    // Sennrich worked example too (hand-derived, not just self-agreement)
+    assert(Bpe.trainBpeLocalIndexed(fixture.map { case (w, c) =>
+      (w.map(_.toString).toIndexedSeq, c) }, 4) === expected)
+  }
+
+  test("active-set hand-off: mid-loop switch to the indexed local loop keeps the merge sequence") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdef"
+    val wc = (1 to 260).map { _ =>
+      val len = 3 + rnd.nextInt(8)
+      (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+        1L + rnd.nextInt(9))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+    val df = wc.toDF("word", "cnt")
+    val pure = Bpe.trainBpe(df, 40, localThreshold = 0,
+      localSymThreshold = 0)
+    // threshold below the fixture's initial symbol count -> the probe
+    // fires only after merges shrink the active set (mid-loop); the
+    // probe runs every 8 rounds, so with batchWindow=1 the first 8+
+    // merges are distributed before the switch
+    val initialSyms = wc.map { case (w, c) => w.length }.sum
+    val mid = Bpe.trainBpe(df, 40, localThreshold = 0,
+      batchWindow = 1, localSymThreshold = initialSyms - 50L)
+    assert(mid === pure, "hand-off changed the merge sequence")
+    // threshold at/above the initial count -> immediate hand-off
+    val immediate = Bpe.trainBpe(df, 40, localThreshold = 0,
+      localSymThreshold = initialSyms + 10L)
+    assert(immediate === pure)
+  }
+
+  test("byte-level BPE: pre-tokens, hex byte symbols, hand-checked merges") {
+    // bytePretokens: space-prefix convention, letter/digit/punct runs
+    val pre = Seq(("Low cost, 24x!"))
+      .toDF("text")
+      .select(Bpe.bytePretokens(col("text")).as("p"))
+      .head().getSeq[String](0).toList
+    assert(pre === List("low", " cost", ",", " 24", "x", "!"))
+    // byteSyms: UTF-8 bytes as 2-hex-digit symbols (space = 20)
+    val syms = Seq((" ab"))
+      .toDF("w").select(Bpe.byteSyms(col("w")).as("s"))
+      .head().getSeq[String](0).toList
+    assert(syms === List("20", "61", "62"))
+    // trained byte merges on a fixture where " l"(0x20 0x6C) dominates:
+    // "low"x5 + " low"x9 -> pairs: (6C,6F)=14, (6F,77)=14, (20,6C)=9 ...
+    // winner by count then lex: (6C,6F); then (6C6F,77)=14 wins; then
+    // (20,6C6F77)=9
+    val merges = Bpe.trainBpeBytes(
+      Seq(("low", 5L), (" low", 9L)).toDF("word", "cnt"), 3)
+    assert(merges === Seq(("6C", "6F"), ("6C6F", "77"), ("20", "6C6F77")))
   }
 }
