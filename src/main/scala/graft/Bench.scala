@@ -34,8 +34,20 @@ object Bench {
     // rounds.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    // host-regime self-description (VERDICT r17 item 3): loadavg before/
+    // after, CPU count, and the code-cache setting land in the artifact
+    // so round-over-round diffs can tell a degraded host session from a
+    // code change without a detached-checkout A/B.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadBefore = loadavg()
+    val codeCache = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .find(_.contains("ReservedCodeCacheSize")).getOrElse("default")
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val allTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -52,8 +64,19 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      name -> times
+    }
+    val results = allTimes.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    // min/median spread across reps: how far the kept min sits from a
+    // typical rep — a one-number noise witness for the sweep
+    val totalMedian = allTimes
+      .collect { case (_, ts) if !ts.contains(-1.0) => median(ts) }.sum
+    val loadAfterSweep = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -110,7 +133,8 @@ object Bench {
       }
 
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"pbf_ingest_sec":$pbfIngest,"graph_e2e_sec":$graphE2e,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}"""
+    val hostJson = s"""{"loadavg_before":$loadBefore,"loadavg_after_sweep":$loadAfterSweep,"loadavg_end":${loadavg()},"cpus":"$cpus","code_cache":"$codeCache","total_min_sec":$total,"total_median_sec":$totalMedian}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"host":$hostJson,"pbf_ingest_sec":$pbfIngest,"graph_e2e_sec":$graphE2e,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the LAST ~2000 chars of stdout and parses the
     // final JSON line out of that window. With 150+ queries the full line is
