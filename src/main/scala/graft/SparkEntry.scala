@@ -900,6 +900,24 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- retokenize with the trained BYTE-LEVEL merges (the apply
+    //      half of the GPT-2 pair): same pre-token regex and hex byte
+    //      symbols as training, merges in rank order, one greedy pass
+    //      each — a pre-token seen at train time lands on its final
+    //      train-time symbols, which is what the oracle's enc8 join
+    //      replays.
+    "q_t_bpe_byteapply" -> ((s, dir) => {
+      val merges = llm.Bpe.trainBpeBytes(
+        llm.Bpe.byteWordCounts(documents(s, dir), "text"), numMerges = 8)
+      llm.Bpe.applyBpeBytes(
+          documents(s, dir).filter(col("doc_id") < 20), "doc_id", "text",
+          merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tokens"))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
     // ---- token-budget document chunking (pre-training sharding: one
     //      doc -> ordered <=40-token chunks, pure column-op explode)
     "q_t_chunks" -> ((s, dir) => {
@@ -4219,6 +4237,7 @@ object SparkEntry {
     "q_t_bpe_trained" -> bpeTrainOracleSql(8),
     "q_t_bpe_apply" -> bpeApplyOracleSql(8),
     "q_t_bpe_bytelevel" -> bpeByteTrainOracleSql(8),
+    "q_t_bpe_byteapply" -> bpeByteApplyOracleSql(8),
     "q_d_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, lang, source,
                            list_distinct(string_split(text, ' ')) AS ws
@@ -8099,6 +8118,20 @@ $chain
   docw AS MATERIALIZED (
     SELECT doc_id, word, count(*) AS n FROM (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents WHERE doc_id < 20) GROUP BY doc_id, word),
+  tok AS (
+    SELECT d.doc_id, d.n, unnest(string_split(trim(f.enc, '<>'), '><')) AS sym
+    FROM docw d JOIN enc$nMerges f USING (word))
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct
+  FROM tok GROUP BY doc_id ORDER BY doc_id"""
+
+  private def bpeByteApplyOracleSql(nMerges: Int): String =
+    bpeByteCtePrefix(nMerges) + s""",
+  docw AS MATERIALIZED (
+    SELECT doc_id, word, count(*) AS n FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS word
       FROM documents WHERE doc_id < 20) GROUP BY doc_id, word),
   tok AS (
     SELECT d.doc_id, d.n, unnest(string_split(trim(f.enc, '<>'), '><')) AS sym

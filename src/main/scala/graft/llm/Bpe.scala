@@ -503,19 +503,38 @@ object Bpe {
     * an expression. Output: `(idCol, tokens ARRAY<STRING>)`, tokens in
     * document order. */
   def applyBpe(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
+    applyWith(docs, idCol, textCol, merges, "[a-z]+",
+      w => w.map(_.toString).toIndexedSeq)
+
+  /** Byte-level [[applyBpe]]: the SAME pre-tokenization regex as
+    * [[bytePretokens]] and the same hex byte symbols as [[byteSyms]],
+    * so a pre-token seen at train time tokenizes to its final
+    * train-time symbols. Tokens stay in the hex-symbol namespace (the
+    * vocabulary's canonical names, full byte fallback — decode is
+    * hex -> bytes -> UTF-8 when a consumer needs text back). */
+  def applyBpeBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    applyWith(docs, idCol, textCol, merges,
+      " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+",
+      w => w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X": String)
+        .toIndexedSeq)
+
+  private def applyWith(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], pretokenRe: String,
+      symbolize: String => IndexedSeq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.toArray
-    val wordRe = "[a-z]+".r
     docs.select(col(idCol).cast("long"), lower(col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val wordRe = pretokenRe.r
         // per-partition memo: corpora repeat words heavily, and one
         // word's tokenization is pure
         val memo = scala.collection.mutable.Map.empty[String, Seq[String]]
         def tok(w: String): Seq[String] = memo.getOrElseUpdate(w, {
-          var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+          var syms: IndexedSeq[String] = symbolize(w)
           ms.foreach { m =>
             if (syms.length > 1) syms = mergeLocal(syms, m)
           }

@@ -224,5 +224,13 @@ class BpeSpec extends SparkTestBase {
     val merges = Bpe.trainBpeBytes(
       Seq(("low", 5L), (" low", 9L)).toDF("word", "cnt"), 3)
     assert(merges === Seq(("6C", "6F"), ("6C6F", "77"), ("20", "6C6F77")))
+    // byte-level apply replays training: " low" -> its final
+    // train-time symbol ["206C6F77"], leading "low" (no space
+    // prefix) -> ["6C6F77"]
+    val toks = Bpe.applyBpeBytes(
+        Seq((1L, "low low!")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .head().getSeq[String](1).toList
+    assert(toks === List("6C6F77", "206C6F77", "21"))
   }
 }
