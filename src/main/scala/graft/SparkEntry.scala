@@ -1883,7 +1883,9 @@ object SparkEntry {
     //      the indexed points, which is why the q_s_*_recall family
     //      trains full at fixture size — see trainCap). Trained
     //      centroids are float-sum state → literal-verdict gate
-    //      (q_s_ivf_ann policy). Measured: sampled 1.0, full 1.0.
+    //      (q_s_ivf_ann policy): sampled recall clears 0.9 absolute
+    //      AND holds full-training recall within 0.05, at both sweep
+    //      scales.
     "q_s_sampled_train" -> ((s, dir) => {
       val clustered = spreadEmb(s, dir)
         .select(col("vec_id"),
