@@ -124,6 +124,78 @@ object StreamSmoke {
     } finally q.stop()
   }
 
+  /** Streaming MinHash-LSH candidate probe (EventStream.
+    * nearDupCandidates, the r18 driver-checked operator at scale):
+    * docs with a synthetic chronology (1 doc/second), every 100-block
+    * carrying a 10-doc identical-text run (so each run emits exactly
+    * (10-1) x 4-band candidate pairs within its own second, far inside
+    * the horizon) and 90 token-disjoint unique docs (disjoint shingle
+    * sets -> band collisions only by 4-consecutive-minhash agreement,
+    * negligible). Returns (sec, emitted, stateRows): emitted has the
+    * closed form 36 x (n/100) (small positive slack tolerated), state
+    * is bounded by ONE HORIZON of band buckets — 4 x docs-per-hour —
+    * not the corpus (the operator's whole point). */
+  private def runNearDup(spark: SparkSession,
+      batches: Seq[IndexedSeq[(Long, Timestamp, String)]])
+      : (Double, Long, Long, Long) = {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)]
+    val emitted = new AtomicLong(0)
+    val dupExact = new AtomicLong(0)
+    // the closed-form pairs: both ids in the SAME identical-text run,
+    // id_a its first member (min id — batches are chronological and
+    // the operator processes event-time order, so first arrival = g*100)
+    val isDup = col("id_a") % 100 === 0 && col("id_b") % 100 < 10 &&
+      expr("id_a div 100") === expr("id_b div 100")
+    val q = EventStream.nearDupCandidates(
+        stream.toDF().toDF("doc_id", "ts", "text"), "doc_id",
+        org.apache.spark.sql.functions.col("text"), watermark = "1 hour")
+      .toDF()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val cached = df.cache()
+        emitted.addAndGet(cached.count())
+        dupExact.addAndGet(cached.filter(isDup).count())
+        cached.unpersist(); ()
+      }
+      .start()
+    val t0 = System.nanoTime()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      (sec, emitted.get(), dupExact.get(), stateRows)
+    } finally q.stop()
+  }
+
+  /** Hashed hex token — docs built from these are shingle-RANDOM:
+    * structured schemes (numeric tokens like `q${i*7}`, or a phrase
+    * template differing only in a number) share digit-prefix 5-grams
+    * between numerically-near docs, giving Jaccard high enough that
+    * 4-minhash band keys agree for ~7% of the planted closed form and
+    * even STEAL bucket-firsts from the planted runs (measured: 5814 of
+    * 7200 expected exact pairs at 20k docs). Random hex tokens drop
+    * cross-doc Jaccard to ~1 shared shingle per million pairs —
+    * band agreement P ~ J^4 vanishes. */
+  private def hexTok(key: String): String =
+    java.lang.Long.toHexString(
+      (scala.util.hashing.MurmurHash3.stringHash(key).toLong
+        & 0xffffffffL) | 0x100000000L)
+
+  private def mkDoc(i: Long): (Long, Timestamp, String) = {
+    // dup runs: identical text within the 10-doc run, keyed tokens
+    // distinct across runs; unique docs: per-doc keyed tokens
+    val key = if (i % 100 < 10) s"g${i / 100}" else s"u$i"
+    val text = (1 to 6).map(s => hexTok(s"$key:$s")).mkString(" ")
+    (i, new Timestamp(1700000000000L + i * 1000L), text)
+  }
+
   private def exp(lo: Double, hi: Double, factor: Double): Double =
     math.log(hi / lo) / math.log(factor)
 
@@ -142,7 +214,7 @@ object StreamSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def probe(n: Long): (Double, Double, Double, Long) = {
+    def probe(n: Long): (Double, Double, Double, Long, Double, Long) = {
       require(n % 200 == 0, "n must be a multiple of 200")
       // ---- dedup, unbounded watermark: key = id mod n/10; ids < n/2
       // already cover every key, so batch 2 + replay emit nothing
@@ -195,17 +267,48 @@ object StreamSmoke {
           s"interval_join: emitted $emitted, expected ${3 * (n / 100)}")
         sec
       }
+      // ---- streaming LSH candidates: docs at n/10 (per-doc minhash
+      // work is ~10x an event's), 8 chronological batches, 1-hour
+      // horizon. Candidates exact by closed form (1% slack for
+      // negligible random band agreement); state bounded by the
+      // horizon's band buckets, NOT the corpus.
+      val docsN = n / 10
+      val docs = (0L until docsN).map(mkDoc)
+      val docBatches = (0 until nb).map { i =>
+        docs.slice(i * (docsN / nb).toInt, ((i + 1) * (docsN / nb)).toInt)
+      }
+      var ndStateRows = -1L
+      def ndOnce(): Double = {
+        val (sec, emitted, dupExact, stateRows) = runNearDup(spark, docBatches)
+        val expect = 36L * (docsN / 100)
+        // every planted run collides in all 4 bands with its own first
+        // (min id, chronological arrival) — 36 pairs per run; hashed-
+        // hex tokens make cross-doc band agreement vanishingly rare,
+        // but allow 1% for a stray collision stealing a bucket-first
+        require(dupExact >= expect - expect / 100 && dupExact <= expect,
+          s"neardup: exact dup pairs $dupExact, expected $expect")
+        require(emitted - dupExact <= expect / 20,
+          s"neardup: strays ${emitted - dupExact} exceed 5% of $expect")
+        // bound: one horizon (3600 docs) x 4 band buckets + the final
+        // batch's buckets (watermark advances at batch boundaries) + slack
+        val bound = 4 * (3600 + docsN / nb) + 4000
+        require(stateRows >= 0 && stateRows <= bound,
+          s"neardup: final state $stateRows exceeds bound $bound")
+        ndStateRows = stateRows
+        sec
+      }
       // steady-state protocol: min-of-2, fresh query + checkpoint each
       val d = math.min(dedupOnce(), dedupOnce())
       val w = math.min(winDedupOnce(), winDedupOnce())
       val j = math.min(ijOnce(), ijOnce())
-      (d, w, j, winStateRows)
+      val nd = math.min(ndOnce(), ndOnce())
+      (d, w, j, winStateRows, nd, ndStateRows)
     }
 
     val nLo = baseK * 1000
     val nHi = nLo * factor
-    val (dLo, wLo, jLo, _) = probe(nLo)
-    val (dHi, wHi, jHi, winStateHi) = probe(nHi)
+    val (dLo, wLo, jLo, _, ndLo, _) = probe(nLo)
+    val (dHi, wHi, jHi, winStateHi, ndHi, ndStateHi) = probe(nHi)
     println(s"""{"metric":"stream_smoke","n_lo":$nLo,"n_hi":$nHi,""" +
       s""""dedup_lo_sec":$dLo,"dedup_hi_sec":$dHi,""" +
       s""""dedup_exp":${exp(dLo, dHi, factor.toDouble)},""" +
@@ -214,7 +317,11 @@ object StreamSmoke {
       s""""window_state_rows_hi":$winStateHi,""" +
       s""""window_keys_hi":${nHi / 10},""" +
       s""""interval_join_lo_sec":$jLo,"interval_join_hi_sec":$jHi,""" +
-      s""""interval_join_exp":${exp(jLo, jHi, factor.toDouble)}}""")
+      s""""interval_join_exp":${exp(jLo, jHi, factor.toDouble)},""" +
+      s""""neardup_docs_lo":${nLo / 10},"neardup_docs_hi":${nHi / 10},""" +
+      s""""neardup_lo_sec":$ndLo,"neardup_hi_sec":$ndHi,""" +
+      s""""neardup_exp":${exp(ndLo, ndHi, factor.toDouble)},""" +
+      s""""neardup_state_rows_hi":$ndStateHi}""")
     spark.stop()
   }
 }
