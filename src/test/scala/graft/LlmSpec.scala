@@ -740,6 +740,21 @@ class LlmSpec extends SparkTestBase {
         .toDF("id", "v"), "id", "v", nlist = 3, iters = 2,
       trainMaxRows = 100L)
     assert(cents.size === 3 && cents.forall(_.size === 2))
+    // pqCodebooksLloyd plumbing: sampled training returns the full
+    // m x k codebook shape and is partition-layout independent (the
+    // hash coin keys on the id, so a repartition cannot change which
+    // vectors train; integer-valued components keep the Lloyd float
+    // sums order-exact, so strict equality is sound here)
+    val corpus = (0L until 400L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 + j * 13) % 29).toFloat)))
+      .toDF("id", "v")
+    val cb1 = Similarity.pqCodebooksLloyd(corpus, "id", "v",
+      m = 2, k = 4, iters = 1, trainMaxRows = 150L)
+    val cb2 = Similarity.pqCodebooksLloyd(corpus.repartition(5), "id", "v",
+      m = 2, k = 4, iters = 1, trainMaxRows = 150L)
+    assert(cb1.size === 2 && cb1.forall(_.size === 4) &&
+      cb1.forall(_.forall(_.size === 2)))
+    assert(cb1 === cb2, "sampled codebooks must not depend on layout")
   }
 
   test("geo aggregates: multipoint collect and shared points (blade computation)") {
