@@ -70,7 +70,12 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.size / 2)
+      val s = xs.sorted
+      // average the two middle elements for even rep counts — s(size/2)
+      // alone is the UPPER median, which at reps=2 reports the max rep
+      // and overstates the min/median spread this number witnesses
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // min/median spread across reps: how far the kept min sits from a
     // typical rep — a one-number noise witness for the sweep

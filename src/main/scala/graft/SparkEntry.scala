@@ -2182,8 +2182,16 @@ object SparkEntry {
           .format("memory").queryName(sink).start()
         try {
           q.processAllAvailable()
-          // second crawl dump lands after the first batch committed
-          java.nio.file.Files.write(f2, wet(docs.filter(_._1 % 2 == 1)))
+          // second crawl dump lands after the first batch committed.
+          // Write to a dot-prefixed temp (filtered by the stream's
+          // listNames) and ATOMIC_MOVE into the watched name, so the
+          // trigger loop can never observe a partially written file —
+          // file-granularity offsets would otherwise commit a
+          // truncated batch and never re-read it.
+          val tmp2 = fixDir.resolve(".wet-00002.warc.gz.tmp")
+          java.nio.file.Files.write(tmp2, wet(docs.filter(_._1 % 2 == 1)))
+          java.nio.file.Files.move(tmp2, f2,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           q.processAllAvailable()
           s.table(sink).orderBy("bucket").localCheckpoint(true)
         } finally q.stop()

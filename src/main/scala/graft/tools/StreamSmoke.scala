@@ -273,6 +273,13 @@ object StreamSmoke {
       // negligible random band agreement); state bounded by the
       // horizon's band buckets, NOT the corpus.
       val docsN = n / 10
+      // batch slicing below feeds nb*(docsN/nb) docs; the closed-form
+      // expect uses docsN, so the gate is only sound when nothing is
+      // dropped — pin that invariant instead of relying on current
+      // baseK/nb values happening to divide evenly
+      require(docsN % nb == 0,
+        s"stream_smoke: docsN=$docsN must be a multiple of nb=$nb " +
+          "(tail docs would be silently dropped under the closed-form gate)")
       val docs = (0L until docsN).map(mkDoc)
       val docBatches = (0 until nb).map { i =>
         docs.slice(i * (docsN / nb).toInt, ((i + 1) * (docsN / nb)).toInt)

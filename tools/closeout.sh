@@ -17,9 +17,9 @@ for f in BENCH_r*.json CORRECTNESS_r*.json LLMSMOKE_r*.json \
 done
 CHANGED=()
 for f in "${PATTERNS[@]}"; do
-  if [ -e "$f" ] && ! git diff --quiet -- "$f" 2>/dev/null; then
-    CHANGED+=("$f")
-  elif [ -e "$f" ] && [ -n "$(git ls-files --others --exclude-standard -- "$f")" ]; then
+  # porcelain is non-empty for unstaged, staged-but-uncommitted, AND
+  # untracked states — git diff --quiet alone misses staged artifacts
+  if [ -e "$f" ] && [ -n "$(git status --porcelain -- "$f" 2>/dev/null)" ]; then
     CHANGED+=("$f")
   fi
 done
