@@ -1913,6 +1913,35 @@ object SparkEntry {
         .toDF("sampled_holds_full", "sampled_ok")
     }),
 
+    // ---- trained-index persistence (the production retrieval
+    //      lifecycle): build a residual IVF-PQ index with fixed
+    //      quantizers, SAVE its complete state to parquet (centroids /
+    //      codebooks / cell-partitioned codes), RELOAD it from disk
+    //      alone — IndexStore.load touches no in-session state, raw
+    //      corpus, or training sample — and serve top-k (nprobe=3,
+    //      distinct from q_s_ivfpq_residual's 4) from the loaded codes.
+    //      The oracle re-derives the whole chain from the raw corpus,
+    //      so a round-trip that loses a double anywhere hash-fails.
+    "q_s_index_persist" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      val cb = llm.Similarity.pqCodebooksFixed(
+        llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents)
+          .filter(col("vec_id").between(16, 31)),
+        "vec_id", "embedding", m = 8, k = 16)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index").toString
+      llm.IndexStore.save(
+        llm.IndexStore.build("ivfpq_residual", e, "vec_id", "embedding",
+          cents, cb), idxDir)
+      llm.IndexStore.load(s, idxDir)
+        .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
     //      global window — must agree with the window semantics, so it
     //      shares q_x5's oracle
@@ -2195,6 +2224,90 @@ object SparkEntry {
           q.processAllAvailable()
           s.table(sink).orderBy("bucket").localCheckpoint(true)
         } finally q.stop()
+      }
+    }),
+
+    // ---- the WHOLE streaming curation pipeline as a driver-checked row
+    //      (VERDICT r18 item 8; spec-gated until now in
+    //      CurationStreamSpec): WET crawl stream -> language gate ->
+    //      gopher quality gate -> in-batch URL dedup -> cross-batch URL
+    //      dedup vs previously landed batches -> batch-partitioned
+    //      landing, then an aggregate over the landed corpus. URLs
+    //      carry the dedup group in the path and the doc id in the
+    //      FRAGMENT (normalizeUrl strips fragments, so ids 3g..3g+2
+    //      share the key "graft.test/g/<g>"); groups straddle the two
+    //      crawl files (evens then odds), so the cross-batch anti-join
+    //      genuinely fires. Survivor per group = first by
+    //      (batch, doc_id) — the in-batch preference is doc_id asc and
+    //      an earlier batch's landing always wins — which the oracle
+    //      replays as ORDER BY (doc_id % 2, doc_id).
+    "q_cc_curation_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def wet(part: Array[(Long, String)]): Array[Byte] =
+        sources.Warc.writeRecords(part.map { case (id, text) =>
+          ("conversion", s"http://graft.test/g/${id / 3}#d$id",
+            "2024-03-01T12:00:00Z", "text/plain", text.getBytes("UTF-8"))
+        }.toIndexedSeq, gzipPerRecord = true)
+      val fixDir = java.nio.file.Files.createTempDirectory("cur-stream")
+      val outDir = java.nio.file.Files.createTempDirectory("cur-landed")
+      java.nio.file.Files.write(fixDir.resolve("wet-00001.warc.gz"),
+        wet(docs.filter(_._1 % 2 == 0)))
+      def curateBatch(batch: org.apache.spark.sql.DataFrame,
+          batchId: Long): Unit = {
+        val decoded = batch
+          .filter(col("record_type") === "conversion")
+          .select(col("target_uri"),
+            regexp_extract(col("target_uri"), "#d(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("payload").cast("string").as("text"))
+          .filter(llm.TextAnalysis.languageId(col("text")) === "en")
+        val pass = llm.Curation.gopherFilter(decoded, "doc_id", col("text"),
+            minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6)
+          .filter(col("pass")).select("doc_id")
+        val kept = decoded.join(pass, "doc_id")
+        val inBatch = llm.Curation.dedupByUrl(kept, col("target_uri"),
+          Seq(col("doc_id")))
+        val priorDirs = Option(new java.io.File(outDir.toString).listFiles())
+          .toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.getPath)
+        val fresh =
+          if (priorDirs.isEmpty) inBatch
+          else {
+            val seen = batch.sparkSession.read.parquet(priorDirs: _*)
+              .select(llm.Curation.normalizeUrl(col("target_uri")).as("__u"))
+            inBatch.join(seen,
+              llm.Curation.normalizeUrl(col("target_uri")) === col("__u"),
+              "left_anti")
+          }
+        // batchId-keyed OVERWRITE: replay rewrites, never appends —
+        // exactly-once landed output from at-least-once execution
+        fresh.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      withShufflePartitions(s, 4) {
+        val q = sources.Warc.readStream(s, fixDir.toString)
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+            curateBatch(df, id))
+          .start()
+        try {
+          q.processAllAvailable()
+          val tmp2 = fixDir.resolve(".wet-00002.warc.gz.tmp")
+          java.nio.file.Files.write(tmp2, wet(docs.filter(_._1 % 2 == 1)))
+          java.nio.file.Files.move(tmp2, fixDir.resolve("wet-00002.warc.gz"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(outDir.toString)
+          .groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"),
+            sum(length(col("text")).cast("long")).as("sum_chars"))
+          .orderBy("bucket").localCheckpoint(true)
       }
     }),
 
@@ -4045,6 +4158,51 @@ object SparkEntry {
                 CAST(sum(strlen(text)) AS BIGINT) AS bytes,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY 1 ORDER BY bucket""",
+    // streaming curation replayed batch-side: language gate (the
+    // q_t_language_id heuristic), gopher gate (the q_t_gopher_filter
+    // thresholds), then one survivor per URL group doc_id//3, first by
+    // (batch = doc_id % 2, doc_id) — in-batch preference is doc_id asc
+    // and an earlier landed batch always beats a later one
+    "q_cc_curation_stream" ->
+      """WITH d AS (SELECT doc_id, text,
+                           string_split(lower(text), ' ') AS toks
+                    FROM documents),
+         langs AS (SELECT doc_id,
+           len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+           len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS de,
+           len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un','por','con'))) AS es,
+           len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','est','un','une','dans'))) AS fr
+           FROM d),
+         en AS (SELECT doc_id FROM langs
+                WHERE greatest(en, de, es, fr) > 0
+                  AND NOT de >= greatest(en, es, fr)
+                  AND en >= greatest(es, fr)),
+         f AS (SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                          'that','for','on','with','as','at','by'))) AS sw,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq
+           FROM documents),
+         pass AS (SELECT doc_id FROM f
+           WHERE n_tok BETWEEN 30 AND 10000
+             AND n_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+             AND n_punct / CAST(n_chars AS DOUBLE) <= 0.1
+             AND sw >= 2
+             AND (n_tok - n_uniq) / CAST(n_tok AS DOUBLE) <= 0.6),
+         kept AS (SELECT d.doc_id, d.text FROM d
+                  JOIN en USING (doc_id) JOIN pass USING (doc_id)),
+         surv AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY doc_id // 3
+                                  ORDER BY doc_id % 2, doc_id) AS rn
+             FROM kept) WHERE rn = 1)
+         SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+         FROM surv GROUP BY 1 ORDER BY bucket""",
     // stream-stream inner interval join == batch SQL over the same rows
     "q_e_interval_join" ->
       """SELECT l.user_id, l.ts AS l_ts, l.event_type AS l_type,
@@ -6857,6 +7015,86 @@ object SparkEntry {
              SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
              FROM cscores WHERE vec_id < 5) WHERE rn <= 4),
+         qres AS (
+           SELECT p.query_id, p.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM probes p
+           JOIN base b ON b.vec_id = p.query_id
+           JOIN cents ct ON ct.cid = p.cid),
+         qsub AS (
+           SELECT q.query_id, q.cid, m.range AS m,
+                  list_slice(q.r, m.range*8 + 1, m.range*8 + 8) AS qm
+           FROM qres q, range(8) m),
+         pair AS (
+           SELECT q.query_id, d.vec_id,
+             sum(list_dot_product(q.qm, q.qm) -
+                 2*list_dot_product(q.qm, c.c) +
+                 list_dot_product(c.c, c.c)) AS adc
+           FROM qsub q
+           JOIN assign a ON a.cid = q.cid
+           JOIN codes d ON d.vec_id = a.vec_id AND d.m = q.m
+           JOIN cb c ON c.m = d.m AND c.j = d.code
+           GROUP BY q.query_id, d.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+           FROM pair)
+         SELECT query_id, vec_id, round(adc, 6) AS adc
+         FROM ranked WHERE rn <= 10
+         ORDER BY query_id, vec_id""",
+    // Index round-trip: the LOADED index must score exactly what a
+    // from-scratch re-derivation scores — same chain as the
+    // q_s_ivfpq_residual oracle with nprobe=3. A persistence bug that
+    // drops a double anywhere (centroid order, codebook slice,
+    // partition-column cell id) breaks the 6-decimal ADC hash.
+"q_s_index_persist" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+         cscores AS (
+           SELECT b.vec_id, ct.cid,
+             list_dot_product(b.v, ct.c) /
+               (sqrt(list_dot_product(b.v, b.v)) *
+                sqrt(list_dot_product(ct.c, ct.c))) AS cs
+           FROM base b CROSS JOIN cents ct),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores) WHERE rn = 1),
+         resid AS (
+           SELECT b.vec_id, a.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM base b
+           JOIN assign a ON a.vec_id = b.vec_id
+           JOIN cents ct ON ct.cid = a.cid),
+         cb AS (
+           SELECT m.range AS m, r.vec_id - 16 AS j,
+                  list_slice(r.r, m.range*8 + 1, m.range*8 + 8) AS c
+           FROM range(8) m,
+                (SELECT vec_id, r FROM resid
+                 WHERE vec_id BETWEEN 16 AND 31) r),
+         pqscores AS (
+           SELECT r.vec_id, c.m, c.j,
+             list_dot_product(c.c, c.c) -
+               2*list_dot_product(c.c,
+                   list_slice(r.r, c.m*8 + 1, c.m*8 + 8)) AS s
+           FROM resid r CROSS JOIN cb c),
+         codes AS (
+           SELECT vec_id, m, j AS code FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn
+             FROM pqscores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores WHERE vec_id < 5) WHERE rn <= 3),
          qres AS (
            SELECT p.query_id, p.cid,
              list_transform(range(1, 1 + len(b.v)),

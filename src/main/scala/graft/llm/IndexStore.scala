@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Save/load lifecycle for trained ANN indexes (VERDICT r18 item 4):
+  * a 100 TB retrieval deployment builds its IVF-PQ index ONCE (hours of
+  * cluster time: quantizer training, corpus encode) and serves it for
+  * months; nothing in that loop may retrain or re-scan raw vectors.
+  * This store persists the complete state of the residual IVF-PQ
+  * family — coarse centroids, PQ codebooks, optional orthonormal
+  * rotation ([[Similarity.opqIvfPqResidualTopK]] pre-transform or the
+  * LOPQ global-R residual rotation), and the encoded corpus — and
+  * reconstructs the query-time plan from disk alone.
+  *
+  * Layout (all parquet, so it round-trips through any warehouse/object
+  * store a cluster can reach — the same portability rule as
+  * `etl/CatalogOps`; model state is driver-sized, codes are
+  * corpus-sized):
+  *
+  * {{{
+  *   dir/meta/       1 row: kind, m, k, dim, nlist, nprobe default,
+  *                   rotation presence + PcaModel scalars
+  *   dir/centroids/  (cell INT, vec ARRAY<DOUBLE>)         nlist rows
+  *   dir/codebooks/  (mi INT, code INT, vec ARRAY<DOUBLE>) m*k rows
+  *   dir/rotation/   (i INT, mean DOUBLE, comp ARRAY<DOUBLE>,
+  *                    eig DOUBLE)                          dim rows
+  *   dir/codes/      (id LONG, codes ARRAY<INT>) PARTITIONED BY (cell)
+  * }}}
+  *
+  * `codes` is hive-partitioned by cell — the on-disk twin of FAISS's
+  * inverted lists: a query probing `nprobe` of `nlist` cells plans a
+  * scan of exactly those directories (partition pruning), so serve-time
+  * I/O is `nprobe/nlist` of the (already 32x-compressed) code column.
+  *
+  * Kinds: `ivfpq_residual` (no rotation), `opq` (pre-transform — cells,
+  * residuals, codebooks all live in rotated space; queries rotate before
+  * probing), `lopq` (global-R — cells in raw space, only residuals
+  * rotate before encode/ADC).
+  *
+  * Reference anchor: the reference keeps its derived artifacts as
+  * PostgreSQL tables rebuilt by scripted ETL (osm-load.sh); the Spark
+  * analog of "a served derived artifact" is exactly this
+  * write-once/read-many parquet contract. */
+object IndexStore {
+
+  /** A residual IVF-PQ index: driver-sized model state + the encoded
+    * corpus. `codes` may be freshly computed or a parquet read — the
+    * search plan is identical either way. */
+  case class IvfPqIndex(
+      kind: String, // ivfpq_residual | opq | lopq
+      idCol: String,
+      cents: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      rot: Option[Pca.PcaModel],
+      codes: DataFrame) {
+    require(Set("ivfpq_residual", "opq", "lopq")(kind), s"bad kind $kind")
+    require(kind == "ivfpq_residual" || rot.isDefined,
+      s"kind $kind needs a rotation")
+
+    /** Top-k search against the encoded corpus — never touches raw
+      * vectors. Same semantics as the in-memory composes
+      * ([[Similarity.ivfPqResidualTopK]] /
+      * [[Similarity.opqIvfPqResidualTopK]] /
+      * [[Similarity.ivfOpqResidualTopK]]): bit-identical results for
+      * the same model state, which the round-trip spec pins. */
+    def search(queries: DataFrame, qidCol: String, vecCol: String,
+        k: Int, nprobe: Int): DataFrame = kind match {
+      case "opq" =>
+        // pre-transform: queries enter rotated space first; cells,
+        // residuals and codebooks already live there
+        val rq = queries.select(col(qidCol),
+          Pca.project(col(vecCol), rot.get).as(vecCol))
+        Similarity.searchIvfPqResidualCodes(codes, rq, idCol, vecCol,
+          qidCol, k, cents, nprobe, codebooks, None)
+      case "lopq" =>
+        Similarity.searchIvfPqResidualCodes(codes, queries, idCol, vecCol,
+          qidCol, k, cents, nprobe, codebooks, rot)
+      case _ =>
+        Similarity.searchIvfPqResidualCodes(codes, queries, idCol, vecCol,
+          qidCol, k, cents, nprobe, codebooks, None)
+    }
+  }
+
+  /** Encode `corpus` under the given trained model state — one scan,
+    * no shuffle (assignment, residual, rotation, and PQ encode are all
+    * scan-local expressions). The returned index is ready to
+    * [[save]] or to serve directly. */
+  def build(kind: String, corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      rot: Option[Pca.PcaModel] = None): IvfPqIndex = {
+    val enc = kind match {
+      case "opq" =>
+        val rc = corpus.select(col(idCol),
+          Pca.project(col(vecCol), rot.get).as(vecCol))
+        Similarity.encodeIvfPqResidual(rc, idCol, vecCol, cents, codebooks)
+      case "lopq" =>
+        Similarity.encodeIvfPqResidual(corpus, idCol, vecCol, cents,
+          codebooks, rot)
+      case _ =>
+        Similarity.encodeIvfPqResidual(corpus, idCol, vecCol, cents,
+          codebooks)
+    }
+    IvfPqIndex(kind, idCol, cents, codebooks, rot, enc)
+  }
+
+  def save(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val dim = index.cents.head.length
+    spark.createDataFrame(Seq((
+        index.kind, index.idCol, index.codebooks.length,
+        index.codebooks.head.length, dim, index.cents.length,
+        index.rot.isDefined,
+        index.rot.map(_.n).getOrElse(0L),
+        index.rot.map(_.totalVar).getOrElse(0.0))))
+      .toDF("kind", "id_col", "m", "k", "dim", "nlist", "has_rot",
+        "rot_n", "rot_total_var")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.cents.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for {
+      (cb, mi) <- index.codebooks.zipWithIndex
+      (c, j) <- cb.zipWithIndex
+    } yield (mi, j, c)).toDF("mi", "code", "vec")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.rot.foreach { r =>
+      r.components.indices
+        .map(i => (i, r.mean(i), r.components(i).toSeq, r.eigenvalues(i)))
+        .toDF("i", "mean", "comp", "eig")
+        .write.mode("overwrite").parquet(s"$dir/rotation")
+    }
+    // cell-partitioned: the on-disk inverted-list layout (see scaladoc)
+    index.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Reconstruct a servable index from disk alone — no access to the
+    * raw corpus, the training sample, or any in-session state. */
+  def load(spark: SparkSession, dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val kind = meta.getAs[String]("kind")
+    val idCol = meta.getAs[String]("id_col")
+    val m = meta.getAs[Int]("m")
+    val k = meta.getAs[Int]("k")
+    val nlist = meta.getAs[Int]("nlist")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("vec")).toIndexedSeq: Seq[Double])
+      .toIndexedSeq
+    require(cents.length == nlist, s"centroids ${cents.length} != $nlist")
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("mi", "code").collect()
+      .map(r => (r.getAs[Int]("mi"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("vec")).toIndexedSeq: Seq[Double]))
+    require(cbRows.length == m * k, s"codebooks ${cbRows.length} != ${m * k}")
+    val codebooks = cbRows.grouped(k)
+      .map(g => g.map(_._3).toIndexedSeq: Seq[Seq[Double]]).toIndexedSeq
+    val rot =
+      if (meta.getAs[Boolean]("has_rot")) {
+        val rows = spark.read.parquet(s"$dir/rotation")
+          .orderBy("i").collect()
+        Some(Pca.PcaModel(
+          meta.getAs[Long]("rot_n"),
+          rows.map(_.getAs[Double]("mean")),
+          rows.map(r => r.getSeq[Double](r.fieldIndex("comp")).toArray),
+          rows.map(_.getAs[Double]("eig")),
+          meta.getAs[Double]("rot_total_var")))
+      } else None
+    IvfPqIndex(kind, idCol,
+      cents, codebooks, rot, spark.read.parquet(s"$dir/codes"))
+  }
+}

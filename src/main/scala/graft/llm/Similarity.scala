@@ -355,34 +355,67 @@ object Similarity {
       idCol: String, vecCol: String, qidCol: String, k: Int,
       cents: Seq[Seq[Double]], nprobe: Int,
       codebooks: Seq[Seq[Seq[Double]]],
-      resRot: Option[Pca.PcaModel]): DataFrame = {
-    val m = codebooks.length
-    val kcb = codebooks.head.length
-    // code space = residual space, optionally rotated (LOPQ global R).
-    // The rotated residual is MATERIALIZED as its own attribute before
-    // pqEncode touches it — the HOF-inlining rule: pqEncode references
-    // its input m times, so it must be an attribute load, not a MatVec
-    // re-evaluated per subspace.
+      resRot: Option[Pca.PcaModel]): DataFrame =
+    searchIvfPqResidualCodes(
+      encodeIvfPqResidual(corpus, idCol, vecCol, cents, codebooks, resRot),
+      queries, idCol, vecCol, qidCol, k, cents, nprobe, codebooks, resRot)
+
+  /** Build-time half of residual IVF-PQ, split out so the encoded
+    * corpus can be MATERIALIZED once and served many times (the
+    * [[IndexStore]] save/load lifecycle — at 100 TB an index is built
+    * once and queried for months; rebuilding quantizer assignments and
+    * codes inside every session would re-scan the raw vectors the
+    * whole design exists to stop reading). Returns `(idCol, cell,
+    * codes)` — the complete scan-side state of the index: 4 bytes of
+    * cell id + m small ints per vector, nothing else.
+    *
+    * The rotated residual is MATERIALIZED as its own attribute before
+    * pqEncode touches it — the HOF-inlining rule: pqEncode references
+    * its input m times, so it must be an attribute load, not a MatVec
+    * re-evaluated per subspace. */
+  def encodeIvfPqResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      resRot: Option[Pca.PcaModel] = None): DataFrame = {
+    // code space = residual space, optionally rotated (LOPQ global R)
     def toCode(c: Column): Column =
       resRot.map(r => Pca.project(c, r)).getOrElse(c)
-    val enc = corpus
+    corpus
       .withColumn("__scores", centroidScores(col(vecCol), cents))
       .withColumn("__cid", bestFromScores(col("__scores")))
       .withColumn("__res", residual(col(vecCol), col("__cid"), cents))
       .withColumn("__cres", toCode(col("__res")))
-      .select(col(idCol), col("__cid"),
-        pqEncode(col("__cres"), codebooks).as("__codes"))
+      .select(col(idCol), col("__cid").as("cell"),
+        pqEncode(col("__cres"), codebooks).as("codes"))
+  }
+
+  /** Query-time half of residual IVF-PQ over an ALREADY-ENCODED corpus
+    * (`(idCol, cell, codes)` — [[encodeIvfPqResidual]]'s output, fresh
+    * or reloaded from [[IndexStore]]): probe expansion, per-cell
+    * re-centered ADC tables, the (cell) equi-join, and the top-k — the
+    * raw vector column is never touched. Codes scanned from a
+    * cell-partitioned parquet prune to the probed cells only. */
+  def searchIvfPqResidualCodes(codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      cents: Seq[Seq[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]],
+      resRot: Option[Pca.PcaModel] = None): DataFrame = {
+    val m = codebooks.length
+    val kcb = codebooks.head.length
+    def toCode(c: Column): Column =
+      resRot.map(r => Pca.project(c, r)).getOrElse(c)
     val probes = queries.select(col(qidCol), col(vecCol).as("__qv"))
       .withColumn("__scores", centroidScores(col("__qv"), cents))
-      .withColumn("__cid",
+      .withColumn("cell",
         explode(topFromScores(col("__scores"), cents.size, nprobe)))
-      .withColumn("__qres", residual(col("__qv"), col("__cid"), cents))
+      .withColumn("__qres", residual(col("__qv"), col("cell"), cents))
       .withColumn("__qcres", toCode(col("__qres")))
-      .select(col(qidCol), col("__cid"),
+      .select(col(qidCol), col("cell"),
         pqAdcTable(col("__qcres"), codebooks).as("__tab"))
-    val cand = enc.join(broadcast(probes), "__cid")
+    val cand = codes
+      .select(col(idCol), col("cell").cast("int").as("cell"), col("codes"))
+      .join(broadcast(probes), "cell")
       .withColumn("__adc", aggregate(
-        zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, mi) => element_at(col("__tab"), mi * kcb + c + 1)),
         lit(0.0), (acc, x) => acc + x))
     val w = Window.partitionBy(qidCol)
