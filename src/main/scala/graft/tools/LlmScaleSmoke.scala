@@ -288,16 +288,18 @@ object LlmScaleSmoke {
     // >=256 merges on a forced-distributed vocabulary without the
     // per-round cost tracking vocabulary size. Gate: completes all 256
     // merges; wall time reported for the round-over-round economics.
+    def bpeWordTable(nWords: Long): DataFrame =
+      spark.range(nWords).select(
+        md5(col("id").cast("string"))
+          .substr(lit(1), (pmod(hash(col("id")), lit(6)) + 4).cast("int"))
+          .as("word"),
+        (pmod(hash(col("id"), lit(7)), lit(50)) + 1).cast("long").as("cnt"))
+        .groupBy("word").agg(sum("cnt").as("cnt"))
+        .localCheckpoint(true)
     val bpeParts = if (wanted("bpe")) {
       def bpeRun(nWords: Long, merges: Int,
           symThreshold: Long): (Double, Int, Long) = {
-        val wc = spark.range(nWords).select(
-          md5(col("id").cast("string"))
-            .substr(lit(1), (pmod(hash(col("id")), lit(6)) + 4).cast("int"))
-            .as("word"),
-          (pmod(hash(col("id"), lit(7)), lit(50)) + 1).cast("long").as("cnt"))
-          .groupBy("word").agg(sum("cnt").as("cnt"))
-          .localCheckpoint(true)
+        val wc = bpeWordTable(nWords)
         val nw = wc.count()
         val t0 = System.nanoTime()
         val ms = graft.llm.Bpe.trainBpe(wc, merges, localThreshold = 0,
@@ -320,8 +322,59 @@ object LlmScaleSmoke {
         f""""bpe1024_sec":$bpe1kSec%.2f""")
     } else Nil
 
+    // PRODUCTION tokenizer vocabulary (VERDICT r18 item 3): a real
+    // tokenizer is 32k-50k merges, and nothing witnessed that
+    // configuration — only 1024. The active-set hand-off fires at
+    // round 0 here (~1M live symbols << the 32M threshold), so this
+    // measures trainBpeLocalIndexed running the whole 32k ladder:
+    // the claim under test is minutes, not the hours a per-merge
+    // shuffle round would cost. Then the APPLY path is checked
+    // against the resulting vocabulary: a 2,000-word sample is
+    // tokenized with the exact applyWith rewrite (the mergeLocal
+    // ladder in merge order), asserting every word round-trips by
+    // concatenation and every emitted token is in the trained
+    // vocabulary (initial alphabet + merge outputs).
+    val bpe32kParts = if (wanted("bpe32k")) {
+      val wc = bpeWordTable(150000L)
+      val nw = wc.count()
+      val t0 = System.nanoTime()
+      val ms = graft.llm.Bpe.trainBpe(wc, 32000, localThreshold = 0,
+        localSymThreshold = 32000000L)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val msArr = ms.toArray
+      val vocab = new java.util.HashSet[String]()
+      "0123456789abcdef".foreach(c => vocab.add(c.toString))
+      msArr.foreach { case (l, r) => vocab.add(l + r) }
+      // hash-spread sample, not top-frequency: the frequent head all
+      // collapses to single symbols (avg tokens 1.000 measured), which
+      // would leave the vocab-membership assertion vacuous — partially
+      // merged tail words emit INTERMEDIATE tokens that genuinely test
+      // vocabulary closure
+      val sample = wc.orderBy(md5(col("word")), col("word")).limit(2000)
+        .select("word").collect().map(_.getString(0))
+      val t1 = System.nanoTime()
+      var tokTotal = 0L
+      sample.foreach { w =>
+        var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+        msArr.foreach { m =>
+          if (syms.length > 1) syms = graft.llm.Bpe.mergeLocal(syms, m)
+        }
+        require(syms.mkString == w, s"apply round-trip broke on $w")
+        syms.foreach(s => require(vocab.contains(s),
+          s"token $s of $w not in trained vocabulary"))
+        tokTotal += syms.length
+      }
+      val applySec = (System.nanoTime() - t1) / 1e9
+      val avgTok = tokTotal.toDouble / sample.length
+      Seq(s""""bpe32k_words":$nw,"bpe32k_merges":${ms.length},""" +
+        f""""bpe32k_train_sec":$trainSec%.2f,""" +
+        f""""bpe32k_apply2000_sec":$applySec%.2f,""" +
+        f""""bpe32k_avg_tokens_per_word":$avgTok%.3f""")
+    } else Nil
+
     println(s"""{"metric":"llm_scale_smoke","docs_lo":$nLo,"docs_hi":$nHi,""" +
-      (parts ++ quantParts ++ pcaParts ++ bpeParts).mkString(",") + "}")
+      (parts ++ quantParts ++ pcaParts ++ bpeParts ++ bpe32kParts)
+        .mkString(",") + "}")
     spark.stop()
   }
 }
