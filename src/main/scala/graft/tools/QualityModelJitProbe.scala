@@ -37,7 +37,10 @@ object QualityModelJitProbe {
 
     def compiles(): (Long, Long) = (
       CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
-      CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000L)
+      // CodeGenerator updates this histogram in MILLISECONDS (and the
+      // snapshot is reservoir-sampled — treat as indicative, the count
+      // is the exact signal)
+      CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
 
     def timed[A](body: => A): (Double, Long) = {
       val (c0, _) = compiles()
