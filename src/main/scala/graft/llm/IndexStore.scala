@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * `codes` is hive-partitioned by cell — the on-disk twin of FAISS's
-  * inverted lists: a query probing `nprobe` of `nlist` cells plans a
-  * scan of exactly those directories (partition pruning), so serve-time
-  * I/O is `nprobe/nlist` of the (already 32x-compressed) code column.
+  * inverted lists: the serve-time broadcast (cell) equi-join against
+  * the partitioned scan triggers DYNAMIC PARTITION PRUNING (pinned in
+  * IndexStoreSpec: the codes FileScan carries
+  * `dynamicpruningexpression(cell IN ...)`), so a query probing
+  * `nprobe` of `nlist` cells reads exactly those directories —
+  * serve-time I/O is `nprobe/nlist` of the (already 32x-compressed)
+  * code column, with no hand-written pruning code.
   *
   * Kinds: `ivfpq_residual` (no rotation), `opq` (pre-transform — cells,
   * residuals, codebooks all live in rotated space; queries rotate before

@@ -118,16 +118,30 @@ class IndexStoreSpec extends SparkTestBase {
     val cellDirs = new java.io.File(s"$dir/codes").listFiles()
       .filter(_.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty, "codes/ must contain cell=<id> partitions")
-    // a statically-probed serve path prunes to the probed partitions
+    // the serve-time join itself must prune the codes scan to the
+    // probed cells: the broadcast (cell) equi-join against a
+    // hive-partitioned scan triggers DYNAMIC PARTITION PRUNING —
+    // serve-time I/O is nprobe/nlist of the code column with zero
+    // extra code, the Spark-native inverted-list read
     val loaded = IndexStore.load(spark, dir)
+    val res = loaded.search(
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", "embedding", k = 5, nprobe = 2)
+    res.collect() // finalize the adaptive plan
+    val plan = res.queryExecution.executedPlan.toString
+    val codesScanFilters = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("/codes"))
+    assert(codesScanFilters.nonEmpty, s"no codes scan in plan:\n$plan")
+    assert(codesScanFilters.exists(l =>
+        l.contains("dynamicpruningexpression")),
+      s"codes scan is not dynamically partition-pruned:\n$plan")
+    // static pruning works too (a serve path with driver-known probes)
     val pruned = loaded.codes.filter(col("cell").isin(0, 1))
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(pruned.count() ==
-      loaded.codes.filter(col("cell").isin(0, 1)).count())
-    // partition filter must reach the scan (pruned read, not post-filter)
-    assert(plan.contains("PartitionFilters") &&
-      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    val staticPlan = pruned.queryExecution.executedPlan.toString
+    assert(staticPlan.contains("PartitionFilters") &&
+      staticPlan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("cell"),
-      s"cell filter did not reach the parquet scan:\n$plan")
+      s"static cell filter did not reach the parquet scan:\n$staticPlan")
   }
 }
