@@ -140,6 +140,25 @@ object IndexStore {
       .parquet(s"$dir/codes")
   }
 
+  /** Incremental maintenance — the other half of build-once/serve-many
+    * (a crawl adds documents daily; retraining quantizers would
+    * invalidate every code already on disk): encode NEW vectors with
+    * the index's FROZEN model state and append their codes to the
+    * stored inverted lists. One scan-local encode pass + a
+    * cell-partitioned append write; centroids/codebooks/rotation are
+    * untouched, so existing codes, the meta, and every in-flight
+    * reader stay valid. Returns the refreshed on-disk view. Appending
+    * ids already present is the caller's contract to avoid (same as
+    * FAISS `add`); searches tie-break by id either way. */
+  def append(index: IvfPqIndex, dir: String, corpus: DataFrame,
+      vecCol: String): IvfPqIndex = {
+    val enc = build(index.kind, corpus, index.idCol, vecCol,
+      index.cents, index.codebooks, index.rot).codes
+    enc.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    index.copy(
+      codes = index.codes.sparkSession.read.parquet(s"$dir/codes"))
+  }
+
   /** Reconstruct a servable index from disk alone — no access to the
     * raw corpus, the training sample, or any in-session state. */
   def load(spark: SparkSession, dir: String): IvfPqIndex = {

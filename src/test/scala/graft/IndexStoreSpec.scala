@@ -104,6 +104,35 @@ class IndexStoreSpec extends SparkTestBase {
     assert(rows(got).nonEmpty)
   }
 
+  test("incremental append: frozen-quantizer encode of new vectors, " +
+      "search == one-shot build over the union") {
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.initCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooksFixed(
+      Similarity.residualCorpus(emb, "vec_id", "embedding", cents)
+        .filter(col("vec_id").between(8, 23)),
+      "vec_id", "embedding", m = 8, k = 16)
+    val dir = tmp("append")
+    IndexStore.save(
+      IndexStore.build("ivfpq_residual", half1, "vec_id", "embedding",
+        cents, cb), dir)
+    val grown = IndexStore.append(IndexStore.load(spark, dir), dir,
+      half2, "embedding")
+    val got = grown.search(queries, "query_id", "embedding",
+      k = 10, nprobe = 3)
+    // one-shot build over the union with the SAME frozen quantizers
+    val oneShot = IndexStore
+      .build("ivfpq_residual", emb, "vec_id", "embedding", cents, cb)
+      .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
+    assert(rows(got) == rows(oneShot))
+    assert(rows(got).nonEmpty)
+    // a cold reload also sees the appended codes
+    val reloaded = IndexStore.load(spark, dir)
+      .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
+    assert(rows(reloaded) == rows(oneShot))
+  }
+
   test("on-disk layout: codes are hive-partitioned by cell (the " +
       "inverted-list layout), scan reads codes only") {
     val cents = Similarity.initCentroids(emb, "vec_id", "embedding", 8)
