@@ -1942,6 +1942,38 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // ---- index MAINTENANCE as a driver-checked row: build the
+    //      residual IVF-PQ index over HALF the corpus (even vec_ids),
+    //      save, then APPEND the odd half with the frozen quantizers
+    //      and serve — the daily-crawl-growth lifecycle. The oracle is
+    //      the same full-corpus re-derivation as q_s_index_persist
+    //      (nprobe=3): a correct append is indistinguishable from a
+    //      one-shot build, so any dropped/duplicated/mis-celled code
+    //      in the append path hash-fails.
+    "q_s_index_append" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      // quantizers from the FULL corpus (frozen model state; the split
+      // only affects which half is encoded at build vs append time)
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      val cb = llm.Similarity.pqCodebooksFixed(
+        llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents)
+          .filter(col("vec_id").between(16, 31)),
+        "vec_id", "embedding", m = 8, k = 16)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-append").toString
+      llm.IndexStore.save(
+        llm.IndexStore.build("ivfpq_residual",
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          cents, cb), idxDir)
+      llm.IndexStore.append(llm.IndexStore.load(s, idxDir), idxDir,
+          e.filter(col("vec_id") % 2 === 1), "embedding")
+        .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
     //      global window — must agree with the window semantics, so it
     //      shares q_x5's oracle
@@ -7050,6 +7082,84 @@ object SparkEntry {
     // drops a double anywhere (centroid order, codebook slice,
     // partition-column cell id) breaks the 6-decimal ADC hash.
 "q_s_index_persist" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+         cscores AS (
+           SELECT b.vec_id, ct.cid,
+             list_dot_product(b.v, ct.c) /
+               (sqrt(list_dot_product(b.v, b.v)) *
+                sqrt(list_dot_product(ct.c, ct.c))) AS cs
+           FROM base b CROSS JOIN cents ct),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores) WHERE rn = 1),
+         resid AS (
+           SELECT b.vec_id, a.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM base b
+           JOIN assign a ON a.vec_id = b.vec_id
+           JOIN cents ct ON ct.cid = a.cid),
+         cb AS (
+           SELECT m.range AS m, r.vec_id - 16 AS j,
+                  list_slice(r.r, m.range*8 + 1, m.range*8 + 8) AS c
+           FROM range(8) m,
+                (SELECT vec_id, r FROM resid
+                 WHERE vec_id BETWEEN 16 AND 31) r),
+         pqscores AS (
+           SELECT r.vec_id, c.m, c.j,
+             list_dot_product(c.c, c.c) -
+               2*list_dot_product(c.c,
+                   list_slice(r.r, c.m*8 + 1, c.m*8 + 8)) AS s
+           FROM resid r CROSS JOIN cb c),
+         codes AS (
+           SELECT vec_id, m, j AS code FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn
+             FROM pqscores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores WHERE vec_id < 5) WHERE rn <= 3),
+         qres AS (
+           SELECT p.query_id, p.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM probes p
+           JOIN base b ON b.vec_id = p.query_id
+           JOIN cents ct ON ct.cid = p.cid),
+         qsub AS (
+           SELECT q.query_id, q.cid, m.range AS m,
+                  list_slice(q.r, m.range*8 + 1, m.range*8 + 8) AS qm
+           FROM qres q, range(8) m),
+         pair AS (
+           SELECT q.query_id, d.vec_id,
+             sum(list_dot_product(q.qm, q.qm) -
+                 2*list_dot_product(q.qm, c.c) +
+                 list_dot_product(c.c, c.c)) AS adc
+           FROM qsub q
+           JOIN assign a ON a.cid = q.cid
+           JOIN codes d ON d.vec_id = a.vec_id AND d.m = q.m
+           JOIN cb c ON c.m = d.m AND c.j = d.code
+           GROUP BY q.query_id, d.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+           FROM pair)
+         SELECT query_id, vec_id, round(adc, 6) AS adc
+         FROM ranked WHERE rn <= 10
+         ORDER BY query_id, vec_id""",
+    // append == one-shot build: the q_s_index_persist re-derivation
+    // verbatim — a correct frozen-quantizer append is
+    // indistinguishable from indexing the full corpus at build time
+"q_s_index_append" ->
       """WITH base AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cents AS (
