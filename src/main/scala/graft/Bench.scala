@@ -138,7 +138,12 @@ object Bench {
       }
 
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val hostJson = s"""{"loadavg_before":$loadBefore,"loadavg_after_sweep":$loadAfterSweep,"loadavg_end":${loadavg()},"cpus":"$cpus","code_cache":"$codeCache","total_min_sec":$total,"total_median_sec":$totalMedian}"""
+    // median_def records the spread metric's definition IN the artifact
+    // (ADVICE r19): r19 switched even-rep medians from upper-median to
+    // middle-average, so total_median_sec at reps=2 is not like-for-like
+    // with r18-and-earlier artifacts — the tag makes that machine-visible
+    // instead of relying on readers knowing the cutover round.
+    val hostJson = s"""{"loadavg_before":$loadBefore,"loadavg_after_sweep":$loadAfterSweep,"loadavg_end":${loadavg()},"cpus":"$cpus","code_cache":"$codeCache","total_min_sec":$total,"total_median_sec":$totalMedian,"median_def":"mid_avg_since_r19"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"host":$hostJson,"pbf_ingest_sec":$pbfIngest,"graph_e2e_sec":$graphE2e,"pbf_baseline_osmosis_sec":160.171,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the LAST ~2000 chars of stdout and parses the

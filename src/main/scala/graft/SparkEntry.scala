@@ -21,6 +21,33 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_flagship_tag_freq")(spark, "/root/testdata/sf0.001")
 
+  /** Fixture temp dirs registered here live until JVM exit, then the
+    * whole tree is removed (ADVICE r19: every Verify/Bench rep of the
+    * index/stream fixtures leaked an encoded-corpus copy into /tmp).
+    * Exit-time — not eager — cleanup on purpose: the returned
+    * DataFrames read these dirs LAZILY (Verify materializes them after
+    * the builder returns, and PlanDump explains the un-materialized
+    * plan), so deleting before JVM exit would break both consumers. */
+  private val tmpFixtureDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tmpFixtureDirs.forEach { p =>
+        try java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f =>
+            try { java.nio.file.Files.deleteIfExists(f); () }
+            catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+      }
+    }))
+  }
+  private def tempFixtureDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpFixtureDirs.add(p)
+    p
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: scan -> map ops -> filter -> agg -> sort (P1,P2,A1,O1;
     //      osm-explore.sql:9-16 shape). tags is a real MapType column so the
@@ -513,7 +540,7 @@ object SparkEntry {
     }),
 
     "q_s10_jdbc_roundtrip" -> ((s, dir) => {
-      val db = java.nio.file.Files.createTempDirectory("graft-jdbc")
+      val db = tempFixtureDir("graft-jdbc")
         .toString + "/db"
       val url = s"jdbc:derby:$db;create=true"
       val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
@@ -1931,8 +1958,7 @@ object SparkEntry {
         llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents)
           .filter(col("vec_id").between(16, 31)),
         "vec_id", "embedding", m = 8, k = 16)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-index").toString
+      val idxDir = tempFixtureDir("graft-ivfpq-index").toString
       llm.IndexStore.save(
         llm.IndexStore.build("ivfpq_residual", e, "vec_id", "embedding",
           cents, cb), idxDir)
@@ -1961,8 +1987,7 @@ object SparkEntry {
         llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents)
           .filter(col("vec_id").between(16, 31)),
         "vec_id", "embedding", m = 8, k = 16)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-append").toString
+      val idxDir = tempFixtureDir("graft-ivfpq-append").toString
       llm.IndexStore.save(
         llm.IndexStore.build("ivfpq_residual",
           e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
@@ -1972,6 +1997,84 @@ object SparkEntry {
         .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
         .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
         .orderBy("query_id", "vec_id")
+    }),
+
+    // ---- index COMPACTION (VERDICT r19 item 3a): a daily-append
+    //      deployment accumulates one part file per touched cell per
+    //      append until scan planning degrades; compact() must restore
+    //      the one-file-per-cell layout WITHOUT changing a single
+    //      search result. Same save-half/append-half fixture as
+    //      q_s_index_append; the require pins the observable (fewer
+    //      part files, at most one per cell), the oracle pins the
+    //      invariant (post-compact serve == one-shot full build —
+    //      q_s_index_append's re-derivation verbatim).
+    "q_s_index_compact" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      val cb = llm.Similarity.pqCodebooksFixed(
+        llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents)
+          .filter(col("vec_id").between(16, 31)),
+        "vec_id", "embedding", m = 8, k = 16)
+      val idxDir = tempFixtureDir("graft-ivfpq-compact").toString
+      llm.IndexStore.save(
+        llm.IndexStore.build("ivfpq_residual",
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          cents, cb), idxDir)
+      val grown = llm.IndexStore.append(llm.IndexStore.load(s, idxDir),
+        idxDir, e.filter(col("vec_id") % 2 === 1), "embedding")
+      val before = llm.IndexStore.codesFileCount(s, idxDir)
+      val compacted = llm.IndexStore.compact(grown, idxDir)
+      val after = llm.IndexStore.codesFileCount(s, idxDir)
+      require(after < before && after <= 16,
+        s"compaction did not shrink the file set: $before -> $after")
+      compacted
+        .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "vec_id")
+    }),
+
+    // ---- index DELETE (VERDICT r19 item 3b; FAISS remove_ids; the
+    //      takedown path a compliant corpus needs — reference anchor:
+    //      the actions table's D rows,
+    //      etl/pgsnapshot_schema_0.6_action.sql:8-15): tombstone ids
+    //      vec_id % 7 == 3 on the saved full-corpus index and serve —
+    //      deleted ids must be ABSENT and survivors hash-equal to an
+    //      index rebuilt without them (the oracle re-derives codes for
+    //      everyone under the same frozen quantizers but scores
+    //      survivors only — identical by construction to the rebuild,
+    //      since frozen-quantizer codes don't depend on what else is
+    //      indexed). id 3 is both a query and its own nearest
+    //      neighbor, so the deletion visibly changes the top-10. The
+    //      require pins tombstone-serve == physically-compacted serve
+    //      (compact applies tombstones and clears them).
+    "q_s_index_delete" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      val cb = llm.Similarity.pqCodebooksFixed(
+        llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents)
+          .filter(col("vec_id").between(16, 31)),
+        "vec_id", "embedding", m = 8, k = 16)
+      val idxDir = tempFixtureDir("graft-ivfpq-delete").toString
+      llm.IndexStore.save(
+        llm.IndexStore.build("ivfpq_residual", e, "vec_id", "embedding",
+          cents, cb), idxDir)
+      val deleted = llm.IndexStore.delete(llm.IndexStore.load(s, idxDir),
+        idxDir, e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      def serve(ix: llm.IndexStore.IvfPqIndex) = ix
+        .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+      val viaTombstones = serve(deleted).localCheckpoint(true)
+      require(viaTombstones.filter(col("vec_id") % 7 === 3).isEmpty,
+        "tombstoned ids leaked into search results")
+      val viaCompact = serve(llm.IndexStore.compact(deleted, idxDir))
+      require(viaTombstones.exceptAll(viaCompact).isEmpty &&
+          viaCompact.exceptAll(viaTombstones).isEmpty,
+        "tombstone serve != physically compacted serve")
+      viaTombstones.orderBy("query_id", "vec_id")
     }),
 
     // ---- X5 scalable form: range-partitioned prefix sums instead of a
@@ -2222,7 +2325,7 @@ object SparkEntry {
             "2024-01-01T00:00:00Z", "text/plain",
             text.getBytes("UTF-8"))
         }.toIndexedSeq, gzipPerRecord = true)
-      val fixDir = java.nio.file.Files.createTempDirectory("wet-stream")
+      val fixDir = tempFixtureDir("wet-stream")
       val f1 = fixDir.resolve("wet-00001.warc.gz")
       val f2 = fixDir.resolve("wet-00002.warc.gz")
       java.nio.file.Files.write(f1, wet(docs.filter(_._1 % 2 == 0)))
@@ -2282,8 +2385,8 @@ object SparkEntry {
           ("conversion", s"http://graft.test/g/${id / 3}#d$id",
             "2024-03-01T12:00:00Z", "text/plain", text.getBytes("UTF-8"))
         }.toIndexedSeq, gzipPerRecord = true)
-      val fixDir = java.nio.file.Files.createTempDirectory("cur-stream")
-      val outDir = java.nio.file.Files.createTempDirectory("cur-landed")
+      val fixDir = tempFixtureDir("cur-stream")
+      val outDir = tempFixtureDir("cur-landed")
       java.nio.file.Files.write(fixDir.resolve("wet-00001.warc.gz"),
         wet(docs.filter(_._1 % 2 == 0)))
       def curateBatch(batch: org.apache.spark.sql.DataFrame,
@@ -2301,11 +2404,18 @@ object SparkEntry {
         val kept = decoded.join(pass, "doc_id")
         val inBatch = llm.Curation.dedupByUrl(kept, col("target_uri"),
           Seq(col("doc_id")))
-        val priorDirs = Option(new java.io.File(outDir.toString).listFiles())
-          .toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-          .map(_.getPath)
+        // enumerate landed batches through the FS abstraction, not
+        // java.io (ADVICE r19): the landing dir is parquet-through-
+        // any-object-store like every other sink in this file
+        val outPath = new org.apache.hadoop.fs.Path(outDir.toString)
+        val ofs = outPath.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        val priorDirs =
+          (if (ofs.exists(outPath)) ofs.listStatus(outPath).toSeq else Nil)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch="))
+            .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
+            .map(_.getPath.toString)
         val fresh =
           if (priorDirs.isEmpty) inBatch
           else {
@@ -2341,6 +2451,136 @@ object SparkEntry {
             sum(length(col("text")).cast("long")).as("sum_chars"))
           .orderBy("bucket").localCheckpoint(true)
       }
+    }),
+
+    // ---- STREAMING index maintenance (VERDICT r19 item 4) — the last
+    //      edge of the crawl->curate->index lifecycle: the same WET
+    //      crawl stream and curation gates as q_cc_curation_stream,
+    //      but each batch's survivors also fetch their precomputed
+    //      embeddings (vec_id = doc_id — the upstream-embedder
+    //      contract) and IndexStore.appendBatch them under FROZEN
+    //      quantizers as a batchId-keyed idempotent delta
+    //      (codes_inc/batch=<id> overwrite — exactly-once from
+    //      at-least-once replay, same discipline as the curated
+    //      landing sink; crash-replay is pinned in IndexStoreSpec).
+    //      The base index holds the codebook-training slice 16..31
+    //      from before the stream; streamed survivors skip those ids.
+    //      Serve happens from a FRESH load (disk alone). The oracle
+    //      re-derives the whole thing: curation survivors in SQL, then
+    //      the q_s_index_persist ADC chain scored over
+    //      {16..31} UNION survivors — so a dropped batch, a replayed
+    //      duplicate, or a mis-celled delta all hash-fail. The require
+    //      pins serve-after-stream == a one-shot in-memory build over
+    //      the same id set.
+    "q_s_index_stream" -> ((s, dir) => {
+      val e = spreadEmb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = llm.Similarity.initCentroids(e, "vec_id", "embedding", 16)
+      val cb = llm.Similarity.pqCodebooksFixed(
+        llm.Similarity.residualCorpus(e, "vec_id", "embedding", cents)
+          .filter(col("vec_id").between(16, 31)),
+        "vec_id", "embedding", m = 8, k = 16)
+      val idxDir = tempFixtureDir("graft-ivfpq-stream").toString
+      llm.IndexStore.save(
+        llm.IndexStore.build("ivfpq_residual",
+          e.filter(col("vec_id").between(16, 31)), "vec_id", "embedding",
+          cents, cb), idxDir)
+      val baseIdx = llm.IndexStore.load(s, idxDir)
+      val docs = documents(s, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def wet(part: Array[(Long, String)]): Array[Byte] =
+        sources.Warc.writeRecords(part.map { case (id, text) =>
+          ("conversion", s"http://graft.test/g/${id / 3}#d$id",
+            "2024-03-01T12:00:00Z", "text/plain", text.getBytes("UTF-8"))
+        }.toIndexedSeq, gzipPerRecord = true)
+      val fixDir = tempFixtureDir("idx-stream")
+      val outDir = tempFixtureDir("idx-landed")
+      java.nio.file.Files.write(fixDir.resolve("wet-00001.warc.gz"),
+        wet(docs.filter(_._1 % 2 == 0)))
+      def curateAndIndex(batch: org.apache.spark.sql.DataFrame,
+          batchId: Long): Unit = {
+        val decoded = batch
+          .filter(col("record_type") === "conversion")
+          .select(col("target_uri"),
+            regexp_extract(col("target_uri"), "#d(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("payload").cast("string").as("text"))
+          .filter(llm.TextAnalysis.languageId(col("text")) === "en")
+        val pass = llm.Curation.gopherFilter(decoded, "doc_id", col("text"),
+            minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6)
+          .filter(col("pass")).select("doc_id")
+        val kept = decoded.join(pass, "doc_id")
+        val inBatch = llm.Curation.dedupByUrl(kept, col("target_uri"),
+          Seq(col("doc_id")))
+        val outPath = new org.apache.hadoop.fs.Path(outDir.toString)
+        val ofs = outPath.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        val priorDirs =
+          (if (ofs.exists(outPath)) ofs.listStatus(outPath).toSeq else Nil)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch="))
+            .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
+            .map(_.getPath.toString)
+        val fresh =
+          if (priorDirs.isEmpty) inBatch
+          else {
+            val seen = batch.sparkSession.read.parquet(priorDirs: _*)
+              .select(llm.Curation.normalizeUrl(col("target_uri")).as("__u"))
+            inBatch.join(seen,
+              llm.Curation.normalizeUrl(col("target_uri")) === col("__u"),
+              "left_anti")
+          }
+        fresh.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // the new edge: survivors fetch their embeddings and append to
+        // the index as this batch's idempotent delta. The landed batch
+        // (just written) is the source of truth, so a replay re-derives
+        // the identical delta. Ids 16..31 are already in the base.
+        val embs = batch.sparkSession.read.parquet(s"$outDir/batch=$batchId")
+          .select(col("doc_id"))
+          .filter(!col("doc_id").between(16, 31))
+          .join(spreadEmb(batch.sparkSession, dir),
+            col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        llm.IndexStore.appendBatch(baseIdx, idxDir, embs, "embedding",
+          batchId)
+      }
+      withShufflePartitions(s, 4) {
+        val q = sources.Warc.readStream(s, fixDir.toString)
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+            curateAndIndex(df, id))
+          .start()
+        try {
+          q.processAllAvailable()
+          val tmp2 = fixDir.resolve(".wet-00002.warc.gz.tmp")
+          java.nio.file.Files.write(tmp2, wet(docs.filter(_._1 % 2 == 1)))
+          java.nio.file.Files.move(tmp2, fixDir.resolve("wet-00002.warc.gz"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      def fmt(df: DataFrame) = df
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc"))
+      val served = fmt(llm.IndexStore.load(s, idxDir)
+          .search(queries, "query_id", "embedding", k = 10, nprobe = 3))
+        .localCheckpoint(true)
+      // one-shot build over the same survivor set must be
+      // indistinguishable from the streamed appends
+      val survivorIds = s.read.parquet(outDir.toString).select(col("doc_id"))
+      val oneShotCorpus = e.join(survivorIds,
+          col("vec_id") === col("doc_id"), "left_semi")
+        .unionByName(e.filter(col("vec_id").between(16, 31)))
+        .distinct()
+      val oneShot = fmt(llm.IndexStore
+        .build("ivfpq_residual", oneShotCorpus, "vec_id", "embedding",
+          cents, cb)
+        .search(queries, "query_id", "embedding", k = 10, nprobe = 3))
+      require(served.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(served).isEmpty,
+        "streamed index serve != one-shot build over the same survivors")
+      served.orderBy("query_id", "vec_id")
     }),
 
     // ---- the way-splitter at data scale: lineitem reinterpreted as
@@ -3835,7 +4075,7 @@ object SparkEntry {
     //      and tokens = 3(i+1); warcinfo and response records must be
     //      filtered out.
     "q_cc_wet_ingest" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("wet_q")
+      val tmp = tempFixtureDir("wet_q")
       val rs: Seq[(String, String, String, String, Array[Byte])] =
         ("warcinfo", null, "2024-03-01T12:00:00Z", "application/warc-fields",
           "software: graft-fixture\r\n".getBytes("UTF-8")) +:
@@ -3862,7 +4102,7 @@ object SparkEntry {
     //      match DuckDB's view of the original table — newlines and
     //      multi-byte text survive the Content-Length framing.
     "q_cc_wet_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("wet_rt").toString
+      val tmp = tempFixtureDir("wet_rt").toString
       graft.sources.Warc.write(
         documents(s, dir).select(
           lit("conversion").as("record_type"),
@@ -3881,7 +4121,7 @@ object SparkEntry {
 
     "q_osc_apply" -> ((s, dir) => {
       val t = osm.OsmModel.microFixture(s)
-      val tmp = java.nio.file.Files.createTempDirectory("osc_q")
+      val tmp = tempFixtureDir("osc_q")
       java.nio.file.Files.writeString(tmp.resolve("000042.osc"), OscFixtureXml)
       val parsed = graft.sources.OscChangeset.read(s, tmp.toString)
       val updated = graft.sources.OscChangeset.applyTo(s, t, parsed.toDF())
@@ -3893,6 +4133,46 @@ object SparkEntry {
           round(element_at(col("linestring"), -1).getField("lon"), 6).as("x2"),
           round(element_at(col("linestring"), -1).getField("lat"), 6).as("y2"))
         .orderBy("way_id")
+    }),
+
+    // ---- pgr_contraction analog (VERDICT r19 item 5): dead-end +
+    //      linear contraction on a micro graph that exercises every
+    //      rule — a square core with a diagonal (junctions), a
+    //      4-edge degree-2 chain (1-10-11-12-2 -> one shortcut, cost
+    //      summed, interior recorded), a single interior degree-2
+    //      vertex (3-4-1 -> shortcut parallel to the existing 1-3
+    //      edge), a depth-3 dead-end tree hanging off junction 3
+    //      (absorbs transitively: one type-v row holding 20,21,22),
+    //      and a pure 3-cycle (no junction endpoints -> untouched).
+    //      The oracle replays both operations as recursive CTEs:
+    //      leaf-walks through degree<=2 vertices for dead-end
+    //      absorption, junction-walks through degree-2 vertices for
+    //      linear chains. All fixture costs are binary-exact so the
+    //      two engines' summation orders cannot diverge.
+    "q_osm_contraction" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (1L, 1L, 2L, 1.0), (2L, 2L, 3L, 1.0), (3L, 3L, 4L, 1.0),
+        (4L, 4L, 1L, 1.0), (5L, 1L, 3L, 2.5),
+        (6L, 1L, 10L, 1.0), (7L, 10L, 11L, 2.0), (8L, 11L, 12L, 3.0),
+        (9L, 12L, 2L, 4.0),
+        (10L, 3L, 20L, 1.0), (11L, 20L, 21L, 1.5), (12L, 21L, 22L, 2.0),
+        (13L, 30L, 31L, 1.0), (14L, 31L, 32L, 1.0), (15L, 32L, 30L, 1.0)
+      ).toDF("edge_id", "source", "target", "cost")
+      val r = osm.Contraction.contractGraph(edges)
+      def csv(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      val vrows = r.vertexAbsorptions.select(
+        lit("v").as("vtype"), col("vertex_id").as("vid"),
+        lit(null).cast("long").as("source"),
+        lit(null).cast("long").as("target"),
+        lit(null).cast("double").as("cost"),
+        csv(col("contracted")).as("contracted"))
+      val erows = r.edges.filter(size(col("contracted")) > 0).select(
+        lit("e").as("vtype"), lit(null).cast("long").as("vid"),
+        col("source"), col("target"), col("cost"),
+        csv(col("contracted")).as("contracted"))
+      erows.unionByName(vrows).orderBy("vtype", "source", "target", "vid")
     }),
 
     // ---- REAL image resize (decode → bilinear Graphics2D resample →
@@ -4075,7 +4355,220 @@ object SparkEntry {
          GROUP BY way_id)
        SELECT way_id, nodes_csv FROM segs ORDER BY way_id, nodes_csv"""
 
+  /** Shared DuckDB re-derivation for the IndexStore serve oracles
+    * (q_s_index_persist's chain, parameterized): fixed quantizers from
+    * the embeddings table (centroids = first 16 by vec_id, codebooks
+    * from residuals of 16..31), full-corpus codes, nprobe=3 probe
+    * expansion, per-cell re-centered ADC, top-10. `prelude` prepends
+    * extra CTEs (must be self-contained — they run before `base`);
+    * `pairPredicate` restricts which INDEXED ids are scored (the
+    * delete/stream oracles' knob — frozen-quantizer codes don't depend
+    * on what else is indexed, so restricting the scored set IS the
+    * rebuild-without-them index). */
+  private def ivfPqServeOracle(prelude: String, pairPredicate: String): String =
+    s"""WITH $prelude base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+         cscores AS (
+           SELECT b.vec_id, ct.cid,
+             list_dot_product(b.v, ct.c) /
+               (sqrt(list_dot_product(b.v, b.v)) *
+                sqrt(list_dot_product(ct.c, ct.c))) AS cs
+           FROM base b CROSS JOIN cents ct),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores) WHERE rn = 1),
+         resid AS (
+           SELECT b.vec_id, a.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM base b
+           JOIN assign a ON a.vec_id = b.vec_id
+           JOIN cents ct ON ct.cid = a.cid),
+         cb AS (
+           SELECT m.range AS m, r.vec_id - 16 AS j,
+                  list_slice(r.r, m.range*8 + 1, m.range*8 + 8) AS c
+           FROM range(8) m,
+                (SELECT vec_id, r FROM resid
+                 WHERE vec_id BETWEEN 16 AND 31) r),
+         pqscores AS (
+           SELECT r.vec_id, c.m, c.j,
+             list_dot_product(c.c, c.c) -
+               2*list_dot_product(c.c,
+                   list_slice(r.r, c.m*8 + 1, c.m*8 + 8)) AS s
+           FROM resid r CROSS JOIN cb c),
+         codes AS (
+           SELECT vec_id, m, j AS code FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn
+             FROM pqscores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cscores WHERE vec_id < 5) WHERE rn <= 3),
+         qres AS (
+           SELECT p.query_id, p.cid,
+             list_transform(range(1, 1 + len(b.v)),
+               i -> b.v[i] - ct.c[i]) AS r
+           FROM probes p
+           JOIN base b ON b.vec_id = p.query_id
+           JOIN cents ct ON ct.cid = p.cid),
+         qsub AS (
+           SELECT q.query_id, q.cid, m.range AS m,
+                  list_slice(q.r, m.range*8 + 1, m.range*8 + 8) AS qm
+           FROM qres q, range(8) m),
+         pair AS (
+           SELECT q.query_id, d.vec_id,
+             sum(list_dot_product(q.qm, q.qm) -
+                 2*list_dot_product(q.qm, c.c) +
+                 list_dot_product(c.c, c.c)) AS adc
+           FROM qsub q
+           JOIN assign a ON a.cid = q.cid
+           JOIN codes d ON d.vec_id = a.vec_id AND d.m = q.m
+           JOIN cb c ON c.m = d.m AND c.j = d.code
+           WHERE $pairPredicate
+           GROUP BY q.query_id, d.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+           FROM pair)
+         SELECT query_id, vec_id, round(adc, 6) AS adc
+         FROM ranked WHERE rn <= 10
+         ORDER BY query_id, vec_id"""
+
+  /** The curation-survivor CTEs (q_cc_curation_stream's oracle,
+    * reusable as a prelude): language gate, gopher gate, URL-group
+    * dedup with first-by-(batch, doc_id) preference. Ends with `surv`. */
+  private val curationSurvivorCtes: String =
+    """d AS (SELECT doc_id, text,
+                    string_split(lower(text), ' ') AS toks
+             FROM documents),
+         langs AS (SELECT doc_id,
+           len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+           len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS de,
+           len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un','por','con'))) AS es,
+           len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','est','un','une','dans'))) AS fr
+           FROM d),
+         en AS (SELECT doc_id FROM langs
+                WHERE greatest(en, de, es, fr) > 0
+                  AND NOT de >= greatest(en, es, fr)
+                  AND en >= greatest(es, fr)),
+         f AS (SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                          'that','for','on','with','as','at','by'))) AS sw,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq
+           FROM documents),
+         pass AS (SELECT doc_id FROM f
+           WHERE n_tok BETWEEN 30 AND 10000
+             AND n_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+             AND n_punct / CAST(n_chars AS DOUBLE) <= 0.1
+             AND sw >= 2
+             AND (n_tok - n_uniq) / CAST(n_tok AS DOUBLE) <= 0.6),
+         kept AS (SELECT d.doc_id, d.text FROM d
+                  JOIN en USING (doc_id) JOIN pass USING (doc_id)),
+         surv AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY doc_id // 3
+                                  ORDER BY doc_id % 2, doc_id) AS rn
+             FROM kept) WHERE rn = 1),"""
+
   def oracleSql: Map[String, String] = Map(
+    // compaction must not change a single search result: post-compact
+    // serve == one-shot full build == the q_s_index_append chain
+    "q_s_index_compact" -> ivfPqServeOracle("", "TRUE"),
+    // delete == rebuild-without-them: same chain, scored set excludes
+    // the tombstoned ids (frozen-quantizer codes are independent of
+    // what else is indexed, so this IS the rebuilt index)
+    "q_s_index_delete" -> ivfPqServeOracle("", "d.vec_id % 7 <> 3"),
+    // pgr_contraction analog: dead-end absorption = recursive
+    // leaf-walks through degree<=2 vertices to the first junction;
+    // linear chains = recursive junction-walks through degree-2
+    // vertices on the post-dead-end graph, deduped by canonical
+    // endpoint order (each chain is found from both ends; binary-exact
+    // costs make the two walk directions sum identically)
+    "q_osm_contraction" ->
+      """WITH RECURSIVE edges AS (
+           SELECT CAST(col0 AS BIGINT) AS id, CAST(col1 AS BIGINT) AS s,
+                  CAST(col2 AS BIGINT) AS t, CAST(col3 AS DOUBLE) AS c
+           FROM (VALUES (1,1,2,1.0),(2,2,3,1.0),(3,3,4,1.0),(4,4,1,1.0),
+                        (5,1,3,2.5),(6,1,10,1.0),(7,10,11,2.0),
+                        (8,11,12,3.0),(9,12,2,4.0),(10,3,20,1.0),
+                        (11,20,21,1.5),(12,21,22,2.0),(13,30,31,1.0),
+                        (14,31,32,1.0),(15,32,30,1.0))),
+         nbrs AS (SELECT s AS v, t AS n, id, c FROM edges
+                  UNION ALL SELECT t, s, id, c FROM edges),
+         deg AS (SELECT v, count(*) AS d FROM nbrs GROUP BY v),
+         walk(leaf, cur, prev) AS (
+           SELECT v, v, CAST(NULL AS BIGINT) FROM deg WHERE d = 1
+           UNION ALL
+           SELECT w.leaf, n.n, w.cur
+           FROM walk w
+           JOIN deg dc ON dc.v = w.cur AND dc.d <= 2
+           JOIN nbrs n ON n.v = w.cur AND (w.prev IS NULL OR n.n <> w.prev)),
+         targets AS (SELECT w.leaf, w.cur AS tgt FROM walk w
+                     JOIN deg ON deg.v = w.cur WHERE deg.d >= 3),
+         leafabs AS (SELECT w.leaf, w.cur AS v FROM walk w
+                     JOIN deg ON deg.v = w.cur WHERE deg.d <= 2),
+         deadv AS (SELECT DISTINCT v FROM leafabs),
+         vrows AS (
+           SELECT t.tgt AS vid,
+             array_to_string(list_sort(list(DISTINCT la.v)), ',') AS contracted
+           FROM targets t JOIN leafabs la ON la.leaf = t.leaf
+           GROUP BY t.tgt),
+         edges2 AS (SELECT * FROM edges
+                    WHERE s NOT IN (SELECT v FROM deadv)
+                      AND t NOT IN (SELECT v FROM deadv)),
+         nbrs2 AS (SELECT s AS v, t AS n, id, c FROM edges2
+                   UNION ALL SELECT t, s, id, c FROM edges2),
+         deg2 AS (SELECT v, count(*) AS d FROM nbrs2 GROUP BY v),
+         cwalk(startv, cur, prev, costacc, path) AS (
+           SELECT d.v, n.n, d.v, n.c, [n.n]
+           FROM deg2 d JOIN nbrs2 n ON n.v = d.v
+           WHERE d.d >= 3
+             AND EXISTS (SELECT 1 FROM deg2 x WHERE x.v = n.n AND x.d = 2)
+           UNION ALL
+           SELECT w.startv, n.n, w.cur, w.costacc + n.c,
+                  list_append(w.path, n.n)
+           FROM cwalk w
+           JOIN deg2 dc ON dc.v = w.cur AND dc.d = 2
+           JOIN nbrs2 n ON n.v = w.cur AND n.n <> w.prev),
+         chainrows AS (
+           SELECT w.startv, w.cur AS endv, w.costacc,
+                  list_sort(list_slice(w.path, 1, len(w.path) - 1)) AS interior
+           FROM cwalk w JOIN deg2 dz ON dz.v = w.cur AND dz.d >= 3),
+         erows AS (
+           SELECT DISTINCT least(startv, endv) AS source,
+                  greatest(startv, endv) AS target,
+                  costacc AS cost,
+                  array_to_string(interior, ',') AS contracted
+           FROM chainrows)
+         SELECT 'e' AS vtype, CAST(NULL AS BIGINT) AS vid,
+                source, target, cost, contracted FROM erows
+         UNION ALL
+         SELECT 'v', vid, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS DOUBLE), contracted FROM vrows
+         ORDER BY vtype, source, target, vid""",
+    // streamed appends == one-shot build over {codebook slice 16..31}
+    // UNION {curation survivors}: curation replayed in SQL, then the
+    // serve chain scored over exactly that id set
+    "q_s_index_stream" -> ivfPqServeOracle(
+      curationSurvivorCtes +
+        """
+         idxset AS (
+           SELECT range AS vec_id FROM range(16, 32)
+           UNION
+           SELECT doc_id AS vec_id FROM surv),""",
+      "d.vec_id IN (SELECT vec_id FROM idxset)"),
     "q_flagship_tag_freq" ->
       """SELECT c_mktsegment AS tag_value, count(*) AS cnt
          FROM customer GROUP BY c_mktsegment

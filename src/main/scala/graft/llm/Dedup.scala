@@ -502,7 +502,13 @@ object Dedup {
     * the shuffle-native equivalent for a fixed minimum span k:
     * (1) HASH PREFILTER: one xxhash64-keyed count — the overwhelmingly
     * unique gram mass (map-side partials absorb boilerplate skew) dies
-    * here and never shuffles its string; (2) exact winners: a
+    * here, and the gram STRING never enters any corpus-mass shuffle:
+    * the prefilter pipeline moves fixed-width (id, pos, hash) rows
+    * only, and survivor strings are re-sliced from the token arrays by
+    * one id-keyed join (duplicate-mass-sized output; r20 — carrying
+    * strings through the semi join crossed the sort-spill threshold at
+    * the 3M-doc smoke scale, exponent 1.06-1.23 unstable, vs 20 B/row
+    * after the fix); (2) exact winners: a
     * string-keyed hash-agg over SURVIVORS ONLY (size = true duplicate
     * mass, not corpus mass — the lesson from duplicatePassages'
     * measured 1.21 string-key exponent); (3) coverage: dup windows
@@ -513,19 +519,35 @@ object Dedup {
   def substringDedup(docs: DataFrame, idCol: String, text: Column,
       k: Int): DataFrame = {
     val toks = docs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
-    // windows sliced straight off the token array (not re-joined and
-    // re-split through rawWordNgrams — one regex split per scan, not two)
-    val grams = toks.select(col(idCol),
-      posexplode(TextAnalysis.rawNgramsOfTokens(col("__toks"), k))
-        .as(Seq("pos", "g")))
+      .localCheckpoint(true) // feeds grams, survivor re-slice, and totals
+    // window HASHES sliced straight off the token array: the gram
+    // STRING never leaves its scan here — only (id, pos, hash) rows
+    // enter the prefilter shuffle. r20 fix: carrying the ~k-token
+    // string payload through the semi join shuffled ~90 B/gram of
+    // corpus mass and crossed the sort-spill threshold between the
+    // 300k and 3M smoke scales (measured exponent 1.06-1.23, unstable
+    // run-to-run); hashing first keeps the wide shuffle fixed-width
+    // 20 B rows, and strings re-materialize below for the
+    // duplicate-mass-sized survivor set only
+    val gramsH = toks.select(col(idCol),
+      posexplode(when(size(col("__toks")) >= k,
+          transform(sequence(lit(0), size(col("__toks")) - k),
+            i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+        .otherwise(array().cast("array<long>")))
+        .as(Seq("pos", "__gh")))
     // phase 1: cheap hash prefilter — a gram whose HASH is globally
-    // unique cannot be a duplicate; only hash-repeated grams carry
-    // their string into the exact stage
-    val hot = grams.groupBy(xxhash64(col("g")).as("__gh"))
+    // unique cannot be a duplicate; only hash-repeated positions
+    // proceed to the exact stage
+    val hot = gramsH.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .select(col("__gh"))
-    val survivors = grams
-      .join(hot, xxhash64(col("g")) === col("__gh"), "left_semi")
+    // re-slice the actual gram text for survivors only (duplicate
+    // mass, not corpus mass): one join back to the token arrays
+    val survivors = gramsH
+      .join(hot, Seq("__gh"), "left_semi")
+      .join(toks, Seq(idCol))
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("__toks"), col("pos") + 1, lit(k)), " ").as("g"))
     // phase 2: exact, string-keyed — first occurrence wins
     val winners = survivors.groupBy(col("g"))
       .agg(min(struct(col(idCol), col("pos"))).as("__w"),

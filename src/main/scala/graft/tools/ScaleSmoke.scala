@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    val hostBefore = HostRegime.loadavg()
     val waysM = if (args.nonEmpty) args(0).toDouble else 2.0
     val chainsK = if (args.length > 1) args(1).toDouble else 200.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -549,6 +550,91 @@ object ScaleSmoke {
       s"trsp smoke: restricted jobs $trspJobs vs plain $trspPlainJobs — " +
         "per-restriction job blowup")
 
+    // ---- pgr_contraction analog at data scale (VERDICT r19 item 5
+    //      scale witness): a hub-spoked ring — J junctions, each pair
+    //      linked by an L-vertex degree-2 chain, each junction carrying
+    //      a depth-D dead-end path and a spoke to one celebrity hub
+    //      (degree J, the skew case). Expected: exactly J shortcuts of
+    //      cost L+1 (every ring chain), J absorption rows of D vertices
+    //      each, hub + junctions + spokes survive. Peel rounds = D
+    //      (tree LEVELS, not vertices); chain discovery rides the
+    //      O(log) CC. Exponent over 4x junctions ~1.0 = keyed-shuffle
+    //      economics hold.
+    def contractionFixture(j: Long, l: Long, d: Long) = {
+      val hub = -1L
+      val ring = spark.range(j * (l + 1)).select(
+        (col("id") / (l + 1)).as("__j"), (col("id") % (l + 1)).as("__i"))
+        .select(
+          lit(1000L).as("edge_id"),
+          when(col("__i") === 0, col("__j"))
+            .otherwise(lit(1000000L) + col("__j") * l + col("__i") - 1)
+            .as("source"),
+          when(col("__i") === l, (col("__j") + 1) % j)
+            .otherwise(lit(1000000L) + col("__j") * l + col("__i"))
+            .as("target"),
+          lit(1.0).as("cost"))
+      val trees = spark.range(j * d).select(
+        (col("id") / d).as("__j"), (col("id") % d).as("__i"))
+        .select(lit(2000L).as("edge_id"),
+          when(col("__i") === 0, col("__j"))
+            .otherwise(lit(100000000L) + col("__j") * d + col("__i") - 1)
+            .as("source"),
+          (lit(100000000L) + col("__j") * d + col("__i")).as("target"),
+          lit(1.0).as("cost"))
+      // expensive spokes: in the route check the ring chains must WIN
+      // (junction distances = 51 * ring hops, not a 2-hop hub bypass),
+      // or the invariant would never exercise the shortcuts
+      val spokes = spark.range(j).select(lit(3000L).as("edge_id"),
+        col("id").as("source"), lit(hub).as("target"), lit(1000.0).as("cost"))
+      ring.unionByName(trees).unionByName(spokes)
+        .withColumn("edge_id",
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+        .localCheckpoint(true)
+    }
+    def contractionRun(j: Long, l: Long, d: Long): Double = {
+      val fix = contractionFixture(j, l, d)
+      val t = System.nanoTime()
+      val r = graft.osm.Contraction.contractGraph(fix, maxPeelRounds = 128)
+      val sc = r.edges.filter(size(col("contracted")) > 0)
+        .agg(count(lit(1)), min(col("cost")), max(col("cost")),
+          sum(size(col("contracted")))).head()
+      val vm = r.vertexAbsorptions
+        .agg(count(lit(1)), sum(size(col("contracted")))).head()
+      val sec = (System.nanoTime() - t) / 1e9
+      require(sc.getLong(0) == j && sc.getDouble(1) == (l + 1).toDouble &&
+          sc.getDouble(2) == (l + 1).toDouble && sc.getLong(3) == j * l,
+        s"contraction smoke: expected $j shortcuts of cost ${l + 1} " +
+          s"covering ${j * l} vertices, got $sc")
+      require(vm.getLong(0) == j && vm.getLong(1) == j * d,
+        s"contraction smoke: expected $j absorption rows / ${j * d} " +
+          s"vertices, got $vm")
+      sec
+    }
+    val conJ = 2000L
+    contractionRun(conJ / 4, 30L, 6L) // warm codegen
+    val conLoSec = contractionRun(conJ, 30L, 6L)
+    val conHiSec = contractionRun(conJ * 4, 30L, 6L)
+    val conExp = math.log(conHiSec / conLoSec) / math.log(4.0)
+
+    // route invariant at the local-Dijkstra slice: junction-to-junction
+    // distances identical on the contracted graph (the property a
+    // routing consumer contracts FOR)
+    val routeFix = contractionFixture(32L, 50L, 4L)
+    val routeCon = graft.osm.Contraction.contractGraph(routeFix).edges
+    def symE(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("source").as("start_node"), col("target").as("end_node"),
+          col("cost").as("w"))
+        .unionByName(e.select(col("target").as("start_node"),
+          col("source").as("end_node"), col("cost").as("w")))
+    val distBefore = graft.osm.GraphCheck.shortestPaths(symE(routeFix), 0L)
+      .filter(col("node_id") >= 0 && col("node_id") < 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val distAfter = graft.osm.GraphCheck.shortestPaths(symE(routeCon), 0L)
+      .filter(col("node_id") >= 0 && col("node_id") < 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    require(distBefore.size == 32 && distBefore == distAfter,
+      s"contraction changed junction distances: $distBefore vs $distAfter")
+
     println(s"""{"metric":"scale_smoke","way_node_rows":${nWays * perWay},""" +
       s""""split_segments":${segs.getLong(0)},"split_sec":$splitSec,""" +
       s""""edges":${nChains * (chainLen - 1)},"cc_nodes":${comp.getLong(0)},""" +
@@ -601,7 +687,12 @@ object ScaleSmoke {
       s""""trsp_reached_plain":$trspPlainReached,""" +
       s""""trsp_reached_restricted":$trspReached,""" +
       s""""trsp_jobs_plain":$trspPlainJobs,"trsp_jobs_restricted":$trspJobs,""" +
-      f""""trsp_sec_plain":$trspPlainSec%.2f,"trsp_sec_restricted":$trspSec%.2f}""")
+      f""""trsp_sec_plain":$trspPlainSec%.2f,"trsp_sec_restricted":$trspSec%.2f,""" +
+      s""""contraction_junctions_lo":$conJ,"contraction_junctions_hi":${conJ * 4},""" +
+      f""""contraction_sec_lo":$conLoSec%.2f,"contraction_sec_hi":$conHiSec%.2f,""" +
+      f""""contraction_exponent":$conExp%.3f,""" +
+      s""""contraction_route_equal":true,""" +
+      HostRegime.json(hostBefore) + "}")
     spark.stop()
   }
 }

@@ -200,6 +200,7 @@ object StreamSmoke {
     math.log(hi / lo) / math.log(factor)
 
   def main(args: Array[String]): Unit = {
+    val hostBefore = HostRegime.loadavg()
     val baseK = if (args.nonEmpty) args(0).toLong else 200L
     val factor = if (args.length > 1) args(1).toLong else 10L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -328,7 +329,8 @@ object StreamSmoke {
       s""""neardup_docs_lo":${nLo / 10},"neardup_docs_hi":${nHi / 10},""" +
       s""""neardup_lo_sec":$ndLo,"neardup_hi_sec":$ndHi,""" +
       s""""neardup_exp":${exp(ndLo, ndHi, factor.toDouble)},""" +
-      s""""neardup_state_rows_hi":$ndStateHi}""")
+      s""""neardup_state_rows_hi":$ndStateHi,""" +
+      HostRegime.json(hostBefore) + "}")
     spark.stop()
   }
 }

@@ -133,6 +133,138 @@ class IndexStoreSpec extends SparkTestBase {
     assert(rows(reloaded) == rows(oneShot))
   }
 
+  private def fixedIndex(corpus: DataFrame, dir: String) = {
+    val cents = Similarity.initCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooksFixed(
+      Similarity.residualCorpus(emb, "vec_id", "embedding", cents)
+        .filter(col("vec_id").between(8, 23)),
+      "vec_id", "embedding", m = 8, k = 16)
+    IndexStore.save(
+      IndexStore.build("ivfpq_residual", corpus, "vec_id", "embedding",
+        cents, cb), dir)
+    (cents, cb)
+  }
+
+  test("append refuses a dir that was never save()d") {
+    val cents = Similarity.initCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooksFixed(
+      Similarity.residualCorpus(emb, "vec_id", "embedding", cents)
+        .filter(col("vec_id").between(8, 23)),
+      "vec_id", "embedding", m = 8, k = 16)
+    val idx = IndexStore.build("ivfpq_residual", emb, "vec_id",
+      "embedding", cents, cb)
+    val err = intercept[IllegalArgumentException] {
+      IndexStore.append(idx, tmp("nosave"), emb, "embedding")
+    }
+    assert(err.getMessage.contains("save()"))
+  }
+
+  test("tombstone delete: deleted ids absent, survivors == " +
+      "rebuilt-without-them; compact applies and clears tombstones") {
+    val dir = tmp("delete")
+    val (cents, cb) = fixedIndex(emb, dir)
+    val deleted = IndexStore.delete(IndexStore.load(spark, dir), dir,
+      emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+    val got = deleted.search(queries, "query_id", "embedding",
+      k = 10, nprobe = 3)
+    assert(got.filter(col("vec_id") % 7 === 3).isEmpty,
+      "tombstoned ids leaked into search results")
+    // the tombstone anti-join must not break serve-time dynamic
+    // partition pruning: the cell column passes through it untouched
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l => l.contains("FileScan") &&
+        l.contains("/codes") && l.contains("dynamicpruningexpression")),
+      s"tombstone view lost DPP on the codes scan:\n$plan")
+    val rebuilt = IndexStore
+      .build("ivfpq_residual", emb.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", cents, cb)
+      .search(queries, "query_id", "embedding", k = 10, nprobe = 3)
+    assert(rows(got) == rows(rebuilt))
+    assert(rows(got).nonEmpty)
+    // physical apply: compaction rewrites without the tombstoned rows,
+    // clears the tombstone set, and serves identically
+    val compacted = IndexStore.compact(deleted, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction must clear applied tombstones")
+    assert(rows(compacted.search(queries, "query_id", "embedding",
+      k = 10, nprobe = 3)) == rows(rebuilt))
+    // a cold reload agrees (the deletion is durable, not view-state)
+    assert(rows(IndexStore.load(spark, dir).search(queries, "query_id",
+      "embedding", k = 10, nprobe = 3)) == rows(rebuilt))
+  }
+
+  test("compaction restores one-file-per-cell and changes nothing") {
+    val dir = tmp("compact")
+    fixedIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+    var idx = IndexStore.load(spark, dir)
+    // three daily appends (disjoint odd slices) -> small files
+    // accumulate per cell
+    for (r <- 1 to 3)
+      idx = IndexStore.append(idx, dir,
+        emb.filter(col("vec_id") % 8 === 2 * r - 1), "embedding")
+    val before = IndexStore.codesFileCount(spark, dir)
+    val pre = rows(idx.search(queries, "query_id", "embedding",
+      k = 10, nprobe = 3))
+    val compacted = IndexStore.compact(idx, dir)
+    val after = IndexStore.codesFileCount(spark, dir)
+    assert(after < before, s"file count did not drop: $before -> $after")
+    val cells = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cells.forall(c =>
+        c.listFiles().count(_.getName.startsWith("part-")) == 1),
+      "compaction must leave exactly one part file per cell")
+    assert(rows(compacted.search(queries, "query_id", "embedding",
+      k = 10, nprobe = 3)) == pre)
+    assert(pre.nonEmpty)
+  }
+
+  test("streaming appendBatch: batchId-keyed delta is idempotent under " +
+      "replay (exactly-once), serve unions base + deltas, compact folds") {
+    val dir = tmp("stream")
+    val (cents, cb) = fixedIndex(emb.filter(col("vec_id") % 3 === 0), dir)
+    val idx = IndexStore.load(spark, dir)
+    val b0 = emb.filter(col("vec_id") % 3 === 1)
+    val b1 = emb.filter(col("vec_id") % 3 === 2)
+    IndexStore.appendBatch(idx, dir, b0, "embedding", 0L)
+    IndexStore.appendBatch(idx, dir, b1, "embedding", 1L)
+    // crash-replay: the stream re-executes batch 1 after a restart —
+    // the batchId-keyed overwrite must leave the index unchanged
+    IndexStore.appendBatch(idx, dir, b1, "embedding", 1L)
+    val oneShot = rows(IndexStore
+      .build("ivfpq_residual", emb, "vec_id", "embedding", cents, cb)
+      .search(queries, "query_id", "embedding", k = 10, nprobe = 3))
+    val streamed = rows(IndexStore.load(spark, dir)
+      .search(queries, "query_id", "embedding", k = 10, nprobe = 3))
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+    // deltas landed under codes_inc, batch-then-cell partitioned
+    assert(new java.io.File(s"$dir/codes_inc/batch=1").exists())
+    // compaction folds the deltas into the base and removes them
+    val compacted = IndexStore.compact(IndexStore.load(spark, dir), dir)
+    assert(!new java.io.File(s"$dir/codes_inc").exists(),
+      "compaction must fold and remove streaming deltas")
+    assert(rows(compacted.search(queries, "query_id", "embedding",
+      k = 10, nprobe = 3)) == oneShot)
+  }
+
+  test("load fails fast, with a named invariant, on a corrupted store") {
+    val dir = tmp("corrupt")
+    fixedIndex(emb, dir)
+    // truncate the codebooks to half the subvectors: dim consistency
+    // (subdim * m == dim) must fail at load, not inside pqAdcTable
+    val cbs = spark.read.parquet(s"$dir/codebooks")
+    cbs.filter(col("mi") < 4).write.mode("overwrite")
+      .parquet(s"$dir/codebooks_tmp")
+    spark.read.parquet(s"$dir/codebooks_tmp").write
+      .mode("overwrite").parquet(s"$dir/codebooks")
+    val err = intercept[IllegalArgumentException] {
+      IndexStore.load(spark, dir)
+    }
+    assert(err.getMessage.contains("codebooks") ||
+      err.getMessage.contains("dim"))
+  }
+
   test("on-disk layout: codes are hive-partitioned by cell (the " +
       "inverted-list layout), scan reads codes only") {
     val cents = Similarity.initCentroids(emb, "vec_id", "embedding", 8)

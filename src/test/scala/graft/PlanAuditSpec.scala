@@ -627,4 +627,46 @@ class PlanAuditSpec extends SparkTestBase {
     assert(cdcOpt.contains("xxhash64"),
       "winner selection must key on the hashed chunk, not the string")
   }
+
+  test("every top-k-per-query ANN path plans as WindowGroupLimit rank " +
+      "pushdown, not a full-window sort (VERDICT r19 item 7)") {
+    // the row_number()-then-filter idiom is only 100 TB-safe because
+    // Spark rewrites it to WindowGroupLimit (a per-partition top-k heap
+    // BEFORE the exchange, so candidate rows never all shuffle); a
+    // Spark upgrade or a refactor that breaks the rewrite would
+    // silently regress to sort-the-world. Pin it on all three serve
+    // paths: PQ-ADC brute, residual IVF-PQ codes serve (the IndexStore
+    // path, witnessed in PLANS/q_s_index_persist.md), and the
+    // reduced-space rescore.
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cents = Similarity.initCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooksFixed(
+      Similarity.residualCorpus(emb, "vec_id", "embedding", cents)
+        .filter(col("vec_id").between(8, 23)),
+      "vec_id", "embedding", m = 8, k = 16)
+    def pin(tag: String, df: DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$tag lost WindowGroupLimit rank pushdown:\n$p")
+    }
+    pin("pqAdcTopK",
+      Similarity.pqAdcTopK(emb, qs, "vec_id", "embedding", "query_id",
+        k = 5, cb))
+    pin("searchIvfPqResidualCodes",
+      Similarity.searchIvfPqResidualCodes(
+        Similarity.encodeIvfPqResidual(emb, "vec_id", "embedding", cents, cb),
+        qs, "vec_id", "embedding", "query_id", k = 5, cents, nprobe = 2, cb))
+    val red = Similarity.withInt8(emb, col("embedding"), "__s", "__c")
+      .select(col("vec_id"),
+        transform(col("__c"), x => x.cast("double")).as("red"))
+    val redQs = red.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("red"))
+    pin("rescoreTopKPerQuery",
+      Similarity.rescoreTopKPerQuery(emb, red, qs, redQs, "vec_id",
+        "embedding", "red", "query_id", k = 5, candK = 20))
+  }
 }
