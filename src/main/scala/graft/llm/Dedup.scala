@@ -542,9 +542,18 @@ object Dedup {
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .select(col("__gh"))
     // re-slice the actual gram text for survivors only (duplicate
-    // mass, not corpus mass): one join back to the token arrays
+    // mass, not corpus mass): one join back to the token arrays.
+    // shuffle_hash hints throughout: every corpus-mass join here pairs
+    // a huge probe side with a duplicate-mass build side — sort-merge
+    // would SORT the corpus-mass side, whose n log n is a measured
+    // +0.06..0.09 on the smoke exponent and whose sort buffers are the
+    // spill risk; a shuffled hash join builds only the small side per
+    // partition and streams the big one, keeping wall time linear in
+    // corpus bytes. (Not broadcast: duplicate mass has no size bound
+    // at 100 TB.)
     val survivors = gramsH
-      .join(hot, Seq("__gh"), "left_semi")
+      .join(hot.hint("shuffle_hash"), Seq("__gh"), "left_semi")
+      .hint("shuffle_hash")
       .join(toks, Seq(idCol))
       .select(col(idCol), col("pos"),
         array_join(slice(col("__toks"), col("pos") + 1, lit(k)), " ").as("g"))
@@ -565,7 +574,7 @@ object Dedup {
       .distinct()
     val tokenTbl = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("__tp", "__tok")))
-    val kept = tokenTbl.join(covered,
+    val kept = tokenTbl.join(covered.hint("shuffle_hash"),
       tokenTbl(idCol) === covered("__did") && col("__tp") === col("__cp"),
       "left_anti")
     val reassembled = kept.groupBy(col(idCol))
@@ -574,7 +583,7 @@ object Dedup {
           c => c.getField("__tok")), " ").as("clean_text"),
         count(lit(1)).as("__kept"))
     val totals = toks.select(col(idCol), size(col("__toks")).as("__total"))
-    totals.join(reassembled, Seq(idCol), "left")
+    totals.join(reassembled.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("__total").cast("long").as("total_tokens"),
