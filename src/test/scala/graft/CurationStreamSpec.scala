@@ -134,4 +134,80 @@ class CurationStreamSpec extends SparkTestBase {
     assert(uris.sorted === Seq("https://a.org/1", "https://a.org/2",
       "https://b.org/3", "https://c.org/4"))
   }
+
+  test("streaming INDEX maintenance: appendBatch stays exactly-once " +
+      "across the same crash replay and restart (VERDICT r19 item 4)") {
+    import graft.llm.{IndexStore, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.initCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooksFixed(
+      Similarity.residualCorpus(emb, "vec_id", "embedding", cents)
+        .filter(col("vec_id").between(8, 23)),
+      "vec_id", "embedding", m = 8, k = 16)
+    val idxDir = Files.createTempDirectory("idx-cr").toString
+    // base index: the codebook-training slice, indexed before any crawl
+    IndexStore.save(IndexStore.build("ivfpq_residual",
+      emb.filter(col("vec_id").between(8, 23)), "vec_id", "embedding",
+      cents, cb), idxDir)
+    val baseIdx = IndexStore.load(spark, idxDir)
+
+    val in = Files.createTempDirectory("idxin").toFile
+    val chk = Files.createTempDirectory("idxchk").toFile.getPath
+    // crawl docs carry their vec_id in the fragment; the batch handler
+    // fetches embeddings for the batch's ids and appends them as the
+    // batch's idempotent delta
+    def indexBatch(batch: DataFrame, batchId: Long): Unit = {
+      val ids = batch.filter(col("record_type") === "conversion")
+        .select(regexp_extract(col("target_uri"), "#v(\\d+)$", 1)
+          .cast("long").as("doc_id")).distinct()
+      val vecs = ids.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      IndexStore.appendBatch(baseIdx, idxDir, vecs, "embedding", batchId)
+    }
+    def start() = Warc.readStream(spark, in.getPath)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch((df: DataFrame, id: Long) => indexBatch(df, id))
+      .start()
+
+    land(in, "part-00000.wet.gz",
+      (0 to 3).map(i => rec(s"https://v.org/$i#v$i", goodText(i))))
+    val q1 = start(); q1.processAllAvailable()
+    land(in, "part-00001.wet.gz",
+      (4 to 7).map(i => rec(s"https://v.org/$i#v$i", goodText(i))))
+    q1.processAllAvailable(); q1.stop()
+
+    // crash: lose batch 1's commit marker -> restart MUST replay it;
+    // the batchId-keyed codes_inc overwrite keeps the index exact
+    val commit1 = new java.io.File(s"$chk/commits/1")
+    assert(commit1.exists() && commit1.delete())
+    new java.io.File(s"$chk/commits/.1.crc").delete()
+    land(in, "part-00002.wet.gz",
+      (24 to 27).map(i => rec(s"https://v.org/$i#v$i", goodText(i))))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: DataFrame) = df
+      .select(col("query_id"), col("vec_id"), col("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val streamed = rows(IndexStore.load(spark, idxDir)
+      .search(queries, "query_id", "embedding", k = 10, nprobe = 3))
+    val indexedIds = (0 to 7) ++ (8 to 23) ++ (24 to 27)
+    val oneShot = rows(IndexStore.build("ivfpq_residual",
+        emb.filter(col("vec_id").isin(indexedIds.map(_.toLong): _*)),
+        "vec_id", "embedding", cents, cb)
+      .search(queries, "query_id", "embedding", k = 10, nprobe = 3))
+    assert(streamed == oneShot,
+      "crash-replayed streaming appends diverged from a one-shot build")
+    assert(streamed.nonEmpty)
+    // and the index carries no duplicate ids anywhere
+    val codes = spark.read.parquet(s"$idxDir/codes")
+      .select("vec_id")
+      .unionByName(spark.read.parquet(s"$idxDir/codes_inc")
+        .select("vec_id"))
+    assert(codes.count() == codes.distinct().count(),
+      "replay duplicated code rows")
+  }
 }
