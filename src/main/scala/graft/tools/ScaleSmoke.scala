@@ -563,7 +563,8 @@ object ScaleSmoke {
     def contractionFixture(j: Long, l: Long, d: Long) = {
       val hub = -1L
       val ring = spark.range(j * (l + 1)).select(
-        (col("id") / (l + 1)).as("__j"), (col("id") % (l + 1)).as("__i"))
+        (col("id") / (l + 1)).cast("long").as("__j"),
+        (col("id") % (l + 1)).cast("long").as("__i"))
         .select(
           lit(1000L).as("edge_id"),
           when(col("__i") === 0, col("__j"))
@@ -574,7 +575,8 @@ object ScaleSmoke {
             .as("target"),
           lit(1.0).as("cost"))
       val trees = spark.range(j * d).select(
-        (col("id") / d).as("__j"), (col("id") % d).as("__i"))
+        (col("id") / d).cast("long").as("__j"),
+        (col("id") % d).cast("long").as("__i"))
         .select(lit(2000L).as("edge_id"),
           when(col("__i") === 0, col("__j"))
             .otherwise(lit(100000000L) + col("__j") * d + col("__i") - 1)
