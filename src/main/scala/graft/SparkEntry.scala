@@ -1178,6 +1178,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- Bloom-prefiltered decontamination: same fixture and SAME
+    //      oracle as q_t_decontam — the bloom is a scan-local
+    //      prefilter whose false positives die in the exact verify
+    //      join, so the result is bit-identical by construction; what
+    //      changes is the scale path (bench grams shipped as a
+    //      ~14-bit/gram filter instead of a broadcast string relation)
+    "q_t_decontam_bloom" -> ((s, dir) => {
+      val d = spreadDocs(s, dir)
+      val benchmark = d.filter(col("doc_id") % 97 === 0)
+      llm.Curation.decontaminateBloom(d, benchmark, "doc_id", col("text"),
+          n = 8)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+
     // ---- URL canonicalization (C4-style web hygiene): a maximally
     //      messy deterministic URL per doc (mixed case, www, default
     //      port, utm params, trailing slash, fragment) through the
@@ -5212,6 +5227,22 @@ object SparkEntry {
                       WHEN 'und' THEN 0.3 ELSE 0.5 END
          ORDER BY doc_id""",
     "q_t_decontam" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                       FROM documents),
+         grams AS (
+           SELECT doc_id, lang,
+                  array_to_string(t[i:i+7], ' ') AS g
+           FROM toks,
+                UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         dirty AS (SELECT DISTINCT doc_id FROM grams
+                   WHERE g IN (SELECT g FROM bench))
+         SELECT lang, count(*) AS kept
+         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+         GROUP BY lang ORDER BY lang""",
+    // bloom prefilter + exact verify == exact decontamination (FPs die
+    // in the verify join), so the oracle is q_t_decontam's verbatim
+    "q_t_decontam_bloom" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                        FROM documents),
          grams AS (

@@ -94,6 +94,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("nfc_normalize"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
         (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // Spark's own runtime-filter expressions, driven explicitly
+    // (Curation.decontaminateBloom): build hashes the value with the
+    // same fixed-seed XxHash64 the probe does, so the pair composes
+    // without the caller ever touching hash seeds.
+    ext.injectFunction(
+      (new FunctionIdentifier("bloom_filter_build"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate].getName, "bloom_filter_build"),
+        (children: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(
+              new org.apache.spark.sql.catalyst.expressions.XxHash64(
+                Seq(children.head)),
+              children(1), children(2))
+            .toAggregateExpression()))
+    ext.injectFunction(
+      (new FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain].getName, "bloom_might_contain"),
+        (children: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            children.head,
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(
+              Seq(children(1))))))
     ext.injectFunction(
       (new FunctionIdentifier("outer_upper"),
         new ExpressionInfo(classOf[OuterUpper].getName, "outer_upper"),

@@ -92,6 +92,68 @@ object Curation {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered decontamination — the [[decontaminate]] scale
+    * path for benchmark suites whose gram SET no longer broadcasts.
+    * [[decontaminate]]'s contract is "bench grams fit the broadcast
+    * threshold"; a big eval suite (many benchmarks x long prompts) can
+    * push the distinct-gram relation past it, and the measured failure
+    * mode is a sort-merge over the exploded corpus grams (LlmScaleSmoke:
+    * exponent 1.25 at 10x). A Bloom filter over the same grams costs
+    * ~14 bits/gram instead of the full string — it stays plan-shippable
+    * two orders of magnitude longer — and is applied SCAN-LOCALLY to the
+    * corpus gram stream, so the only rows that ever reach a join are
+    * bloom survivors: true contamination plus an fpp-sized trickle of
+    * false positives. The exact verify semi-join over that survivor set
+    * then removes the false positives, so the RESULT is bit-identical to
+    * [[decontaminate]] — bloom saturation can only cost time, never
+    * correctness. This is Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate`/`BloomFilterMightContain`, the codegen'd
+    * expressions behind spark.sql.optimizer.runtime.bloomFilter) driven
+    * explicitly, not a UDF.
+    *
+    * Sizing: the filter is built in one distributed aggregate over the
+    * RAW exploded bench grams (no distinct shuffle — Bloom insertion is
+    * idempotent, and the occurrence count is a safe upper bound for the
+    * distinct count), capped at [[BloomMaxItems]]/[[BloomMaxBits]] (the
+    * defaults of Spark's own runtime-filter caps). Past the cap the fpp
+    * degrades gracefully and the verify join absorbs the extra
+    * survivors. Driver state is the serialized filter (numBits/8 bytes
+    * — model-state-sized, never corpus-sized). */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, text: Column, n: Int = 8,
+      fpp: Double = 0.001): DataFrame = {
+    val benchGramsRaw = benchmark
+      .select(explode(Dedup.wordNgrams(text, n)).as("__g"))
+    val nGrams = math.max(benchGramsRaw.count(), 1L)
+    val items = math.min(nGrams, BloomMaxItems)
+    // optimal bits = -n ln p / ln^2 2 (Bloom 1970), under the cap
+    val bits = math.min(
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      BloomMaxBits)
+    val bloom = benchGramsRaw
+      .agg(call_function("bloom_filter_build", col("__g"),
+        lit(items), lit(bits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val candidates = docs
+      .select(col(idCol), explode(Dedup.wordNgrams(text, n)).as("__g"))
+      .where(call_function("bloom_might_contain", lit(bloom), col("__g")))
+    // exact verify over bloom survivors only: distinct bench grams are
+    // rebuilt here, but both join sides are now contamination-mass, not
+    // corpus-mass — shuffle_hash keeps the survivor stream unsorted
+    val benchGrams = benchGramsRaw.distinct()
+    val contaminated = candidates
+      .join(benchGrams.hint("shuffle_hash"), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Caps mirroring Spark's runtime-filter defaults
+    * (spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits):
+    * 4M items / 64Mbit = an 8 MB filter, the largest state worth
+    * shipping inside a plan. */
+  val BloomMaxItems: Long = 4000000L
+  val BloomMaxBits: Long = 67108864L
+
   /** Gopher-style named-rule quality filter — the form a production
     * curation pipeline actually runs: each heuristic is its OWN boolean
     * column so drop rates are auditable per rule (an aggregate score

@@ -142,6 +142,63 @@ class LlmSpec extends SparkTestBase {
     assert(all === 4L)
   }
 
+  test("bloom decontamination is exact: matches the join path on a " +
+      "larger corpus, survives a saturated (high-fpp) filter, and " +
+      "plans the bloom probe scan-local") {
+    import spark.implicits._
+    // 300 docs over a 30-word vocabulary so cross-doc 8-gram collisions
+    // actually occur (text is a pure function of doc_id mod 30);
+    // benchmark = every 91st doc, covering residues 0..3 only, so
+    // exactly 4 of the 30 text classes are contaminated
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi",
+      "pi", "rho", "sigma", "tau", "ups", "phi", "chi", "psi", "omega",
+      "one", "two", "three", "four", "five", "six")
+    val corpus = (0L until 300L).map { i =>
+      val words = (0 until 40).map(j => vocab(((i * 7 + j * j) % 30).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" % 91 === 0)
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", $"text",
+      n = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Curation.decontaminateBloom(corpus, bench, "doc_id",
+      $"text", n = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed === exact)
+    assert(exact.nonEmpty && exact.size < 300) // non-vacuous both ways
+    // saturated filter (fpp 0.5 -> ~2.9 bits/gram): false positives
+    // flood the candidate stream but die in the exact verify join —
+    // bloom degradation costs time, never correctness
+    val saturated = Curation.decontaminateBloom(corpus, bench, "doc_id",
+      $"text", n = 8, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(saturated === exact)
+    // plan audit: the might_contain probe must sit in the corpus scan
+    // stage with NO exchange beneath it — that is the whole point
+    // (corpus-mass gram rows never shuffle; only bloom survivors do).
+    // AQE off so the physical tree is walkable pre-execution.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Curation.decontaminateBloom(corpus, bench, "doc_id",
+        $"text", n = 8).queryExecution.executedPlan
+      val probes = exec.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.find(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions
+                .BloomFilterMightContain]).isDefined => f
+      }
+      assert(probes.nonEmpty, s"bloom probe filter missing:\n$exec")
+      probes.foreach { f =>
+        val shufflesBelow = f.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }
+        assert(shufflesBelow.isEmpty,
+          s"bloom probe must filter the gram stream scan-locally, found " +
+            s"exchange(s) beneath it:\n$f")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("cosine math: self-similarity 1, orthogonal 0") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
