@@ -142,6 +142,13 @@ object LlmScaleSmoke {
           Dedup.simhashNearDups(docs, "id", col("text")).count()),
         "decontam" -> (() =>
           Curation.decontaminate(docs, bench, "id", col("text")).count()),
+        // the bloom path must match decontam's exponent on the same
+        // fixture (both are one narrow corpus pass when the bench set
+        // broadcasts; the bloom's advantage only appears when it does
+        // NOT, which this fixed-benchmark fixture deliberately avoids)
+        "decontam_bloom" -> (() =>
+          Curation.decontaminateBloom(docs, bench, "id", col("text"))
+            .count()),
         // every-100th-doc near-dups share long word runs -> true
         // duplicated 8-gram passages proportional to n
         "dup_passages" -> (() =>
@@ -221,7 +228,8 @@ object LlmScaleSmoke {
 
     val lo = runAll(nLo)
     val hi = runAll(nHi)
-    val parts = Seq("minhash", "simhash", "decontam", "dup_passages",
+    val parts = Seq("minhash", "simhash", "decontam", "decontam_bloom",
+        "dup_passages",
         "lm_score", "paragraph_dedup", "substring_dedup", "cdc_dedup",
         "heavy_hitters").filter(wanted).map { op =>
       val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
