@@ -1193,6 +1193,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- Thresholded (fractional-overlap) decontamination: the
+    //      benchmark is a 20-word PREFIX EXCERPT of every 97th doc, so
+    //      each source doc shares exactly 13 of its distinct 8-grams
+    //      and the overlap FRACTION varies with doc length (measured
+    //      0.19..0.81 at sf0.01). maxOverlapFrac = 0.4 splits them —
+    //      short heavy-overlap docs drop, long light-overlap docs
+    //      survive — which is precisely the over-dropping the binary
+    //      any-gram rule can't avoid
+    "q_t_decontam_overlap" -> ((s, dir) => {
+      val d = spreadDocs(s, dir)
+      val benchmark = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
+      llm.Curation.decontaminateOverlap(d, benchmark, "doc_id", col("text"),
+          n = 8, maxOverlapFrac = 0.4)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+
     // ---- URL canonicalization (C4-style web hygiene): a maximally
     //      messy deterministic URL per doc (mixed case, www, default
     //      port, utm params, trailing slash, fragment) through the
@@ -5253,6 +5272,29 @@ object SparkEntry {
          bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
          dirty AS (SELECT DISTINCT doc_id FROM grams
                    WHERE g IN (SELECT g FROM bench))
+         SELECT lang, count(*) AS kept
+         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+         GROUP BY lang ORDER BY lang""",
+    // fractional rule replayed literally: distinct grams per doc,
+    // hits vs the excerpt-benchmark gram set, drop iff hits > tot*0.4
+    "q_t_decontam_overlap" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                       FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+           FROM toks,
+                UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)),
+         benchtoks AS (SELECT t[1:20] AS bt FROM toks WHERE doc_id % 97 = 0),
+         bench AS (
+           SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS g
+           FROM benchtoks,
+                UNNEST(range(1, greatest(len(bt) - 6, 2))) AS r(i)),
+         stats AS (
+           SELECT doc_id, count(*) AS tot,
+                  count(CASE WHEN g IN (SELECT g FROM bench)
+                             THEN 1 END) AS hits
+           FROM grams GROUP BY doc_id),
+         dirty AS (SELECT doc_id FROM stats WHERE hits > tot * 0.4)
          SELECT lang, count(*) AS kept
          FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
          GROUP BY lang ORDER BY lang""",

@@ -154,6 +154,45 @@ object Curation {
   val BloomMaxItems: Long = 4000000L
   val BloomMaxBits: Long = 67108864L
 
+  /** Fractional-overlap decontamination — the production thresholded
+    * form of [[decontaminate]]: a document is dropped only when MORE
+    * than `maxOverlapFrac` of its distinct word `n`-grams appear in the
+    * benchmark set (GPT-3's appendix-C contamination rule and PaLM's
+    * "70% of 8-grams seen" are this shape; the binary [[decontaminate]]
+    * is the `maxOverlapFrac = 0` special case). The distinction matters
+    * on real web corpora: a long document quoting one benchmark
+    * sentence is NOT memorization bait, and the any-gram rule measurably
+    * over-drops (it removes every page embedding a popular benchmark's
+    * boilerplate header).
+    *
+    * Scale shape: corpus grams are keyed by their md5 (fixed-width
+    * rows, never the gram string) and deduplicated per document in ONE
+    * keyed shuffle; the benchmark gram set joins in broadcast-sized as
+    * a hit marker (same contract as [[decontaminate]]); matched/total
+    * fall out of a single per-document hash aggregate. Documents
+    * shorter than `n` tokens produce no grams, land in no stats row,
+    * and are correctly KEPT (nothing to overlap) because the final step
+    * is an anti-join against the over-threshold ids. */
+  def decontaminateOverlap(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, text: Column, n: Int = 8,
+      maxOverlapFrac: Double = 0.1): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.wordNgrams(text, n)).as("__g"))
+      .select(md5(col("__g")).as("__gh")).distinct()
+      .withColumn("__hit", lit(1))
+    val grams = docs
+      .select(col(idCol), explode(Dedup.wordNgrams(text, n)).as("__g"))
+      .select(col(idCol), md5(col("__g")).as("__gh"))
+      .distinct()
+    val dirty = grams
+      .join(benchGrams, Seq("__gh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__tot"), count(col("__hit")).as("__match"))
+      .filter(col("__match") > col("__tot") * maxOverlapFrac)
+      .select(idCol)
+    docs.join(dirty, Seq(idCol), "left_anti")
+  }
+
   /** Gopher-style named-rule quality filter — the form a production
     * curation pipeline actually runs: each heuristic is its OWN boolean
     * column so drop rates are auditable per rule (an aggregate score

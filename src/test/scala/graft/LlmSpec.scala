@@ -142,6 +142,38 @@ class LlmSpec extends SparkTestBase {
     assert(all === 4L)
   }
 
+  test("thresholded decontamination drops by overlap fraction, keeps " +
+      "short-gram-free docs, and degenerates to the binary rule at 0") {
+    import spark.implicits._
+    // vocabulary words so 3-grams are controlled exactly; benchmark is
+    // "b1 b2 b3 b4 b5" (three 3-grams)
+    val corpus = Seq(
+      // doc 1: 10 tokens, shares all 3 bench grams in its first 5
+      // tokens -> 3 hits / 8 distinct grams = 0.375
+      (1L, "b1 b2 b3 b4 b5 x1 x2 x3 x4 x5"),
+      // doc 2: 5 tokens = the benchmark verbatim -> 3/3 = 1.0
+      (2L, "b1 b2 b3 b4 b5"),
+      // doc 3: zero overlap
+      (3L, "y1 y2 y3 y4 y5 y6"),
+      // doc 4: shorter than n -> no grams, must always be kept
+      (4L, "z1 z2")).toDF("doc_id", "text")
+    val bench = Seq((100L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    def keptAt(frac: Double): Set[Long] =
+      Curation.decontaminateOverlap(corpus, bench, "doc_id", $"text",
+        n = 3, maxOverlapFrac = frac)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0.5: doc 1 (0.375) survives, doc 2 (1.0) drops
+    assert(keptAt(0.5) === Set(1L, 3L, 4L))
+    // 0.2: doc 1 drops too
+    assert(keptAt(0.2) === Set(3L, 4L))
+    // 0: any overlap drops — binary-rule equivalence on gram-bearing
+    // docs (doc 4 has no grams and is kept by both)
+    val binary = Curation.decontaminate(corpus, bench, "doc_id", $"text",
+      n = 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAt(0.0) === binary)
+    assert(binary === Set(3L, 4L))
+  }
+
   test("bloom decontamination is exact: matches the join path on a " +
       "larger corpus, survives a saturated (high-fpp) filter, and " +
       "plans the bloom probe scan-local") {
