@@ -149,6 +149,11 @@ object LlmScaleSmoke {
         "decontam_bloom" -> (() =>
           Curation.decontaminateBloom(docs, bench, "id", col("text"))
             .count()),
+        // the fractional rule adds the per-doc distinct-gram shuffle
+        // (fixed-width md5 keys) — the cost the exponent must clear
+        "decontam_overlap" -> (() =>
+          Curation.decontaminateOverlap(docs, bench, "id", col("text"),
+            maxOverlapFrac = 0.2).count()),
         // every-100th-doc near-dups share long word runs -> true
         // duplicated 8-gram passages proportional to n
         "dup_passages" -> (() =>
@@ -229,7 +234,7 @@ object LlmScaleSmoke {
     val lo = runAll(nLo)
     val hi = runAll(nHi)
     val parts = Seq("minhash", "simhash", "decontam", "decontam_bloom",
-        "dup_passages",
+        "decontam_overlap", "dup_passages",
         "lm_score", "paragraph_dedup", "substring_dedup", "cdc_dedup",
         "heavy_hitters").filter(wanted).map { op =>
       val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
