@@ -1324,6 +1324,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-slice packing manifest: the (seq, doc, doc_off, seq_off,
+    //      len) rows a sample writer consumes; slice algebra is
+    //      scan-local on top of q_t_packing's block-decomposed offsets
+    //      (zero added shuffles), and the oracle re-derives every slice
+    //      from the textbook global window
+    "q_t_pack_slices" -> ((s, dir) => {
+      val d = spreadDocs(s, dir)
+      llm.Curation.packSlices(d, "doc_id",
+          llm.TextAnalysis.tokenCount(col("text")), seqLen = 512,
+          blockSize = 64L)
+        .orderBy("seq_id", "seq_off")
+    }),
+
     // ---- distributed PCA over the embedding corpus: ONE moment pass
     //      (count + vector_sum(outer_upper(x)) — native codegen'd
     //      per-row moments, O(d²) agg state, map-side partials), cyclic
@@ -5418,6 +5431,26 @@ object SparkEntry {
                 start_tok // 512 AS seq_first,
                 (start_tok + greatest(n, 1) - 1) // 512 AS seq_last
          FROM o ORDER BY doc_id""",
+
+    "q_t_pack_slices" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents),
+         o AS (SELECT doc_id, n,
+                 COALESCE(CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS start_tok
+               FROM t),
+         s AS (SELECT doc_id, n, start_tok,
+                 unnest(generate_series(start_tok // 512,
+                                        (start_tok + n - 1) // 512)) AS seq_id
+               FROM o WHERE n > 0)
+         SELECT seq_id, doc_id,
+                greatest(start_tok, seq_id * 512) - start_tok AS doc_off,
+                greatest(start_tok, seq_id * 512) - seq_id * 512 AS seq_off,
+                least(start_tok + n, (seq_id + 1) * 512)
+                  - greatest(start_tok, seq_id * 512) AS len
+         FROM s ORDER BY seq_id, seq_off""",
     // literal-truth gate (Lloyd-IVF policy): every invariant of a
     // correct eigendecomposition + projection must hold
     "q_s_pca" ->

@@ -393,4 +393,41 @@ object Curation {
         floor((col("start_tok") + greatest(col("__n"), lit(1L)) - 1) / seqLen)
           .cast("long").as("seq_last"))
   }
+
+  /** Per-slice packing manifest — the rows a training-sample writer
+    * actually consumes: for every (sequence, document) overlap under
+    * [[packSequences]]'s concat-and-chunk layout, which `len` tokens of
+    * the document (starting at `doc_off`) fill the sequence starting at
+    * `seq_off`. A document straddling k boundaries emits k+1 slices;
+    * writers `GROUP BY seq_id` and copy token ranges — no global state,
+    * no second pass over offsets.
+    *
+    * Invariants (spec-pinned): per document the slice lengths sum to
+    * its token count with contiguous `doc_off`s from 0; per sequence
+    * the lengths sum to exactly `seqLen` (except the final partial
+    * sequence) with contiguous `seq_off`s — padding-free by
+    * construction. Zero-token documents emit no slices (nothing to
+    * copy); they still occupy no offset space, so their presence
+    * cannot shift any other document's slices.
+    *
+    * Scale shape: [[packSequences]]'s block-decomposed running sum plus
+    * one scan-local `explode(sequence(seq_first, seq_last))` — slice
+    * arithmetic is per-row column algebra, so the whole manifest adds
+    * ZERO shuffles beyond the offset computation. */
+  def packSlices(df: DataFrame, idCol: String, tokCount: Column,
+      seqLen: Int, blockSize: Long = 1024L): DataFrame = {
+    val offs = packSequences(df, idCol, tokCount, seqLen, blockSize)
+      .filter(col("n_tokens") > 0)
+    val l = lit(seqLen.toLong)
+    val gStart = greatest(col("start_tok"), col("seq_id") * l)
+    val gEnd = least(col("start_tok") + col("n_tokens"),
+      (col("seq_id") + 1) * l)
+    offs
+      .withColumn("seq_id",
+        explode(sequence(col("seq_first"), col("seq_last"))))
+      .select(col("seq_id"), col(idCol),
+        (gStart - col("start_tok")).as("doc_off"),
+        (gStart - col("seq_id") * l).as("seq_off"),
+        (gEnd - gStart).as("len"))
+  }
 }

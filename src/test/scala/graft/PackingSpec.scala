@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+
+/** GPT-style sequence packing: the block-decomposed running sum must
+  * equal the textbook global window for any block size, and the
+  * per-slice manifest must tile documents and sequences exactly —
+  * the invariants a training-sample writer relies on. */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // token counts chosen so docs start/end exactly ON boundaries (5+3),
+  // straddle one boundary (9 across 8|16), straddle TWO boundaries
+  // (21 across 24|32|40), and a zero-token doc sits mid-stream
+  private val docs = Seq(
+    (10L, 5L), (11L, 3L), (12L, 9L), (13L, 0L), (14L, 4L), (15L, 21L))
+    .toDF("doc_id", "n")
+
+  private def slices(blockSize: Long) =
+    Curation.packSlices(docs, "doc_id", col("n"), seqLen = 8,
+        blockSize = blockSize)
+      .orderBy("seq_id", "seq_off")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("closed-form manifest: boundary-exact, straddling, zero-token") {
+    // offsets: 10->[0,5) 11->[5,8) 12->[8,17) 13->[17,17) 14->[17,21)
+    //          15->[21,42); seqLen 8
+    val expected = Seq(
+      (0L, 10L, 0L, 0L, 5L),
+      (0L, 11L, 0L, 5L, 3L),
+      (1L, 12L, 0L, 0L, 8L),
+      (2L, 12L, 8L, 0L, 1L),
+      (2L, 14L, 0L, 1L, 4L),
+      (2L, 15L, 0L, 5L, 3L),
+      (3L, 15L, 3L, 0L, 8L),
+      (4L, 15L, 11L, 0L, 8L),
+      (5L, 15L, 19L, 0L, 2L))
+    assert(slices(64L) == expected)
+  }
+
+  test("zero-token documents emit no slices and shift nothing") {
+    assert(!slices(64L).exists(_._2 == 13L))
+  }
+
+  test("block decomposition is invisible: any blockSize, same rows") {
+    val reference = slices(1024L)
+    for (b <- Seq(1L, 2L, 3L, 64L))
+      assert(slices(b) == reference, s"blockSize=$b diverged")
+  }
+
+  test("tiling invariants: docs and sequences sum exactly") {
+    val rows = slices(64L)
+    // per document: lens sum to n, doc_offs contiguous from 0
+    for ((id, n) <- Seq(10L -> 5L, 11L -> 3L, 12L -> 9L, 14L -> 4L,
+        15L -> 21L)) {
+      val d = rows.filter(_._2 == id).sortBy(_._3)
+      assert(d.map(_._5).sum == n, s"doc $id len sum")
+      assert(d.map(_._3) ==
+        d.map(_._5).scanLeft(0L)(_ + _).init, s"doc $id offsets")
+    }
+    // per sequence: lens sum to seqLen (last partial excepted),
+    // seq_offs contiguous from 0 — padding-free
+    val bySeq = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val last = bySeq.map(_._1).max
+    for ((sid, ss) <- bySeq) {
+      val sorted = ss.sortBy(_._4)
+      if (sid != last) assert(sorted.map(_._5).sum == 8L, s"seq $sid fill")
+      assert(sorted.map(_._4) ==
+        sorted.map(_._5).scanLeft(0L)(_ + _).init, s"seq $sid offsets")
+    }
+  }
+
+  test("no single-partition exchange over the corpus side") {
+    // the only allowed SinglePartition stage is the block-prefix frame
+    // (corpus/blockSize rows); the corpus path must stay partitioned —
+    // count the single-partition exchanges and require exactly the one
+    val plan = Curation.packSlices(docs, "doc_id", col("n"), 8, 2L)
+      .queryExecution.executedPlan.toString
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"expected <=1 SinglePartition exchange:\n$plan")
+    assert(plan.contains("hashpartitioning"),
+      s"corpus window should run under a hash partitioning:\n$plan")
+  }
+}
