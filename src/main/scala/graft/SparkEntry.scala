@@ -1337,6 +1337,19 @@ object SparkEntry {
         .orderBy("seq_id", "seq_off")
     }),
 
+    // ---- no-split bin packing (fine-tuning shape): whole documents
+    //      into capacity-512 bins, next-fit in id order inside
+    //      deterministic 64-doc blocks — one keyed shuffle + a
+    //      codegen'd aggregate fold per block; the oracle replays the
+    //      identical walk as a rank-stepped recursive CTE
+    "q_t_pack_bins" -> ((s, dir) => {
+      val d = spreadDocs(s, dir)
+      llm.Curation.packBinsNextFit(d, "doc_id",
+          llm.TextAnalysis.tokenCount(col("text")), seqLen = 512,
+          blockSize = 64L)
+        .orderBy("doc_id")
+    }),
+
     // ---- distributed PCA over the embedding corpus: ONE moment pass
     //      (count + vector_sum(outer_upper(x)) — native codegen'd
     //      per-row moments, O(d²) agg state, map-side partials), cyclic
@@ -5451,6 +5464,29 @@ object SparkEntry {
                 least(start_tok + n, (seq_id + 1) * 512)
                   - greatest(start_tok, seq_id * 512) AS len
          FROM s ORDER BY seq_id, seq_off""",
+
+    // next-fit replayed literally: rank r joins rank r-1's open-bin
+    // state, every block advancing in the same recursion step
+    "q_t_pack_bins" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                  doc_id // 64 AS b,
+                  row_number() OVER (PARTITION BY doc_id // 64
+                                     ORDER BY doc_id) AS r
+           FROM documents),
+         walk AS (
+           SELECT b, r, doc_id, n, n AS fill, CAST(0 AS BIGINT) AS bin
+           FROM t WHERE r = 1
+           UNION ALL
+           SELECT t.b, t.r, t.doc_id, t.n,
+                  CASE WHEN w.fill > 0 AND w.fill + t.n > 512
+                       THEN t.n ELSE w.fill + t.n END,
+                  CASE WHEN w.fill > 0 AND w.fill + t.n > 512
+                       THEN w.bin + 1 ELSE w.bin END
+           FROM walk w JOIN t ON t.b = w.b AND t.r = w.r + 1)
+         SELECT doc_id, b * 64 + bin AS bin_id, n AS n_tokens
+         FROM walk ORDER BY doc_id""",
     // literal-truth gate (Lloyd-IVF policy): every invariant of a
     // correct eigendecomposition + projection must hold
     "q_s_pca" ->

@@ -430,4 +430,59 @@ object Curation {
         (gStart - col("seq_id") * l).as("seq_off"),
         (gEnd - gStart).as("len"))
   }
+
+  /** No-split bin packing — the fine-tuning counterpart of
+    * [[packSequences]]: documents must NOT straddle sequence
+    * boundaries (a split example is cross-contaminated), so each
+    * document lands whole in a bin of capacity `seqLen` and the
+    * remainder is padding. Next-fit in `idCol` order: keep one open
+    * bin, start a new one when the next document doesn't fit. A
+    * document longer than `seqLen` ends up alone in its bin with no
+    * special casing (it closes the open bin on entry and the next
+    * document cannot fit behind it) — flagged by `n_tokens > seqLen`
+    * for the caller's truncate-or-reject policy.
+    *
+    * Scale shape: next-fit is inherently sequential, so the walk runs
+    * inside deterministic id blocks (`floor(id / blockSize)`, bins
+    * never cross blocks — each block starts fresh, wasting at most one
+    * bin per block) and every block packs independently: ONE keyed
+    * shuffle on the block key, then a codegen'd `aggregate` fold over
+    * the block's id-sorted (id, tokens) array — per-task state is
+    * blockSize-bounded, nothing global, any partitioning. Bin ids
+    * `block * blockSize + local` are unique and deterministic because
+    * a block of k documents opens at most k bins. */
+  def packBinsNextFit(df: DataFrame, idCol: String, tokCount: Column,
+      seqLen: Int, blockSize: Long = 1024L): DataFrame = {
+    val l = lit(seqLen.toLong)
+    val blocks = df
+      .select(col(idCol).cast("long").as("__id"),
+        tokCount.cast("long").as("__n"))
+      .groupBy(floor(col("__id") / blockSize).as("__b"))
+      .agg(array_sort(collect_list(struct(col("__id"), col("__n"))))
+        .as("__items"))
+    // fold: fill = open-bin occupancy, bin = open-bin local id, bins =
+    // the per-item assignment (index-aligned with the sorted items)
+    val walked = blocks.withColumn("__walk", aggregate(
+      col("__items"),
+      struct(lit(0L).as("fill"), lit(0L).as("bin"),
+        array().cast("array<bigint>").as("bins")),
+      (acc, x) => {
+        val n = x.getField("__n")
+        val fill = acc.getField("fill")
+        val bin = acc.getField("bin")
+        val opens = fill > 0 && (fill + n) > l
+        val assigned = when(opens, bin + 1).otherwise(bin)
+        struct(
+          when(opens, n).otherwise(fill + n).as("fill"),
+          assigned.as("bin"),
+          concat(acc.getField("bins"), array(assigned)).as("bins"))
+      }))
+    walked
+      .select(col("__b"), col("__walk").getField("bins").as("__bins"),
+        posexplode(col("__items")))
+      .select(col("col").getField("__id").as(idCol),
+        (col("__b") * blockSize +
+          element_at(col("__bins"), col("pos") + 1)).as("bin_id"),
+        col("col").getField("__n").as("n_tokens"))
+  }
 }

@@ -72,6 +72,45 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("next-fit: closed-form walk, oversize isolation, block reset") {
+    // block 0 (ids 0-3): 5 fits, +3 fits (8), 505 doesn't (513) and
+    // opens bin 1, 600 doesn't fit behind it and sits oversize-alone
+    // in bin 2; block 1 (ids 64-65): fresh walk, 7 then 2 share bin 64
+    val d = Seq((0L, 5L), (1L, 3L), (2L, 505L), (3L, 600L),
+        (64L, 7L), (65L, 2L))
+      .toDF("doc_id", "n")
+    val got = Curation.packBinsNextFit(d, "doc_id", col("n"), seqLen = 512,
+        blockSize = 64L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 5L), (1L, 0L, 3L), (2L, 1L, 505L),
+      (3L, 2L, 600L), (64L, 64L, 7L), (65L, 64L, 2L)))
+  }
+
+  test("next-fit invariants on random lengths: capacity, coverage") {
+    val rows = (0L until 200L).map(i => (i, (i * 2654435761L) % 700))
+    val d = rows.toDF("doc_id", "n")
+    val got = Curation.packBinsNextFit(d, "doc_id", col("n"), seqLen = 512,
+        blockSize = 32L).as[(Long, Long, Long)].collect().toSeq
+    // every document exactly once, length preserved
+    assert(got.map(r => r._1 -> r._3).sorted == rows.sorted)
+    // no bin over capacity unless it is a lone oversize document
+    for ((bin, bs) <- got.groupBy(_._2))
+      assert(bs.map(_._3).sum <= 512L || (bs.size == 1 && bs.head._3 > 512L),
+        s"bin $bin overfilled: $bs")
+    // bins never cross blocks: bin_id = block*blockSize + local
+    for (r <- got) assert(r._2 / 32L == r._1 / 32L, s"bin crossed block: $r")
+  }
+
+  test("next-fit is partitioning-invariant") {
+    val rows = (0L until 150L).map(i => (i, (i * 48271L) % 600))
+    val base = rows.toDF("doc_id", "n")
+    val a = Curation.packBinsNextFit(base.repartition(7), "doc_id",
+      col("n"), 512, 32L).orderBy("doc_id").collect().toSeq
+    val b = Curation.packBinsNextFit(base.coalesce(1), "doc_id",
+      col("n"), 512, 32L).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("no single-partition exchange over the corpus side") {
     // the only allowed SinglePartition stage is the block-prefix frame
     // (corpus/blockSize rows); the corpus path must stay partitioned —
