@@ -485,4 +485,115 @@ object Curation {
           element_at(col("__bins"), col("pos") + 1)).as("bin_id"),
         col("col").getField("__n").as("n_tokens"))
   }
+
+  /** Count-space best-fit-decreasing over a length histogram — the
+    * driver half of [[packBinsHistogram]]. Lengths descending; each
+    * placement targets the open-pack GROUP with the smallest remaining
+    * capacity that still fits (ties to the earliest-created group), and
+    * whole groups of identical packs move at once, so the loop runs on
+    * the histogram (<= seqLen rows + distinct oversize lengths), never
+    * on documents. Oversize lengths need no special casing: their
+    * first placement opens a group with negative remaining, which is
+    * never a candidate again — they sit alone by construction.
+    *
+    * Returns pack archetypes in creation order: (packCount, remaining,
+    * composition length->copiesPerPack). Classic BFD guarantees apply
+    * (Johnson 1973: within 11/9 of optimal + O(1)); Graphcore's
+    * SPFHP/NNLSHP (Kosec et al. 2021) are the same histogram-solve
+    * shape this generalizes from. */
+  def bfdHistogram(hist: Seq[(Long, Long)],
+      seqLen: Long): Seq[(Long, Long, Map[Long, Long])] = {
+    final case class G(var remaining: Long, var count: Long,
+      comp: Map[Long, Long])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[G]
+    for ((l, total) <- hist.filter(_._2 > 0).sortBy { case (l, _) => -l }) {
+      require(l >= 1, s"bfdHistogram: non-positive length $l")
+      var n = total
+      while (n > 0) {
+        val cand = groups.zipWithIndex
+          .filter { case (g, _) => g.count > 0 && g.remaining >= l }
+        if (cand.isEmpty) {
+          groups += G(seqLen - l, n, Map(l -> 1L)); n = 0
+        } else {
+          val (g, _) = cand.minBy { case (g, i) => (g.remaining, i) }
+          val m = math.min(n, g.count)
+          g.count -= m
+          groups += G(g.remaining - l, m,
+            g.comp.updated(l, g.comp.getOrElse(l, 0L) + 1L))
+          n -= m
+        }
+      }
+    }
+    groups.filter(_.count > 0)
+      .map(g => (g.count, g.remaining, g.comp)).toSeq
+  }
+
+  /** Global 0-based rank within `keyCol` by `idCol` order, without a
+    * per-key global window: rank inside (key, id-block) plus a prefix
+    * of per-(key, block) counts — the aggregate-side window partitions
+    * by key over block COUNTS (corpus/blockSize rows total), so a hot
+    * key never drags its documents into one partition, only its
+    * per-block counters. */
+  private def rankWithin(df: DataFrame, keyCol: String, idCol: String,
+      blockSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__b",
+      floor(col(idCol).cast("long") / blockSize))
+    val wk = Window.partitionBy(keyCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = base.groupBy(keyCol, "__b").count()
+      .withColumn("__koff", coalesce(sum("count").over(wk), lit(0L)))
+      .drop("count")
+    val wi = Window.partitionBy(keyCol, "__b").orderBy(idCol)
+    base.join(prefixed, Seq(keyCol, "__b"))
+      .withColumn("__rank",
+        col("__koff") + row_number().over(wi).cast("long") - 1L)
+      .drop("__b", "__koff")
+  }
+
+  /** Histogram-driven no-split packing — the quality upgrade over
+    * [[packBinsNextFit]]: solve bin packing ONCE on the length
+    * histogram (driver-sized: <= seqLen distinct lengths), then place
+    * every document by pure arithmetic. The 100 TB shape of Graphcore's
+    * sequence-packing recipe: corpus work is one histogram aggregate,
+    * one decomposed rank-within-length, and one broadcast join against
+    * the strategy table (one row per (pack archetype, length) — model
+    * state, not corpus state); documents of length l are dealt to a
+    * group's identical packs round-robin, so each pack receives exactly
+    * its composition's copies. Zero-token documents pack nothing and
+    * emit no row ([[packSlices]]'s contract). Unlike the blockwise
+    * next-fit, the solve sees the whole corpus's histogram, so there is
+    * no per-block waste. */
+  def packBinsHistogram(df: DataFrame, idCol: String, tokCount: Column,
+      seqLen: Int, blockSize: Long = 1024L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol), tokCount.cast("long").as("__n"))
+      .filter(col("__n") >= 1L)
+    val hist = base.groupBy("__n").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val groups = bfdHistogram(hist, seqLen.toLong)
+    // strategy table: for each (group, length), which global ranks of
+    // that length it consumes and where its bins start
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val cursor = scala.collection.mutable.Map.empty[Long, Long]
+    var off = 0L
+    for ((count, _, comp) <- groups) {
+      for ((l, copies) <- comp.toSeq.sortBy(_._1)) {
+        val p = cursor.getOrElse(l, 0L)
+        rows += ((l, p, p + copies * count, off, count))
+        cursor(l) = p + copies * count
+      }
+      off += count
+    }
+    val asg = rows.toSeq.toDF("__n", "__lo", "__hi", "__boff", "__cnt")
+    val ranked = rankWithin(base, "__n", idCol, blockSize)
+    ranked.join(broadcast(asg), Seq("__n"))
+      .filter(col("__rank") >= col("__lo") && col("__rank") < col("__hi"))
+      .select(col(idCol),
+        (col("__boff") + pmod(col("__rank") - col("__lo"), col("__cnt")))
+          .as("bin_id"),
+        col("__n").as("n_tokens"))
+  }
 }

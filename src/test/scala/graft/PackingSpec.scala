@@ -111,6 +111,52 @@ class PackingSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("bfdHistogram: closed-form groups, oversize self-isolating") {
+    val groups = Curation.bfdHistogram(
+      Seq(600L -> 1L, 512L -> 1L, 256L -> 2L, 200L -> 1L), 512L)
+    assert(groups == Seq(
+      (1L, -88L, Map(600L -> 1L)),
+      (1L, 0L, Map(512L -> 1L)),
+      (1L, 256L, Map(256L -> 1L)),
+      (1L, 56L, Map(256L -> 1L, 200L -> 1L))))
+  }
+
+  test("histogram packing: closed-form assignment via strategy table") {
+    val d = Seq((0L, 512L), (1L, 256L), (2L, 256L), (3L, 200L),
+        (4L, 600L), (5L, 0L))
+      .toDF("doc_id", "n")
+    val got = Curation.packBinsHistogram(d, "doc_id", col("n"), 512, 64L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // groups in creation order: [600] [512] [256] [256,200] ->
+    // bins 0..3; the zero-token doc packs nothing
+    assert(got == Seq((0L, 1L, 512L), (1L, 2L, 256L), (2L, 3L, 256L),
+      (3L, 3L, 200L), (4L, 0L, 600L)))
+  }
+
+  test("histogram packing invariants and next-fit dominance") {
+    val rows = (0L until 300L).map(i => (i, (i * 2654435761L) % 700))
+    val d = rows.toDF("doc_id", "n")
+    val got = Curation.packBinsHistogram(d, "doc_id", col("n"), 512, 32L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pos = rows.filter(_._2 >= 1)
+    // coverage: every positive-length doc exactly once, length kept
+    assert(got.map(r => r._1 -> r._3).sorted == pos.sorted)
+    // capacity + oversize isolation
+    for ((bin, bs) <- got.groupBy(_._2))
+      assert(bs.map(_._3).sum <= 512L || (bs.size == 1 && bs.head._3 > 512L),
+        s"bin $bin overfilled: $bs")
+    // global-histogram solve beats blockwise next-fit on bins used
+    val nfBins = Curation.packBinsNextFit(d.filter(col("n") >= 1),
+        "doc_id", col("n"), 512, 32L)
+      .select("bin_id").distinct().count()
+    assert(got.map(_._2).distinct.size <= nfBins)
+    // deterministic under partitioning
+    val again = Curation.packBinsHistogram(d.repartition(11), "doc_id",
+        col("n"), 512, 32L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.sorted == again.sorted)
+  }
+
   test("no single-partition exchange over the corpus side") {
     // the only allowed SinglePartition stage is the block-prefix frame
     // (corpus/blockSize rows); the corpus path must stay partitioned —
