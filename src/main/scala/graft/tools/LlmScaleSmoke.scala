@@ -190,6 +190,24 @@ object LlmScaleSmoke {
             .agg(count(lit(1)), sum(col("kept_chunks"))).head()
           r.getLong(0)
         }),
+        // 50-token docs -> slice rows grow linearly; the probe watches
+        // the block-decomposed prefix sum (window only inside 1024-doc
+        // blocks + a blocks-sized prefix frame) hold up as blocks grow
+        "pack_slices" -> (() =>
+          Curation.packSlices(docs, "id",
+            TextAnalysis.tokenCount(col("text")), seqLen = 512).count()),
+        // one keyed shuffle + a codegen'd per-block fold; bins-per-
+        // block bounded, expect ~1.0 from the linearly-growing output
+        "pack_bins" -> (() =>
+          Curation.packBinsNextFit(docs, "id",
+            TextAnalysis.tokenCount(col("text")), seqLen = 512).count()),
+        // every doc is length 50 -> ONE histogram row and ONE hot
+        // rank-within-length key: the adversarial regime for the
+        // decomposed rank (per-(length, block) counters, never the
+        // documents themselves, cross the hot key's partition)
+        "pack_bfd" -> (() =>
+          Curation.packBinsHistogram(docs, "id",
+            TextAnalysis.tokenCount(col("text")), seqLen = 512).count()),
         // two corpus scans + an O(k) broadcast + <= k-key agg: the
         // hex-word vocabulary (up to 16.7M distinct) dwarfs k=2000 so
         // MG decrements constantly — the adversarial regime for the
@@ -234,7 +252,8 @@ object LlmScaleSmoke {
     val lo = runAll(nLo)
     val hi = runAll(nHi)
     val parts = Seq("minhash", "simhash", "decontam", "decontam_bloom",
-        "decontam_overlap", "dup_passages",
+        "decontam_overlap", "pack_slices", "pack_bins", "pack_bfd",
+        "dup_passages",
         "lm_score", "paragraph_dedup", "substring_dedup", "cdc_dedup",
         "heavy_hitters").filter(wanted).map { op =>
       val (tLo, rLo) = lo(op); val (tHi, rHi) = hi(op)
