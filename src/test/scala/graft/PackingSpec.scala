@@ -157,6 +157,17 @@ class PackingSpec extends SparkTestBase {
     assert(got.sorted == again.sorted)
   }
 
+  test("histogram packing plan: broadcast strategy join, no global window") {
+    val d = (0L until 200L).map(i => (i, 40L + i % 30))
+      .toDF("doc_id", "n")
+    val plan = Curation.packBinsHistogram(d, "doc_id", col("n"), 512, 32L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"strategy table should broadcast:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"both windows partition by key — nothing may go global:\n$plan")
+  }
+
   test("no single-partition exchange over the corpus side") {
     // the only allowed SinglePartition stage is the block-prefix frame
     // (corpus/blockSize rows); the corpus path must stay partitioned —
