@@ -1121,8 +1121,12 @@ object SparkEntry {
     //      in doubles, round(5) absorbing exp() ulps.
     "q_t_quality_model" -> ((s, dir) => {
       val d = spreadDocs(s, dir)
+      // checkpoint the featurization: it feeds the fit AND two branches
+      // of the scoring plan (features + the intercept's distinct-ids) —
+      // uncheckpointed, the explode+md5+agg pass ran 3x per query
       val feats = llm.Regression.hashedNgramFeatures(
         d, "doc_id", col("text"), dim = 1024, binary = true)
+        .localCheckpoint(true)
       val labels = d.select(col("doc_id"),
         array_contains(llm.TextAnalysis.tokens(col("text")), "spark")
           .cast("int").as("y"))
@@ -1144,11 +1148,10 @@ object SparkEntry {
     //      one hash-agg, two semi/anti joins, no window, no collect.
     "q_t_pipeline" -> ((s, dir) => {
       val d = spreadDocs(s, dir)
-      val passing = d.join(
-        llm.Curation.gopherFilter(d, "doc_id", col("text"),
-            minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6)
-          .filter(col("pass")).select("doc_id"),
-        Seq("doc_id"))
+      // scan-local gopher gate (same survivors as the audit-table
+      // join-back — doc_id is unique — minus one scan of d and a join)
+      val passing = d.filter(llm.Curation.gopherPass(col("text"),
+        minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6))
       val lang = passing.withColumn("pred_lang",
         llm.TextAnalysis.languageId(col("text")))
       val keepers = llm.Dedup.exactDedup(lang, "doc_id", md5(col("text")))
@@ -2178,7 +2181,11 @@ object SparkEntry {
       val viaTombstones = serve(deleted).localCheckpoint(true)
       require(viaTombstones.filter(col("vec_id") % 7 === 3).isEmpty,
         "tombstoned ids leaked into search results")
+      // checkpoint: both exceptAll directions read this side — without
+      // it the whole compacted-serve chain re-executes for the second
+      // require arm (guide §1.2: don't compute things twice)
       val viaCompact = serve(llm.IndexStore.compact(deleted, idxDir))
+        .localCheckpoint(true)
       require(viaTombstones.exceptAll(viaCompact).isEmpty &&
           viaCompact.exceptAll(viaTombstones).isEmpty,
         "tombstone serve != physically compacted serve")
@@ -2506,10 +2513,11 @@ object SparkEntry {
               .cast("long").as("doc_id"),
             col("payload").cast("string").as("text"))
           .filter(llm.TextAnalysis.languageId(col("text")) === "en")
-        val pass = llm.Curation.gopherFilter(decoded, "doc_id", col("text"),
-            minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6)
-          .filter(col("pass")).select("doc_id")
-        val kept = decoded.join(pass, "doc_id")
+        // gate with the scan-local pass column, not the audit-table
+        // join-back: the upstream is a gzip WARC decode, and the join's
+        // second branch re-decoded every record (guide §2.4)
+        val kept = decoded.filter(llm.Curation.gopherPass(col("text"),
+          minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6))
         val inBatch = llm.Curation.dedupByUrl(kept, col("target_uri"),
           Seq(col("doc_id")))
         // enumerate landed batches through the FS abstraction, not
@@ -2616,10 +2624,10 @@ object SparkEntry {
               .cast("long").as("doc_id"),
             col("payload").cast("string").as("text"))
           .filter(llm.TextAnalysis.languageId(col("text")) === "en")
-        val pass = llm.Curation.gopherFilter(decoded, "doc_id", col("text"),
-            minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6)
-          .filter(col("pass")).select("doc_id")
-        val kept = decoded.join(pass, "doc_id")
+        // scan-local gopher gate — same one-pass rationale as
+        // q_cc_curation_stream's curateBatch
+        val kept = decoded.filter(llm.Curation.gopherPass(col("text"),
+          minTokens = 30, maxTokens = 10000, maxDupTokenFrac = 0.6))
         val inBatch = llm.Curation.dedupByUrl(kept, col("target_uri"),
           Seq(col("doc_id")))
         val outPath = new org.apache.hadoop.fs.Path(outDir.toString)
@@ -2681,10 +2689,14 @@ object SparkEntry {
           col("vec_id") === col("doc_id"), "left_semi")
         .unionByName(e.filter(col("vec_id").between(16, 31)))
         .distinct()
+      // checkpoint: both exceptAll directions read the one-shot serve —
+      // without it the full build+search chain re-executes for the
+      // second require arm (guide §1.2: don't compute things twice)
       val oneShot = fmt(llm.IndexStore
         .build("ivfpq_residual", oneShotCorpus, "vec_id", "embedding",
           cents, cb)
         .search(queries, "query_id", "embedding", k = 10, nprobe = 3))
+        .localCheckpoint(true)
       require(served.exceptAll(oneShot).isEmpty &&
           oneShot.exceptAll(served).isEmpty,
         "streamed index serve != one-shot build over the same survivors")

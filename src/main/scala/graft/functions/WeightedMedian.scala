@@ -42,8 +42,12 @@ object WeightedMedian {
     * pre-expanded.
     */
   def weightedMedian(df: DataFrame, x: String, w: String): Option[Double] = {
-    val n = df.count() // J8: driver-composed scalar, spliced as a literal
-    val total = df.agg(sum(coalesce(col(w), lit(0))).as("t")).head().get(0)
+    // J8: driver-composed scalars, spliced as literals — ONE scan for
+    // both (count and total were two full passes; guide §1.2)
+    val nt = df.agg(count(lit(1)).as("n"),
+      sum(coalesce(col(w), lit(0))).as("t")).head()
+    val n = nt.getLong(0)
+    val total = nt.get(1)
     if (n == 0 || total == null) return None
     val withCums = cumCols(x, w, Nil).foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
     val cand = withCums.filter(
@@ -111,14 +115,16 @@ object WeightedMedian {
     * collapse), and the A14 parity count joins back broadcast.
     */
   def weightedMedianByGroup(df: DataFrame, x: String, w: String, g: String): DataFrame = {
+    // the A14 parity count rides the SAME per-group window partitioning
+    // as __total instead of a second scan + groupBy + join-back (r21;
+    // guide §2.4: two operations keyed the same way share one exchange)
     val withCums = cumCols(x, w, Seq(g)).foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
       .withColumn("__total", sum(coalesce(col(w), lit(0))).over(Window.partitionBy(col(g))))
-    val counts = df.groupBy(col(g)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(g))))
     withCums
       .filter((col("__total") / 2).between(col("__prevsum"), col("__runsum")))
       .groupBy(col(g))
-      .agg(max(col(x)).as("__mx"))
-      .join(broadcast(counts), g)
+      .agg(max(col(x)).as("__mx"), first(col("__cnt")).as("__cnt"))
       .select(
         col(g).cast("string").as("group_id"),
         when(col("__cnt") % 2 === 0, (col("__mx") + col("__mx")) / 2.0)

@@ -124,7 +124,16 @@ object Curation {
       fpp: Double = 0.001): DataFrame = {
     val benchGramsRaw = benchmark
       .select(explode(Dedup.wordNgrams(text, n)).as("__g"))
-    val nGrams = math.max(benchGramsRaw.count(), 1L)
+    // sizing WITHOUT exploding (ADVICE r20): sum of per-doc gram-array
+    // sizes equals the exploded row count (wordNgrams emits >= 1 gram
+    // per non-null doc), for one narrow scan instead of an
+    // explode-and-count job — occurrence count stays a safe upper
+    // bound for the distinct count, and fpp only moves the false-
+    // positive trickle the verify join absorbs, never the result
+    val nGrams = math.max(
+      Option(benchmark
+          .agg(sum(size(Dedup.wordNgrams(text, n))).cast("long")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
     val items = math.min(nGrams, BloomMaxItems)
     // optimal bits = -n ln p / ln^2 2 (Bloom 1970), under the cap
     val bits = math.min(
@@ -216,6 +225,23 @@ object Curation {
       minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2,
       maxDupTokenFrac: Double = 0.6): DataFrame = {
+    val (okLen, okWordLen, okSymbol, okStopwords, okRepetition) =
+      gopherFlags(text, minTokens, maxTokens, minAvgTokenLen,
+        maxAvgTokenLen, maxSymbolRatio, minStopwordHits, maxDupTokenFrac)
+    docs.select(col(idCol),
+      okLen.as("ok_len"), okWordLen.as("ok_word_len"),
+      okSymbol.as("ok_symbol"), okStopwords.as("ok_stopwords"),
+      okRepetition.as("ok_repetition"),
+      (okLen && okWordLen && okSymbol && okStopwords && okRepetition)
+        .as("pass"))
+  }
+
+  /** The five [[gopherFilter]] rule columns, unbound — shared by the
+    * audit-table form above and the scan-local [[gopherPass]]. */
+  private def gopherFlags(text: Column, minTokens: Int, maxTokens: Int,
+      minAvgTokenLen: Double, maxAvgTokenLen: Double,
+      maxSymbolRatio: Double, minStopwordHits: Int,
+      maxDupTokenFrac: Double): (Column, Column, Column, Column, Column) = {
     val toks = TextAnalysis.tokens(text)
     val n = size(toks)
     val nChars = length(text)
@@ -229,12 +255,25 @@ object Curation {
         minStopwordHits
     val okRepetition = ((n - size(array_distinct(toks))).cast("double") / n) <=
       maxDupTokenFrac
-    docs.select(col(idCol),
-      okLen.as("ok_len"), okWordLen.as("ok_word_len"),
-      okSymbol.as("ok_symbol"), okStopwords.as("ok_stopwords"),
-      okRepetition.as("ok_repetition"),
-      (okLen && okWordLen && okSymbol && okStopwords && okRepetition)
-        .as("pass"))
+    (okLen, okWordLen, okSymbol, okStopwords, okRepetition)
+  }
+
+  /** [[gopherFilter]]'s `pass` conjunction as a bare scan-local Column —
+    * for pipelines that only GATE on it (`df.filter(gopherPass(text))`).
+    * The audit-table form costs a second scan of the text when the
+    * caller joins it back (the upstream may be an expensive decode, e.g.
+    * a gzip WARC batch); a filter keeps curation one pass (guide §2.4:
+    * remove the join, remove its re-scan). Same expressions, same
+    * three-valued logic, identical survivors. */
+  def gopherPass(text: Column,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2,
+      maxDupTokenFrac: Double = 0.6): Column = {
+    val (okLen, okWordLen, okSymbol, okStopwords, okRepetition) =
+      gopherFlags(text, minTokens, maxTokens, minAvgTokenLen,
+        maxAvgTokenLen, maxSymbolRatio, minStopwordHits, maxDupTokenFrac)
+    okLen && okWordLen && okSymbol && okStopwords && okRepetition
   }
 
   /** Temperature-scaled domain mixture weights — the sampling weights a

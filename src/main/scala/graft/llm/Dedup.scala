@@ -681,23 +681,31 @@ object Dedup {
       .select(col("__h").as("__wh"), col("__hl").as("__whl"),
         col("__w").getField(idCol).as("__wid"),
         col("__w").getField("chunk_id").as("__widx"))
-    val kept = chunks.join(winners,
-      col("__h") === col("__wh") && col("__hl") === col("__whl") &&
+    // ONE pass over the chunk relation for keep-marking, reassembly
+    // AND totals (r21; guide §1.2): the split form consumed `chunks`
+    // three times — winner agg, inner join-back, totals agg — so the
+    // chunk-build upstream (tokenize + boundary window + regroup) ran
+    // three times per query. The winner relation is UNIQUE per
+    // (__h, __hl), so the inner join cannot multiply rows; a chunk is
+    // kept iff it IS its group's winner, and collect_list skips the
+    // nulls the `when` leaves on dropped chunks. An all-dropped doc
+    // yields the empty array -> '' — the same row the old left-join
+    // form produced.
+    val marked = chunks.join(winners,
+        col("__h") === col("__wh") && col("__hl") === col("__whl"))
+      .withColumn("__keep",
         col(idCol) === col("__wid") && col("chunk_id") === col("__widx"))
-    val reassembled = kept
-      .groupBy(col(idCol))
+    marked.groupBy(col(idCol))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_id"), col("chunk_text"))))),
           c => c.getField("chunk_text")), " ").as("clean_text"),
-        count(lit(1)).as("kept_chunks"))
-    val totals = chunks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__total"))
-    totals.join(reassembled, Seq(idCol), "left")
+        count(when(col("__keep"), lit(1))).as("kept_chunks"),
+        count(lit(1)).as("__total"))
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
-        (col("__total") - coalesce(col("kept_chunks"), lit(0L)))
-          .as("dropped_chunks"))
+        col("clean_text"),
+        col("kept_chunks"),
+        (col("__total") - col("kept_chunks")).as("dropped_chunks"))
   }
 }

@@ -115,6 +115,12 @@ object IndexStore {
     val spark = index.codes.sparkSession
     import spark.implicits._
     val dim = index.cents.head.length
+    // model-state relations are driver-sized (1 / nlist / m·k / dim
+    // rows): coalesce(1) so each lands as ONE part file — toDF over a
+    // local Seq otherwise parallelizes to defaultParallelism slices and
+    // writes up to that many near-empty files per relation, which
+    // load() then has to list and open (guide §6: small files hurt
+    // twice — driver listing and per-file open)
     spark.createDataFrame(Seq((
         index.kind, index.idCol, index.codebooks.length,
         index.codebooks.head.length, dim, index.cents.length,
@@ -123,23 +129,31 @@ object IndexStore {
         index.rot.map(_.totalVar).getOrElse(0.0))))
       .toDF("kind", "id_col", "m", "k", "dim", "nlist", "has_rot",
         "rot_n", "rot_total_var")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     index.cents.zipWithIndex
       .map { case (v, i) => (i, v) }.toDF("cell", "vec")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     (for {
       (cb, mi) <- index.codebooks.zipWithIndex
       (c, j) <- cb.zipWithIndex
     } yield (mi, j, c)).toDF("mi", "code", "vec")
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     index.rot.foreach { r =>
       r.components.indices
         .map(i => (i, r.mean(i), r.components(i).toSeq, r.eigenvalues(i)))
         .toDF("i", "mean", "comp", "eig")
-        .write.mode("overwrite").parquet(s"$dir/rotation")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
     }
-    // cell-partitioned: the on-disk inverted-list layout (see scaladoc)
-    index.codes.write.mode("overwrite").partitionBy("cell")
+    // cell-partitioned: the on-disk inverted-list layout (see scaladoc).
+    // repartition(cell) makes the write land the documented
+    // one-file-per-cell layout DIRECTLY: without it every upstream
+    // partition writes its own part file into every cell directory
+    // (input partitions × nlist files — the small-files problem
+    // [[compact]] exists to fix, paid at save time for nothing). A cell
+    // too large for one task at extreme scale passes a partition count
+    // (repartition(n, col("cell"))), same escape hatch compact documents.
+    index.codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
   }
 
@@ -219,7 +233,11 @@ object IndexStore {
       s".codes-append-${java.util.UUID.randomUUID}")
     val enc = build(index.kind, corpus, index.idCol, vecCol,
       index.cents, index.codebooks, index.rot).codes
-    enc.write.mode("overwrite").partitionBy("cell")
+    // one file per touched cell per append (the LSM delta shape the
+    // compact scaladoc describes), not one per (upstream partition,
+    // cell) pair — same small-files rationale as [[save]]
+    enc.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(staging.toString)
     val codesRoot = new Path(dir, "codes")
     fs.listStatus(staging).filter(_.isDirectory)
@@ -255,6 +273,7 @@ object IndexStore {
     requireSaved(spark, dir)
     build(index.kind, batch, index.idCol, vecCol,
       index.cents, index.codebooks, index.rot).codes
+      .repartition(col("cell")) // one delta file per touched cell
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes_inc/batch=$batchId")
   }

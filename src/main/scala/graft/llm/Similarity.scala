@@ -579,10 +579,12 @@ object Similarity {
       // instead of re-seeding, which is what makes the MSE descend
       cbs = pqCodebooksLloyd(rotated, idCol, vecCol, m, k, lloydIters,
         init = if (t == 1) None else Some(cbs))
-      val mse = mseOf(rot, cbs)
-      if (t == 1) seedMse = mse
-      if (best == null || mse < best._3) best = (rot, cbs, mse)
       if (t < opqIters) {
+        // ONE corpus scan per round for BOTH the MSE gate and the
+        // Procrustes cross moment (they read the same encode): the
+        // split form paid the full rotate+encode pass twice per round
+        // (guide §1.2 — fewer passes before anything else). Same
+        // expression trees per row; only the pass count changes.
         val xbar = zip_with(col(vecCol), typedlit(rot.mean.toIndexedSeq),
           (x, mu) => x.cast("double") - mu)
         val rec = pqReconstruct(col("__codes"), cbs)
@@ -590,12 +592,21 @@ object Similarity {
         // __rec as a materialized column too: the inner transform's
         // input is re-evaluated per OUTER element, so it must be an
         // attribute load, not the 8-lookup concat
-        val mFlat = encoded(rot, cbs)
-          .select(xbar.as("__xbar"), rec.as("__rec"))
-          .select(flatten(transform(col("__xbar"),
-            xi => transform(col("__rec"), rj => xi * rj))).as("__outer"))
-          .agg(graft.functions.GraftFunctions.vectorSum(col("__outer")))
-          .head().getSeq[Double](0).toArray
+        val row = encoded(rot, cbs)
+          .select(col("__y"), xbar.as("__xbar"), rec.as("__rec"))
+          .select(
+            aggregate(
+              zip_with(col("__y"), col("__rec"), (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x).as("__se"),
+            flatten(transform(col("__xbar"),
+              xi => transform(col("__rec"), rj => xi * rj))).as("__outer"))
+          .agg(avg(col("__se")),
+            graft.functions.GraftFunctions.vectorSum(col("__outer")))
+          .head()
+        val mse = row.getDouble(0)
+        if (t == 1) seedMse = mse
+        if (best == null || mse < best._3) best = (rot, cbs, mse)
+        val mFlat = row.getSeq[Double](1).toArray
         val mMat = Array.tabulate(d, d)((a, b) => mFlat(a * d + b))
         val (u, _, v) = Pca.svdSquare(mMat)
         val r = Array.tabulate(d, d) { (i, j) =>
@@ -604,6 +615,10 @@ object Similarity {
           s
         }
         rot = rot.copy(components = r)
+      } else {
+        val mse = mseOf(rot, cbs)
+        if (t == 1) seedMse = mse
+        if (best == null || mse < best._3) best = (rot, cbs, mse)
       }
     }
     (best._1, best._2, best._3, seedMse)

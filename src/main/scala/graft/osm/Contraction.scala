@@ -66,14 +66,28 @@ object Contraction {
 
   /** Input: (edge_id LONG, source LONG, target LONG, cost DOUBLE).
     * `forbidden`: vertices exempt from contraction (pgr_contraction's
-    * forbidden_vertices). */
+    * forbidden_vertices). Below `localThreshold` edges the whole
+    * cycle runs on the driver (the GraphCheck broadcast-local pattern:
+    * the distributed fixpoint costs O(cycles × peel rounds × joins)
+    * job launches — pure overhead on a driver-sized graph); the local
+    * walk mirrors the distributed steps operation for operation, so
+    * results are identical (pinned in ContractionSpec). `localThreshold
+    * = 0` forces the distributed loop. */
   def contractGraph(edges: DataFrame, forbidden: Seq[Long] = Nil,
-      maxPeelRounds: Int = 64, maxCycles: Int = 8): Contracted = {
+      maxPeelRounds: Int = 64, maxCycles: Int = 8,
+      localThreshold: Long = 100000L): Contracted = {
     val spark = edges.sparkSession
     var cur = chk(edges.select(col("edge_id").cast("long"),
       col("source").cast("long"), col("target").cast("long"),
       col("cost").cast("double"),
       array().cast("array<long>").as("contracted")))
+    if (localThreshold > 0 &&
+        cur.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold)
+      return contractLocal(spark,
+        cur.collect().map(r => LocalEdge(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3), Vector.empty)),
+        forbidden.toSet, maxPeelRounds, maxCycles)
     var vmap = chk(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       new org.apache.spark.sql.types.StructType()
@@ -235,5 +249,142 @@ object Contraction {
       cycle += 1
     }
     Contracted(cur, vmap)
+  }
+
+  private case class LocalEdge(id: Long, s: Long, t: Long, c: Double,
+    contracted: Vector[Long])
+
+  /** Driver-side contraction — each step is the in-memory twin of the
+    * distributed step above (same classification, same deterministic
+    * rules: max-id absorbs into min on dead pairs, shortcut id =
+    * −min(interior)−1, ends/interior sorted, component label = min
+    * edge id), so the returned relations are row-identical. Fixture
+    * costs are binary-exact by the callers' contract, so the local
+    * cost sum cannot diverge from the distributed partial sums. */
+  private def contractLocal(spark: SparkSession,
+      edges0: Array[LocalEdge], forb: Set[Long],
+      maxPeelRounds: Int, maxCycles: Int): Contracted = {
+    import scala.collection.mutable
+    var cur: Vector[LocalEdge] = edges0.toVector
+    val vmap = mutable.Map.empty[Long, Set[Long]]
+    var cycle = 0
+    var changedInCycle = true
+    while (changedInCycle && cycle < maxCycles) {
+      changedInCycle = false
+
+      // ---- dead-end to fixpoint: peel one tree level per round
+      var peeled = true
+      var round = 0
+      while (peeled && round < maxPeelRounds) {
+        val deg = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        cur.foreach { e => deg(e.s) += 1; deg(e.t) += 1 }
+        val dead = deg.collect {
+          case (v, d) if d == 1 && !forb(v) => v }.toSet
+        val removed = cur.filter(e => dead(e.s) || dead(e.t))
+        if (removed.isEmpty) peeled = false
+        else {
+          changedInCycle = true
+          val absorbedSet = mutable.Set.empty[Long]
+          val transfers = mutable.Map.empty[Long, mutable.Set[Long]]
+          removed.foreach { e =>
+            val (absorbed, holder) =
+              if (dead(e.s) && dead(e.t)) (math.max(e.s, e.t), math.min(e.s, e.t))
+              else if (dead(e.s)) (e.s, e.t)
+              else (e.t, e.s)
+            absorbedSet += absorbed
+            val tr = transfers.getOrElseUpdate(holder, mutable.Set.empty)
+            tr += absorbed
+            tr ++= e.contracted
+            tr ++= vmap.getOrElse(absorbed, Set.empty)
+          }
+          absorbedSet.foreach(vmap.remove)
+          transfers.foreach { case (h, s) =>
+            vmap(h) = vmap.getOrElse(h, Set.empty) ++ s }
+          cur = cur.filterNot(e => absorbedSet(e.s) || absorbedSet(e.t))
+          round += 1
+        }
+      }
+
+      // ---- linear to fixpoint (one shot: maximal runs collapse whole)
+      val deg = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      cur.foreach { e => deg(e.s) += 1; deg(e.t) += 1 }
+      val chainV = deg.collect {
+        case (v, d) if d == 2 && !forb(v) => v }.toSet
+      // incidences of chain vertices: edge-id pairs per chain vertex
+      val incByV = mutable.Map.empty[Long, List[Long]]
+      cur.foreach { e =>
+        if (chainV(e.s)) incByV(e.s) = e.id :: incByV.getOrElse(e.s, Nil)
+        if (chainV(e.t)) incByV(e.t) = e.id :: incByV.getOrElse(e.t, Nil)
+      }
+      if (incByV.nonEmpty) {
+        // chain components over the edge graph: union-find by min root
+        // (= hash-min CC labels); self-loop incidences (min == max
+        // edge id) contribute no link, matching the distributed filter
+        val parent = mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        incByV.values.foreach { ids =>
+          ids.foreach(id => parent.getOrElseUpdate(id, id))
+          val (lo, hi) = (ids.min, ids.max)
+          if (lo != hi) {
+            val (ra, rb) = (find(lo), find(hi))
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+        }
+        val byId = cur.map(e => e.id -> e).toMap
+        val membersByComp = parent.keys.toSeq.sorted
+          .groupBy(find).map { case (c, ids) => c -> ids.map(byId) }
+        case class Chain(component: Long, ends: Seq[Long],
+          interior: Seq[Long], cost: Double, carried: Seq[Long])
+        val chains = membersByComp.toSeq.sortBy(_._1).flatMap {
+          case (comp, members) =>
+            val endsList = members.flatMap(e => Seq(e.s, e.t))
+              .filterNot(chainV).sorted
+            if (endsList.isEmpty) None // endpoint-less = cycle: skip
+            else {
+              val interior = members.flatMap(e => Seq(e.s, e.t))
+                .filter(chainV).distinct.sorted
+              // member order is id-sorted; fixture costs are
+              // binary-exact so order cannot matter anyway
+              val cost = members.map(_.c).sum
+              Some(Chain(comp, endsList, interior, cost,
+                members.flatMap(_.contracted)))
+            }
+        }
+        if (chains.nonEmpty) {
+          changedInCycle = true
+          val interiorSet = chains.flatMap(_.interior).toSet
+          val extras = chains.map { ch =>
+            ch.component ->
+              ch.interior.flatMap(v => vmap.getOrElse(v, Set.empty)).toSet
+          }.toMap
+          interiorSet.foreach(vmap.remove)
+          val shortcuts = chains.map { ch =>
+            LocalEdge(-ch.interior.min - 1, ch.ends.head, ch.ends.last,
+              ch.cost,
+              (ch.interior.toSet ++ ch.carried ++ extras(ch.component))
+                .toVector.sorted)
+          }
+          val contractedEdgeIds =
+            chains.flatMap(ch => membersByComp(ch.component).map(_.id)).toSet
+          cur = cur.filterNot(e => contractedEdgeIds(e.id)) ++ shortcuts
+        }
+      }
+      cycle += 1
+    }
+    import spark.implicits._
+    val edgesDf = cur
+      .map(e => (e.id, e.s, e.t, e.c, e.contracted))
+      .toDF("edge_id", "source", "target", "cost", "contracted")
+    val vmapDf = vmap.toSeq.sortBy(_._1)
+      .map { case (v, s) => (v, s.toVector.sorted) }
+      .toDF("vertex_id", "contracted")
+    Contracted(edgesDf, vmapDf)
   }
 }

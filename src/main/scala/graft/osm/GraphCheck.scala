@@ -29,14 +29,57 @@ import org.apache.spark.sql.{Column, DataFrame}
 object GraphCheck {
 
   /** (node_id, component) for the undirected graph of the edge list. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(edges, maxIter)._1
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 100000L): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter, localThreshold)._1
 
   /** Same, also returning the number of rounds to the fixpoint —
     * observable evidence of the O(log diameter) convergence (asserted
-    * on a long chain in RoadGraphSpec). */
+    * on a long chain in RoadGraphSpec, which forces the distributed
+    * loop with `localThreshold = 0`). */
   def connectedComponentsWithRounds(edges: DataFrame,
-      maxIter: Int = 50): (DataFrame, Int) = {
+      maxIter: Int = 50, localThreshold: Long = 100000L): (DataFrame, Int) = {
+    // Broadcast-local fast path — the multiSourceShortestPaths pattern
+    // (GraphCheck:157): a component labelling that fits on the driver
+    // pays O(log diameter) multi-stage shuffle rounds for nothing.
+    // Union-find with path compression produces THE SAME labels by
+    // construction (component = min node id in the component — the
+    // hash-min fixpoint). Rounds reports 0 to mark the local path;
+    // localThreshold = 0 forces the distributed loop (ScaleSmoke's
+    // convergence witness and the composed operators' scale paths).
+    if (localThreshold > 0) {
+      val eChk = edges
+        .select(col("start_node").cast("long"), col("end_node").cast("long"))
+        .localCheckpoint(true)
+      if (eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+        val spark = eChk.sparkSession
+        import spark.implicits._
+        val es = eChk.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root so the final root IS the component min
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+        return (rows.toDF("node_id", "component"), 0)
+      }
+      return connectedComponentsDistributed(eChk, maxIter)
+    }
+    connectedComponentsDistributed(edges, maxIter)
+  }
+
+  private def connectedComponentsDistributed(edges: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
     // NOTE (measured, round 7): pre-partitioning this relation on `b`
     // before the checkpoint — so the per-round neighbor join would
     // reuse the partitioning instead of re-exchanging |E| rows — ran
@@ -1855,8 +1898,29 @@ object GraphCheck {
   def kShortestPaths(edges: DataFrame, source: Long, target: Long,
       k: Int, maxIter: Int = 100,
       localThreshold: Long = 100000L, pruneSlack: Double = 0.5,
-      maxEscalations: Int = 3): Seq[(Seq[Long], Double)] = {
+      maxEscalations: Int = 3,
+      localYen: Boolean = true): Seq[(Seq[Long], Double)] = {
     val eChk = materializeEdges(edges)
+    // Fully-local fast path (r21): when the WHOLE graph fits the
+    // broadcast-local threshold, every spur search was already running
+    // the local Dijkstra — but each spur still paid a DataFrame
+    // anti-join + re-materialization + probe count to build its
+    // filtered edge relation (3-4 driver jobs per spur, dozens per
+    // query, pure fixed cost). Collect the adjacency ONCE and run Yen
+    // in memory with the exact same semantics: spur SSSPs use the same
+    // smaller-predecessor tie rule as shortestPathTo's local path, the
+    // candidate ordering is the same (cost, path-string), so the
+    // result is bit-identical. The ellipse prune is a cost device for
+    // planet graphs and is unnecessary here (both paths return the
+    // exact global top-k).
+    if (localYen && localThreshold > 0 &&
+        eChk.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localThreshold) {
+      val es = eChk.select(col("start_node"), col("end_node"),
+          col("w").cast("double")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      return yenLocal(es, source, target, k)
+    }
     val first = shortestPathTo(eChk, source, target, maxIter, localThreshold)
     if (first.isEmpty || k <= 0) return Seq.empty
     if (k == 1) return Seq(first.get)
@@ -1973,6 +2037,85 @@ object GraphCheck {
       i += 1
     }
     dist
+  }
+
+  /** In-memory Yen over a collected edge array — [[kShortestPaths]]'s
+    * broadcast-local fast path. Semantics mirror the DataFrame loop
+    * exactly: spur Dijkstras keep the SMALLER predecessor on
+    * equal-distance ties (shortestPathTo's local rule), removed
+    * continuation edges / root-path nodes are filtered per spur, and
+    * candidates rank by (cost, path-string). Pinned bit-identical to
+    * the distributed loop in RoadGraphSpec. */
+  private def yenLocal(es: Array[(Long, Long, Double)], source: Long,
+      target: Long, k: Int): Seq[(Seq[Long], Double)] = {
+    val adj = es.map { case (a, b, w) => (a, (b, w)) }
+      .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2) }
+    // Dijkstra with excluded edges/nodes; smaller-pred tie rule
+    def sp(removedEdges: Set[(Long, Long)], removedNodes: Set[Long],
+        from: Long): Option[(Seq[Long], Double)] = {
+      if (removedNodes.contains(from)) return None
+      val dist = scala.collection.mutable.Map(from -> 0.0)
+      val pred = scala.collection.mutable.Map(from -> from)
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long)](
+          Ordering.by[(Double, Long), Double](_._1).reverse)
+      pq.enqueue((0.0, from))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d <= dist(u)) {
+          adj.getOrElse(u, Array.empty[(Long, Double)]).foreach {
+            case (v, w) =>
+              if (!removedNodes.contains(v) &&
+                  !removedEdges.contains((u, v))) {
+                val nd = d + w
+                if (!dist.contains(v) || nd < dist(v)) {
+                  dist(v) = nd; pred(v) = u; pq.enqueue((nd, v))
+                } else if (nd == dist(v) && u < pred(v)) pred(v) = u
+              }
+          }
+        }
+      }
+      dist.get(target).map { total =>
+        var path = List(target); var cur = target
+        while (cur != from) { cur = pred(cur); path = cur :: path }
+        (path, total)
+      }
+    }
+    val first = sp(Set.empty, Set.empty, source)
+    if (first.isEmpty || k <= 0) return Seq.empty
+    if (k == 1) return Seq(first.get)
+    // per-pair min weights (pairWeights' local twin)
+    val minW = es.groupBy(e => (e._1, e._2))
+      .map { case (kk, v) => kk -> v.map(_._3).min }
+    val accepted = scala.collection.mutable.ArrayBuffer(first.get)
+    implicit val candOrd: Ordering[(Double, Seq[Long])] =
+      Ordering.by { case (c, p) => (c, p.mkString(",")) }
+    val candidates =
+      scala.collection.mutable.SortedSet.empty[(Double, Seq[Long])]
+    while (accepted.size < k) {
+      val prev = accepted.last._1
+      val prefixCost = prev.zip(prev.tail)
+        .scanLeft(0.0) { case (acc, pair) => acc + minW(pair) }
+      for (i <- 0 until prev.size - 1) {
+        val spurNode = prev(i)
+        val rootPath = prev.take(i + 1)
+        val removedEdges = accepted.map(_._1)
+          .filter(p => p.size > i + 1 && p.take(i + 1) == rootPath)
+          .map(p => (p(i), p(i + 1))).toSet
+        val removedNodes = rootPath.dropRight(1).toSet
+        sp(removedEdges, removedNodes, spurNode).foreach {
+          case (spur, spurDist) =>
+            val full = rootPath.dropRight(1) ++ spur
+            if (!accepted.exists(_._1 == full))
+              candidates += ((prefixCost(i) + spurDist, full))
+        }
+      }
+      if (candidates.isEmpty) return accepted.toSeq
+      val best = candidates.head
+      candidates -= best
+      accepted += ((best._2, best._1))
+    }
+    accepted.toSeq
   }
 
   /** Unpruned Yen loop over exactly the given edge relation (see

@@ -71,8 +71,12 @@ object ScaleSmoke {
         (col("__c") * chainLen + col("__i")).as("start_node"),
         (col("__c") * chainLen + col("__i") + 1).as("end_node"))
     val t1 = System.nanoTime()
+    // localThreshold = 0: this smoke witnesses the DISTRIBUTED loop's
+    // scaling exponent — the broadcast-local path must not absorb the
+    // smaller probe sizes (r21)
     val (labels, rounds) =
-      graft.osm.GraphCheck.connectedComponentsWithRounds(edges)
+      graft.osm.GraphCheck.connectedComponentsWithRounds(edges,
+        localThreshold = 0L)
     val comp = labels.agg(count(lit(1)).as("nodes"),
       countDistinct(col("component")).as("components")).head()
     val ccSec = (System.nanoTime() - t1) / 1e9

@@ -112,6 +112,22 @@ class ContractionSpec extends SparkTestBase {
       "vertex 3's absorptions must fold into the shortcut that subsumed it")
   }
 
+  test("broadcast-local path == distributed fixpoint, row-identical (r21)") {
+    // the r21 local fast path must reproduce the distributed loop's
+    // relations exactly — on the micro fixture AND on a randomized
+    // graph mixing trees, chains, cycles, parallel edges and self-loops
+    val rnd = new scala.util.Random(13)
+    val random = (1 to 40).map { i =>
+      (i.toLong, rnd.nextInt(18).toLong + 1L, rnd.nextInt(18).toLong + 1L,
+        (rnd.nextInt(8) + 1).toDouble)
+    }.toDF("edge_id", "source", "target", "cost")
+    for ((df, tag) <- Seq((microEdges, "micro"), (random, "random"))) {
+      val local = canon(Contraction.contractGraph(df))
+      val dist = canon(Contraction.contractGraph(df, localThreshold = 0L))
+      assert(local === dist, s"$tag: local != distributed")
+    }
+  }
+
   test("routing invariant: junction-to-junction shortest-path distances " +
       "are unchanged by contraction") {
     def sym(e: DataFrame): DataFrame =

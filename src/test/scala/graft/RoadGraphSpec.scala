@@ -277,12 +277,33 @@ class RoadGraphSpec extends SparkTestBase {
     // a path graph is the adversarial case: naive min-label propagation
     // needs diameter (255) rounds; pointer jumping must land well under
     val chain = (1L until 256L).map(k => (k, k + 1)).toDF("start_node", "end_node")
+    // localThreshold = 0 forces the distributed loop: the rounds bound
+    // is a property OF that loop (the broadcast-local path reports 0)
     val (labels, rounds) =
-      osm.GraphCheck.connectedComponentsWithRounds(chain, maxIter = 20)
+      osm.GraphCheck.connectedComponentsWithRounds(chain, maxIter = 20,
+        localThreshold = 0L)
     assert(rounds <= 12, s"took $rounds rounds — pointer jumping broken?")
     val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comp.length === 256)
     assert(comp.forall(_._2 === 1L), "all labels must reach the chain min")
+  }
+
+  test("connected components: broadcast-local path == distributed loop (r21)") {
+    import spark.implicits._
+    // adversarial mix: chain, star, cycle, self-loop, duplicate and
+    // reversed edges, two isolated-by-self-loop nodes
+    val rnd = new scala.util.Random(7)
+    val edges = ((1L until 64L).map(k => (k, k + 1)) ++
+      (100L to 120L).map(k => (200L, k)) ++
+      (300L to 309L).map(k => (k, if (k == 309L) 300L else k + 1)) ++
+      Seq((400L, 400L), (5L, 4L), (2L, 3L)) ++
+      Seq.fill(50)((rnd.nextInt(40).toLong + 1L, rnd.nextInt(40).toLong + 1L)))
+      .toDF("start_node", "end_node")
+    val local = osm.GraphCheck.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = osm.GraphCheck.connectedComponents(edges, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local === dist)
   }
 
   test("explore parity: all 22 summary tables build (incl. relations); spot-check values") {
@@ -523,13 +544,19 @@ class RoadGraphSpec extends SparkTestBase {
           math.pow(2.0, rnd.nextInt(8)) + a * 0.001 + b * 0.0001))
       if (edges.nonEmpty) {
         val df = edges.toDF("start_node", "end_node", "w")
+        // localYen = false: this witness is about the PRUNE WRAPPER —
+        // the whole-graph local path (r21) would short-circuit both
+        // sides into the same in-memory Yen and prove nothing
         val full = GraphCheck.kShortestPaths(df, 1L, n.toLong, k = 3,
-          maxEscalations = 0)
+          maxEscalations = 0, localYen = false)
         for (slack <- Seq(0.0, 0.5)) {
           val pruned = GraphCheck.kShortestPaths(df, 1L, n.toLong, k = 3,
-            pruneSlack = slack)
+            pruneSlack = slack, localYen = false)
           assert(pruned === full, s"trial $trial slack $slack")
         }
+        // and the r21 in-memory Yen must return the identical ranking
+        val local = GraphCheck.kShortestPaths(df, 1L, n.toLong, k = 3)
+        assert(local === full, s"trial $trial local-Yen mismatch")
       }
     }
   }
