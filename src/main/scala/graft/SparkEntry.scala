@@ -346,11 +346,19 @@ object SparkEntry {
       // on the single-split testdata scan that entire accumulation ran
       // on one core; spread first so 32 partials merge instead
       // (the 100 TB answer is the approx sketch — q_a10c)
+      // ONE percentile aggregate with both quantiles (r21): two separate
+      // percentile() calls each buffer EVERY group value independently —
+      // same counts-map built and merged twice per group. The array form
+      // computes both quantiles from one buffer; per-quantile arithmetic
+      // is identical, so values are bit-equal.
       lineitem(s, dir).select("l_returnflag", "l_extendedprice")
         .repartition(s.sparkContext.defaultParallelism)
         .groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-          percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.75))).as("__ps"))
+        .select(col("l_returnflag"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p75"))
         .orderBy("l_returnflag")
     }),
 
@@ -3167,9 +3175,14 @@ object SparkEntry {
       ).toDF("edge_id", "start_node", "end_node", "w", "way_id")
       val (rels, mems) = osm.OsmModel.viaWayRestrictionRelations(s)
       val restr = osm.RoadGraph.turnRestrictionsVia(rels, mems)
+      // build + checkpoint the shadow-state expansion ONCE for both
+      // routes (r21): it is a pure function of (edges, restr), and the
+      // per-route form re-derived its whole join chain per od-pair
+      val sgRaw = osm.GraphCheck.restrictedStateGraph(edges, restr)
+      val sg = (sgRaw._1.localCheckpoint(true), sgRaw._2.localCheckpoint(true))
       def rows(tag: String, src: Long) = {
-        val (es, ns, _) = osm.GraphCheck.restrictedRoute(
-          edges, restr, src, 4L).get
+        val (es, ns, _) = osm.GraphCheck.restrictedRouteOn(
+          sg, edges, src, 4L).get
         val wm = edges.filter(col("edge_id").isin(es: _*))
           .select(col("edge_id"), col("w")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap

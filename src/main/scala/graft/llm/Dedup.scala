@@ -520,6 +520,22 @@ object Dedup {
       k: Int): DataFrame = {
     val toks = docs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
       .localCheckpoint(true) // feeds grams, survivor re-slice, and totals
+    // checkpointed (r21): both the winner agg and the dup-window join
+    // read the survivor relation — uncheckpointed, the whole prefilter
+    // + re-slice chain (two corpus-mass joins) executed twice per
+    // query. The materialized set is duplicate-mass-sized by
+    // construction (the prefilter already dropped the unique gram
+    // mass), the same bound the downstream shuffles rely on. The LAZY
+    // prefix is split out so PlanAuditSpec can still pin its shape
+    // (LeftSemi prefilter, keyed joins).
+    val survivors = substringSurvivors(toks, idCol, k).localCheckpoint(true)
+    substringDedupFromSurvivors(toks, survivors, idCol, k)
+  }
+
+  /** Lazy survivor relation of [[substringDedup]] — phase 1 (hash
+    * prefilter) + the string re-slice. Split out for the plan audit. */
+  private[graft] def substringSurvivors(toks: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     // window HASHES sliced straight off the token array: the gram
     // STRING never leaves its scan here — only (id, pos, hash) rows
     // enter the prefilter shuffle. r20 fix: carrying the ~k-token
@@ -551,12 +567,19 @@ object Dedup {
     // partition and streams the big one, keeping wall time linear in
     // corpus bytes. (Not broadcast: duplicate mass has no size bound
     // at 100 TB.)
-    val survivors = gramsH
+    gramsH
       .join(hot.hint("shuffle_hash"), Seq("__gh"), "left_semi")
       .hint("shuffle_hash")
       .join(toks, Seq(idCol))
       .select(col(idCol), col("pos"),
         array_join(slice(col("__toks"), col("pos") + 1, lit(k)), " ").as("g"))
+  }
+
+  /** Phases 2-4 of [[substringDedup]] over a (materialized) survivor
+    * relation: exact string-keyed winners, coverage expansion, token
+    * anti-join, reassembly. */
+  private def substringDedupFromSurvivors(toks: DataFrame,
+      survivors: DataFrame, idCol: String, k: Int): DataFrame = {
     // phase 2: exact, string-keyed — first occurrence wins
     val winners = survivors.groupBy(col("g"))
       .agg(min(struct(col(idCol), col("pos"))).as("__w"),

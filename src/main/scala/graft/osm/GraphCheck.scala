@@ -348,9 +348,19 @@ object GraphCheck {
     * hand-off boundary, not a corpus collect. */
   def restrictedRoute(edges: DataFrame, restrictions: DataFrame,
       source: Long, target: Long, maxIter: Int = 100)
+      : Option[(Seq[Long], Seq[Long], Double)] =
+    restrictedRouteOn(restrictedStateGraph(edges, restrictions), edges,
+      source, target, maxIter)
+
+  /** [[restrictedRoute]] over a PREBUILT state graph — callers routing
+    * several od-pairs on one restricted graph build (and ideally
+    * checkpoint) the shadow-state expansion ONCE instead of re-deriving
+    * its join chain per pair (r21; guide §1.2). */
+  private[graft] def restrictedRouteOn(sg: (DataFrame, DataFrame),
+      edges: DataFrame, source: Long, target: Long, maxIter: Int = 100)
       : Option[(Seq[Long], Seq[Long], Double)] = {
     if (source == target) return Some((Seq.empty, Seq(source), 0.0))
-    val (lg, smap) = restrictedStateGraph(edges, restrictions)
+    val (lg, smap) = sg
     val seed = edges.filter(col("start_node") === source)
       .select(lit(-1L).as("start_node"), col("edge_id").as("end_node"),
         col("w"))

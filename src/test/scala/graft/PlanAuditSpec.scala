@@ -481,9 +481,23 @@ class PlanAuditSpec extends SparkTestBase {
   test("r15 operators keep their scale shapes (substring dedup, restricted route, buffer)") {
     // exact substring dedup: the hash prefilter must be a real
     // LeftSemi (the unique gram mass dies before any string shuffle),
-    // winners a hash-agg, and nothing cartesian
+    // winners a hash-agg, and nothing cartesian. Since r21 the survivor
+    // relation is checkpointed (it feeds two consumers), so the
+    // prefilter's shape is audited on the LAZY survivor prefix and the
+    // final plan is audited for the downstream properties.
+    import org.apache.spark.sql.functions.{col => fcol}
+    val sdDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(fcol("doc_id"), fcol("text"))
+    val sdToks = sdDocs.select(fcol("doc_id"),
+      graft.llm.TextAnalysis.tokens(fcol("text")).as("__toks"))
+    val sv = graft.llm.Dedup.substringSurvivors(sdToks, "doc_id", 12)
+      .queryExecution.executedPlan.toString
+    assert(sv.contains("LeftSemi"), s"hash prefilter should semi-join:\n$sv")
+    assert(!sv.contains("CartesianProduct") &&
+      !sv.contains("BroadcastNestedLoopJoin"),
+      "substring survivor prefix must stay keyed")
     val sd = plan("q_d_substring_dedup")
-    assert(sd.contains("LeftSemi"), s"hash prefilter should semi-join:\n$sd")
     assert(!sd.contains("CartesianProduct") &&
       !sd.contains("BroadcastNestedLoopJoin"),
       "substring dedup must stay keyed")
