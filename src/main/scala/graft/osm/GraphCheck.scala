@@ -573,7 +573,8 @@ object GraphCheck {
     * plan flat. Same loop economics as [[pageRank]]; round count is a
     * fixed budget, not data-dependent. Isolated nodes (only
     * self-loops) drop with the self-loops. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      localThreshold: Long = 100000L): DataFrame = {
     val sym = edges
       .select(col("start_node").as("a"), col("end_node").as("b"))
       .unionByName(
@@ -581,6 +582,19 @@ object GraphCheck {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // Broadcast-local fast path (the connectedComponents localThreshold
+    // pattern): a fixture-sized graph pays `rounds` x (join + 2 hash-agg
+    // + checkpoint) driver jobs for microseconds of counting. The local
+    // sweep reproduces the synchronous (max count, min label) argmax
+    // exactly — counts are exact longs in both forms; pinned
+    // local == distributed in RoadGraphSpec. localThreshold = 0 forces
+    // the distributed loop (scale witnesses, plan audits).
+    collectIfSmallLongs(sym, localThreshold).foreach { rows =>
+      val spark = sym.sparkSession
+      import spark.implicits._
+      return lpaLocal(rows.map(r => (r.getLong(0), r.getLong(1))), rounds)
+        .toDF("node_id", "label")
+    }
     var labels = sym.select(col("a").as("node_id")).distinct()
       .withColumn("label", col("node_id"))
       .localCheckpoint(true)
@@ -598,6 +612,45 @@ object GraphCheck {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  /** Collect a ≤`threshold`-row all-LongType relation in ONE job, or
+    * None when it is larger (or not all-long, which would change the
+    * output schema on the local paths). `df` must be materialized
+    * (localCheckpoint) so the limit probe is a cheap local scan; when
+    * the limit(threshold+1) collect comes back with ≤ threshold rows it
+    * IS the whole relation — no second job. */
+  private def collectIfSmallLongs(df: DataFrame,
+      threshold: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (threshold <= 0) return None
+    if (!df.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)) return None
+    val probe = df
+      .limit(math.min(threshold + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    if (probe.length <= threshold) Some(probe) else None
+  }
+
+  /** Broadcast-local twin of the [[labelPropagation]] round loop over a
+    * collected SYMMETRIC distinct edge set: every node simultaneously
+    * takes the most frequent neighbor label, ties to the smallest —
+    * the identical (max count, min label) argmax, exact longs both
+    * forms. Returns (node_id, label) sorted by node. */
+  private def lpaLocal(sym: Array[(Long, Long)],
+      rounds: Int): Seq[(Long, Long)] = {
+    val adj = sym.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    var lab: scala.collection.Map[Long, Long] =
+      adj.keysIterator.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (a, nbrs) =>
+        val cnt = scala.collection.mutable.Map.empty[Long, Long]
+        nbrs.foreach { b =>
+          val c = lab(b); cnt(c) = cnt.getOrElse(c, 0L) + 1
+        }
+        a -> cnt.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab.toSeq.sortBy(_._1)
   }
 
   /** Newman modularity of a community labeling (igraph `modularity`,
@@ -679,8 +732,9 @@ object GraphCheck {
     * [[refineCommunitiesWeighted]] — on a simple loop-free graph the
     * weight sums degenerate to the edge counts above, value-for-value
     * (oracle-re-certified after the unification). */
-  def refineCommunities(edges: DataFrame, labels: DataFrame): DataFrame =
-    refineWeightedCore(canonUnitEdges(edges), labels)
+  def refineCommunities(edges: DataFrame, labels: DataFrame,
+      localThreshold: Long = 100000L): DataFrame =
+    refineCommunitiesRounds(edges, labels, rounds = 1, localThreshold)
 
   /** Canonical unit-weight frame `(a, b, __ew = 1)` of a simple graph
     * — [[refineWeightedCore]] input without the weighted
@@ -703,15 +757,125 @@ object GraphCheck {
     * simultaneous-mover interference modularity is non-decreasing
     * round over round (spec-gated). */
   def refineCommunitiesRounds(edges: DataFrame, labels: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, localThreshold: Long = 100000L): DataFrame = {
     // canonicalize ONCE; every sweep reuses the materialized frame
     // instead of re-paying the distinct() shuffle
     val und = canonUnitEdges(edges).localCheckpoint(true)
+    // Broadcast-local fast path (the connectedComponents localThreshold
+    // pattern): each distributed sweep is ~6 joins + 4 hash-aggs + a
+    // checkpoint of driver jobs for a fixture-sized graph. The local
+    // sweep is the step-for-step twin of [[refineWeightedCore]] — same
+    // exact-integer gain algebra (BigInt == the DECIMAL(38,0)
+    // products), same (max gain, min community) tie order, same
+    // synchronous move gate — pinned row-identical in RoadGraphSpec.
+    // localThreshold = 0 forces the distributed loop.
+    localRefineInputs(und, labels, localThreshold).foreach {
+      case (wedges, lab0) =>
+        val spark = und.sparkSession
+        import spark.implicits._
+        var l = lab0
+        for (_ <- 1 to rounds) l = refineWeightedLocal(wedges, l, None)
+        return l.toSeq.sortBy(_._1).toDF("node_id", "label")
+    }
+    refineRoundsCore(und, labels, rounds)
+  }
+
+  /** Distributed [[refineCommunitiesRounds]] loop over an ALREADY
+    * canonical, materialized unit frame — shared with
+    * [[louvainTwoLevel]]'s phase 1 so the canonicalization shuffle is
+    * paid once per pipeline. */
+  private def refineRoundsCore(undChk: DataFrame, labels: DataFrame,
+      rounds: Int): DataFrame = {
     var l = labels.localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      l = refineWeightedCore(und, l).localCheckpoint(true)
+      l = refineWeightedCore(undChk, l).localCheckpoint(true)
     }
     l
+  }
+
+  /** Gate + one-job collect for the louvain-family local paths: the
+    * MATERIALIZED canonical weighted frame `(a, b, __ew)` and the
+    * labeling, both under `threshold` rows and all-long. */
+  private def localRefineInputs(undChk: DataFrame, labels: DataFrame,
+      threshold: Long)
+      : Option[(Array[(Long, Long, Long)], Map[Long, Long])] =
+    collectIfSmallLongs(undChk, threshold).flatMap { es =>
+      collectIfSmallLongs(
+        labels.select(col("node_id").cast("long"),
+          col("label").cast("long")).localCheckpoint(true), threshold)
+        .map { ls =>
+          (es.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+            ls.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        }
+    }
+
+  /** Broadcast-local twin of ONE [[refineWeightedCore]] sweep over
+    * collected canonical weighted edges (a ≤ b, parallel rows summed,
+    * self-loops kept): strengths, community masses, neighbor-community
+    * weights, the exact-integer gain argmax (max gain, then smallest
+    * community — the struct-min order), and the synchronous move gate,
+    * all in BigInt (== the distributed DECIMAL(38,0) products). With
+    * `parity = Some(p)` only nodes of that id parity may move and only
+    * DOWN (candidate community < current), exactly like the gated
+    * distributed rounds. */
+  private def refineWeightedLocal(und: Array[(Long, Long, Long)],
+      labels: Map[Long, Long],
+      parity: Option[Int]): Map[Long, Long] = {
+    import scala.collection.mutable
+    val deg = mutable.Map.empty[Long, Long]
+    und.foreach { case (a, b, w) =>
+      if (a == b) deg(a) = deg.getOrElse(a, 0L) + 2 * w
+      else {
+        deg(a) = deg.getOrElse(a, 0L) + w
+        deg(b) = deg.getOrElse(b, 0L) + w
+      }
+    }
+    // community degree mass: labeled nodes only (the dc inner join)
+    val dc = mutable.Map.empty[Long, Long]
+    deg.foreach { case (n, d) =>
+      labels.get(n).foreach(c => dc(c) = dc.getOrElse(c, 0L) + d)
+    }
+    // w_{n,c}: weight from n into community c, LABELED neighbors only
+    // (the w-side inner join on the neighbor's label), self-loops out
+    val w = mutable.Map.empty[(Long, Long), Long]
+    def addW(n: Long, nbr: Long, ew: Long): Unit =
+      labels.get(nbr).foreach { c =>
+        w((n, c)) = w.getOrElse((n, c), 0L) + ew
+      }
+    und.foreach { case (a, b, ew) =>
+      if (a != b) { addW(a, b, ew); addW(b, a, ew) }
+    }
+    val twoM = und.foldLeft(BigInt(0))((s, e) => s + e._3) * 2
+    // per-node best candidate: max gain 2m·w − d·D_c, ties to smallest
+    // c ((gain, c) determines (w, D_c), so the struct-min order reduces
+    // to exactly this); scored nodes are labeled-with-degree only
+    val best = mutable.Map.empty[Long, (BigInt, Long, Long, Long)]
+    w.foreach { case ((n, c), wnc) =>
+      for (lab <- labels.get(n); d <- deg.get(n); dcc <- dc.get(c)) {
+        val admissible =
+          if (parity.isDefined) c < lab else c != lab
+        if (admissible) {
+          val gain = twoM * BigInt(wnc) - BigInt(d) * BigInt(dcc)
+          val cand = (gain, c, wnc, dcc)
+          best.get(n) match {
+            case Some((g0, c0, _, _))
+              if g0 > gain || (g0 == gain && c0 < c) => ()
+            case _ => best(n) = cand
+          }
+        }
+      }
+    }
+    labels.map { case (n, lab) =>
+      val gate = parity.forall(p => java.lang.Math.floorMod(n, 2L) == p)
+      val moved = if (!gate) None else best.get(n).collect {
+        case (_, cNew, wNew, dNew)
+          if twoM * (BigInt(wNew) - BigInt(w.getOrElse((n, lab), 0L))) >
+            BigInt(deg(n)) *
+              (BigInt(dNew) - BigInt(dc(lab)) + BigInt(deg(n))) =>
+          cNew
+      }
+      n -> moved.getOrElse(lab)
+    }
   }
 
   /** Louvain phase-2 coarsening: collapse each community of `labels`
@@ -727,12 +891,30 @@ object GraphCheck {
     * 100 TB shape: two keyed label-attach joins + one (cA, cB)
     * hash-agg; output is |communities|²-bounded but in practice tiny
     * relative to the input — the whole point of coarsening. */
-  def coarsenGraph(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("start_node"), col("end_node")).as("a"),
-        greatest(col("start_node"), col("end_node")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+  def coarsenGraph(edges: DataFrame, labels: DataFrame,
+      localThreshold: Long = 100000L): DataFrame = {
+    val und = canonUnitEdges(edges).localCheckpoint(true)
+    // Broadcast-local fast path (the connectedComponents localThreshold
+    // pattern): both label-attach joins + the (cA, cB) hash-agg become
+    // one in-memory group-by over the collected canonical edge set —
+    // labeled endpoints only (the inner joins), ties oriented
+    // (min, max) exactly like the distributed agg keys. Pinned
+    // local == distributed in RoadGraphSpec; localThreshold = 0 forces
+    // the distributed form.
+    localRefineInputs(und, labels, localThreshold).foreach {
+      case (wedges, lm) =>
+        val spark = und.sparkSession
+        import spark.implicits._
+        return wedges
+          .flatMap { case (a, b, _) =>
+            for (ca <- lm.get(a); cb <- lm.get(b))
+              yield (math.min(ca, cb), math.max(ca, cb))
+          }
+          .groupBy(identity).toSeq
+          .map { case ((ca, cb), xs) => (ca, cb, xs.length.toLong) }
+          .sortBy(e => (e._1, e._2))
+          .toDF("start_node", "end_node", "w")
+    }
     und
       .join(labels.select(col("node_id").as("a"), col("label").as("__ca")),
         "a")
@@ -898,13 +1080,53 @@ object GraphCheck {
     * level 2 runs on the coarsened graph, typically orders of
     * magnitude smaller; the projection is one keyed join. */
   def louvainTwoLevel(edges: DataFrame, labels: DataFrame,
-      level1Rounds: Int, level2Rounds: Int): DataFrame = {
-    val l1 = refineCommunitiesRounds(edges, labels, level1Rounds)
+      level1Rounds: Int, level2Rounds: Int,
+      localThreshold: Long = 100000L): DataFrame = {
+    val und = canonUnitEdges(edges).localCheckpoint(true)
+    // Broadcast-local fast path (the connectedComponents localThreshold
+    // pattern): the whole two-level pipeline — phase-1 sweeps, coarsen,
+    // gated phase-2 sweeps, projection — runs driver-local on the
+    // collected canonical edge set. Each local step is the twin of its
+    // distributed counterpart ([[refineWeightedLocal]] both phases —
+    // same BigInt gain algebra, same parity/down-only gating; coarsen
+    // is the same inner-label-join + (min,max) count). Pinned
+    // local == distributed in RoadGraphSpec; localThreshold = 0 forces
+    // the distributed pipeline.
+    localRefineInputs(und, labels, localThreshold).foreach {
+      case (wedges, lab0) =>
+        val spark = und.sparkSession
+        import spark.implicits._
+        var l1 = lab0
+        for (_ <- 1 to level1Rounds) l1 = refineWeightedLocal(wedges, l1, None)
+        // coarsen: labeled endpoints only (the inner joins), internal
+        // edges on the diagonal as self-loops — already canonical
+        val coarse = wedges
+          .flatMap { case (a, b, w) =>
+            for (ca <- l1.get(a); cb <- l1.get(b))
+              yield ((math.min(ca, cb), math.max(ca, cb)), w)
+          }
+          .groupBy(_._1).map { case ((ca, cb), ws) =>
+            (ca, cb, ws.map(_._2).sum)
+          }.toArray
+        var cl: Map[Long, Long] = l1.valuesIterator.map(c => c -> c).toMap
+        for (k <- 1 to level2Rounds)
+          cl = refineWeightedLocal(coarse, cl, parity = Some(k % 2))
+        return l1.toSeq.map { case (n, c1) => (n, cl(c1)) }
+          .sortBy(_._1).toDF("node_id", "label")
+    }
+    val l1 = refineRoundsCore(und, labels, level1Rounds)
     // coarsenGraph output is already canonical (least/greatest keyed
-    // agg) — the level-2 loop feeds the core directly, one frame
-    val coarse = coarsenGraph(edges, l1)
-      .select(col("start_node").as("a"), col("end_node").as("b"),
-        col("w").as("__ew"))
+    // agg) — the level-2 loop feeds the core directly, one frame;
+    // und IS coarsenGraph's canonical simple edge set, so coarsening
+    // reuses the materialized frame instead of re-paying the distinct
+    val coarse = und
+      .join(l1.select(col("node_id").as("a"), col("label").as("__ca")),
+        "a")
+      .join(l1.select(col("node_id").as("b"), col("label").as("__cb")),
+        "b")
+      .groupBy(least(col("__ca"), col("__cb")).as("a"),
+        greatest(col("__ca"), col("__cb")).as("b"))
+      .agg(count(lit(1)).as("__ew"))
       .localCheckpoint(true)
     var cl = l1.select(col("label").as("node_id")).distinct()
       .withColumn("label", col("node_id"))
@@ -1005,7 +1227,8 @@ object GraphCheck {
     * shrinks round over round — values are H-indices after round 1),
     * so the per-node fold is tiny. localCheckpoint per round keeps
     * plans flat. */
-  def coreness(edges: DataFrame, rounds: Int): DataFrame = {
+  def coreness(edges: DataFrame, rounds: Int,
+      localThreshold: Long = 100000L): DataFrame = {
     val sym = edges
       .select(col("start_node").as("a"), col("end_node").as("b"))
       .unionByName(
@@ -1013,6 +1236,21 @@ object GraphCheck {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // Broadcast-local fast path (the connectedComponents localThreshold
+    // pattern): `rounds` x (join + 2 hash-agg + checkpoint) driver jobs
+    // collapse to an in-memory H-index sweep over the collected
+    // symmetric edge set. The local H-index over the sorted-descending
+    // neighbor values equals the distributed histogram fold exactly
+    // (same max-over-prefixes of min(value, count) — integer algebra,
+    // no floats); pinned local == distributed in RoadGraphSpec.
+    // localThreshold = 0 forces the distributed loop (the Window-free
+    // plan audit and scale witnesses run that form).
+    collectIfSmallLongs(sym, localThreshold).foreach { rows =>
+      val spark = sym.sparkSession
+      import spark.implicits._
+      return corenessLocal(rows.map(r => (r.getLong(0), r.getLong(1))),
+        rounds).toDF("node_id", "coreness")
+    }
     var vals = sym.groupBy(col("a")).agg(count(lit(1)).as("value"))
       .select(col("a").as("node_id"), col("value"))
       .localCheckpoint(true)
@@ -1020,6 +1258,34 @@ object GraphCheck {
       vals = corenessRound(sym, vals).localCheckpoint(true)
     }
     vals.select(col("node_id"), col("value").as("coreness"))
+  }
+
+  /** Broadcast-local twin of the [[coreness]] H-index loop over a
+    * collected SYMMETRIC distinct edge set: values start at degree;
+    * each synchronous round replaces a node's value with the H-index
+    * of its neighbors' values — max over the descending-sorted prefix
+    * of min(value_i, i+1), exactly the expanded multiset the
+    * distributed histogram fold evaluates. Returns (node_id, coreness)
+    * sorted by node. */
+  private def corenessLocal(sym: Array[(Long, Long)],
+      rounds: Int): Seq[(Long, Long)] = {
+    val adj = sym.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    var vals: scala.collection.Map[Long, Long] =
+      adj.map { case (a, nbrs) => a -> nbrs.length.toLong }
+    for (_ <- 1 to rounds) {
+      vals = adj.map { case (a, nbrs) =>
+        val sorted = nbrs.map(vals).sortBy(v => -v)
+        var h = 0L
+        var i = 0
+        while (i < sorted.length) {
+          val m = math.min(sorted(i), i + 1L)
+          if (m > h) h = m
+          i += 1
+        }
+        a -> h
+      }
+    }
+    vals.toSeq.sortBy(_._1)
   }
 
   /** ONE H-index round of [[coreness]], built lazily (no checkpoint) so

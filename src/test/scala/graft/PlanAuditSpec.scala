@@ -551,8 +551,11 @@ class PlanAuditSpec extends SparkTestBase {
       s"weighted refine must argmax via struct-min, not a window:\n$wp")
     assert(!wp.contains("CartesianProduct"), "no cartesian in refine")
     val ce = Seq((1L, 2L), (2L, 3L)).toDF("start_node", "end_node")
+    // localThreshold = 0 forces the distributed form: the keyed-join
+    // shape is a property OF that form (the broadcast-local path is a
+    // LocalTableScan)
     val cp = osm.GraphCheck.coarsenGraph(ce, wl.unionByName(
-        Seq((3L, 2L)).toDF("node_id", "label")))
+        Seq((3L, 2L)).toDF("node_id", "label")), localThreshold = 0L)
       .queryExecution.executedPlan.toString
     assert(cp.contains("HashAggregate") && !cp.contains("CartesianProduct")
       && !cp.contains("Window"), s"coarsen must stay keyed:\n$cp")

@@ -864,6 +864,47 @@ class RoadGraphSpec extends SparkTestBase {
     assert(q2 > q1)
   }
 
+  test("louvain family: broadcast-local paths == distributed loops (r22)") {
+    import spark.implicits._
+    // adversarial mix (the r21 CC-pinning graph, denser): chain, star,
+    // cycle, self-loop, duplicate and reversed edges, random multi-edges
+    val rnd = new scala.util.Random(13)
+    val edges = ((1L until 64L).map(k => (k, k + 1)) ++
+      (100L to 120L).map(k => (200L, k)) ++
+      (300L to 309L).map(k => (k, if (k == 309L) 300L else k + 1)) ++
+      Seq((400L, 400L), (5L, 4L), (2L, 3L)) ++
+      Seq.fill(120)((rnd.nextInt(48).toLong + 1L, rnd.nextInt(48).toLong + 1L)))
+      .toDF("start_node", "end_node")
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rows2(GraphCheck.labelPropagation(edges, rounds = 3)) ===
+      rows2(GraphCheck.labelPropagation(edges, rounds = 3,
+        localThreshold = 0L)), "lpa local != distributed")
+    val labels = GraphCheck.labelPropagation(edges, rounds = 3)
+      // drop one hub label: coarsen/refine must agree on the
+      // unlabeled-endpoint (inner-join) semantics too
+      .filter(col("node_id") =!= 200L)
+      .localCheckpoint(true)
+    assert(rows2(GraphCheck.refineCommunitiesRounds(edges, labels,
+        rounds = 3)) ===
+      rows2(GraphCheck.refineCommunitiesRounds(edges, labels, rounds = 3,
+        localThreshold = 0L)), "refine rounds local != distributed")
+    assert(rows3(GraphCheck.coarsenGraph(edges, labels)) ===
+      rows3(GraphCheck.coarsenGraph(edges, labels, localThreshold = 0L)),
+      "coarsen local != distributed")
+    // level2Rounds = 2 covers BOTH gated parities of the local twin
+    assert(rows2(GraphCheck.louvainTwoLevel(edges, labels,
+        level1Rounds = 3, level2Rounds = 2)) ===
+      rows2(GraphCheck.louvainTwoLevel(edges, labels, level1Rounds = 3,
+        level2Rounds = 2, localThreshold = 0L)),
+      "two-level louvain local != distributed")
+    assert(rows2(GraphCheck.coreness(edges, rounds = 8)) ===
+      rows2(GraphCheck.coreness(edges, rounds = 8, localThreshold = 0L)),
+      "coreness local != distributed")
+  }
+
   test("turn restrictions: extractor drops decoys/malformed; no_ and only_ reroute the diamond") {
     import spark.implicits._
     val (rels, mems) = OsmModel.restrictionRelations(spark)
