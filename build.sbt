@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the bench's final stdout JSON line. sbt's
+// default LoggedOutput prefixes every forked-JVM line with "[info] ",
+// which made that line unparseable two rounds running (PERF_r20/r21
+// "parsed": null — VERDICT r21 item 1). StdoutOutput passes the forked
+// process's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
