@@ -1656,7 +1656,11 @@ object SparkEntry {
     //      of margin over the 0.9 gate (candK 100 left one query at
     //      0.8).
     "q_s_pq_recall" -> ((s, dir) => {
-      val e = spreadEmb(s, dir)
+      // decode-once (the r21 pattern, guide §1.2/§5): the corpus frame
+      // feeds Lloyd training, the ADC scan, the exact-rescore join and
+      // the ground-truth arm — materialize the spread ONCE instead of
+      // re-paying the parquet read + repartition per consumer
+      val e = spreadEmb(s, dir).localCheckpoint(true)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val cb = llm.Similarity.pqCodebooksLloyd(e, "vec_id", "embedding",
@@ -1739,7 +1743,9 @@ object SparkEntry {
     //      value-portable, so the contract is this verdict row — the
     //      q_s_ivf_ann / q_s_pq_recall policy.
     "q_s_ivfpq_resid_recall" -> ((s, dir) => {
-      val e = spreadEmb(s, dir)
+      // decode-once: e feeds kmeans, two Lloyd trainings, two index
+      // scans and the ground-truth arm (~8 rescans of the spread)
+      val e = spreadEmb(s, dir).localCheckpoint(true)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val cents = llm.Similarity.kmeansCentroids(e, "vec_id", "embedding",
@@ -1778,9 +1784,12 @@ object SparkEntry {
     //      float-sum state, so the contract is the verdict row (the
     //      q_s_pq_recall policy).
     "q_s_opq_recall" -> ((s, dir) => {
+      // decode-once: the anisotropized frame feeds both ADC arms, the
+      // PCA fit and the ground-truth arm — materialize it once
       val e = spreadEmb(s, dir)
         .select(col("vec_id"), transform(col("embedding"),
           (x, j) => x * (j.cast("double") + 1.0)).as("embedding"))
+        .localCheckpoint(true)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       // session-memoized ground truth (the measurement, not the index)
@@ -1822,6 +1831,8 @@ object SparkEntry {
         .select(col("vec_id"), zip_with(col("__a"),
           concat(slice(col("__a"), 6, 59), slice(col("__a"), 1, 5)),
           (x, y) => x * 0.8 + y * 0.6).as("embedding"))
+        // decode-once: the alternation rescans this frame every round
+        .localCheckpoint(true)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       // session-memoized ground truth (the measurement, not the index)
@@ -1894,9 +1905,12 @@ object SparkEntry {
     //      residual codebooks must cover. Trained quantizers aren't
     //      value-portable → literal-verdict gate (q_s_pq_recall policy).
     "q_s_opq_ivfpq_recall" -> ((s, dir) => {
+      // decode-once: e feeds kmeans, Lloyd, the plain index arm, the
+      // PCA fit and the rotated arm (~12 rescans of the spread)
       val e = spreadEmb(s, dir)
         .select(col("vec_id"), transform(col("embedding"),
           (x, j) => x * (j.cast("double") + 1.0)).as("embedding"))
+        .localCheckpoint(true)
       // 20 queries, not 5: recall@10 over 5 queries moves in 0.02 steps
       // and the measured margins here are ~0.04 — the wider panel is
       // what makes the beats-plain verdict stable run to run
@@ -1920,8 +1934,10 @@ object SparkEntry {
         "vec_id", "embedding", "query_id", k = 10, cents, nprobe = 4, cb))
       // OPQ∘residual arm: rotate, then train BOTH quantizers rotated
       val rot = llm.Similarity.opqEigenAllocation(e, "embedding", m = 8)
+      // the rotated frame trains BOTH quantizers — rotate once
       val er = e.select(col("vec_id"),
         llm.Pca.project(col("embedding"), rot).as("embedding"))
+        .localCheckpoint(true)
       val cents2 = llm.Similarity.kmeansCentroids(er, "vec_id", "embedding",
         nlist = 16, iters = 3, trainMaxRows = trainCap)
       val cb2 = llm.Similarity.pqCodebooksLloyd(
@@ -1979,9 +1995,12 @@ object SparkEntry {
     //      of rotating residuals instead of raw vectors. Trained state →
     //      literal-verdict gate.
     "q_s_lopq_recall" -> ((s, dir) => {
+      // decode-once: e feeds kmeans, the residual map, two index arms
+      // and the ground-truth arm
       val e = spreadEmb(s, dir)
         .select(col("vec_id"), transform(col("embedding"),
           (x, j) => x * (j.cast("double") + 1.0)).as("embedding"))
+        .localCheckpoint(true)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       // session-memoized ground truth, SHARED with q_s_opq_ivfpq_recall
@@ -1994,8 +2013,10 @@ object SparkEntry {
           .agg(avg(col("recall"))).head().getDouble(0)
       val cents = llm.Similarity.kmeansCentroids(e, "vec_id", "embedding",
         nlist = 16, iters = 3, trainMaxRows = trainCap)
+      // the residual corpus is consumed THREE times (plain Lloyd, the
+      // rotation fit, the rotated Lloyd) — materialize it once
       val resPlain = llm.Similarity.residualCorpus(e, "vec_id",
-        "embedding", cents)
+        "embedding", cents).localCheckpoint(true)
       val cb = llm.Similarity.pqCodebooksLloyd(resPlain, "vec_id",
         "embedding", m = 8, k = 16, iters = 2, trainMaxRows = trainCap)
       val plain = recallOf(llm.Similarity.ivfPqResidualTopK(e, queries,
@@ -2033,12 +2054,16 @@ object SparkEntry {
     //      AND holds full-training recall within 0.05, at both sweep
     //      scales.
     "q_s_sampled_train" -> ((s, dir) => {
+      // decode-once: the clustered frame feeds two kmeans trainings,
+      // two index scans and the ground-truth arm — and the per-row
+      // sin() synth is itself the expensive part of the scan
       val clustered = spreadEmb(s, dir)
         .select(col("vec_id"),
           transform(col("embedding"), (x, j) =>
             sin(((col("vec_id") % 16) + 1).cast("double")
               * (j.cast("double") + 1.0)) + x.cast("double"))
             .as("embedding"))
+        .localCheckpoint(true)
       val queries = clustered.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val exact = llm.Similarity.exactL2TopKCached(s"$dir|clust20",
